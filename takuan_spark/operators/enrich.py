@@ -1,0 +1,92 @@
+"""Enrichment operators (SURVEY.md §2 O11, O12, O28).
+
+- metadata stamping: constant columns + processing time
+  (ref: core/sensor.go:90-96, core/aggregator.go:61).
+- geo enrichment: the reference does a per-row in-process MaxMind lookup
+  (ref: core/aggregator.go:62-66). Spark-first that is a *broadcast left
+  outer join* against a geo dimension table: the dim ships once to every
+  executor, the probe stays in whole-stage codegen, and failed lookups
+  leave the columns NULL exactly like the reference's ``err == nil``
+  guard. At 100 TB the fact side streams through unchanged — no shuffle,
+  because the broadcast join requires none.
+- re-enrichment batch job (the ``-geo`` flag, ref: core/aggregator.go:
+  174-209): full scan → join new dim → keep the new values where they
+  changed → overwrite. Set-oriented MERGE instead of per-row UPDATEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GEO_COLUMNS = ("country_code", "country_name")
+
+
+def stamp_metadata(
+    df: DataFrame,
+    *,
+    sensor: str,
+    node_name: str,
+    detected_at_col: str = "detected_at",
+) -> DataFrame:
+    """Stamp sensor name, node name and processing time (O11)."""
+    return (
+        df.withColumn("sensor", F.lit(sensor))
+        .withColumn("node_name", F.lit(node_name))
+        .withColumn(detected_at_col, F.current_timestamp())
+    )
+
+
+def geo_enrich(
+    events: DataFrame,
+    geo_dim: DataFrame,
+    *,
+    on: str = "address",
+    dim_key: str = "ip",
+) -> DataFrame:
+    """Broadcast left-outer join against the geo dimension (O12).
+
+    ``geo_dim`` must carry ``(dim_key, country_code, country_name)``. The
+    explicit ``F.broadcast`` hint makes the plan independent of the
+    autoBroadcast threshold — a geo dim is always the small side.
+    """
+    dim = F.broadcast(
+        geo_dim.select(
+            F.col(dim_key).alias("__geo_key"), *[F.col(c) for c in GEO_COLUMNS]
+        )
+    )
+    joined = events.join(dim, events[on] == dim["__geo_key"], "left")
+    return joined.drop("__geo_key")
+
+
+def re_enrich(
+    events: DataFrame,
+    geo_dim: DataFrame,
+    *,
+    on: str = "address",
+    dim_key: str = "ip",
+) -> DataFrame:
+    """Full-table geo refresh — the ``-geo`` batch job (O28).
+
+    Returns the events table with country columns replaced by the new
+    dim's values where the lookup now succeeds, keeping the old values
+    where it doesn't (the reference only updates rows whose lookup
+    succeeded and changed, ref: core/aggregator.go:185-200).
+    """
+    dim = F.broadcast(
+        geo_dim.select(
+            F.col(dim_key).alias("__geo_key"),
+            F.col("country_code").alias("__new_cc"),
+            F.col("country_name").alias("__new_cn"),
+        )
+    )
+    joined = events.join(dim, events[on] == dim["__geo_key"], "left")
+    return (
+        joined.withColumn(
+            "country_code", F.coalesce(F.col("__new_cc"), F.col("country_code"))
+        )
+        .withColumn(
+            "country_name", F.coalesce(F.col("__new_cn"), F.col("country_name"))
+        )
+        .drop("__geo_key", "__new_cc", "__new_cn")
+    )

@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults are chosen for the local[*] test harness but every knob is the
+one you would also set on a real cluster: AQE on (runtime re-planning,
+skew-join splitting, partition coalescing), Arrow on (vectorized
+pandas-UDF exchange), and a shuffle-partition count that tracks core
+count locally instead of Spark's static 200.
+
+At 100 TB the same plans run unchanged; only ``spark.sql.shuffle.partitions``
+(or rather AQE's ``advisoryPartitionSizeInBytes``) and executor sizing move.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "takuan-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    AQE handles runtime partition coalescing and skew joins, so the static
+    ``shuffle.partitions`` only needs to be a sane upper bound (~cores
+    locally; thousands on a real cluster).
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
