@@ -1,0 +1,499 @@
+"""General relational surface over the star-schema testdata.
+
+The reference only ever needs lookup joins + two-level count aggregation
+(SURVEY.md §2.1), but a user of a query engine gets the whole relational
+algebra from Spark for free — these queries pin down that surface
+(equi/semi/anti joins, partial+final aggregation, windows, rollup, set
+ops, sorts/top-k, scalar string/date/math functions) against a DuckDB
+oracle so the "free" operators are *proven*, not assumed.
+
+Scale notes baked into the plans:
+- explicit ``F.broadcast`` hints go only on the always-tiny dims
+  (region, nation) — at 100 TB the fact side never shuffles for those.
+  Mid-size tables (customer, supplier, filtered orders) are left to the
+  autoBroadcast threshold + AQE: broadcast at bench scale, shuffle join
+  at cluster scale, without touching the plan;
+- aggregates go through partial (map-side) aggregation automatically —
+  group keys are always low-cardinality relative to fact rows;
+- top-k is always ``orderBy().limit()`` → TakeOrderedAndProject, never a
+  global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from takuan_spark.queries import query
+from takuan_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                       AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                  AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                       AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                  AS avg_price,
+           ROUND(AVG(l_discount), 4)                                       AS avg_disc,
+           COUNT(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 shape: filtered scan + multi-aggregate hash aggregation "
+    "(partial+final). Exercises O18/O19 generalization.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q3 shape: selective dim filter -> 3-way join -> agg -> top-k.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    "TPC-H Q5 shape: 6-way star join with a non-join-key equality "
+    "(c_nationkey = s_nationkey) + agg. Exercises join reordering.",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@query(
+    "q_top_customers",
+    """
+    SELECT c_custkey, c_name,
+           ROUND(SUM(o_totalprice), 2) AS total_spend,
+           COUNT(*) AS n_orders
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY total_spend DESC, c_custkey
+    LIMIT 10
+    """,
+    "Join + agg + top-k (O20/O26 generalization).",
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_window_rank",
+    """
+    SELECT * FROM (
+        SELECT c_nationkey, c_custkey, c_name,
+               ROUND(c_acctbal, 2) AS acctbal,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rnk
+        FROM customer
+    ) WHERE rnk <= 3
+    ORDER BY c_nationkey, rnk
+    """,
+    "Window function: per-group ranking (row_number over partitioned "
+    "window) — the windowed analog of the reference's global sort O20.",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+        .orderBy("c_nationkey", "rnk")
+    )
+
+
+@query(
+    "q_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "Hierarchical aggregation: GROUP BY ROLLUP (subtotals + grand "
+    "total). Absent in the reference; exposed per SURVEY.md §2.1.",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q_anti_join",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    "Anti join: customers with no orders — the general form of the "
+    "reference's unreported-events anti-semantics (O16).",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_semi_join",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_suppkey = s_suppkey AND l_quantity > 45
+    )
+    ORDER BY s_suppkey
+    """,
+    "Semi join: suppliers with at least one large-quantity lineitem.",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_set_ops",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    "Set operation: INTERSECT of customer and supplier nations "
+    "(union O30's siblings; union itself backs the multi-sensor plan).",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp).orderBy("nationkey")
+
+
+@query(
+    "q_union_distinct",
+    """
+    SELECT DISTINCT nationkey, src FROM (
+        SELECT c_nationkey AS nationkey, 'cust' AS src FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey, 'supp' AS src FROM supplier
+    )
+    ORDER BY nationkey, src
+    """,
+    "Multi-source union + distinct (O30 + dedup-by-key).",
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("cust").alias("src")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supp").alias("src")
+    )
+    return cust.unionByName(supp).distinct().orderBy("nationkey", "src")
+
+
+@query(
+    "q_string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_brand)                       AS brand_u,
+           substr(p_type, 1, 5)                 AS type_prefix,
+           concat(p_brand, '/', p_type)         AS brand_type,
+           CAST(length(p_name) AS INT)          AS name_len,
+           replace(p_name, ' ', '_')            AS name_snake
+    FROM part
+    WHERE p_name LIKE '%e%' AND contains(p_type, 'A')
+    ORDER BY p_partkey
+    """,
+    "Scalar string functions: upper/substr/concat/length/replace/LIKE "
+    "(SURVEY.md §2.1 string functions; O23/O27 building blocks).",
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.where(F.col("p_name").like("%e%") & F.col("p_type").contains("A"))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_u"),
+            F.substring("p_type", 1, 5).alias("type_prefix"),
+            F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+            F.length("p_name").alias("name_len"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q_date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(EXTRACT(year  FROM o_orderdate) AS INT)  AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT)  AS mo,
+           CAST(EXTRACT(day   FROM o_orderdate) AS INT)  AS dy,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since_epoch_start
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1996
+    ORDER BY o_orderkey
+    """,
+    "Scalar date functions: extract/date arithmetic/format (O7/O8 "
+    "building blocks generalized).",
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.where(F.year("o_orderdate") == 1996)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("dy"),
+            F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias(
+                "due_date"
+            ),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+            ).alias("days_since_epoch_start"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q_math_functions",
+    """
+    SELECT s_suppkey,
+           ROUND(abs(s_acctbal), 2)        AS abs_bal,
+           CAST(ceil(s_acctbal) AS BIGINT) AS ceil_bal,
+           CAST(floor(s_acctbal) AS BIGINT) AS floor_bal,
+           ROUND(sqrt(abs(s_acctbal)), 4)  AS sqrt_bal,
+           ROUND(ln(abs(s_acctbal) + 1), 4) AS ln_bal,
+           CAST(s_suppkey % 7 AS BIGINT)   AS bucket
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    "Scalar math functions: abs/ceil/floor/sqrt/ln/mod.",
+)
+def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    absbal = F.abs(F.col("s_acctbal"))
+    return supp.select(
+        "s_suppkey",
+        F.round(absbal, 2).alias("abs_bal"),
+        F.ceil("s_acctbal").alias("ceil_bal"),
+        F.floor("s_acctbal").alias("floor_bal"),
+        F.round(F.sqrt(absbal), 4).alias("sqrt_bal"),
+        F.round(F.log(absbal + 1), 4).alias("ln_bal"),
+        (F.col("s_suppkey") % 7).alias("bucket"),
+    ).orderBy("s_suppkey")
+
+
+@query(
+    "q_distinct_count",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(AVG(value), 4)    AS avg_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "Distinct aggregation: COUNT(DISTINCT) per group (expand+two-phase "
+    "agg in Spark).",
+)
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_first_value_per_group",
+    """
+    SELECT o_custkey,
+           min_by(o_orderkey,
+                  date_diff('day', TIMESTAMP '1990-01-01 00:00:00', o_orderdate)
+                      * 10000000000 + o_orderkey) AS first_orderkey,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_orderdate
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    "First-value-per-group (O21) with a deterministic ordering key "
+    "(earliest order, orderkey tiebreak) instead of the reference's "
+    "arbitrary first-row pick. Key = days*1e10 + orderkey (exact BIGINT).",
+)
+def q_first_value_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    ordkey = (
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("timestamp")).cast(
+            "long"
+        )
+        * F.lit(10000000000).cast("long")
+        + F.col("o_orderkey")
+    )
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min_by("o_orderkey", ordkey).alias("first_orderkey"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_orderdate"),
+        )
+        .orderBy("o_custkey")
+    )

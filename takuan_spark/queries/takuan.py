@@ -1,0 +1,234 @@
+"""Replication queries: the reference's own query semantics, mapped onto
+the driver's ``events`` stream table (event_id, ts, user_id, event_type,
+value, props).
+
+Mapping: ``user_id`` plays the attacker ``address`` (the group key),
+``event_type`` plays ``sensor/rule`` (the per-group sub-key). The shapes,
+orderings and encodings are exactly the reference's report queries
+(core/reporter.go, core/twitter.go) — see operators/reports.py for the
+general-schema implementations these specialize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from takuan_spark.queries import query
+from takuan_spark.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "takuan_address_report",
+    """
+    WITH inner_counts AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events
+        GROUP BY user_id, event_type
+    )
+    SELECT
+        user_id AS address,
+        CAST(SUM(cnt) AS BIGINT) AS total_events,
+        string_agg(event_type || ':' || CAST(cnt AS VARCHAR), '|'
+                   ORDER BY event_type || ':' || CAST(cnt AS VARCHAR)) AS counters
+    FROM inner_counts
+    GROUP BY user_id
+    ORDER BY total_events DESC, address
+    """,
+    "Per-address report: O18-O23 (group-by, count, nested sub-agg, "
+    "deterministic map->string counters encode, sort desc). "
+    "Ref: core/reporter.go:97-173.",
+)
+def takuan_address_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    inner = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    segment = F.concat_ws(":", F.col("event_type"), F.col("cnt"))
+    return (
+        inner.groupBy("user_id")
+        .agg(
+            F.sum("cnt").alias("total_events"),
+            F.concat_ws("|", F.sort_array(F.collect_list(segment))).alias("counters"),
+        )
+        .withColumnRenamed("user_id", "address")
+        .orderBy(F.desc("total_events"), F.asc("address"))
+    )
+
+
+@query(
+    "takuan_country_topk",
+    """
+    SELECT event_type, COUNT(*) AS total_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY total_events DESC, event_type
+    LIMIT 5
+    """,
+    "Top-k summary: O26 group-by + count + sort + limit 5 "
+    "(TakeOrderedAndProject). Ref: core/twitter.go:48-80.",
+)
+def takuan_country_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("total_events"))
+        .orderBy(F.desc("total_events"), F.asc("event_type"))
+        .limit(5)
+    )
+
+
+@query(
+    "takuan_rule_filter",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE regexp_matches(event_type, '^(error|signup)$') AND value > 50.0
+    ORDER BY event_id
+    """,
+    "Regex predicate filter + conjunction: O9 rule match + O16-style "
+    "predicate. Ref: core/rule.go:23-31.",
+)
+def takuan_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.where(F.col("event_type").rlike("^(error|signup)$") & (F.col("value") > 50.0))
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "takuan_rule_label",
+    """
+    SELECT * FROM (
+        SELECT event_id,
+               CASE WHEN event_type = 'error' THEN 'rule_error'
+                    WHEN value > 150.0 THEN 'rule_high_value'
+                    WHEN event_type = 'signup' THEN 'rule_signup'
+               END AS rule
+        FROM events
+    ) WHERE rule IS NOT NULL
+    ORDER BY event_id
+    """,
+    "Ordered first-match-wins rule disjunction: O10 as a chained CASE "
+    "WHEN + isNotNull filter. Ref: core/sensor.go:88-106.",
+)
+def takuan_rule_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    rule = (
+        F.when(F.col("event_type") == "error", "rule_error")
+        .when(F.col("value") > 150.0, "rule_high_value")
+        .when(F.col("event_type") == "signup", "rule_signup")
+    )
+    return (
+        ev.select("event_id", rule.alias("rule"))
+        .where(F.col("rule").isNotNull())
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "takuan_json_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    ORDER BY event_id
+    """,
+    "JSON field extraction from the props payload column (SURVEY.md "
+    "§2.1 scalar functions; get_json_object).",
+)
+def takuan_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_id", k.alias("k"))
+        .where(F.col("k") >= 50)
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "takuan_hourly_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "Event-time tumbling-window aggregation (batch analog of the "
+    "streaming F.window path; SURVEY.md §2.1 streaming-only).",
+)
+def takuan_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+    return (
+        ev.groupBy(hour.alias("hour"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+@query(
+    "takuan_regex_tokenize",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '^(\\w+)\\s+(\\w+)', 1) AS tok1,
+           regexp_extract(text, '^(\\w+)\\s+(\\w+)', 2) AS tok2
+    FROM documents
+    WHERE regexp_matches(text, '^(\\w+)\\s+(\\w+)')
+    ORDER BY doc_id
+    """,
+    "Regex tokenize projection: O4 capture groups -> named columns with "
+    "non-match prefilter. Ref: core/parser.go:64-80.",
+)
+def takuan_regex_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r"^(\w+)\s+(\w+)"
+    return (
+        docs.where(F.col("text").rlike(pat))
+        .select(
+            "doc_id",
+            F.regexp_extract("text", pat, 1).alias("tok1"),
+            F.regexp_extract("text", pat, 2).alias("tok2"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "takuan_geo_enrich_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_name AS user_name, n.n_name AS nation
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY e.event_id
+    """,
+    "Broadcast left-outer enrichment join: O12 geo lookup semantics "
+    "(missing dim rows -> NULLs). Ref: core/aggregator.go:62-66.",
+)
+def takuan_geo_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dim = F.broadcast(
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
+        .select("c_custkey", "c_name", "n_name")
+    )
+    return (
+        ev.join(dim, ev.user_id == dim.c_custkey, "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("c_name").alias("user_name"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy("event_id")
+    )

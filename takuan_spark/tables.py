@@ -8,6 +8,7 @@ runs, so Catalyst can push filters/projections into the parquet reader.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = [
     "region",
@@ -24,6 +25,20 @@ TABLE_NAMES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as long via the
+    runtime conf and rebuild the timestamp at microsecond precision —
+    lossless here (the generator emits µs-aligned values) and matching
+    DuckDB, which also reads this column at µs precision.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,89 @@
+"""Spark-vs-DuckDB oracle comparison for every declared query —
+a local mirror of the driver's CORRECTNESS gate (row count + columns +
+order-insensitive values), run at the smoke scale factor by default.
+
+Run against the real gate scale with:
+    TAKUAN_TEST_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/test_oracle.py
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from takuan_spark.queries import REGISTRY, _load
+from takuan_spark.tables import TABLE_NAMES
+
+_load()
+
+ORACLE_CASES = [s for s in REGISTRY.values() if s.oracle_sql is not None]
+ROWS_ONLY_CASES = [s for s in REGISTRY.values() if s.oracle_sql is None]
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Order-insensitive canonical form: columns sorted by name, rows
+    sorted by all values; ints unified to int64, floats to float64."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif df[c].dtype == object:
+            df[c] = df[c].where(pd.notna(df[c]), None)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def assert_frames_match(spark_pd: pd.DataFrame, oracle_pd: pd.DataFrame, name: str):
+    assert sorted(spark_pd.columns) == sorted(oracle_pd.columns), (
+        f"{name}: column mismatch {sorted(spark_pd.columns)} vs "
+        f"{sorted(oracle_pd.columns)}"
+    )
+    assert len(spark_pd) == len(oracle_pd), (
+        f"{name}: row count {len(spark_pd)} vs {len(oracle_pd)}"
+    )
+    a, b = canonicalize(spark_pd), canonicalize(oracle_pd)
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]):
+            ok = [
+                (math.isnan(x) and math.isnan(y)) or x == y
+                for x, y in zip(a[c], b[c])
+            ]
+            assert all(ok), (
+                f"{name}: float column {c!r} differs, e.g. "
+                f"{[(x, y) for x, y, o in zip(a[c], b[c], ok) if not o][:5]}"
+            )
+        else:
+            same = a[c].eq(b[c]) | (a[c].isna() & b[c].isna())
+            assert same.all(), (
+                f"{name}: column {c!r} differs, e.g. "
+                f"{list(zip(a[c][~same][:5], b[c][~same][:5]))}"
+            )
+
+
+@pytest.mark.parametrize("spec", ORACLE_CASES, ids=[s.name for s in ORACLE_CASES])
+def test_query_matches_oracle(spark, ddb, sf_dir, spec):
+    spark_pd = spec.builder(spark, sf_dir).toPandas()
+    oracle_pd = ddb.sql(spec.oracle_sql).df()
+    assert_frames_match(spark_pd, oracle_pd, spec.name)
+
+
+@pytest.mark.parametrize("spec", ROWS_ONLY_CASES, ids=[s.name for s in ROWS_ONLY_CASES])
+def test_rows_only_query_runs(spark, sf_dir, spec):
+    df = spec.builder(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
