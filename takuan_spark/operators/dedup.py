@@ -1,0 +1,306 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.2).
+
+Four tiers, each fully shuffle-based (no driver-side state, no
+collect()), ordered by cost:
+
+1. **Exact** — group on a 128-bit content fingerprint, keep the smallest
+   id. Grouping on ``md5(text)`` instead of the text itself keeps the
+   shuffle payload at 32 bytes/row regardless of document size — the
+   difference between shuffling 100 TB and shuffling ~3 TB of keys.
+2. **N-gram Jaccard** — exact set similarity over word shingles via an
+   inverted-index self-join (explode shingles → join on shingle →
+   count). Quadratic in the worst case; the verify path for a candidate
+   set, not the discovery path at 100 TB.
+3. **MinHash + LSH banding** — the discovery path at scale: constant-size
+   signatures (k minima of seeded xxhash64), banded so that only
+   same-band-hash documents ever meet in a shuffle. Cost is linear in
+   corpus size + output candidates.
+4. **SimHash** — 64-bit near-dup sketch (sign of per-bit weighted sums of
+   token hashes); Hamming-distance candidates via exact-prefix banding.
+
+MinHash/SimHash use Spark's xxhash64 (seeded via literal salt columns) —
+fast, JVM-native, deterministic across runs. They are intentionally NOT
+oracle-checked (no portable SQL equivalent); tests pin their semantics
+against exact Jaccard instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from takuan_spark.operators.text import fingerprint, words
+
+
+# ---------------------------------------------------------------- exact
+
+def dedup_exact(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one row per distinct content: min id per fingerprint.
+
+    Collision note: md5 collisions are negligible (2^-64 at corpus
+    sizes); for belt-and-braces add ``F.length(text)`` to the key.
+    """
+    fp = fingerprint(F.col(text_col)).alias("fp")
+    keep = df.select(fp, F.col(id_col)).groupBy("fp").agg(
+        F.min(id_col).alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def dedup_exact_summary(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-fingerprint summary: kept id + duplicate count (the report
+    shape of exact dedup)."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("kept_id"), F.count("*").alias("dup_count"))
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+def shingle_df(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built with array ops (transform over a split — no UDF), exploded to
+    one row per distinct shingle.
+    """
+    w = words(F.col(text_col))
+    # sequence(0, k) counts *down* when k < 0, so guard short documents
+    # with an explicit empty index array.
+    idx = F.when(F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n))
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (a < b, j >= threshold).
+
+    Inverted-index join: documents only meet if they share a shingle, so
+    disjoint documents cost nothing. Output: (id_a, id_b, jaccard).
+    Jaccard is an exact small-integer ratio — portable across engines.
+    """
+    sh = shingle_df(df, text_col=text_col, id_col=id_col, n=n)
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    j = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# -------------------------------------------------------------- minhash
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    n: int = 3,
+) -> DataFrame:
+    """(id, signature array<long>[num_hashes]) MinHash signatures.
+
+    Hash family: ``xxhash64(shingle, salt_i)`` — one JVM-native hash per
+    (shingle, i); the signature is the per-i minimum. One explode + one
+    groupBy; signature size is constant, so shuffle volume is
+    O(corpus rows), independent of document length.
+    """
+    sh = shingle_df(df, text_col=text_col, id_col=id_col, n=n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_similarity(sig_a: Column, sig_b: Column) -> Column:
+    """Estimated Jaccard = fraction of matching signature positions."""
+    matches = F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda m: m)
+    )
+    return matches / F.size(sig_a)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs via MinHash LSH banding (the 100 TB discovery path).
+
+    Signature is cut into ``bands`` bands of ``num_hashes/bands`` rows;
+    a pair becomes a candidate iff some band hashes equal (probability
+    1-(1-j^r)^b). Candidates are then scored by full-signature agreement
+    and filtered at ``threshold``. Only same-bucket documents are ever
+    joined — the self-join key is (band_index, band_hash).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sig = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes, n=n
+    )
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(*[F.col("signature")[bi * rows + r] for r in range(rows)]).alias(
+                    "bh"
+                ),
+            )
+            for bi in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col), F.col("signature"), F.explode(band_entries).alias("be")
+    ).select(id_col, "signature", "be.band", "be.bh")
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "bh"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "bh"
+    )
+    cand = (
+        a.join(b, on=["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = minhash_similarity(F.col("sig_a"), F.col("sig_b"))
+    return cand.select(
+        "id_a", "id_b", F.round(est, 6).alias("est_jaccard")
+    ).where(F.col("est_jaccard") >= threshold)
+
+
+# -------------------------------------------------------------- simhash
+
+def simhash(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, simhash long) 64-bit SimHash over word tokens.
+
+    Per bit: sum +1/-1 over token hashes' bit values; sign → bit. All
+    native expressions: explode tokens → 64 conditional-sum aggregates →
+    recombine. Shuffle carries one row per (doc, token).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup candidate pairs within ``max_distance`` Hamming
+    bits, discovered by exact-match banding on 4 rotated 16-bit prefixes
+    (a pair within distance 3 must agree on at least one of 4 disjoint
+    16-bit blocks — pigeonhole). Self-join key is (block_idx, block)."""
+    sh = simhash(df, text_col=text_col, id_col=id_col)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("blk"),
+                F.shiftright(F.col("simhash"), bi * prefix_bits)
+                .bitwiseAND(F.lit((1 << prefix_bits) - 1))
+                .alias("bv"),
+            )
+            for bi in range(64 // prefix_bits)
+        ]
+    )
+    exploded = sh.select(F.col(id_col), "simhash", F.explode(blocks).alias("b")).select(
+        id_col, "simhash", "b.blk", "b.bv"
+    )
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "bv"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "bv"
+    )
+    return (
+        a.join(b, on=["blk", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            hamming_distance(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_distance)
+    )

@@ -1,0 +1,136 @@
+"""Multimodal column plumbing (SURVEY.md §2.2).
+
+Images/audio/video ride through the engine as opaque ``binary`` columns
+with a typed metadata struct. The Spark-side machinery — schema,
+Arrow-batched ``mapInPandas`` plumbing, partition sizing — is real and
+tested; the actual media decode is stubbed (codec libraries are not in
+this container) behind ``decoder=`` hooks: pass a real decoder in
+production, use :func:`fake_decoder` (deterministic, content-derived) in
+tests, or get ``NotImplementedError`` from the default.
+
+Design rules for 100 TB of media:
+- media bytes live in their own column so Parquet column pruning skips
+  them unless a stage actually decodes;
+- decode happens in ``mapInPandas`` (Arrow batches, one Python worker per
+  partition core) — never a row-at-a-time UDF;
+- feature outputs are fixed-size ``array<float>`` so downstream
+  similarity/dedup reuse the embedding operators unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: canonical media-table schema: opaque payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("format", StringType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+Decoder = Callable[[bytes], list[float]]
+
+
+def default_decoder(payload: bytes) -> list[float]:
+    """The production hook. Codec libs are not available in this
+    container, so the default decode is explicitly unimplemented."""
+    raise NotImplementedError(
+        "media decode requires codec libraries not present in this "
+        "environment; inject a decoder (e.g. PIL/ffmpeg-based) or use "
+        "fake_decoder for plumbing tests"
+    )
+
+
+def fake_decoder(payload: bytes) -> list[float]:
+    """Deterministic stand-in: FEATURE_DIM floats derived from the
+    payload's sha256 — exercises the full Arrow path with stable
+    outputs."""
+    h = hashlib.sha256(payload or b"").digest()
+    return [h[i] / 255.0 for i in range(FEATURE_DIM)]
+
+
+def extract_features(
+    media: DataFrame,
+    *,
+    decoder: Decoder = default_decoder,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """media table → (media_id, features array<float>) via mapInPandas.
+
+    Arrow delivers the binary column in batches; the decoder runs once
+    per payload inside the batch loop. Output schema is fixed, so the
+    result feeds straight into the similarity/dedup operators.
+    """
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("features", ArrayType(FloatType()), True),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decoder(bytes(p)) if p is not None else None
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return media.select(id_col, payload_col).mapInPandas(_decode, schema=out_schema)
+
+
+def media_summary(media: DataFrame) -> DataFrame:
+    """Metadata-only aggregate — must never touch the payload column
+    (column pruning keeps the scan cheap): counts + payload byte size
+    stats per kind."""
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.round(F.avg(F.length("payload")), 2).alias("avg_bytes"),
+    )
+
+
+def sample_frames(
+    media: DataFrame,
+    *,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled timestamp
+    (decode stubbed; the row explosion and timestamps are the real
+    plumbing). Output: (media_id, frame_ts_ms)."""
+    n_frames = F.greatest(
+        (F.col("duration_ms") / every_ms).cast("int"), F.lit(1)
+    )
+    ts = F.transform(
+        F.sequence(F.lit(0), n_frames - 1), lambda i: i * every_ms
+    )
+    return (
+        media.where(F.col("kind") == "video")
+        .select(F.col(id_col), F.explode(ts).alias("frame_ts_ms"))
+    )

@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.2).
+
+All pure ``pyspark.sql.functions`` expressions — no Python UDFs — so the
+whole module stays inside whole-stage codegen and scales linearly with
+input splits: per-document scores are embarrassingly parallel map work,
+and the only shuffles are the final small aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish token pattern: word pieces or single non-space punctuation.
+TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+
+#: Tiny per-language stopword signatures for the n-gram/stopword
+#: language-ID heuristic. Word-boundary regexes keep it expressible in
+#: both Spark and ANSI SQL.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "und", "das", "nicht", "ist"],
+    "es": ["el", "la", "que", "los", "una", "es"],
+    "fr": ["le", "la", "les", "des", "est", "une"],
+}
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokenization; empty strings removed (split on an
+    all-space string yields [''])."""
+    return F.filter(F.split(col, r"\s+"), lambda w: w != "")
+
+
+def word_count(col: Column | str) -> Column:
+    return F.size(words(col))
+
+
+def token_count(col: Column | str) -> Column:
+    """BPE-ish token count: words + punctuation marks."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_PATTERN), 0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of non-space characters that are punctuation."""
+    nonspace = F.length(F.regexp_replace(col, r"\s+", ""))
+    punct = F.length(F.regexp_replace(col, r"[\sA-Za-z0-9_]+", ""))
+    return F.when(nonspace > 0, punct / nonspace).otherwise(F.lit(0.0))
+
+
+def stopword_hits(col: Column | str, stopwords: list[str]) -> Column:
+    pat = r"\b(" + "|".join(stopwords) + r")\b"
+    return F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or LANG_STOPWORDS["en"]
+    wc = word_count(col)
+    return F.when(wc > 0, stopword_hits(col, sw) / wc).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0, 1]: rewards mid-length docs,
+    low punctuation density, and a natural stopword rate. The exact
+    formula is engine-defined (the point is the *shape*: cheap,
+    codegen-able per-row scoring for corpus filtering).
+    """
+    wc = word_count(col)
+    length_score = F.least(wc / F.lit(100.0), F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(col) * 2.0, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    return F.round((length_score + (1 - punct_penalty) + stop_score) / 3.0, 6)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-signature language ID: argmax of per-language hit
+    counts, 'und' (undetermined) when nothing hits. Deterministic
+    tiebreak by language code order en < de < es < fr via strictly-
+    greater comparison in a fixed scan order.
+    """
+    hits = {lang: stopword_hits(col, sws) for lang, sws in LANG_STOPWORDS.items()}
+    langs = sorted(hits)  # de, en, es, fr — fixed evaluation order
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in langs:
+        is_better = hits[lang] > best_hits
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_hits = F.when(is_better, hits[lang]).otherwise(best_hits)
+    return best
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, squeezed whitespace,
+    trimmed."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic 128-bit document fingerprint: md5 of the normalized
+    text. Stable across engines (md5 is md5 everywhere), which is why it
+    is the oracle-checkable fingerprint; xxhash64 is the cheaper
+    Spark-internal alternative used by the dedup operators."""
+    return F.md5(normalize_text(col))
+
+
+def text_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Per-document stats projection used by corpus-quality queries."""
+    c = F.col(text_col)
+    return docs.select(
+        "*",
+        word_count(c).alias("n_words"),
+        F.length(c).alias("n_chars_computed"),
+        token_count(c).alias("n_tokens"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fp"),
+    )

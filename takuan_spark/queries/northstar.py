@@ -1,1 +1,314 @@
-"""North-star queries (filled in operators/dedup|similarity|text)."""
+"""North-star queries: LLM-training-data pipeline operators over the
+``documents`` and ``embeddings`` tables (SURVEY.md §2.2).
+
+SQL-expressible operators carry DuckDB oracles (note the 'g' flag on
+DuckDB regexp_replace — Spark replaces globally by default, DuckDB does
+not). MinHash LSH and SimHash have no portable SQL equivalent and are
+registered without oracles (driver records rows-only; semantics pinned in
+tests/test_northstar.py against exact Jaccard / perturbation checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from takuan_spark.operators import dedup, similarity, text
+from takuan_spark.queries import query
+from takuan_spark.tables import load_table
+
+# stopword alternations reused inside the oracle SQL strings
+_SW = {lang: "|".join(sws) for lang, sws in text.LANG_STOPWORDS.items()}
+
+
+@query(
+    "ns_dedup_exact",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS kept_id,
+           COUNT(*)    AS dup_count
+    FROM documents
+    GROUP BY fp
+    ORDER BY kept_id
+    """,
+    "Exact dedup via content fingerprint: hash-groupBy, min-id survivor, "
+    "duplicate counts. Shuffles 32-byte keys, not document bodies.",
+)
+def ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_exact_summary(docs).orderBy("kept_id")
+
+
+@query(
+    "ns_jaccard_neardup",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(i * 1.0 / (ca.n_sh + cb.n_sh - i), 6) AS jaccard
+    FROM inter
+    JOIN cnt ca ON id_a = ca.doc_id
+    JOIN cnt cb ON id_b = cb.doc_id
+    WHERE i * 1.0 / (ca.n_sh + cb.n_sh - i) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+    "Exact 3-gram Jaccard near-duplicate pairs via inverted-index "
+    "self-join — the verify path for near-dedup.",
+)
+def ns_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, n=3, threshold=0.8).orderBy("id_a", "id_b")
+
+
+@query(
+    "ns_minhash_lsh_neardup",
+    None,  # xxhash64 signature family has no portable SQL equivalent
+    "MinHash(64) + LSH(16 bands) near-dup candidate pairs — the linear "
+    "discovery path at 100 TB. Verified against exact Jaccard in tests.",
+)
+def ns_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, threshold=0.7
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "ns_simhash_neardup",
+    None,  # same: engine-native hash family
+    "SimHash(64-bit) near-dup pairs within Hamming distance 3, "
+    "discovered by 16-bit block banding (pigeonhole).",
+)
+def ns_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_distance=3).orderBy("id_a", "id_b")
+
+
+@query(
+    "ns_text_stats",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                                    w -> w <> ''))) AS BIGINT) AS total_words,
+           ROUND(AVG(length(text)), 4) AS avg_chars,
+           CAST(SUM(len(regexp_extract_all(text,
+                '[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]'))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    "Corpus text statistics per source: char/word/BPE-ish token counts "
+    "(token counting uses the same regex in both engines).",
+)
+def ns_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length(c)).alias("total_chars"),
+            F.sum(text.word_count(c)).alias("total_words"),
+            F.round(F.avg(F.length(c)), 4).alias("avg_chars"),
+            F.sum(text.token_count(c)).alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "ns_lang_id",
+    f"""
+    WITH scored AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '\\b({_SW["de"]})\\b')) AS h_de,
+               len(regexp_extract_all(text, '\\b({_SW["en"]})\\b')) AS h_en,
+               len(regexp_extract_all(text, '\\b({_SW["es"]})\\b')) AS h_es,
+               len(regexp_extract_all(text, '\\b({_SW["fr"]})\\b')) AS h_fr
+        FROM documents
+    ),
+    pred2 AS (
+        SELECT lang,
+               CASE
+                 WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                 WHEN h_en > h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+                 WHEN h_es > h_de AND h_es > h_en AND h_es >= h_fr THEN 'es'
+                 WHEN h_fr > h_de AND h_fr > h_en AND h_fr > h_es THEN 'fr'
+                 ELSE 'de'
+               END AS lang_pred
+        FROM scored
+    )
+    SELECT lang, lang_pred, COUNT(*) AS n
+    FROM pred2
+    GROUP BY lang, lang_pred
+    ORDER BY lang, lang_pred
+    """,
+    "Stopword-signature language ID (confusion counts vs the labeled "
+    "lang column). Ties resolve to the earlier language in scan order "
+    "de<en<es<fr via strictly-greater comparisons — same rule in both.",
+)
+def ns_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@query(
+    "ns_quality_score",
+    f"""
+    WITH q AS (
+        SELECT source,
+               len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS wc,
+               length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace,
+               length(regexp_replace(text, '[\\sA-Za-z0-9_]+', '', 'g')) AS punct,
+               len(regexp_extract_all(text, '\\b({_SW["en"]})\\b')) AS sw
+        FROM documents
+    )
+    SELECT source,
+           ROUND(AVG(ROUND((
+               least(wc / 100.0, 1.0)
+               + (1 - least(CASE WHEN nonspace > 0
+                                 THEN punct * 1.0 / nonspace ELSE 0 END * 2.0, 1.0))
+               + least(CASE WHEN wc > 0 THEN sw * 1.0 / wc ELSE 0 END * 5.0, 1.0)
+           ) / 3.0, 6)), 6) AS avg_quality,
+           COUNT(*) AS n_docs
+    FROM q
+    GROUP BY source
+    ORDER BY source
+    """,
+    "Heuristic quality scoring (length/punctuation/stopword ratios) "
+    "averaged per source — the corpus-filtering signal.",
+)
+def ns_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", text.quality_score(F.col("text")).alias("q"))
+        .groupBy("source")
+        .agg(F.round(F.avg("q"), 6).alias("avg_quality"), F.count("*").alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+@query(
+    "ns_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+    "Deterministic per-document fingerprint (md5 of normalized text) — "
+    "the join key for cross-corpus exact dedup.",
+)
+def ns_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.fingerprint(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+@query(
+    "ns_similarity_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT vec_id,
+               list_sum(list_transform(list_zip(e.embedding, q.qv),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qv,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        FROM embeddings e, q
+        WHERE vec_id <> 0
+    )
+    SELECT vec_id, ROUND(sim, 6) AS sim
+    FROM scored
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+    "Brute-force cosine top-10 against a query vector (vec_id=0): the "
+    "exact ANN baseline. float64 element math in both engines.",
+)
+def ns_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    return similarity.cosine_topk(emb.where(F.col("vec_id") != 0), qvec, k=10)
+
+
+@query(
+    "ns_lsh_similarity_topk",
+    None,  # approximate: bucket pruning is the point, not exact recall
+    "LSH (random-hyperplane, 4 tables x 8 bits, Hamming<=1 multiprobe) "
+    "bucketed cosine top-10 — the partition-prunable ANN scale path. "
+    "Planted-neighbor recall is pinned in tests.",
+)
+def ns_lsh_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    return similarity.lsh_bucketed_topk(
+        emb.where(F.col("vec_id") != 0),
+        qvec,
+        k=10,
+        nbits=8,
+        tables=4,
+        hamming_radius=1,
+    )
+
+
+@query(
+    "ns_knn_join",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+    scored AS (
+        SELECT q.q_id, e.vec_id,
+               ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qv,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+        FROM embeddings e, q
+    )
+    SELECT q_id, vec_id, sim, rnk FROM (
+        SELECT q_id, vec_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY sim DESC, vec_id) AS INT) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    ORDER BY q_id, rnk
+    """,
+    "Brute-force k-NN join: top-5 neighbors (self included, rank 1) for "
+    "each of 3 query vectors (broadcast queries, windowed rank).",
+)
+def ns_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    return (
+        similarity.knn_join(emb, queries, k=5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("q_id", "rnk")
+    )

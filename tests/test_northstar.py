@@ -1,0 +1,196 @@
+"""Semantics tests for the north-star operators that have no SQL oracle
+(MinHash LSH, SimHash, LSH similarity) plus the multimodal plumbing.
+
+Strategy (SURVEY.md §5): pin approximate operators against their exact
+counterparts — MinHash candidates must recover the exact high-Jaccard
+pairs; LSH top-k must have high recall vs brute-force top-k; SimHash must
+be invariant to duplication and sensitive to edits.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from takuan_spark.operators import dedup, multimodal, similarity
+from takuan_spark.tables import load_table
+
+
+# ------------------------------------------------------------- dedup
+
+def test_dedup_exact_keeps_min_id(spark):
+    rows = [
+        (1, "hello   world"),
+        (2, "Hello World"),  # same after normalization
+        (3, "something else"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = sorted(r["doc_id"] for r in dedup.dedup_exact(df).collect())
+    assert kept == [1, 3]
+
+
+def test_jaccard_pairs_exact_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base), (2, base), (3, "completely different words here entirely now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.jaccard_pairs(df, threshold=0.9).collect()
+    assert [(p["id_a"], p["id_b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "one two")], ["doc_id", "text"])
+    assert dedup.shingle_df(df, n=3).count() == 0
+
+
+def test_minhash_recovers_exact_jaccard_pairs(spark, sf_dir):
+    """Every exact-Jaccard>=0.9 pair must be found by MinHash LSH at a
+    lower threshold (banding probability at j=0.9, b=16, r=4 is
+    1-(1-0.9^4)^16 ~ 1.0), with estimated similarity close to exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert exact, "testdata is expected to contain planted near-dups"
+    mh = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    missing = set(exact) - set(mh)
+    assert not missing, f"MinHash missed exact near-dup pairs: {missing}"
+    for pair, j in exact.items():
+        assert abs(mh[pair] - j) < 0.25, (pair, mh[pair], j)
+
+
+def test_minhash_signature_shape(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+        ["doc_id", "text"],
+    )
+    sigs = dedup.minhash_signatures(df, num_hashes=16).collect()
+    assert all(len(r["signature"]) == 16 for r in sigs)
+    # identical docs -> identical signatures
+    assert sigs[0]["signature"] == sigs[1]["signature"]
+
+
+def test_simhash_duplicate_invariance_and_sensitivity(spark):
+    base = ("spark engine query data " * 12).strip()
+    edited = base.replace("query", "qqery", 2)
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited)], ["doc_id", "text"]
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert sh[1] == sh[2]
+    d13 = bin(sh[1] ^ sh[3]).count("1")
+    assert 0 < d13 <= 16  # small edit -> small hamming distance
+
+
+def test_simhash_pairs_find_duplicates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dedup.jaccard_pairs(docs, threshold=0.95).collect()
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs, max_distance=8).collect()
+    }
+    found = sum(1 for r in exact if (r["id_a"], r["id_b"]) in pairs)
+    assert found >= len(exact) * 0.8  # simhash is lossier than minhash
+
+
+# -------------------------------------------------------- similarity
+
+def test_cosine_topk_self_is_most_similar(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 7).head()["embedding"]]
+    top = similarity.cosine_topk(emb, qvec, k=3).collect()
+    assert top[0]["vec_id"] == 7 and top[0]["sim"] == pytest.approx(1.0)
+
+
+def test_lsh_topk_finds_planted_neighbors(spark, sf_dir):
+    """LSH's guarantee is for genuinely close vectors: plant 5 noisy
+    copies of the query (cos >= ~0.95) into the corpus; multi-table LSH
+    must surface them in the top-k."""
+    import random as pyrandom
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    rng = pyrandom.Random(7)
+    planted_ids = list(range(100000, 100005))
+    planted = [
+        (pid, [x + rng.gauss(0, 0.05) for x in qvec], -1) for pid in planted_ids
+    ]
+    planted_df = spark.createDataFrame(
+        planted, "vec_id bigint, embedding array<float>, label int"
+    )
+    corpus = emb.where(F.col("vec_id") != 0).unionByName(planted_df)
+    approx = [
+        r["vec_id"]
+        for r in similarity.lsh_bucketed_topk(
+            corpus, qvec, k=5, nbits=8, tables=4, hamming_radius=1
+        ).collect()
+    ]
+    found = len(set(planted_ids) & set(approx))
+    assert found >= 4, f"LSH missed planted neighbors: {approx}"
+
+
+def test_knn_join_rank1_is_self(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 2)
+    got = similarity.knn_join(emb, queries, k=2).collect()
+    rank1 = {r["q_id"]: r["vec_id"] for r in got if r["rank"] == 1}
+    assert rank1 == {0: 0, 1: 1}
+
+
+# -------------------------------------------------------- multimodal
+
+def _media_df(spark):
+    rows = [
+        (1, "image", b"\x89PNGfakebytes", 64, 64, None, "png"),
+        (2, "image", b"\xff\xd8fakejpeg", 32, 32, None, "jpg"),
+        (3, "video", b"fakemp4", 640, 480, 3500, "mp4"),
+        (4, "audio", None, None, None, 2000, "wav"),
+    ]
+    return spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+
+
+def test_extract_features_fake_decoder(spark):
+    media = _media_df(spark)
+    feats = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(
+            media, decoder=multimodal.fake_decoder
+        ).collect()
+    }
+    assert len(feats[1]) == multimodal.FEATURE_DIM
+    assert feats[1] != feats[2]  # content-derived
+    assert feats[4] is None  # NULL payload passes through
+    # deterministic across runs
+    feats2 = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(
+            media, decoder=multimodal.fake_decoder
+        ).collect()
+    }
+    assert feats == feats2
+
+
+def test_default_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.default_decoder(b"bytes")
+
+
+def test_media_summary_prunes_payload(spark):
+    media = _media_df(spark)
+    got = {r["kind"]: r["n"] for r in multimodal.media_summary(media).collect()}
+    assert got == {"image": 2, "video": 1, "audio": 1}
+
+
+def test_sample_frames(spark):
+    media = _media_df(spark)
+    frames = multimodal.sample_frames(media, every_ms=1000).collect()
+    assert [(r["media_id"], r["frame_ts_ms"]) for r in frames] == [
+        (3, 0),
+        (3, 1000),
+        (3, 2000),
+    ]
