@@ -22,6 +22,43 @@ from pyspark.sql import functions as F
 GEO_COLUMNS = ("country_code", "country_name")
 
 
+def ip_to_long(ip: "F.Column | str") -> "F.Column":
+    """Dotted-quad IPv4 → long, as a native expression (no UDF):
+    fold the split octets into (((a*256)+b)*256+c)*256+d."""
+    octets = F.split(ip, r"\.")
+    return F.aggregate(
+        F.transform(octets, lambda o: o.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, o: acc * 256 + o,
+    )
+
+
+def ip_range_enrich(
+    events: DataFrame,
+    ranges: DataFrame,
+    *,
+    ip_col: str = "address",
+    lo_col: str = "ip_lo",
+    hi_col: str = "ip_hi",
+) -> DataFrame:
+    """True GeoIP semantics: range lookup, the join form of the
+    reference's mmdb longest-prefix query (O12, ref:
+    core/aggregator.go:62-66 — the mmdb file *is* a sorted range table).
+
+    Broadcast non-equi join: with the dim broadcast, the range predicate
+    runs as a BroadcastNestedLoopJoin — each fact row scans the in-memory
+    dim. Fine for dim sizes like GeoLite (~0.5M ranges) when the probe is
+    a binary-searchable structure; for plain Spark the scale path is to
+    pre-bucket both sides by a fixed prefix (e.g. /8) and equi-join on
+    the bucket before applying the range predicate — that keeps the
+    nested-loop bounded per bucket.
+    """
+    ipl = ip_to_long(F.col(ip_col))
+    dim = F.broadcast(ranges)
+    cond = (ipl >= dim[lo_col]) & (ipl <= dim[hi_col])
+    return events.join(dim, cond, "left").drop(lo_col, hi_col)
+
+
 def stamp_metadata(
     df: DataFrame,
     *,

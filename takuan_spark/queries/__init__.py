@@ -71,6 +71,6 @@ def _load() -> None:
     global _loaded
     if _loaded:
         return
-    from takuan_spark.queries import northstar, relational, takuan  # noqa: F401
+    from takuan_spark.queries import advanced, northstar, relational, takuan  # noqa: F401
 
     _loaded = True

@@ -1,0 +1,341 @@
+"""Advanced surface: event-time windows (tumbling was covered in
+takuan_hourly_window; here sliding + session), subqueries, statistical
+aggregates, array functions, full-outer join, pivot-style conditional
+aggregation, and the true range-lookup geo join.
+
+Session windows deserve a note: Spark has a first-class
+``session_window`` operator; ANSI SQL expresses the same thing as a
+gaps-and-islands window chain (lag → gap flag → cumulative session id).
+Registering both proves the Spark operator against the portable
+formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from takuan_spark.operators.enrich import ip_range_enrich, ip_to_long
+from takuan_spark.queries import query
+from takuan_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DDB = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "q_sliding_window",
+    f"""
+    WITH expanded AS (
+        SELECT unnest([date_trunc('hour', ts),
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+               event_type, value
+        FROM events
+    )
+    SELECT strftime(ws, '{_TS_FMT_DDB}') AS window_start,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM expanded
+    GROUP BY ws, event_type
+    ORDER BY window_start, event_type
+    """,
+    "Sliding event-time window (2h size, 1h slide): every event lands in "
+    "two windows. Batch analog of the streaming F.window slide path.",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "q_session_window",
+    f"""
+    WITH seq AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM seq
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_FMT_DDB}') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    "Session windows (30 min gap) per user: Spark's session_window "
+    "operator vs the portable gaps-and-islands SQL. The streaming analog "
+    "is groupBy(session_window(ts, gap)) with a watermark.",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy(sw.alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", _TS_FMT_SPARK).alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "q_scalar_subquery",
+    """
+    SELECT p_partkey, p_name, ROUND(p_retailprice, 2) AS price
+    FROM part
+    WHERE p_retailprice > (SELECT AVG(p_retailprice) * 1.5 FROM part)
+    ORDER BY p_partkey
+    """,
+    "Scalar subquery in a predicate (uncorrelated).",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    threshold = part.agg((F.avg("p_retailprice") * 1.5).alias("t"))
+    return (
+        part.join(F.broadcast(threshold))
+        .where(F.col("p_retailprice") > F.col("t"))
+        .select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"))
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q_correlated_subquery",
+    """
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+    FROM orders o
+    WHERE o_totalprice > 2 * (
+        SELECT AVG(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+    )
+    ORDER BY o_orderkey
+    """,
+    "Correlated subquery: orders more than 2x their customer's average. "
+    "Decorrelates to a self-join on the group key.",
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    avgs = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.avg("o_totalprice").alias("cust_avg")
+    )
+    return (
+        orders.join(avgs, orders.o_custkey == avgs.k)
+        .where(F.col("o_totalprice") > 2 * F.col("cust_avg"))
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price")
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q_stats_agg",
+    """
+    SELECT event_type,
+           ROUND(stddev_samp(value), 4)          AS sd,
+           ROUND(var_samp(value), 4)             AS var,
+           ROUND(quantile_cont(value, 0.5), 4)   AS median,
+           ROUND(MIN(value), 2)                  AS min_v,
+           ROUND(MAX(value), 2)                  AS max_v
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "Statistical aggregates: sample stddev/variance, exact interpolated "
+    "median (percentile), min/max.",
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 4).alias("sd"),
+            F.round(F.var_samp("value"), 4).alias("var"),
+            F.round(F.percentile("value", 0.5), 4).alias("median"),
+            F.round(F.min("value"), 2).alias("min_v"),
+            F.round(F.max("value"), 2).alias("max_v"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_array_functions",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                w -> w <> '')) AS INT) AS n_words,
+           array_to_string(list_filter(string_split_regex(text, '\\s+'),
+                                        w -> w <> '')[1:3], ' ') AS head3,
+           CAST(len(list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                              w -> w <> ''))) AS INT) AS n_distinct,
+           CASE WHEN list_contains(list_filter(string_split_regex(text, '\\s+'),
+                                               w -> w <> ''), 'spark')
+                THEN 1 ELSE 0 END AS has_spark
+    FROM documents
+    ORDER BY doc_id
+    """,
+    "Array functions over tokenized text: size, slice+join, distinct "
+    "size, membership — the split/array surface (O23 building blocks).",
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.text import words
+
+    docs = _t(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.array_join(F.slice(w, 1, 3), " ").alias("head3"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.when(F.array_contains(w, "spark"), 1).otherwise(0).alias("has_spark"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_full_outer_join",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+               FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+               FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey, n_cust, n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    ORDER BY nationkey
+    """,
+    "Full outer join with NULL-preserving sides (filtered aggregates "
+    "make each side miss some nations).",
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        cust.join(supp, cust.nk_c == supp.nk_s, "full_outer")
+        .select(
+            F.coalesce("nk_c", "nk_s").alias("nationkey"),
+            "n_cust",
+            "n_supp",
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "q_pivot_conditional",
+    """
+    SELECT user_id,
+           ROUND(SUM(CASE WHEN event_type = 'click'    THEN value END), 2) AS click_v,
+           ROUND(SUM(CASE WHEN event_type = 'view'     THEN value END), 2) AS view_v,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase_v,
+           ROUND(SUM(CASE WHEN event_type = 'error'    THEN value END), 2) AS error_v,
+           ROUND(SUM(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup_v
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "Pivot as conditional aggregation: one column per event type "
+    "(the portable form of df.groupBy().pivot()).",
+)
+def q_pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    aggs = [
+        F.round(
+            F.sum(F.when(F.col("event_type") == et, F.col("value"))), 2
+        ).alias(f"{et}_v")
+        for et in ["click", "view", "purchase", "error", "signup"]
+    ]
+    return ev.groupBy("user_id").agg(*aggs).orderBy("user_id")
+
+
+@query(
+    "q_ip_range_join",
+    """
+    WITH ips AS (
+        SELECT event_id,
+               '10.' || CAST(user_id % 256 AS VARCHAR) || '.' ||
+               CAST(event_id % 256 AS VARCHAR) || '.1' AS address
+        FROM events
+    ),
+    ipl AS (
+        SELECT event_id, address,
+               10 * 16777216 + (CAST(string_split(address, '.')[2] AS BIGINT) * 65536)
+                  + (CAST(string_split(address, '.')[3] AS BIGINT) * 256) + 1 AS ip
+        FROM ips
+    ),
+    dim(lo, hi, country_code) AS (
+        VALUES (CAST(167772160 AS BIGINT), CAST(167837695 AS BIGINT), 'AA'),
+               (CAST(167837696 AS BIGINT), CAST(167903231 AS BIGINT), 'BB'),
+               (CAST(171966464 AS BIGINT), CAST(174063615 AS BIGINT), 'CC')
+    )
+    SELECT country_code, COUNT(*) AS n
+    FROM ipl LEFT JOIN dim ON ip >= lo AND ip <= hi
+    GROUP BY country_code
+    ORDER BY country_code NULLS FIRST
+    """,
+    "True GeoIP semantics: IPv4 range lookup join (O12; the mmdb file is "
+    "a sorted range table). Broadcast non-equi join; counts per country.",
+)
+def q_ip_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    with_ip = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("10."),
+            (F.col("user_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("event_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("address"),
+    )
+    spark_ranges = spark.createDataFrame(
+        [
+            (167772160, 167837695, "AA"),  # 10.0.0.0/16
+            (167837696, 167903231, "BB"),  # 10.1.0.0/16
+            (171966464, 174063615, "CC"),  # 10.64.0.0 - 10.95.255.255
+        ],
+        "ip_lo bigint, ip_hi bigint, country_code string",
+    )
+    enriched = ip_range_enrich(with_ip, spark_ranges, ip_col="address")
+    return (
+        enriched.groupBy("country_code")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("country_code").asc_nulls_first())
+    )
