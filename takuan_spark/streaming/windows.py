@@ -1,0 +1,69 @@
+"""Watermarked event-time window aggregations for the events stream
+(SURVEY.md §2.1: the reference batches by processing time and ignores
+late data entirely; a streaming analytics engine must expose event-time
+windows + watermarks, so they are first-class here).
+
+These return *streaming* DataFrames; callers attach a sink. In batch
+mode the same expressions are valid (minus the watermark), which is what
+the oracle-checked ``takuan_hourly_window`` / ``q_sliding_window`` /
+``q_session_window`` queries prove.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    events: DataFrame,
+    *,
+    time_col: str = "created_at",
+    key_cols: tuple[str, ...] = ("sensor", "rule"),
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is set) windowed counts with a
+    watermark: state for windows older than the watermark is dropped, so
+    state size is bounded by (watermark / slide) x keys — the property
+    that keeps this runnable forever at 100 TB/day."""
+    w = (
+        F.window(time_col, window, slide)
+        if slide
+        else F.window(time_col, window)
+    )
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(w.alias("w"), *key_cols)
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *key_cols,
+            "cnt",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    *,
+    time_col: str = "created_at",
+    key_col: str = "address",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows per key with a watermark (the streaming form of
+    the gaps-and-islands query ``q_session_window``)."""
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(time_col, gap).alias("sw"), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,156 @@
+"""Tests for watermarked windows and the stateful brute-force detector
+(custom stateful operator via applyInPandasWithState)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from takuan_spark.streaming.stateful import brute_force_alerts
+from takuan_spark.streaming.windows import sessionized_counts, windowed_counts
+
+
+def _write_events_chunk(path, rows):
+    pdf = pd.DataFrame(rows, columns=["address", "created_at", "sensor", "rule"])
+    # datetime64[us]: Spark's parquet reader rejects TIMESTAMP(NANOS)
+    pdf["created_at"] = pd.to_datetime(pdf["created_at"]).astype("datetime64[us]")
+    pdf.to_parquet(path)
+
+
+@pytest.fixture()
+def stream_env(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    return {
+        "src": src,
+        "out": str(tmp_path / "out"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def _attack_rows():
+    rows = []
+    # 203.0.113.7: 6 failures in 30s -> alert at the 5th
+    for i in range(6):
+        rows.append(("203.0.113.7", f"2026-08-13 06:00:{i * 5:02d}", "ssh", "auth-failure"))
+    # 10.0.0.1: 3 events only -> below threshold, no alert
+    for i in range(3):
+        rows.append(("10.0.0.1", f"2026-08-13 06:00:{i * 10:02d}", "ssh", "auth-failure"))
+    # 198.51.100.9: 5 events spread over 10 min -> never 5 inside 60s
+    for i in range(5):
+        rows.append(("198.51.100.9", f"2026-08-13 06:{i * 2:02d}:00", "ssh", "auth-failure"))
+    return rows
+
+
+def _run_stream(spark, env, df_fn):
+    schema = "address string, created_at timestamp, sensor string, rule string"
+    stream = spark.readStream.schema(schema).parquet(str(env["src"]))
+    out = df_fn(stream)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", env["out"])
+        .option("checkpointLocation", env["ckpt"])
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_brute_force_detector(spark, stream_env):
+    _write_events_chunk(stream_env["src"] / "c1.parquet", _attack_rows())
+    _run_stream(
+        spark,
+        stream_env,
+        lambda s: brute_force_alerts(s, threshold=5, window_secs=60, cooldown_secs=300),
+    )
+    alerts = spark.read.parquet(stream_env["out"]).collect()
+    assert [a["address"] for a in alerts] == ["203.0.113.7"]
+    assert alerts[0]["n_events"] == 5
+
+
+def test_brute_force_state_carries_across_batches(spark, stream_env):
+    # 3 events in batch 1, 2 more (within the window) in batch 2:
+    # the alert must fire in batch 2 off carried state.
+    rows = [("7.7.7.7", f"2026-08-13 06:00:{i:02d}", "ssh", "r") for i in range(3)]
+    _write_events_chunk(stream_env["src"] / "c1.parquet", rows)
+    detector = lambda s: brute_force_alerts(  # noqa: E731
+        s, threshold=5, window_secs=60, cooldown_secs=300
+    )
+    _run_stream(spark, stream_env, detector)
+    import os
+
+    assert not os.path.exists(stream_env["out"]) or not [
+        f for f in os.listdir(stream_env["out"]) if f.endswith(".parquet")
+    ] or spark.read.parquet(stream_env["out"]).count() == 0
+
+    rows2 = [("7.7.7.7", f"2026-08-13 06:00:{30 + i:02d}", "ssh", "r") for i in range(2)]
+    _write_events_chunk(stream_env["src"] / "c2.parquet", rows2)
+    _run_stream(spark, stream_env, detector)
+    alerts = spark.read.parquet(stream_env["out"]).collect()
+    assert len(alerts) == 1 and alerts[0]["address"] == "7.7.7.7"
+
+
+def test_windowed_counts_streaming_with_watermark(spark, stream_env):
+    """Append-mode watermark semantics: a window is emitted only once the
+    watermark (max event time - delay) passes its end; open windows stay
+    in state. The watermark advances between micro-batches, so the closed
+    windows surface on the second run (Spark's no-data batch finalizes
+    them after the closer event advances the watermark)."""
+    window_fn = lambda s: windowed_counts(s, window="1 hour", watermark="2 hours")  # noqa: E731
+    rows = (
+        [("a", f"2026-08-13 06:10:{i:02d}", "ssh", "r1") for i in range(4)]
+        + [("b", "2026-08-13 07:05:00", "ssh", "r1")]
+        + [("c", "2026-08-13 07:20:00", "http", "r2")]
+    )
+    _write_events_chunk(stream_env["src"] / "c1.parquet", rows)
+    _run_stream(spark, stream_env, window_fn)
+
+    # closer: advances the watermark to 08:00, closing the 06:xx/07:xx windows
+    _write_events_chunk(
+        stream_env["src"] / "c2.parquet",
+        [("z", "2026-08-13 10:00:00", "ssh", "r1")],
+    )
+    _run_stream(spark, stream_env, window_fn)
+
+    out = spark.read.parquet(stream_env["out"])
+    got = {
+        (str(r["window_start"]), r["sensor"], r["rule"]): r["cnt"]
+        for r in out.collect()
+    }
+    assert got[("2026-08-13 06:00:00", "ssh", "r1")] == 4
+    assert got[("2026-08-13 07:00:00", "ssh", "r1")] == 1
+    assert got[("2026-08-13 07:00:00", "http", "r2")] == 1
+    # the closer's own window (10:00) is still open -> not emitted
+    assert ("2026-08-13 10:00:00", "ssh", "r1") not in got
+
+
+def test_sessionized_counts_streaming(spark, stream_env):
+    session_fn = lambda s: sessionized_counts(  # noqa: E731
+        s, key_col="address", gap="30 minutes", watermark="4 hours"
+    )
+    rows = (
+        [("x", "2026-08-13 06:00:00", "ssh", "r")]
+        + [("x", "2026-08-13 06:10:00", "ssh", "r")]  # same session (gap 30m)
+        + [("x", "2026-08-13 07:30:00", "ssh", "r")]  # new session
+    )
+    _write_events_chunk(stream_env["src"] / "c1.parquet", rows)
+    _run_stream(spark, stream_env, session_fn)
+    # closer event advances the watermark past both session ends
+    _write_events_chunk(
+        stream_env["src"] / "c2.parquet",
+        [("z", "2026-08-13 12:30:00", "ssh", "r")],
+    )
+    _run_stream(spark, stream_env, session_fn)
+
+    out = (
+        spark.read.parquet(stream_env["out"])
+        .where(F.col("address") == "x")
+        .orderBy("session_start")
+        .collect()
+    )
+    assert [(str(r["session_start"]), r["n_events"]) for r in out] == [
+        ("2026-08-13 06:00:00", 2),
+        ("2026-08-13 07:30:00", 1),
+    ]
