@@ -1,0 +1,109 @@
+"""Physical-plan regression tests: the scale properties SURVEY.md §4.3
+promises must be visible in the executed plans, not just intended.
+
+These assert on explain() output so a refactor that silently breaks
+pushdown, pruning, broadcast choice, or adds a stray shuffle fails CI —
+at sf0.01 everything is fast enough that a wrong plan would still pass
+result-based tests, so plan shape needs its own gate.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from takuan_spark.queries import REGISTRY, _load
+from takuan_spark.tables import load_table
+
+_load()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def tree_of(plan: str) -> str:
+    """Just the operator tree (first block), without the detail sections."""
+    return plan.split("\n\n")[0]
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(REGISTRY["q1_pricing_summary"].builder(spark, sf_dir))
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    read_schema = re.search(r"ReadSchema: ([^\n]+)", plan).group(1)
+    assert "l_orderkey" not in read_schema  # unused columns pruned
+    assert "l_comment" not in read_schema
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    plan = plan_of(REGISTRY["q5_local_supplier_volume"].builder(spark, sf_dir))
+    assert tree_of(plan).count("BroadcastHashJoin") == 5  # all five joins
+    assert "SortMergeJoin" not in plan
+    # region filter pushed into its scan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_address_report_single_scan_two_columns(spark, sf_dir):
+    plan = plan_of(REGISTRY["takuan_address_report"].builder(spark, sf_dir))
+    read_schema = re.search(r"ReadSchema: ([^\n]+)", plan).group(1)
+    assert "user_id" in read_schema and "event_type" in read_schema
+    assert "props" not in read_schema and "value" not in read_schema
+    # partial aggregation before the shuffle (map-side combine)
+    assert "partial_count" in plan
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    plan = plan_of(REGISTRY["takuan_country_topk"].builder(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # no global sort materialized
+
+
+def test_geo_enrich_is_broadcast_left_outer(spark, sf_dir):
+    from takuan_spark.operators.enrich import geo_enrich
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("address")
+    )
+    geo = spark.createDataFrame(
+        [("1", "US", "United States")], ["ip", "country_code", "country_name"]
+    )
+    plan = plan_of(geo_enrich(ev, geo))
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+
+
+def test_dedup_exact_shuffles_fingerprints_not_bodies(spark, sf_dir):
+    plan = plan_of(REGISTRY["ns_dedup_exact"].builder(spark, sf_dir))
+    # the shuffle key is the md5 fingerprint, never the text column
+    exchange = re.search(r"Arguments: hashpartitioning\(([^,]+)", plan)
+    assert exchange and exchange.group(1).startswith("fp")
+    # pre-shuffle partial aggregation exists (map-side combine)
+    assert "partial_min" in plan
+
+
+def test_similarity_topk_no_shuffle_before_topk(spark, sf_dir):
+    plan = plan_of(REGISTRY["ns_similarity_topk"].builder(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # scan -> project -> topk: no Exchange other than the final single
+    # partition gather TakeOrdered performs internally
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_pipeline_rules_stay_in_one_codegen_stage(spark):
+    """The parse→rules→datetime hot path must be one codegen'd stage:
+    no shuffle, no Python, a single WholeStageCodegen span."""
+    from takuan_spark.config import load_config
+    from takuan_spark.plans.compiler import compile_sensor
+
+    conf = load_config("/root/reference/config.example.yml", year=2026)
+    lines = spark.createDataFrame([("x",)], ["value"])
+    plan = plan_of(
+        compile_sensor(lines, conf.sensors[0], node_name="n", year=2026)
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
