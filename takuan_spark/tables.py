@@ -36,8 +36,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # Rebuild as TIMESTAMP_NTZ (naive, like DuckDB reads it) so every
+        # downstream date_trunc/date_format is session-timezone-independent
+        # — the driver's own SparkSession may not run in UTC.
         return df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            "ts",
+            F.timestamp_add(
+                "MICROSECOND",
+                F.floor(F.col("ts") / 1000).cast("long"),
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            ),
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
