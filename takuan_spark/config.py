@@ -106,21 +106,35 @@ class RuleSpec:
 
 @dataclass
 class ParserSpec:
-    """A regex tokenize projection: capture groups → named columns.
+    """A tokenize projection: log line → named columns.
 
-    Ref: core/parser.go:23-80. ``tokens`` maps token name → capture-group
-    index, config-defined per sensor (config.example.yml:35-38, 57-63).
+    Two kinds:
+    - ``regex`` (the reference's model, ref: core/parser.go:23-80):
+      ``tokens`` maps token name → capture-group index, config-defined
+      per sensor (config.example.yml:35-38, 57-63).
+    - ``json`` (engine extension for structured logs): ``tokens`` maps
+      token name → JSON path (``$.field`` or bare field name).
     """
 
     expression: str
     datetime_format: str
-    tokens: dict[str, int]
+    tokens: dict[str, int | str]
+    kind: str = "regex"
 
     def validate(self) -> None:
+        if self.kind not in ("regex", "json"):
+            raise ConfigError(f"unknown parser format {self.kind!r}")
         # Mandatory-column validation, ref core/parser.go:14-17,32-36.
         for t in MANDATORY_TOKENS:
             if t not in self.tokens:
                 raise ConfigError(f"mandatory token {t!r} not found in parser")
+        if self.kind == "json":
+            for name, path in self.tokens.items():
+                if not isinstance(path, str) or not path:
+                    raise ConfigError(
+                        f"json token {name!r} needs a field path, got {path!r}"
+                    )
+            return
         n_groups = re.compile(self.compiled_expression()).groups
         max_index = max(self.tokens.values())
         if max_index > n_groups:
@@ -129,8 +143,16 @@ class ParserSpec:
                 f"group(s) of {self.expression!r}"
             )
         for name, idx in self.tokens.items():
+            if not isinstance(idx, int):
+                raise ConfigError(
+                    f"regex token {name!r} needs a group index, got {idx!r}"
+                )
             if idx < 1:
                 raise ConfigError(f"token {name!r} has invalid group index {idx}")
+
+    def json_path(self, token: str) -> str:
+        path = str(self.tokens[token])
+        return path if path.startswith("$") else f"$.{path}"
 
     def compiled_expression(self) -> str:
         return normalize_case_insensitive(self.expression)
@@ -222,9 +244,10 @@ def config_from_dict(raw: dict, *, year: int = 2026) -> PipelineConfig:
     for s in raw.get("sensors", []):
         p = s["parser"]
         parser = ParserSpec(
-            expression=p["expression"],
+            expression=p.get("expression", ""),
             datetime_format=p["datetime_format"],
             tokens=dict(p["tokens"]),
+            kind=p.get("format", "regex"),
         )
         rules = [
             RuleSpec(

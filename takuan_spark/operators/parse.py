@@ -53,14 +53,27 @@ def tokenize(
     line_col: str = "value",
     keep_line: bool = True,
 ) -> DataFrame:
-    """Project capture groups of ``parser.expression`` into named columns.
+    """Project each log line into named token columns.
 
-    One `regexp_extract` per token over the same pattern — Catalyst
-    dedupes the regex compilation, and the leading `rlike` filter drops
-    non-matching lines before any extraction work survives pruning.
+    regex kind: one `regexp_extract` per token over the same pattern —
+    Catalyst dedupes the regex compilation, and the leading `rlike`
+    filter drops non-matching lines before any extraction work survives
+    pruning. json kind: `get_json_object` per token path; lines that are
+    not JSON or miss a mandatory field are dropped (the same "parse
+    gate" semantics, ref: core/parser.go:65).
     """
-    expr = parser.compiled_expression()
     line = F.col(line_col)
+    if parser.kind == "json":
+        cols = [
+            F.get_json_object(line, parser.json_path(name)).alias(name)
+            for name in sorted(parser.tokens)
+        ]
+        if keep_line:
+            cols = [line.alias("payload"), *cols]
+        out = lines.select(*cols)
+        gate = F.col("address").isNotNull() & F.col("datetime").isNotNull()
+        return out.where(gate)
+    expr = parser.compiled_expression()
     cols = [
         F.regexp_extract(line, expr, idx).alias(name)
         for name, idx in sorted(parser.tokens.items(), key=lambda kv: kv[1])
