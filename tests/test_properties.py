@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis): the Go-layout→JDK translator must
+agree with an independent pure-Python Go-layout renderer across random
+datetimes, and Spark's Java-regex tokenization must agree with Python's
+``re`` on the reference's pattern subset across fuzzed log lines.
+
+Each property collects its samples first and runs ONE Spark job over the
+whole batch (Spark startup per example would be prohibitive).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import re as pyre
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from takuan_spark.config import go_layout_to_java
+
+# independent Go reference-time renderer (subset used by log formats)
+_GO_RENDER = {
+    "2006": "%Y",
+    "01": "%m",
+    "02": "%d",
+    "15": "%H",
+    "04": "%M",
+    "05": "%S",
+    "Jan": "%b",
+    "January": "%B",
+    "-0700": "+0000",  # rendered fixed-UTC; parse side must accept it
+}
+
+
+def render_go(layout: str, dt: datetime) -> str:
+    """Render like Go's time.Format: scan the LAYOUT for tokens
+    (longest first) — never substring-replace into rendered output,
+    where e.g. year '2002' contains the day token '02'."""
+    tokens = sorted(_GO_RENDER, key=len, reverse=True) + ["_2"]
+    out = []
+    i = 0
+    while i < len(layout):
+        for tok in tokens:
+            if layout.startswith(tok, i):
+                if tok == "_2":
+                    out.append(f"{dt.day:2d}")
+                else:
+                    py = _GO_RENDER[tok]
+                    out.append(dt.strftime(py) if py.startswith("%") else py)
+                i += len(tok)
+                break
+        else:
+            out.append(layout[i])
+            i += 1
+    return "".join(out)
+
+
+LAYOUTS = [
+    "2006 Jan _2 15:04:05",
+    "02/Jan/2006:15:04:05 -0700",
+    "2006-01-02 15:04:05",
+    "2006-01-02T15:04:05",
+]
+
+datetimes = st.datetimes(
+    min_value=datetime(1995, 1, 1), max_value=datetime(2030, 12, 31)
+).map(lambda d: d.replace(microsecond=0))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(LAYOUTS), datetimes), min_size=1, max_size=30))
+def test_go_layout_translation_agrees_with_renderer(spark, samples):
+    rows = [
+        (layout, go_layout_to_java(layout), render_go(layout, dt), dt)
+        for layout, dt in samples
+    ]
+    df = spark.createDataFrame(
+        rows, "layout string, java string, rendered string, expected timestamp"
+    )
+    parsed = df.select(
+        "layout",
+        "rendered",
+        "expected",
+        F.try_to_timestamp(
+            F.regexp_replace("rendered", r" +", " "), F.col("java")
+        ).alias("got"),
+    ).collect()
+    for r in parsed:
+        assert r["got"] is not None, (r["layout"], r["rendered"])
+        # tz layouts render +0000 -> parsed instant equals naive expected (UTC session)
+        assert r["got"] == r["expected"], (r["layout"], r["rendered"], r["got"])
+
+
+ssh_msg = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters=" "),
+    min_size=1,
+    max_size=40,
+).filter(lambda s: s.strip() != "")
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(ssh_msg, min_size=1, max_size=25))
+def test_regex_dialects_agree_on_ssh_pattern(spark, messages):
+    """The reference's RE2 patterns sit in the RE2∩Java∩Python common
+    subset; fuzz message bodies through the ssh parser pattern and
+    compare Spark's extraction with Python re group-by-group."""
+    pattern = r"^(.+)\s+.+\s+sshd\[\d+\]: (.+)\s+(.+)\s+port\s+\d+$"
+    lines = [
+        f"Aug 13 06:15:01 host1 sshd[77]: {m} from 1.2.3.{i % 256} port 22"
+        for i, m in enumerate(messages)
+    ] + ["garbage line", "Aug 13 host sshd[1]: no port here"]
+    py = {}
+    for line in lines:
+        m = pyre.match(f"(?i){pattern}", line)
+        if m:
+            py[line] = (m.group(1), m.group(2), m.group(3))
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    got = {
+        r["value"]: (r["g1"], r["g2"], r["g3"])
+        for r in df.where(F.col("value").rlike(f"(?i){pattern}"))
+        .select(
+            "value",
+            F.regexp_extract("value", f"(?i){pattern}", 1).alias("g1"),
+            F.regexp_extract("value", f"(?i){pattern}", 2).alias("g2"),
+            F.regexp_extract("value", f"(?i){pattern}", 3).alias("g3"),
+        )
+        .collect()
+    }
+    assert got == py
