@@ -1,0 +1,84 @@
+"""Skew-handling utilities (SURVEY.md §4.3; task brief: "skewed keys
+hurt ... salting for skew, AQE for runtime re-plan").
+
+When to use what, at 100 TB:
+
+- **Aggregation skew** usually needs nothing: partial (map-side)
+  aggregation already collapses each hot key to one row per task before
+  the shuffle. The exception is high-cardinality *state* per key
+  (collect_list/collect_set/distinct counts), where one reducer ends up
+  holding a hot key's whole payload — that is what :func:`salted_agg`
+  two-phases: agg on (key, salt) first, then re-agg on key.
+- **Join skew** is AQE's job first (`spark.sql.adaptive.skewJoin`, on by
+  default in our session): it splits oversized partitions at runtime.
+  :func:`salted_join` is the explicit fallback for the pathological case
+  AQE can't fix — a hot key on the *probe* side against a small-but-
+  not-broadcastable build side: the probe side gets a random salt, the
+  build side is replicated across all salt values.
+
+Both helpers preserve exact semantics (tests prove equality against the
+unsalted plans); they only change the shuffle layout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: Callable[[], list[Column]],
+    reaggs: Callable[[], list[Column]],
+    *,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation over salted keys.
+
+    ``aggs()`` builds the phase-1 aggregate columns (over (keys, salt));
+    ``reaggs()`` builds the phase-2 re-aggregation of those columns (over
+    keys). Example — hot-key counts::
+
+        salted_agg(df, ["address"],
+                   aggs=lambda: [F.count("*").alias("c")],
+                   reaggs=lambda: [F.sum("c").alias("cnt")])
+
+    The first shuffle spreads each hot key over ``salt_buckets``
+    reducers; the second shuffle moves only ``salt_buckets`` rows per
+    key.
+    """
+    salted = df.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    phase1 = salted.groupBy(*keys, "_salt").agg(*aggs())
+    return phase1.groupBy(*keys).agg(*reaggs())
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    *,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with probe-side salting and build-side replication.
+
+    The probe side gets ``_salt = rand() % B``; the build side is
+    exploded B× with every salt value; the join key becomes
+    ``(on, _salt)``. Shuffle cost: probe unchanged, build replicated
+    B× — only worth it when the build side is small relative to the hot
+    key's row count and AQE skew-split is unavailable (e.g. the skewed
+    side feeds a downstream stage that pins partitioning).
+    """
+    salted_probe = probe.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    replicated_build = build.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = salted_probe.join(replicated_build, on=[on, "_salt"], how=how)
+    return out.drop("_salt")
