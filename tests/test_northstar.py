@@ -73,6 +73,9 @@ def test_minhash_signature_shape(spark):
     assert all(len(r["signature"]) == 16 for r in sigs)
     # identical docs -> identical signatures
     assert sigs[0]["signature"] == sigs[1]["signature"]
+    # the hash family must be independent per position: a collapsed
+    # family (all positions equal) estimates jaccard as 0/1 only
+    assert len(set(sigs[0]["signature"])) > 8
 
 
 def test_simhash_duplicate_invariance_and_sensitivity(spark):
