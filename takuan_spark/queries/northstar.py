@@ -96,6 +96,55 @@ def ns_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_embedding_neardup",
+    """
+    WITH n1 AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    nv AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS nv
+        FROM n1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(list_zip(a.nv, b.nv),
+                        p -> p[1] * p[2])) AS sim
+        FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(sim, 6) AS sim
+    FROM pairs
+    WHERE sim >= 0.4
+    ORDER BY id_a, id_b
+    """,
+    "Embedding-cosine near-duplicate pairs (exact all-pairs, the verify "
+    "path): unit-normalize once, one dot-product fold per pair. The "
+    "testdata embeddings are random gaussians, so 0.4 is the "
+    "'near' threshold that exercises the operator.",
+)
+def ns_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+@query(
+    "ns_embedding_neardup_lsh",
+    None,  # approximate candidate generation: recall pinned in tests
+    "Embedding-cosine near-dup via LSH banding (random hyperplanes, "
+    "4 tables x 8 bits): the linear discovery path — only same-bucket "
+    "vectors are ever compared; exact cosine scores the survivors.",
+)
+def ns_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_lsh(emb, threshold=0.35).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
     "ns_text_stats",
     f"""
     SELECT source,

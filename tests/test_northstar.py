@@ -137,6 +137,64 @@ def test_lsh_topk_finds_planted_neighbors(spark, sf_dir):
     assert found >= 4, f"LSH missed planted neighbors: {approx}"
 
 
+def test_cosine_pairs_matches_bruteforce(spark, sf_dir):
+    """The block-pair GEMM must reproduce the exact all-pairs result —
+    check against an independent numpy O(n^2) computation, across a
+    block count that forces both same-block and cross-block paths."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(120)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    nv = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nv @ nv.T
+    expected = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            a, b = int(ids[i]), int(ids[j])
+            if a < b and sims[i, j] >= 0.3:
+                expected.add((a, b, round(sims[i, j], 6)))
+    got = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in similarity.cosine_pairs(
+            emb, threshold=0.3, num_blocks=4
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_cosine_pairs_lsh_finds_planted_dups(spark, sf_dir):
+    """LSH pair discovery must surface genuinely-near pairs: plant noisy
+    copies (cos >= ~0.95) of 5 corpus vectors and require >= 4 of the 5
+    planted pairs among the candidates."""
+    import random as pyrandom
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rng = pyrandom.Random(11)
+    sources = emb.where(F.col("vec_id") < 5).collect()
+    planted = [
+        (
+            100000 + r["vec_id"],
+            [x + rng.gauss(0, 0.03) for x in r["embedding"]],
+            -1,
+        )
+        for r in sources
+    ]
+    planted_df = spark.createDataFrame(
+        planted, "vec_id bigint, embedding array<float>, label int"
+    )
+    corpus = emb.unionByName(planted_df)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs_lsh(
+            corpus, threshold=0.9, tables=8
+        ).collect()
+    }
+    found = sum((i, 100000 + i) in pairs for i in range(5))
+    assert found >= 4, f"LSH missed planted dup pairs: {sorted(pairs)}"
+
+
 def test_knn_join_rank1_is_self(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 2)
