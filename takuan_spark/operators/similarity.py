@@ -266,6 +266,79 @@ def cosine_pairs_lsh(
     )
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    *,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 8,
+    init_mode: str = "random",
+):
+    """Fit an IVF coarse quantizer (k-means, JVM-side via pyspark.ml) and
+    assign every vector to its nearest centroid cell.
+
+    Returns ``(assigned_df, centers)`` where ``assigned_df`` carries an
+    int ``cell`` column and ``centers`` is the nlist x dim python list.
+    Vectors are unit-normalized first, so euclidean-nearest centroid
+    equals cosine-nearest. At corpus scale the index is built once and
+    the table is *written partitioned by* ``cell`` — probes then become
+    partition pruning; here assignment is computed inline.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = embeddings.withColumn(
+        "_v", array_to_vector(normalized(F.col(vec_col)))
+    )
+    # k-means is iterative: without a cache every Lloyd pass re-reads the
+    # source and recomputes the normalize+vectorize projection.
+    feat = feat.persist()
+    # random init: k-means|| costs extra full passes and a coarse
+    # quantizer doesn't need its seeding quality.
+    model = KMeans(
+        k=nlist,
+        seed=seed,
+        maxIter=max_iter,
+        initMode=init_mode,
+        featuresCol="_v",
+        predictionCol="cell",
+    ).fit(feat)
+    assigned = model.transform(feat).drop("_v")
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: score only the ``nprobe`` cells whose
+    centroids are nearest the query (the other nlist-nprobe cells are
+    never read — with cell-partitioned storage that is a partition-
+    pruned scan, the classic IVF speed/recall trade).
+    """
+    assigned, centers = ivf_assign(
+        embeddings, nlist=nlist, vec_col=vec_col, seed=seed
+    )
+    qn = math.sqrt(sum(float(x) * x for x in query_vec)) or 1.0
+    q = [float(x) / qn for x in query_vec]
+
+    def _d2(c: list[float]) -> float:
+        return sum((a - b) * (a - b) for a, b in zip(c, q))
+
+    probes = sorted(range(len(centers)), key=lambda i: _d2(centers[i]))[:nprobe]
+    cand = assigned.where(F.col("cell").isin(probes))
+    return cosine_topk(cand, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
 def random_hyperplanes(dim: int, nbits: int, *, seed: int = 42) -> list[list[float]]:
     """Deterministic unit-Gaussian hyperplanes (fixed seed → the same
     signature family on every run/cluster)."""

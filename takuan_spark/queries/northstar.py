@@ -329,6 +329,24 @@ def ns_lsh_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_ivf_topk",
+    None,  # approximate: cell pruning is the point; recall pinned in tests
+    "IVF ANN top-10 (k-means coarse quantizer, nlist=16, nprobe=4): "
+    "score only the 4 cells nearest the query — with cell-partitioned "
+    "storage this is a partition-pruned scan of ~1/4 of the corpus.",
+)
+def ns_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    return similarity.ivf_topk(
+        emb.where(F.col("vec_id") != 0), qvec, k=10, nlist=16, nprobe=4
+    )
+
+
+@query(
     "ns_knn_join",
     """
     WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 3),

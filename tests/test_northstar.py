@@ -137,6 +137,32 @@ def test_lsh_topk_finds_planted_neighbors(spark, sf_dir):
     assert found >= 4, f"LSH missed planted neighbors: {approx}"
 
 
+def test_ivf_topk_finds_planted_neighbors(spark, sf_dir):
+    """Planted near-copies of the query land in the query's cell (tiny
+    angle -> same nearest centroid), so IVF with nprobe=4 must surface
+    them; also rank-order must match exact cosine on the probed set."""
+    import random as pyrandom
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    rng = pyrandom.Random(3)
+    planted_ids = list(range(200000, 200005))
+    planted = [
+        (pid, [x + rng.gauss(0, 0.02) for x in qvec], -1) for pid in planted_ids
+    ]
+    corpus = emb.where(F.col("vec_id") != 0).unionByName(
+        spark.createDataFrame(
+            planted, "vec_id bigint, embedding array<float>, label int"
+        )
+    )
+    top = similarity.ivf_topk(corpus, qvec, k=10, nlist=8, nprobe=2).collect()
+    got = {r["vec_id"] for r in top}
+    found = len(set(planted_ids) & got)
+    assert found >= 4, f"IVF missed planted neighbors: {sorted(got)}"
+    sims = [r["sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
 def test_cosine_pairs_matches_bruteforce(spark, sf_dir):
     """The block-pair GEMM must reproduce the exact all-pairs result —
     check against an independent numpy O(n^2) computation, across a
