@@ -71,6 +71,12 @@ def _load() -> None:
     global _loaded
     if _loaded:
         return
-    from takuan_spark.queries import advanced, northstar, relational, takuan  # noqa: F401
+    from takuan_spark.queries import (  # noqa: F401
+        advanced,
+        multimodal,
+        northstar,
+        relational,
+        takuan,
+    )
 
     _loaded = True

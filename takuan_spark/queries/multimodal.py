@@ -1,0 +1,90 @@
+"""Multimodal queries: opaque-binary media columns through the engine
+(SURVEY.md §2.2 north-star).
+
+The media table is derived deterministically from ``documents``
+(tables.load_media): payload = utf-8 bytes of the text, metadata from
+doc_id. That keeps the whole path oracle-checkable — the DuckDB side
+re-derives the same table in a CTE (tables.MEDIA_ORACLE_CTE) and
+re-implements the deterministic fake decoder (sha256-derived float32
+features) in SQL, so even the mapInPandas Arrow plumbing is value-checked
+against an independent engine, bit-exact at float32.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from takuan_spark.operators import multimodal
+from takuan_spark.queries import query
+from takuan_spark.tables import MEDIA_ORACLE_CTE, load_media
+
+
+@query(
+    "mm_media_summary",
+    f"""
+    WITH {MEDIA_ORACLE_CTE}
+    SELECT kind,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+           ROUND(AVG(octet_length(payload)), 2) AS avg_bytes
+    FROM media
+    GROUP BY kind
+    ORDER BY kind
+    """,
+    "Metadata-only media aggregate per kind — the payload column is "
+    "aggregated by length only; column pruning keeps giant blobs unread "
+    "when a query needs just metadata.",
+)
+def mm_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = load_media(spark, sf_dir)
+    return multimodal.media_summary(media).orderBy("kind")
+
+
+@query(
+    "mm_feature_extract",
+    f"""
+    WITH {MEDIA_ORACLE_CTE}
+    SELECT media_id,
+           CAST(i - 1 AS INT) AS feat_idx,
+           CAST(((strpos('0123456789abcdef', substr(hx, 2*i-1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1))
+               / 255.0 AS REAL) AS feat
+    FROM (SELECT media_id, sha256(decode(payload)) AS hx FROM media),
+         UNNEST(range(1, {multimodal.FEATURE_DIM + 1})) AS g(i)
+    ORDER BY media_id, feat_idx
+    """,
+    "Decode/feature-extract over the opaque payload via Arrow-batched "
+    "mapInPandas (deterministic sha256 stand-in decoder — real codecs "
+    "plug into the same hook). Float32 features match the SQL oracle "
+    "bit-for-bit; flattened to scalar rows for the value-hash compare.",
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = load_media(spark, sf_dir)
+    feats = multimodal.extract_features(media, decoder=multimodal.fake_decoder)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("feat_idx", "feat")
+    ).orderBy("media_id", "feat_idx")
+
+
+@query(
+    "mm_frame_sample",
+    f"""
+    WITH {MEDIA_ORACLE_CTE}
+    SELECT media_id, CAST(f * 1000 AS BIGINT) AS frame_ts_ms
+    FROM media,
+         UNNEST(generate_series(0,
+             greatest(CAST(floor(duration_ms / 1000.0) AS INT), 1) - 1)) AS g(f)
+    WHERE kind = 'video'
+    ORDER BY media_id, frame_ts_ms
+    """,
+    "Video frame-sampling plan: one row per sampled timestamp (row "
+    "explosion + timestamps are the real plumbing; decode is stubbed).",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = load_media(spark, sf_dir)
+    return (
+        multimodal.sample_frames(media, every_ms=1000)
+        .select("media_id", F.col("frame_ts_ms").cast("long"))
+        .orderBy("media_id", "frame_ts_ms")
+    )
