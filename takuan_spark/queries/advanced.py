@@ -259,6 +259,47 @@ def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_asof_join",
+    """
+    WITH errors AS (SELECT * FROM events WHERE event_type = 'error'),
+         clicks AS (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id, e.ts AS err_ts,
+           c.ts AS click_ts, c.value AS click_value
+    FROM errors e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    ORDER BY e.event_id
+    """,
+    "As-of (point-in-time) join: each error event picks up the user's "
+    "latest click at-or-before it. Spark side is the union-tag pattern "
+    "(one shuffle, running last-ignorenulls window) — no native as-of "
+    "join needed; DuckDB side is its built-in ASOF JOIN.",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return (
+        asof_join(
+            errors,
+            clicks,
+            on="user_id",
+            left_time="ts",
+            right_time="ts",
+            right_values={"ts": "click_ts", "value": "click_value"},
+        )
+        .withColumnRenamed("ts", "err_ts")
+        .orderBy("event_id")
+    )
+
+
+@query(
     "q_pivot_conditional",
     """
     SELECT user_id,

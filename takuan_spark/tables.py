@@ -39,11 +39,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Rebuild as TIMESTAMP_NTZ (naive, like DuckDB reads it) so every
         # downstream date_trunc/date_format is session-timezone-independent
         # — the driver's own SparkSession may not run in UTC.
+        # Integer `div`, NOT floor(ts/1000): the double division loses
+        # ~256 ns of precision at 2024-epoch nanos (1.7e18 > 2^53) and
+        # shifts ~half of all timestamps by 1 µs.
         return df.withColumn(
             "ts",
             F.timestamp_add(
                 "MICROSECOND",
-                F.floor(F.col("ts") / 1000).cast("long"),
+                F.expr("ts div 1000"),
                 F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
             ),
         )

@@ -1,0 +1,70 @@
+"""asof_join operator semantics (takuan_spark/operators/joins.py)."""
+
+from __future__ import annotations
+
+from takuan_spark.operators.joins import asof_join
+
+
+def _run(spark, left_rows, right_rows, direction="backward"):
+    left = spark.createDataFrame(left_rows, "id long, k long, t long")
+    right = spark.createDataFrame(right_rows, "k long, t long, v double")
+    out = asof_join(
+        left,
+        right,
+        on="k",
+        left_time="t",
+        right_time="t",
+        right_values={"t": "rt", "v": "rv"},
+        direction=direction,
+    )
+    return {r["id"]: (r["rt"], r["rv"]) for r in out.collect()}
+
+
+def test_asof_backward_picks_latest_at_or_before(spark):
+    got = _run(
+        spark,
+        [(1, 7, 10), (2, 7, 25), (3, 7, 5)],
+        [(7, 8, 1.0), (7, 20, 2.0), (7, 30, 3.0)],
+    )
+    assert got == {1: (8, 1.0), 2: (20, 2.0), 3: (None, None)}
+
+
+def test_asof_equal_timestamp_matches(spark):
+    got = _run(spark, [(1, 7, 20)], [(7, 20, 2.0)])
+    assert got == {1: (20, 2.0)}
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    got = _run(
+        spark,
+        [(1, 7, 10), (2, 7, 25), (3, 7, 99)],
+        [(7, 8, 1.0), (7, 20, 2.0), (7, 30, 3.0)],
+        direction="forward",
+    )
+    assert got == {1: (20, 2.0), 2: (30, 3.0), 3: (None, None)}
+
+
+def test_asof_keys_do_not_leak_across_groups(spark):
+    got = _run(
+        spark,
+        [(1, 7, 10), (2, 8, 10)],
+        [(7, 5, 1.0), (8, 9, 2.0)],
+    )
+    assert got == {1: (5, 1.0), 2: (9, 2.0)}
+
+
+def test_asof_single_shuffle_plan(spark):
+    """The whole as-of is one exchange on the key (union-tag pattern) —
+    no join node, no second shuffle."""
+    left = spark.createDataFrame([(1, 7, 10)], "id long, k long, t long")
+    right = spark.createDataFrame([(7, 8, 1.0)], "k long, t long, v double")
+    plan = asof_join(
+        left,
+        right,
+        on="k",
+        left_time="t",
+        right_time="t",
+        right_values={"v": "rv"},
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
