@@ -75,9 +75,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # warm the JVM/codegen paths once so per-query numbers measure the
-    # engine, not first-call JIT.
+    # warm the JVM/codegen paths and the Python-UDF worker pool once so
+    # per-query numbers measure the engine, not first-call JIT or
+    # worker spawn.
     REGISTRY["q1_pricing_summary"].builder(spark, SF_DIR).count()
+    spark.range(1000, numPartitions=32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     for name, spec in REGISTRY.items():
         t0 = time.perf_counter()

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from takuan_spark.operators.skew import spread as _spread
 from takuan_spark.operators.text import fingerprint, words
 
 
@@ -87,8 +88,8 @@ def shingle_df(
     shingles = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n))
     )
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    return _spread(df).select(
+        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
 
@@ -251,7 +252,7 @@ def simhash(
     higher-order-function folds). The shuffle carries one 64-sum row per
     doc thanks to partial aggregation, not one row per token.
     """
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     sums = toks.groupBy(id_col).agg(

@@ -25,8 +25,13 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from takuan_spark.operators.skew import spread
 
 
 def _as_double(arr: Column) -> Column:
@@ -149,8 +154,6 @@ def cosine_pairs(
     quadratic; at corpus scale this is the verify path per candidate
     bucket — ``cosine_pairs_lsh`` is the linear discovery path.
     """
-    import pandas as pd
-
     spark = embeddings.sparkSession
     n = embeddings.count()
     par = spark.sparkContext.defaultParallelism
@@ -158,7 +161,7 @@ def cosine_pairs(
         # ~2 block-pair tasks per core, but never blocks > 4096 rows
         # (the dense nb x nb score matrix must fit an Arrow batch).
         num_blocks = max(int(math.ceil(math.sqrt(4.0 * par))), -(-n // 4096), 1)
-    base = embeddings.select(
+    base = spread(embeddings).select(
         F.col(id_col).alias("id").cast("long"),
         normalized(F.col(vec_col)).alias("nv"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int").alias("blk"),
@@ -175,8 +178,6 @@ def cosine_pairs(
     )
 
     def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
         bi, bj = key
         a = pdf[pdf["role"] == 0]
         b = pdf[pdf["role"] == 1]
@@ -211,6 +212,42 @@ def cosine_pairs(
     return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 
+def lsh_signatures_udf(
+    dim: int, *, nbits: int = 8, tables: int = 4, seed: int = 42
+):
+    """Arrow-vectorized multi-table LSH signatures: ONE numpy matmul per
+    batch computes all ``tables * nbits`` sign bits, packed into one long
+    per table. The expression-tree alternative (literal hyperplane
+    arrays + per-bit interpreted dot folds) costs seconds of plan
+    compile alone at tables*nbits=32 — the UDF keeps the plan tiny and
+    the math in BLAS."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [
+            p
+            for t in range(tables)
+            for p in random_hyperplanes(dim, nbits, seed=seed + t)
+        ]
+    )  # (tables*nbits) x dim
+    weights = (1 << np.arange(nbits, dtype=np.int64)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def sig(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (x @ planes.T) > 0  # n x (tables*nbits)
+        sigs = np.stack(
+            [
+                bits[:, t * nbits : (t + 1) * nbits].astype(np.int64) @ weights
+                for t in range(tables)
+            ],
+            axis=1,
+        )
+        return pd.Series(list(sigs))
+
+    return sig
+
+
 def cosine_pairs_lsh(
     embeddings: DataFrame,
     *,
@@ -231,22 +268,12 @@ def cosine_pairs_lsh(
     cosine is then computed per surviving candidate only.
     """
     dim = len(embeddings.select(vec_col).head()[0])
-    sigs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                lsh_signature(
-                    F.col(vec_col), random_hyperplanes(dim, nbits, seed=seed + t)
-                ).alias("sig"),
-            )
-            for t in range(tables)
-        ]
-    )
-    base = embeddings.select(
+    sig_fn = lsh_signatures_udf(dim, nbits=nbits, tables=tables, seed=seed)
+    base = spread(embeddings).select(
         F.col(id_col),
         normalized(F.col(vec_col)).alias("nv"),
-        F.explode(sigs).alias("s"),
-    ).select(id_col, "nv", "s.tbl", "s.sig")
+        F.posexplode(sig_fn(F.col(vec_col))).alias("tbl", "sig"),
+    )
     a = base.select(
         F.col(id_col).alias("id_a"), F.col("nv").alias("nv_a"), "tbl", "sig"
     )
@@ -288,7 +315,7 @@ def ivf_assign(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feat = embeddings.withColumn(
+    feat = spread(embeddings).withColumn(
         "_v", array_to_vector(normalized(F.col(vec_col)))
     )
     # k-means is iterative: without a cache every Lloyd pass re-reads the
@@ -351,20 +378,6 @@ def random_hyperplanes(dim: int, nbits: int, *, seed: int = 42) -> list[list[flo
     return planes
 
 
-def lsh_signature(
-    vec: Column, planes: list[list[float]]
-) -> Column:
-    """Sign-bit signature as a long (nbits <= 63)."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot(_as_double(vec), p) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = sig.bitwiseXOR(F.shiftleft(bit, i))
-    return sig
-
-
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -391,18 +404,25 @@ def lsh_bucketed_topk(
     guarantee is for genuinely close vectors.
     """
     dim = len(query_vec)
-    cond = None
+    sig_fn = lsh_signatures_udf(dim, nbits=nbits, tables=tables, seed=seed)
+    # query signatures computed driver-side (tiny, pure python)
+    qsigs = []
     for t in range(tables):
         planes = random_hyperplanes(dim, nbits, seed=seed + t)
-        # query signature computed driver-side (tiny, pure python)
         qsig = 0
         for i, plane in enumerate(planes):
             d = sum(float(a) * b for a, b in zip(query_vec, plane))
             qsig |= (1 if d > 0 else 0) << i
-        sig = lsh_signature(F.col(vec_col), planes)
-        hit = F.bit_count(sig.bitwiseXOR(F.lit(qsig))) <= hamming_radius
+        qsigs.append(qsig)
+    with_sigs = embeddings.withColumn("_sigs", sig_fn(F.col(vec_col)))
+    cond = None
+    for t, qsig in enumerate(qsigs):
+        hit = (
+            F.bit_count(F.col("_sigs")[t].bitwiseXOR(F.lit(qsig)))
+            <= hamming_radius
+        )
         cond = hit if cond is None else cond | hit
-    candidates = embeddings.where(cond)
+    candidates = with_sigs.where(cond)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         candidates.select(

@@ -28,6 +28,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure an expensive narrow projection runs wide.
+
+    A small file (or a parquet file with one row group) is a single
+    scan split, which serializes per-row CPU work (regex tokenize,
+    shingling, hashing) on one core. Repartitions only when the scan
+    has fewer partitions than the cluster has slots — on a properly
+    split table this is a no-op and costs no shuffle.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from takuan_spark.operators import dedup, similarity, text
+from takuan_spark.operators.skew import spread
 from takuan_spark.queries import query
 from takuan_spark.tables import load_table
 
@@ -210,7 +211,9 @@ def ns_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "de<en<es<fr via strictly-greater comparisons — same rule in both.",
 )
 def ns_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the 4-language stopword regex sweep is the cost; a single-
+    # row-group parquet scan would serialize it on one core.
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("lang", text.lang_id(F.col("text")).alias("lang_pred"))
         .groupBy("lang", "lang_pred")
@@ -246,7 +249,7 @@ def ns_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "averaged per source — the corpus-filtering signal.",
 )
 def ns_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("source", text.quality_score(F.col("text")).alias("q"))
         .groupBy("source")

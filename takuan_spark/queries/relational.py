@@ -21,6 +21,8 @@ Scale notes baked into the plans:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -256,6 +258,69 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_returnflag").asc_nulls_first(),
             F.col("l_linestatus").asc_nulls_first(),
         )
+    )
+
+
+@query(
+    "q_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt,
+           ROUND(AVG(l_discount), 4) AS avg_disc
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "Cross-dimensional aggregation: GROUP BY CUBE (all grouping-set "
+    "combinations). Absent in the reference; exposed per SURVEY.md §2.1.",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q_pandas_udaf",
+    """
+    SELECT o_orderpriority,
+           ROUND(SUM(o_totalprice * o_shippriority_w) /
+                 SUM(o_shippriority_w), 4) AS wavg_price
+    FROM (SELECT o_orderpriority, o_totalprice,
+                 CAST(o_orderkey % 7 + 1 AS DOUBLE) AS o_shippriority_w
+          FROM orders)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "User-defined aggregate via a grouped-agg pandas UDF (Arrow batch "
+    "per group): weighted mean order price. The UDAF surface of the "
+    "engine — oracle-checked against the algebraic SQL form.",
+)
+def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def wavg(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_shippriority_w", (F.col("o_orderkey") % 7 + 1).cast("double")
+    )
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(wavg("o_totalprice", "o_shippriority_w"), 4).alias(
+                "wavg_price"
+            )
+        )
+        .orderBy("o_orderpriority")
     )
 
 

@@ -42,6 +42,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Split even small text/csv/json files across all slots at the
+        # SCAN (no shuffle): a single 10 MB log file is otherwise one
+        # split, serializing the regex-parse hot path on one core. On
+        # big inputs maxPartitionBytes governs and this is a no-op.
+        .config("spark.sql.files.minPartitionNum", str(DEFAULT_CPUS))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
