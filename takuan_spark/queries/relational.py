@@ -262,6 +262,146 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "TPC-H Q4 shape: EXISTS semi-join (orders with at least one line "
+    "shipped after the order date) + priority counts. The semi-join "
+    "never materializes lineitem payload columns.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10 shape: returned-item revenue per customer, 4-way join "
+    "(two fact joins + broadcast nation dim), top-20 by revenue.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(rev, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    ORDER BY promo_pct
+    """,
+    "TPC-H Q14 shape: promo revenue share — conditional aggregate ratio "
+    "over a fact-dim join with a tight date window (partition-prunable "
+    "at scale).",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(100.0 * promo / F.sum(rev), 4).alias("promo_pct"))
+        .orderBy("promo_pct")
+    )
+
+
+@query(
+    "q19_disjunctive_filter",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 40)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    ORDER BY revenue
+    """,
+    "TPC-H Q19 shape: disjunctive multi-attribute predicate across both "
+    "join sides — exercises CNF conversion / partial pushdown of OR "
+    "branches to each scan.",
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    def branch(brand, smin, smax, qmin, qmax):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(smin, smax)
+            & F.col("l_quantity").between(qmin, qmax)
+        )
+    cond = (
+        branch("Brand#1", 1, 15, 1, 20)
+        | branch("Brand#13", 10, 30, 10, 40)
+        | branch("Brand#20", 20, 50, 20, 50)
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        joined.where(cond)
+        .agg(F.round(rev, 2).alias("revenue"), F.count("*").alias("n_lines"))
+        .orderBy("revenue")
+    )
+
+
+@query(
     "q_cube",
     """
     SELECT l_returnflag, l_linestatus,
