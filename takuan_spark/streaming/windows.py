@@ -67,3 +67,26 @@ def sessionized_counts(
             "n_events",
         )
     )
+
+
+def deduped_stream(
+    events: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("address", "payload"),
+    time_col: str = "created_at",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of the same key seen within
+    the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    This is the streaming tier of the dedup family (batch tiers live in
+    operators/dedup.py): state holds one entry per key and is evicted
+    once the watermark passes it, so memory is bounded by key arrival
+    rate x horizon — the property that lets it run forever, unlike an
+    unbounded ``dropDuplicates`` whose state only grows. Typical use:
+    log shippers re-sending the same lines after reconnects/rotations
+    (SURVEY.md O2) — replays arrive well inside the horizon.
+    """
+    return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

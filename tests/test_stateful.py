@@ -154,3 +154,31 @@ def test_sessionized_counts_streaming(spark, stream_env):
         ("2026-08-13 06:00:00", 2),
         ("2026-08-13 07:30:00", 1),
     ]
+
+
+def test_deduped_stream_drops_replays_across_batches(spark, stream_env):
+    from takuan_spark.streaming.windows import deduped_stream
+
+    rows = [
+        ("1.1.1.1", "2026-08-13 06:00:00", "ssh", "r"),
+        ("1.1.1.1", "2026-08-13 06:00:00", "ssh", "r"),  # in-batch dup
+        ("2.2.2.2", "2026-08-13 06:00:05", "ssh", "r"),
+    ]
+    _write_events_chunk(stream_env["src"] / "c1.parquet", rows)
+    dedup = lambda s: deduped_stream(  # noqa: E731
+        s, key_cols=("address", "created_at"), watermark="10 minutes"
+    )
+    _run_stream(spark, stream_env, dedup)
+    # replay of an already-seen row in a later micro-batch, plus one new
+    rows2 = [
+        ("1.1.1.1", "2026-08-13 06:00:00", "ssh", "r"),  # replay
+        ("3.3.3.3", "2026-08-13 06:00:07", "ssh", "r"),
+    ]
+    _write_events_chunk(stream_env["src"] / "c2.parquet", rows2)
+    _run_stream(spark, stream_env, dedup)
+    out = spark.read.parquet(stream_env["out"])
+    assert sorted(r["address"] for r in out.collect()) == [
+        "1.1.1.1",
+        "2.2.2.2",
+        "3.3.3.3",
+    ]
