@@ -326,6 +326,29 @@ def q_pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(*aggs).orderBy("user_id")
 
 
+def _ip_test_frames(spark: SparkSession, sf_dir: str):
+    ev = _t(spark, sf_dir, "events")
+    with_ip = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("10."),
+            (F.col("user_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("event_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("address"),
+    )
+    spark_ranges = spark.createDataFrame(
+        [
+            (167772160, 167837695, "AA"),  # 10.0.0.0/16
+            (167837696, 167903231, "BB"),  # 10.1.0.0/16
+            (171966464, 174063615, "CC"),  # 10.64.0.0 - 10.95.255.255
+        ],
+        "ip_lo bigint, ip_hi bigint, country_code string",
+    )
+    return with_ip, spark_ranges
+
+
 @query(
     "q_ip_range_join",
     """
@@ -355,26 +378,50 @@ def q_pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a sorted range table). Broadcast non-equi join; counts per country.",
 )
 def q_ip_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    with_ip = ev.select(
-        "event_id",
-        F.concat(
-            F.lit("10."),
-            (F.col("user_id") % 256).cast("string"),
-            F.lit("."),
-            (F.col("event_id") % 256).cast("string"),
-            F.lit(".1"),
-        ).alias("address"),
-    )
-    spark_ranges = spark.createDataFrame(
-        [
-            (167772160, 167837695, "AA"),  # 10.0.0.0/16
-            (167837696, 167903231, "BB"),  # 10.1.0.0/16
-            (171966464, 174063615, "CC"),  # 10.64.0.0 - 10.95.255.255
-        ],
-        "ip_lo bigint, ip_hi bigint, country_code string",
-    )
+    with_ip, spark_ranges = _ip_test_frames(spark, sf_dir)
     enriched = ip_range_enrich(with_ip, spark_ranges, ip_col="address")
+    return (
+        enriched.groupBy("country_code")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("country_code").asc_nulls_first())
+    )
+
+
+@query(
+    "q_ip_range_join_bucketed",
+    """
+    WITH ips AS (
+        SELECT event_id,
+               '10.' || CAST(user_id % 256 AS VARCHAR) || '.' ||
+               CAST(event_id % 256 AS VARCHAR) || '.1' AS address
+        FROM events
+    ),
+    ipl AS (
+        SELECT event_id, address,
+               10 * 16777216 + (CAST(string_split(address, '.')[2] AS BIGINT) * 65536)
+                  + (CAST(string_split(address, '.')[3] AS BIGINT) * 256) + 1 AS ip
+        FROM ips
+    ),
+    dim(lo, hi, country_code) AS (
+        VALUES (CAST(167772160 AS BIGINT), CAST(167837695 AS BIGINT), 'AA'),
+               (CAST(167837696 AS BIGINT), CAST(167903231 AS BIGINT), 'BB'),
+               (CAST(171966464 AS BIGINT), CAST(174063615 AS BIGINT), 'CC')
+    )
+    SELECT country_code, COUNT(*) AS n
+    FROM ipl LEFT JOIN dim ON ip >= lo AND ip <= hi
+    GROUP BY country_code
+    ORDER BY country_code NULLS FIRST
+    """,
+    "Same range lookup as q_ip_range_join but planned as an EQUI-join on "
+    "/8 prefix buckets with the range test as a residual filter — the "
+    "shuffle/hash-join form that scales past broadcast-able dim sizes. "
+    "Same oracle; same results.",
+)
+def q_ip_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.enrich import ip_range_enrich_bucketed
+
+    with_ip, spark_ranges = _ip_test_frames(spark, sf_dir)
+    enriched = ip_range_enrich_bucketed(with_ip, spark_ranges, ip_col="address")
     return (
         enriched.groupBy("country_code")
         .agg(F.count("*").alias("n"))
