@@ -128,3 +128,55 @@ def test_regex_dialects_agree_on_ssh_pattern(spark, messages):
         .collect()
     }
     assert got == py
+
+
+# ---------------------------------------------------------------- as-of
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=1,
+        max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        max_size=25,
+    ),
+)
+@settings(max_examples=30, deadline=None)
+def test_asof_join_matches_naive(spark, left, right):
+    """asof_join (union-tag window) must agree with a naive O(n*m)
+    backward lookup for every (key, time) distribution — including
+    equal timestamps (at-or-before semantics) and empty right sides."""
+    from takuan_spark.operators.joins import asof_join
+
+    # deduplicate right on (k, t): multiple identical keys at one time
+    # have no defined winner in the naive model (engine picks max
+    # payload struct); keep the property about time semantics.
+    right = list({(k, t): (k, t) for k, t in right}.values())
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "id long, k long, t long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, float(k * 1000 + t)) for k, t in right],
+        "k long, t long, v double",
+    )
+    got = {
+        r["id"]: (r["rt"], r["rv"])
+        for r in asof_join(
+            ldf,
+            rdf,
+            on="k",
+            left_time="t",
+            right_time="t",
+            right_values={"t": "rt", "v": "rv"},
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rk, rt) for rk, rt in right if rk == k and rt <= t]
+        if not cands:
+            assert got[i] == (None, None), (i, k, t, got[i])
+        else:
+            bt = max(rt for _, rt in cands)
+            assert got[i] == (bt, float(k * 1000 + bt)), (i, k, t, got[i])
