@@ -259,6 +259,66 @@ def ns_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_tfidf_topterms",
+    """
+    WITH toks AS (
+        SELECT doc_id, source, lower(w) AS term
+        FROM documents,
+             UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS t(w)
+    ),
+    n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    tf AS (SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY source, term),
+    scored AS (
+        SELECT tf.source, tf.term,
+               ROUND(tf.tf * ln(n_docs.n * 1.0 / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (term), n_docs
+    )
+    SELECT source, term, tfidf, rnk FROM (
+        SELECT source, term, tfidf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY tfidf DESC, term) AS INT) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    ORDER BY source, rnk
+    """,
+    "TF-IDF top-5 terms per source: token explode, corpus document "
+    "frequency (distinct-doc agg), per-source term frequency, windowed "
+    "top-k. The shuffles carry (term, count) pairs, never documents; "
+    "the df side joins broadcast at any corpus size with a vocab cap.",
+)
+def ns_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(text.words(F.col("text"))).alias("w"),
+    ).select("doc_id", "source", F.lower("w").alias("term"))
+    n_docs = toks.select("doc_id").distinct().count()
+    df = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    scored = tf.join(df, "term").select(
+        "source",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("source", "term", "tfidf", "rnk")
+        .orderBy("source", "rnk")
+    )
+
+
+@query(
     "ns_fingerprint",
     """
     SELECT doc_id,
