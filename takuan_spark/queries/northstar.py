@@ -259,6 +259,40 @@ def ns_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_stratified_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 10000
+          < CASE lang WHEN 'fr' THEN 3000 WHEN 'es' THEN 2000
+                      WHEN 'de' THEN 1000 WHEN 'en' THEN 500 ELSE 0 END
+    ORDER BY doc_id
+    """,
+    "Deterministic stratified sampling: membership is a pure function of "
+    "(seed, doc_id) via an md5 bucket — stable across runs, engines, and "
+    "partitionings, unlike RNG-based df.sample. Rates per language "
+    "stratum (upweighting rarer languages), re-derived bit-identically "
+    "by the SQL oracle.",
+)
+def ns_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_hash_sample(
+            docs,
+            key_col="doc_id",
+            stratum_col="lang",
+            fractions={"fr": 0.3, "es": 0.2, "de": 0.1, "en": 0.05},
+            seed=42,
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "ns_tfidf_topterms",
     """
     WITH toks AS (

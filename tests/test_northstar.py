@@ -281,3 +281,43 @@ def test_sample_frames(spark):
         (3, 1000),
         (3, 2000),
     ]
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark, sf_dir):
+    """Membership must be a pure function of (seed, key): identical
+    across repeated runs and across different partitionings, and
+    monotone — a row's membership never flips when other rows arrive."""
+    from takuan_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids1 = {r["doc_id"] for r in hash_sample(
+        docs, key_col="doc_id", fraction=0.2).select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in hash_sample(
+        docs.repartition(7), key_col="doc_id", fraction=0.2
+    ).select("doc_id").collect()}
+    assert ids1 == ids2 and ids1
+    # subset property: half the corpus sampled at the same rate yields
+    # exactly the intersection (incremental-rerun stability)
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    ids_half = {r["doc_id"] for r in hash_sample(
+        half, key_col="doc_id", fraction=0.2).select("doc_id").collect()}
+    assert ids_half == {i for i in ids1 if i % 2 == 0}
+    # rate sanity: 20% +- 6 points on 500 docs
+    n = docs.count()
+    assert abs(len(ids1) / n - 0.2) < 0.06
+
+
+def test_stratified_sample_rates_respected(spark, sf_dir):
+    from takuan_spark.operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        docs,
+        key_col="doc_id",
+        stratum_col="lang",
+        fractions={"en": 1.0},
+        default_fraction=0.0,
+    )
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    assert out.count() == docs.where(F.col("lang") == "en").count()
