@@ -68,7 +68,11 @@ def quality_score(col: Column | str) -> Column:
     length_score = F.least(wc / F.lit(100.0), F.lit(1.0))
     punct_penalty = F.least(punct_ratio(col) * 2.0, F.lit(1.0))
     stop_score = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
-    return F.round((length_score + (1 - punct_penalty) + stop_score) / 3.0, 6)
+    score = F.round((length_score + (1 - punct_penalty) + stop_score) / 3.0, 6)
+    # NULL text -> NULL score (some sub-terms default through when()
+    # branches and would otherwise score a missing document ~0.67).
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(score)
 
 
 def lang_id(col: Column | str) -> Column:

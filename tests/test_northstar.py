@@ -321,3 +321,38 @@ def test_stratified_sample_rates_respected(spark, sf_dir):
     langs = {r["lang"] for r in out.select("lang").distinct().collect()}
     assert langs == {"en"}
     assert out.count() == docs.where(F.col("lang") == "en").count()
+
+
+def test_text_ops_null_empty_unicode(spark):
+    """Degenerate documents must not crash or score absurdly: NULL text
+    propagates NULL quality, empty/whitespace docs count zero words,
+    unicode survives fingerprinting, and pair ops ignore empty docs."""
+    from takuan_spark.operators import text
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "héllo wörld héllo wörld"),
+        (5, "日本語 テキスト です"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["wc"], r["q"])
+        for r in df.select(
+            "doc_id",
+            text.word_count(F.col("text")).alias("wc"),
+            text.quality_score(F.col("text")).alias("q"),
+        ).collect()
+    }
+    assert got[1] == (None, None)
+    assert got[2][0] == 0 and got[3][0] == 0
+    assert got[4][0] == 4 and got[5][0] == 3
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", text.fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert fps[1] is None and fps[2] == fps[3] and fps[4] != fps[5]
+    assert dedup.jaccard_pairs(df, threshold=0.5).count() == 0
