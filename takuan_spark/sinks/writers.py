@@ -46,6 +46,38 @@ def foreach_batch_events(path: str) -> Callable[[DataFrame, int], None]:
     return _sink
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    n_shards: int,
+    key_col: str,
+    mode: str = "overwrite",
+) -> None:
+    """Write a corpus as ``n_shards`` deterministic shards — the output
+    stage of a training-data pipeline (shard = pmod(xxhash64(key), n)).
+
+    Membership is a pure function of the key: re-running the job, or
+    running it on different cluster layouts, lands every row in the same
+    shard, so downstream training dataloaders can resume/compare runs.
+
+    The ``repartition(n_shards, shard)`` before ``partitionBy`` is the
+    important part at scale: without it every one of the N input tasks
+    writes a file into every shard directory (N x n_shards small files —
+    the classic 100 TB write mistake); with it each shard is written by
+    the task that owns it.
+    """
+    out = df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
+    )
+    (
+        out.repartition(n_shards, "shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def write_csv_report(df: DataFrame, path: str, *, single_file: bool = True) -> None:
     """CSV report sink (O24, ref: core/reporter.go:124-173).
 

@@ -1,0 +1,61 @@
+"""Sink semantics: date-partitioned events, single-file CSV reports,
+deterministic training shards (takuan_spark/sinks/writers.py)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from takuan_spark.sinks.writers import (
+    write_csv_report,
+    write_events,
+    write_training_shards,
+)
+from takuan_spark.tables import load_table
+
+
+def test_write_events_partitions_by_date(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("1.1.1.1", "2026-08-13 06:00:00"), ("2.2.2.2", "2026-08-14 07:00:00")],
+        "address string, created_at string",
+    ).withColumn("created_at", F.col("created_at").cast("timestamp"))
+    out = str(tmp_path / "events")
+    write_events(df, out)
+    dirs = {d for d in os.listdir(out) if d.startswith("event_date=")}
+    assert dirs == {"event_date=2026-08-13", "event_date=2026-08-14"}
+    assert spark.read.parquet(out).count() == 2
+
+
+def test_write_csv_report_single_file_with_header(spark, tmp_path):
+    df = spark.createDataFrame([("a", 3), ("b", 1)], "k string, n int")
+    out = str(tmp_path / "report")
+    write_csv_report(df, out)
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert len(files) == 1
+    lines = open(os.path.join(out, files[0])).read().splitlines()
+    assert lines[0] == "k,n" and len(lines) == 3
+
+
+def test_training_shards_deterministic_and_one_file_per_shard(
+    spark, sf_dir, tmp_path
+):
+    docs = load_table(spark, sf_dir, "documents")
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(docs, out1, n_shards=8, key_col="doc_id")
+    # different input partitioning -> identical shard assignment
+    write_training_shards(docs.repartition(13), out2, n_shards=8, key_col="doc_id")
+    r1 = spark.read.parquet(out1)
+    r2 = spark.read.parquet(out2)
+    m1 = {r["doc_id"]: r["shard"] for r in r1.select("doc_id", "shard").collect()}
+    m2 = {r["doc_id"]: r["shard"] for r in r2.select("doc_id", "shard").collect()}
+    assert m1 == m2 and len(m1) == docs.count()
+    shard_dirs = [d for d in os.listdir(out1) if d.startswith("shard=")]
+    assert len(shard_dirs) == 8
+    # no small-file explosion: one data file per shard directory
+    for d in shard_dirs:
+        files = [f for f in os.listdir(os.path.join(out1, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+    # every shard non-trivially populated (xxhash spreads keys)
+    sizes = r1.groupBy("shard").count().collect()
+    assert len(sizes) == 8 and min(s["count"] for s in sizes) > 0
