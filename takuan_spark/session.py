@@ -47,6 +47,11 @@ def get_spark(
         # split, serializing the regex-parse hot path on one core. On
         # big inputs maxPartitionBytes governs and this is a no-op.
         .config("spark.sql.files.minPartitionNum", str(DEFAULT_CPUS))
+        # minPartitionNum is advisory: openCostInBytes (default 4 MB)
+        # floors the split size, capping a 2x9 MB log pair at 6 splits.
+        # 512 KB keeps regex-parse-heavy text scans wide without
+        # meaningfully over-splitting large files.
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
