@@ -255,21 +255,21 @@ def simhash(
     toks = _spread(df).select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
+    # per-bit sum of ±1 == 2*popcount(bit) - n: summing the raw bit is a
+    # branch-free aggregate (no when()); the sign test moves to the
+    # final projection as 2*b_i > n.
     sums = toks.groupBy(id_col).agg(
+        F.count("*").alias("_n"),
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"b{i}")
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
             for i in range(bits)
-        ]
+        ],
     )
     sig = None
     for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            F.col(f"b{i}") * 2 > F.col("_n"), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig.bitwiseXOR(term)
     return sums.select(F.col(id_col), sig.alias("simhash"))
