@@ -200,6 +200,66 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "Explicit GROUPING SETS (two single-dimension sets + grand total) — "
+    "the general form under rollup/cube, exposed per SURVEY.md §2.1.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_li_gs")
+    return li.sparkSession.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+@query(
+    "q_window_lag_lead",
+    """
+    SELECT user_id,
+           CAST(strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS VARCHAR) AS ts_s,
+           ROUND(value, 2) AS v,
+           ROUND(lag(value)  OVER w, 2) AS prev_v,
+           ROUND(lead(value) OVER w, 2) AS next_v,
+           ROUND(SUM(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_v
+    FROM events
+    WHERE user_id < 5 AND event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, ts_s
+    """,
+    "Offset + frame window functions: lag/lead and a running sum per "
+    "user over event time — the sequential-analytics surface.",
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(
+        (F.col("user_id") < 5) & (F.col("event_type") == "purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        F.round("value", 2).alias("v"),
+        F.round(F.lag("value").over(w), 2).alias("prev_v"),
+        F.round(F.lead("value").over(w), 2).alias("next_v"),
+        F.round(F.sum("value").over(frame), 2).alias("running_v"),
+    ).orderBy("user_id", "ts_s")
+
+
+@query(
     "q_window_rank",
     """
     SELECT * FROM (
