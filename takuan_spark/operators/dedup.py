@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from takuan_spark.operators.skew import materialize
 from takuan_spark.operators.skew import spread as _spread
 from takuan_spark.operators.text import fingerprint, words
 
@@ -198,8 +199,10 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    sig = minhash_signatures(
-        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes, n=n
+    sig = materialize(
+        minhash_signatures(
+            df, text_col=text_col, id_col=id_col, num_hashes=num_hashes, n=n
+        )
     )
     band_entries = F.array(
         *[
@@ -291,7 +294,7 @@ def simhash_pairs(
     bits, discovered by exact-match banding on 4 rotated 16-bit prefixes
     (a pair within distance 3 must agree on at least one of 4 disjoint
     16-bit blocks — pigeonhole). Self-join key is (block_idx, block)."""
-    sh = simhash(df, text_col=text_col, id_col=id_col)
+    sh = materialize(simhash(df, text_col=text_col, id_col=id_col))
     blocks = F.array(
         *[
             F.struct(

@@ -267,12 +267,16 @@ def cosine_pairs_lsh(
     probability) collide with probability 1-(1-p^nbits)^tables. Exact
     cosine is then computed per surviving candidate only.
     """
+    from takuan_spark.operators.skew import materialize
+
     dim = len(embeddings.select(vec_col).head()[0])
     sig_fn = lsh_signatures_udf(dim, nbits=nbits, tables=tables, seed=seed)
-    base = spread(embeddings).select(
-        F.col(id_col),
-        normalized(F.col(vec_col)).alias("nv"),
-        F.posexplode(sig_fn(F.col(vec_col))).alias("tbl", "sig"),
+    base = materialize(
+        spread(embeddings).select(
+            F.col(id_col),
+            normalized(F.col(vec_col)).alias("nv"),
+            F.posexplode(sig_fn(F.col(vec_col))).alias("tbl", "sig"),
+        )
     )
     a = base.select(
         F.col(id_col).alias("id_a"), F.col("nv").alias("nv_a"), "tbl", "sig"

@@ -43,6 +43,23 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Persist a small derived frame that feeds BOTH sides of a
+    self-join.
+
+    Catalyst does not reuse the exchange across the two branches of a
+    banded self-join (verified on the MinHash plan: 2 scans, 4
+    aggregates), so an expensive derivation — signatures, sketches —
+    runs twice. Persisting is the plan-level analog of the standard
+    at-scale practice of materializing the signature table before the
+    join. MEMORY_AND_DISK: sketch frames are tiny relative to their
+    inputs (constant bytes per document).
+    """
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
