@@ -112,8 +112,12 @@ def jaccard_pairs(
     self-join, so the exchange carries 8-byte keys instead of shingle
     strings (collision odds at corpus scale ~2^-40s; counts unchanged).
     """
-    sh = shingle_df(df, text_col=text_col, id_col=id_col, n=n).select(
-        id_col, F.xxhash64("shingle").alias("shingle")
+    # three consumers (a-side, b-side, per-doc counts) and no exchange
+    # reuse across branches: materialize the hashed shingle index once.
+    sh = materialize(
+        shingle_df(df, text_col=text_col, id_col=id_col, n=n).select(
+            id_col, F.xxhash64("shingle").alias("shingle")
+        )
     )
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
