@@ -322,6 +322,41 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    ORDER BY revenue
+    """,
+    "TPC-H Q6 shape: pure scan-filter-aggregate — the canonical "
+    "predicate-pushdown/codegen benchmark point (all three filters reach "
+    "the parquet reader; no shuffle beyond the final partial-agg merge).",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("revenue")
+    )
+
+
+@query(
     "q4_order_priority",
     """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count

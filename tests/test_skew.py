@@ -63,3 +63,22 @@ def test_salted_join_left_outer(spark):
         for r in salted_join(probe, build, "key", how="left").collect()
     }
     assert got == {"a": "A", "b": None}
+
+
+def test_spread_noop_on_wide_input(spark):
+    from takuan_spark.operators.skew import spread
+
+    wide = spark.range(1000, numPartitions=64)
+    assert spread(wide.toDF("id")).rdd.getNumPartitions() == 64
+    narrow = spark.range(1000, numPartitions=1).toDF("id")
+    assert spread(narrow).rdd.getNumPartitions() >= 4
+
+
+def test_materialize_preserves_rows(spark):
+    from takuan_spark.operators.skew import materialize
+
+    df = spark.range(100).toDF("id")
+    m = materialize(df)
+    assert sorted(r["id"] for r in m.collect()) == list(range(100))
+    assert m.storageLevel.useMemory
+    m.unpersist()
