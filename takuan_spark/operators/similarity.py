@@ -156,7 +156,10 @@ def cosine_pairs(
     """
     spark = embeddings.sparkSession
     n = embeddings.count()
-    par = spark.sparkContext.defaultParallelism
+    try:
+        par = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext
+        par = 32
     if num_blocks is None:
         # ~2 block-pair tasks per core, but never blocks > 4096 rows
         # (the dense nb x nb score matrix must fit an Arrow batch).

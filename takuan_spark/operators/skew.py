@@ -37,8 +37,14 @@ def spread(df: DataFrame) -> DataFrame:
     has fewer partitions than the cluster has slots — on a properly
     split table this is a no-op and costs no shuffle.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        # Spark Connect sessions expose neither sparkContext nor .rdd;
+        # without introspection, leave the scan as planned.
+        return df
+    if n < par:
         return df.repartition(par)
     return df
 
