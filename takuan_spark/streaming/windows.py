@@ -90,3 +90,36 @@ def deduped_stream(
     return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_time: str = "created_at",
+    right_time: str = "created_at",
+    max_delay: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event
+    with right events for the same key whose time falls in
+    ``[left_time - max_delay, left_time]``.
+
+    Both sides carry watermarks and the join condition is time-bounded
+    in both directions, so Spark can discard buffered state once the
+    watermark passes the interval — the requirement that makes a
+    stream-stream join runnable forever (an unbounded-time join would
+    buffer both streams in full). The reference correlates events only
+    by batch re-scans of MySQL; this is the streaming-native form of
+    "which rule fired near this event".
+    """
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    l_t, r_t = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (r_t >= l_t - F.expr(f"INTERVAL {max_delay}"))
+        & (r_t <= l_t)
+    )
+    return lw.alias("l").join(rw.alias("r"), cond)

@@ -182,3 +182,43 @@ def test_deduped_stream_drops_replays_across_batches(spark, stream_env):
         "2.2.2.2",
         "3.3.3.3",
     ]
+
+
+def test_stream_stream_interval_join(spark, stream_env):
+    """Errors pick up same-address auth-failures from the preceding
+    5 minutes; a failure outside the interval must not match."""
+    from takuan_spark.streaming.windows import interval_join
+
+    rows = [
+        ("9.9.9.9", "2026-08-13 06:00:00", "ssh", "auth-failure"),
+        ("9.9.9.9", "2026-08-13 06:03:00", "ssh", "error"),
+        ("9.9.9.9", "2026-08-13 06:20:00", "ssh", "error"),  # failure too old
+        ("8.8.8.8", "2026-08-13 06:02:00", "http", "error"),  # no failure
+    ]
+    _write_events_chunk(stream_env["src"] / "c1.parquet", rows)
+
+    def join_fn(stream):
+        errors = stream.where(F.col("rule") == "error")
+        fails = stream.where(F.col("rule") == "auth-failure").select(
+            F.col("address"), F.col("created_at").alias("fail_at")
+        )
+        out = interval_join(
+            errors,
+            fails.withColumnRenamed("fail_at", "created_at"),
+            on="address",
+            max_delay="5 minutes",
+        )
+        return out.select(
+            F.col("l.address").alias("address"),
+            F.col("l.created_at").alias("err_at"),
+            F.col("r.created_at").alias("fail_at"),
+        )
+
+    _run_stream(spark, stream_env, join_fn)
+    got = [
+        (r["address"], str(r["err_at"]), str(r["fail_at"]))
+        for r in spark.read.parquet(stream_env["out"]).collect()
+    ]
+    assert got == [
+        ("9.9.9.9", "2026-08-13 06:03:00", "2026-08-13 06:00:00")
+    ]
