@@ -300,6 +300,102 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_funnel",
+    """
+    WITH stages AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                          AS n_users,
+           CAST(COUNT(t_view) AS BIGINT)                     AS n_view,
+           CAST(SUM(CASE WHEN t_view < t_click
+                         THEN 1 ELSE 0 END) AS BIGINT)       AS n_view_click,
+           CAST(SUM(CASE WHEN t_view < t_click AND t_click < t_buy
+                         THEN 1 ELSE 0 END) AS BIGINT)       AS n_converted
+    FROM stages
+    ORDER BY n_users
+    """,
+    "Funnel analysis: users whose first view precedes first click "
+    "precedes first purchase — one scan, one shuffle (conditional MIN "
+    "per stage), no self-joins.",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    stage = lambda et: F.min(  # noqa: E731
+        F.when(F.col("event_type") == et, F.col("ts"))
+    )
+    stages = ev.groupBy("user_id").agg(
+        stage("view").alias("t_view"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_buy"),
+    )
+    vc = F.col("t_view") < F.col("t_click")
+    cb = vc & (F.col("t_click") < F.col("t_buy"))
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.sum(F.when(vc, 1).otherwise(0)).alias("n_view_click"),
+        F.sum(F.when(cb, 1).otherwise(0)).alias("n_converted"),
+    ).orderBy("n_users")
+
+
+@query(
+    "q_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(strftime(cohort_day, '%Y-%m-%d') AS VARCHAR) AS cohort,
+           CAST(day_offset AS INT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort, day_offset
+    """,
+    "Cohort retention: users grouped by first-seen day, distinct active "
+    "users per day offset for the first week. Two shuffles (first-seen "
+    "agg, distinct+count); the firsts side is a per-user dim that "
+    "broadcasts under AQE at bench scale.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.where(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.col("day_offset").cast("int"),
+            F.col("n_users"),
+        )
+        .orderBy("cohort", "day_offset")
+    )
+
+
+@query(
     "q_pivot_conditional",
     """
     SELECT user_id,
