@@ -221,3 +221,12 @@ def test_unreported_filter(spark):
         [("a", None), ("b", dt(2026, 1, 1))], ["address", "reported_at"]
     )
     assert [r["address"] for r in unreported(ev).collect()] == ["a"]
+
+
+def test_format_country_summary_pluralization():
+    from takuan_spark.operators.reports import format_country_summary
+
+    # Row-like access: format uses r['total_events'] and r[0]
+    r = {0: "CN", "total_events": 3}
+    assert format_country_summary([r], 3) == "3 events: 3 from CN..."
+    assert format_country_summary([], 1) == "1 event: "
