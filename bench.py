@@ -87,6 +87,9 @@ def main() -> None:
         t0 = time.perf_counter()
         execute(spec.builder(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # operators that materialize sketch frames persist them; drop
+        # between queries so memory stays flat across the suite.
+        spark.catalog.clearCache()
 
     with tempfile.TemporaryDirectory() as tmp:
         paths = _gen_logs(tmp)
