@@ -12,10 +12,10 @@ formulation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from takuan_spark.operators.enrich import ip_range_enrich, ip_to_long
+from takuan_spark.operators.enrich import ip_range_enrich
 from takuan_spark.queries import query
 from takuan_spark.tables import load_table
 
