@@ -66,6 +66,30 @@ def dedup_exact_summary(
     )
 
 
+def dedup_incremental(
+    new_docs: DataFrame,
+    seen_fps: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup: the production shape for continuously
+    arriving data. Returns ``(novel, new_fps)`` where ``novel`` is the
+    batch minus (a) anything whose content was already in ``seen_fps``
+    and (b) in-batch duplicates (min-id survivor), and ``new_fps`` is
+    the fingerprint delta to append to the corpus fp table.
+
+    Cost per batch: one shuffle of 32-byte fingerprints for the batch
+    self-dedup + an anti-join against the fp table (sort-merge on fp;
+    bucket the fp table by fp at rest and the join co-locates).
+    """
+    in_batch = dedup_exact(new_docs, text_col=text_col, id_col=id_col)
+    with_fp = in_batch.withColumn(fp_col, fingerprint(F.col(text_col)))
+    novel = with_fp.join(seen_fps.select(fp_col), on=fp_col, how="left_anti")
+    return novel.drop(fp_col), novel.select(fp_col)
+
+
 # ------------------------------------------------------------- shingles
 
 def shingle_df(

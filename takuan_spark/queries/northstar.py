@@ -41,6 +41,44 @@ def ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_dedup_incremental",
+    """
+    WITH seen AS (
+        SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    batch AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    batch_dedup AS (
+        SELECT b.* FROM batch b
+        JOIN (SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                     MIN(doc_id) AS kept
+              FROM batch GROUP BY fp) k
+          ON b.doc_id = k.kept
+    )
+    SELECT doc_id, source
+    FROM batch_dedup
+    WHERE md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+          NOT IN (SELECT fp FROM seen)
+    ORDER BY doc_id
+    """,
+    "Incremental dedup — the continuously-arriving-data shape: odd-id "
+    "docs are the new batch, even-id docs the already-seen corpus; "
+    "batch self-dedup (min-id survivor) then fingerprint anti-join "
+    "against the seen set.",
+)
+def ns_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seen = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(text.fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    novel, _new_fps = dedup.dedup_incremental(batch, seen)
+    return novel.select("doc_id", "source").orderBy("doc_id")
+
+
+@query(
     "ns_jaccard_neardup",
     """
     WITH toks AS (

@@ -78,6 +78,32 @@ def write_training_shards(
     )
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    *,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered on ``cluster_cols``: range-partition
+    across files, sort within each file.
+
+    Clustering is what makes parquet min/max (and page-index) pruning
+    effective at rest: a filter on a cluster column skips whole files /
+    row groups instead of scanning everything. The repartitionByRange
+    gives globally disjoint ranges per file; sortWithinPartitions gives
+    monotone pages inside each. At 100 TB this is the difference between
+    a point lookup scanning terabytes or megabytes.
+    """
+    cols = [F.col(c) for c in cluster_cols]
+    out = (
+        df.repartitionByRange(*( [n_files] if n_files else [] ), *cols)
+        .sortWithinPartitions(*cols)
+    )
+    out.write.mode(mode).parquet(path)
+
+
 def write_csv_report(df: DataFrame, path: str, *, single_file: bool = True) -> None:
     """CSV report sink (O24, ref: core/reporter.go:124-173).
 

@@ -59,3 +59,29 @@ def test_training_shards_deterministic_and_one_file_per_shard(
     # every shard non-trivially populated (xxhash spreads keys)
     sizes = r1.groupBy("shard").count().collect()
     assert len(sizes) == 8 and min(s["count"] for s in sizes) > 0
+
+
+def test_write_clustered_ranges_are_disjoint(spark, sf_dir, tmp_path):
+    """Clustered layout: each output file holds a disjoint, internally
+    sorted range of the cluster column — the property parquet min/max
+    pruning needs."""
+    import pyarrow.parquet as pq
+
+    from takuan_spark.sinks.writers import write_clustered
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "clustered")
+    write_clustered(docs, out, cluster_cols=["doc_id"], n_files=4)
+    ranges = []
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        col = pq.read_table(os.path.join(out, f), columns=["doc_id"])["doc_id"]
+        vals = col.to_pylist()
+        assert vals == sorted(vals), f"{f} not sorted within file"
+        if vals:
+            ranges.append((min(vals), max(vals)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file ranges overlap"
