@@ -120,3 +120,47 @@ def text_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fp"),
     )
+
+
+def winnow_fingerprints(
+    docs,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    window: int = 4,
+):
+    """Winnowing document fingerprints (the MOSS scheme) over the token
+    stream: hash every n-gram at its position, slide a ``window`` over
+    consecutive positions, keep each window's minimum hash. Near-
+    identical documents share most selected fingerprints even after
+    local edits — the rolling-hash fingerprint family, vs the whole-
+    document md5 of :func:`fingerprint`.
+
+    The n-gram hash is md5-derived (first 8 hex chars as int), so an
+    external SQL engine reproduces it exactly. Output: one row per
+    (doc, distinct selected fingerprint).
+    """
+    from pyspark.sql import Window as W
+
+    w = words(F.col(text_col))
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.concat_ws(" ", F.slice(w, i + 1, n))  # noqa: E731
+    gh = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(gram(i)), 1, 8), 16, 10
+    ).cast("bigint")
+    hashes = F.transform(idx, lambda i: gh(i))
+    pos_hash = docs.select(
+        F.col(id_col), F.posexplode(hashes).alias("pos", "h")
+    )
+    frame = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    selected = pos_hash.select(
+        F.col(id_col), F.min("h").over(frame).alias("fp")
+    )
+    return selected.distinct()

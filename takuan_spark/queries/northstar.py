@@ -391,6 +391,50 @@ def ns_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_winnow_fingerprint",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+                                        1, 8)) AS BIGINT) AS h
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM grams
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+           CAST(SUM(fp % 1000003) AS BIGINT) AS fp_sum
+    FROM sel
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    "Winnowing fingerprints (MOSS rolling-hash scheme): per-position "
+    "3-gram hashes, window-of-4 minima, distinct selected prints. "
+    "Robust to local edits, unlike the whole-document md5. Output "
+    "summarises the per-doc fingerprint set (count + modular sum).",
+)
+def ns_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    fps = text.winnow_fingerprints(docs, n=3, window=4)
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fps"),
+            F.sum(F.col("fp") % 1000003).alias("fp_sum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "ns_fingerprint",
     """
     SELECT doc_id,

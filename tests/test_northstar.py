@@ -356,3 +356,26 @@ def test_text_ops_null_empty_unicode(spark):
     }
     assert fps[1] is None and fps[2] == fps[3] and fps[4] != fps[5]
     assert dedup.jaccard_pairs(df, threshold=0.5).count() == 0
+
+
+def test_winnow_fingerprints_robust_to_local_edits(spark):
+    from takuan_spark.operators.text import winnow_fingerprints
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon") * 3
+    edited = base.replace("sigma", "SIGMA", 1)  # one local edit
+    other = "totally different content about completely other things " * 6
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], "doc_id long, text string"
+    )
+    fps = {
+        i: {r["fp"] for r in rows}
+        for i, rows in (
+            (i, winnow_fingerprints(df.where(F.col("doc_id") == i)).collect())
+            for i in (1, 2, 3)
+        )
+    }
+    sim_edit = len(fps[1] & fps[2]) / len(fps[1] | fps[2])
+    sim_other = len(fps[1] & fps[3]) / len(fps[1] | fps[3])
+    assert sim_edit > 0.6, sim_edit
+    assert sim_other == 0.0, sim_other
