@@ -354,3 +354,64 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_distance)
     )
+
+
+# ------------------------------------------------------------- clusters
+
+def dedup_clusters(
+    pairs: DataFrame,
+    *,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (doc_id,
+    cluster_id) where cluster_id is the minimum doc id reachable through
+    pair edges — turning pairwise candidates into dedup groups (keep
+    cluster_id, drop the rest).
+
+    Iterative min-label propagation, the standard Spark CC without a
+    graph library: each round every node takes the min label among
+    itself and its neighbours; rounds double the effective propagation
+    distance, so convergence needs O(log(diameter)) iterations. Each
+    iteration is one join + one aggregation, all shuffle-based (no
+    driver state beyond the convergence counter); frames are cached and
+    replaced per round. Input: (id_a, id_b [, ...]) with id_a < id_b.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    edges = materialize(edges)
+    labels = materialize(
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("label"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = materialize(
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "id")
+            .where(F.col("o.label") != F.col("n.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -124,6 +124,20 @@ def ns_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_dedup_clusters",
+    None,  # iterative algorithm (min-label propagation): no SQL form
+    "Connected components over the MinHash near-dup pair graph: "
+    "pairwise candidates become dedup groups (cluster_id = min doc id "
+    "in the component). O(log diameter) join+agg rounds, no driver "
+    "state; the iterative-algorithm representative of the suite.",
+)
+def ns_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.7)
+    return dedup.dedup_clusters(pairs).orderBy("doc_id")
+
+
+@query(
     "ns_simhash_neardup",
     None,  # same: engine-native hash family
     "SimHash(64-bit) near-dup pairs within Hamming distance 3, "

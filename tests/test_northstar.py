@@ -379,3 +379,21 @@ def test_winnow_fingerprints_robust_to_local_edits(spark):
     sim_other = len(fps[1] & fps[3]) / len(fps[1] | fps[3])
     assert sim_edit > 0.6, sim_edit
     assert sim_other == 0.0, sim_other
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Chains must collapse to one cluster: A~B, B~C, plus a separate
+    pair and an isolated-free graph."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
