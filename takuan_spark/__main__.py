@@ -1,0 +1,145 @@
+"""Service entry point: ``python -m takuan_spark --config <yml>``.
+
+The runnable analog of the reference binary (ref: cmd/takuan/main.go:19-33,
+cmd/takuan/vars.go:20): load the YAML pipeline config, start the streaming
+service over the configured sensor directories, attach the periodic report
+job, and (like the reference's ``-geo`` flag rebuilding geo data) offer a
+batch re-enrichment mode over the events table.
+
+Modes:
+
+- default: start the streaming pipeline (flush every ``database.period``
+  seconds, exactly the reference's DB ticker) and run until interrupted.
+- ``--batch``: drain whatever input is currently in the sensor
+  directories with ``trigger(availableNow)``, write events + reports,
+  exit. This is the catch-up / cron-shaped run.
+- ``--geo``: one-shot geo re-enrichment batch job over the existing
+  events table (O28, ref: core/aggregator.go:177-203) using
+  ``--geo-dim``, then exit.
+
+The report job (ref: core/reporter.go + twitter.go) runs as a
+``post_hook`` on each flushed micro-batch: per-address report CSV +
+country top-k, and the formatted country summary (with emoji flags,
+ref core/twitter.go:88) printed to stdout — stdout standing in for the
+reference's tweet/git side effects, which stay out of engine scope.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+from pyspark.sql import SparkSession
+
+from takuan_spark.config import load_config
+from takuan_spark.session import get_spark
+
+
+def _load_geo_dim(spark: SparkSession, path: str):
+    if path.endswith(".csv"):
+        return spark.read.option("header", "true").csv(path)
+    return spark.read.parquet(path)
+
+
+def _report_hook(out_dir: str):
+    """Per-flush report job: address report + country top-k CSVs and the
+    formatted summary on stdout. Pure set-oriented queries over the
+    just-flushed batch — the hourly-report semantics of the reference,
+    triggered per flush here (period scheduling belongs to the caller's
+    cron; the engine-side contract is 'a report per delivered batch')."""
+    from takuan_spark.operators.reports import (
+        address_report,
+        country_topk,
+        format_country_summary,
+    )
+    from takuan_spark.sinks.writers import write_csv_report
+
+    def hook(batch, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        report = address_report(batch)
+        write_csv_report(report, f"{out_dir}/address_report_{epoch_id:06d}.csv")
+        topk = country_topk(batch).collect()
+        total = batch.count()
+        print(format_country_summary(topk, total), flush=True)
+
+    return hook
+
+
+def _run_geo_batch(spark: SparkSession, events_path: str, geo_dim_path: str) -> int:
+    """--geo: refresh country columns across the whole events table
+    (broadcast re-enrich), atomically swapping the table directory."""
+    from takuan_spark.operators.enrich import re_enrich
+
+    events = spark.read.parquet(events_path)
+    refreshed = re_enrich(events, _load_geo_dim(spark, geo_dim_path))
+    tmp = events_path.rstrip("/") + "__geo_tmp"
+    refreshed.write.mode("overwrite").parquet(tmp)
+    old = events_path.rstrip("/") + "__geo_old"
+    os.rename(events_path, old)
+    os.rename(tmp, events_path)
+    shutil.rmtree(old)
+    print(f"re-enriched events table at {events_path}", flush=True)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="takuan_spark",
+        description="PySpark-native log-analytics service (reference-parity CLI)",
+    )
+    ap.add_argument("--config", required=True, help="pipeline YAML (reference shape)")
+    ap.add_argument("--out", default="./takuan_out", help="output root directory")
+    ap.add_argument("--geo-dim", default=None, help="geo dimension parquet/csv")
+    ap.add_argument(
+        "--batch", action="store_true", help="drain available input and exit"
+    )
+    ap.add_argument(
+        "--geo",
+        action="store_true",
+        help="one-shot geo re-enrichment over the events table, then exit",
+    )
+    ap.add_argument("--master", default="local[*]")
+    ap.add_argument(
+        "--timeout-secs",
+        type=int,
+        default=None,
+        help="stop the stream after N seconds (service runs forever without it)",
+    )
+    args = ap.parse_args(argv)
+
+    config = load_config(args.config)
+    spark = get_spark(app_name=f"takuan-{config.node_name}", master=args.master)
+    events_path = f"{args.out}/events"
+    if args.geo:
+        if not args.geo_dim:
+            ap.error("--geo requires --geo-dim")
+        return _run_geo_batch(spark, events_path, args.geo_dim)
+
+    from takuan_spark.streaming.pipeline import start_pipeline
+
+    geo_dim = _load_geo_dim(spark, args.geo_dim) if args.geo_dim else None
+    query = start_pipeline(
+        spark,
+        config,
+        events_path=events_path,
+        quarantine_path=f"{args.out}/quarantine",
+        checkpoint_path=f"{args.out}/checkpoint",
+        geo_dim=geo_dim,
+        available_now=args.batch,
+        post_hook=_report_hook(f"{args.out}/reports"),
+    )
+    if args.batch:
+        query.awaitTermination()
+    elif args.timeout_secs is not None:
+        query.awaitTermination(args.timeout_secs)
+        query.stop()
+    else:  # pragma: no cover - interactive service mode
+        query.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

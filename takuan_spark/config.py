@@ -101,7 +101,11 @@ class RuleSpec:
     description: str = ""
 
     def compiled_expression(self) -> str:
-        return normalize_case_insensitive(self.expression)
+        # Rules compile as-is: the reference only prepends ``(?i)`` to the
+        # *parser* expression (core/parser.go:44-47); rule expressions are
+        # compiled verbatim (core/rule.go:17-21), so case-sensitive rule
+        # patterns must stay case-sensitive here too.
+        return self.expression
 
 
 @dataclass
@@ -135,13 +139,9 @@ class ParserSpec:
                         f"json token {name!r} needs a field path, got {path!r}"
                     )
             return
-        n_groups = re.compile(self.compiled_expression()).groups
-        max_index = max(self.tokens.values())
-        if max_index > n_groups:
-            raise ConfigError(
-                f"token index {max_index} exceeds the {n_groups} capture "
-                f"group(s) of {self.expression!r}"
-            )
+        # Per-token type/range checks run BEFORE the max() capture-group
+        # check so a mixed str/int tokens map raises ConfigError, not
+        # TypeError from max().
         for name, idx in self.tokens.items():
             if not isinstance(idx, int):
                 raise ConfigError(
@@ -149,6 +149,13 @@ class ParserSpec:
                 )
             if idx < 1:
                 raise ConfigError(f"token {name!r} has invalid group index {idx}")
+        n_groups = re.compile(self.compiled_expression()).groups
+        max_index = max(self.tokens.values())
+        if max_index > n_groups:
+            raise ConfigError(
+                f"token index {max_index} exceeds the {n_groups} capture "
+                f"group(s) of {self.expression!r}"
+            )
 
     def json_path(self, token: str) -> str:
         path = str(self.tokens[token])
@@ -192,7 +199,7 @@ class SensorSpec:
                 raise ConfigError(
                     f"rule {r.name!r} references unknown token {r.token!r}"
                 )
-            re.compile(normalize_case_insensitive(r.expression))
+            re.compile(r.compiled_expression())
 
 
 @dataclass

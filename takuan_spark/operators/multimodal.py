@@ -43,6 +43,9 @@ MEDIA_SCHEMA = StructType(
         StructField("media_id", LongType(), False),
         StructField("kind", StringType(), False),  # image | audio | video
         StructField("payload", BinaryType(), True),
+        # stored blob size: metadata queries aggregate this so the
+        # payload column itself is never scanned for size stats
+        StructField("payload_bytes", IntegerType(), True),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
         StructField("duration_ms", IntegerType(), True),
@@ -105,13 +108,15 @@ def extract_features(
 
 
 def media_summary(media: DataFrame) -> DataFrame:
-    """Metadata-only aggregate — must never touch the payload column
-    (column pruning keeps the scan cheap): counts + payload byte size
-    stats per kind."""
+    """Metadata-only aggregate — never touches the payload column: byte
+    sizes come from the stored ``payload_bytes`` metadata column, so
+    column pruning keeps the blob bytes unread (the scan projects
+    (kind, payload_bytes) only — at 100 TB of media that is the whole
+    game). Counts + payload byte size stats per kind."""
     return media.groupBy("kind").agg(
         F.count("*").alias("n"),
-        F.sum(F.length("payload")).alias("total_bytes"),
-        F.round(F.avg(F.length("payload")), 2).alias("avg_bytes"),
+        F.sum("payload_bytes").alias("total_bytes"),
+        F.round(F.avg("payload_bytes"), 2).alias("avg_bytes"),
     )
 
 

@@ -110,9 +110,22 @@ def country_topk(
     return counts.orderBy(F.desc("total_events"), F.asc(country_col)).limit(k)
 
 
+def country_flag(code: str | None) -> str:
+    """ISO-3166 alpha-2 code → emoji flag (O27, ref: core/twitter.go:88
+    ``emoji.CountryFlag``): each letter maps to its regional-indicator
+    symbol (U+1F1E6..U+1F1FF); no lookup table needed. Unknown/missing
+    codes render as the white flag, matching the reference's fallback of
+    not crashing on unmapped countries."""
+    if not code or len(code) != 2 or not code.isalpha():
+        return "\U0001F3F3"  # white flag
+    return "".join(chr(0x1F1E6 + ord(c) - ord("A")) for c in code.upper())
+
+
 def format_country_summary(topk_rows: list, total: int) -> str:
     """Scalar formatting of the tweet text (O27, ref: core/twitter.go:
     69-90) — cosmetic, driver-side over the tiny top-k result."""
-    parts = [f"{r['total_events']} from {r[0]}" for r in topk_rows]
+    parts = [
+        f"{r['total_events']} from {country_flag(r[0])} {r[0]}" for r in topk_rows
+    ]
     plural = "s" if total != 1 else ""
     return f"{total} event{plural}: " + ", ".join(parts) + ("..." if parts else "")

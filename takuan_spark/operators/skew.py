@@ -111,7 +111,17 @@ def salted_join(
     B× — only worth it when the build side is small relative to the hot
     key's row count and AQE skew-split is unavailable (e.g. the skewed
     side feeds a downstream stage that pins partitioning).
+
+    Only ``inner`` and ``left`` are semantics-preserving under this
+    rewrite: with ``right``/``full``, an unmatched build row appears once
+    per salt value (B duplicates), so those join types are rejected.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join preserves semantics only for how in ('inner', "
+            f"'left'); got {how!r} (unmatched build rows would be "
+            f"replicated once per salt bucket)"
+        )
     salted_probe = probe.withColumn(
         "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

@@ -26,15 +26,15 @@ from takuan_spark.tables import MEDIA_ORACLE_CTE, load_media
     WITH {MEDIA_ORACLE_CTE}
     SELECT kind,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
-           ROUND(AVG(octet_length(payload)), 2) AS avg_bytes
+           CAST(SUM(payload_bytes) AS BIGINT) AS total_bytes,
+           ROUND(AVG(payload_bytes), 2) AS avg_bytes
     FROM media
     GROUP BY kind
     ORDER BY kind
     """,
-    "Metadata-only media aggregate per kind — the payload column is "
-    "aggregated by length only; column pruning keeps giant blobs unread "
-    "when a query needs just metadata.",
+    "Metadata-only media aggregate per kind over the stored "
+    "payload_bytes column — the payload blob itself is pruned out of "
+    "the scan entirely.",
 )
 def mm_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = load_media(spark, sf_dir)

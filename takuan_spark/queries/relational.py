@@ -797,3 +797,184 @@ def q_first_value_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH costs AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+        SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    ec AS (
+        SELECT c.l_partkey, c.l_suppkey, c.unit_cost,
+               eu.s_name, eu.acctbal, eu.n_name
+        FROM costs c JOIN eu ON c.l_suppkey = eu.s_suppkey
+    )
+    SELECT p.p_partkey, p.p_type, ec.s_name, ec.n_name, ec.acctbal,
+           ROUND(ec.unit_cost, 4) AS unit_cost
+    FROM part p JOIN ec ON p.p_partkey = ec.l_partkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+      AND ec.unit_cost = (SELECT MIN(e2.unit_cost) FROM ec e2
+                          WHERE e2.l_partkey = ec.l_partkey)
+    ORDER BY ec.acctbal DESC, ec.n_name, ec.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    "TPC-H Q2 shape (adapted: lineitem stands in for partsupp — the "
+    "testdata has no ps_supplycost): per-part minimum unit cost among "
+    "EUROPE suppliers via correlated subquery, expressed Spark-side as "
+    "a window-min + filter (one shuffle on partkey, no self-join). MIN "
+    "is order-insensitive, so the double compares bit-identically "
+    "across engines.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    # region/nation are always-tiny: broadcast so the supplier (and
+    # later the cost) side never shuffles for them.
+    eu = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select(
+            "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"), "n_name"
+        )
+    )
+    ec = costs.join(eu, costs.l_suppkey == eu.s_suppkey)
+    # correlated MIN as a window over partkey: one exchange, no re-join
+    w = Window.partitionBy("l_partkey")
+    best = ec.withColumn("min_cost", F.min("unit_cost").over(w)).where(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    return (
+        best.join(part, best.l_partkey == part.p_partkey)
+        .select(
+            "p_partkey", "p_type", "s_name", "n_name", "acctbal",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.desc("acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    "TPC-H Q13 shape: outer join with a join-time (not WHERE) predicate "
+    "so customers with zero qualifying orders survive with count 0, "
+    "then a distribution over the per-customer counts (two-level agg).",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    """
+    SELECT eu.s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    JOIN (SELECT s_suppkey, s_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE') eu
+      ON eu.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY eu.s_name
+    ORDER BY numwait DESC, eu.s_name
+    LIMIT 100
+    """,
+    "TPC-H Q21 shape (adapted: l_returnflag='R' stands in for the "
+    "receipt-after-commit predicate — the testdata has no receipt/commit "
+    "dates): the multi-EXISTS chain becomes a left-semi join (another "
+    "supplier shipped in the order) plus a left-anti join (no OTHER "
+    "supplier also failed), both shuffling only (orderkey, suppkey).",
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+    l1 = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+        "l_returnflag",
+    )
+    semi = l1.join(
+        others,
+        (l1.l_orderkey == others.o2_orderkey)
+        & (l1.l_suppkey != others.o2_suppkey),
+        "left_semi",
+    )
+    anti = semi.join(
+        others.where(F.col("l_returnflag") == "R"),
+        (semi.l_orderkey == others.o2_orderkey)
+        & (semi.l_suppkey != others.o2_suppkey),
+        "left_anti",
+    )
+    return (
+        anti.join(orders, anti.l_orderkey == orders.o_orderkey, "left_semi")
+        .join(eu, anti.l_suppkey == eu.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

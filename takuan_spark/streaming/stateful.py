@@ -53,21 +53,17 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def brute_force_alerts(
-    events: DataFrame,
+def make_update_fn(
     *,
-    address_col: str = "address",
-    time_col: str = "created_at",
-    threshold: int = 5,
-    window_secs: int = 60,
-    cooldown_secs: int = 300,
-) -> DataFrame:
-    """events stream → alert stream via per-address sliding-window state.
-
-    Works on both a streaming DataFrame (real detector) and, because
-    ``applyInPandasWithState`` requires a stream, tests drive it with
-    ``availableNow`` over file chunks.
-    """
+    time_col: str,
+    threshold: int,
+    window_secs: int,
+    cooldown_secs: int,
+    idle_timeout_secs: int | None,
+):
+    """The per-group state-update function, exposed module-level so the
+    eviction/carry semantics are unit-testable with a fake GroupState
+    (no streaming query needed)."""
 
     def update(
         key: tuple[str],
@@ -75,6 +71,13 @@ def brute_force_alerts(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (address,) = key
+        if state.hasTimedOut:
+            # Idle address: past window+cooldown with no new events the
+            # carried state cannot influence any future alert — evict,
+            # so the store is bounded by *active* addresses, not all
+            # addresses ever seen.
+            state.remove()
+            return
         if state.exists:
             recent_csv, last_alert = state.get
             recent = [int(x) for x in recent_csv.split(",") if x]
@@ -102,10 +105,58 @@ def brute_force_alerts(
                 )
                 last_alert = t
 
-        state.update((",".join(str(x) for x in recent[-threshold * 4 :]), last_alert))
+        # Keep EVERY timestamp still inside the sliding window of the
+        # latest event (the loop's window filter already bounds the list):
+        # a fixed-count truncation would undercount heavy attackers whose
+        # window spans micro-batch boundaries. State per address is
+        # bounded by the event rate within window_secs.
+        state.update((",".join(str(x) for x in recent), last_alert))
+        if idle_timeout_secs is not None:
+            # re-arm the idle-eviction clock
+            state.setTimeoutDuration(idle_timeout_secs * 1000)
         if alerts:
             yield pd.DataFrame(alerts)
 
+    return update
+
+
+def brute_force_alerts(
+    events: DataFrame,
+    *,
+    address_col: str = "address",
+    time_col: str = "created_at",
+    threshold: int = 5,
+    window_secs: int = 60,
+    cooldown_secs: int = 300,
+    idle_timeout_secs: int | str | None = "auto",
+) -> DataFrame:
+    """events stream → alert stream via per-address sliding-window state.
+
+    Works on both a streaming DataFrame (real detector) and, because
+    ``applyInPandasWithState`` requires a stream, tests drive it with
+    ``availableNow`` over file chunks.
+
+    ``idle_timeout_secs`` bounds the state store: an address silent for
+    that long is evicted (its state can no longer affect any alert once
+    past window+cooldown — the ``"auto"`` default). Pass ``None`` for
+    drain-and-stop runs (``availableNow``): a processing-time timeout
+    makes the drain trigger wait out pending timers before terminating,
+    which turns a seconds-long catch-up run into minutes.
+    """
+    if idle_timeout_secs == "auto":
+        idle_timeout_secs = window_secs + cooldown_secs
+    update = make_update_fn(
+        time_col=time_col,
+        threshold=threshold,
+        window_secs=window_secs,
+        cooldown_secs=cooldown_secs,
+        idle_timeout_secs=idle_timeout_secs,
+    )
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_secs is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         events.select(address_col, time_col)
         .groupBy(address_col)
@@ -114,6 +165,6 @@ def brute_force_alerts(
             outputStructType=ALERT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout_conf,
         )
     )

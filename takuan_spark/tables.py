@@ -67,6 +67,10 @@ def load_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
         F.encode("text", "utf-8").alias("payload"),
+        # Stored byte size: metadata queries aggregate THIS, so they
+        # never deserialize the blob column (real multimodal tables
+        # always carry size/checksum metadata next to the payload).
+        F.length(F.encode("text", "utf-8")).alias("payload_bytes"),
         F.when(kind == "image", (F.pmod(F.col("doc_id") * 37, 1920) + 1).cast("int"))
         .otherwise(F.lit(None).cast("int"))
         .alias("width"),
@@ -92,6 +96,7 @@ MEDIA_ORACLE_CTE = """
         SELECT doc_id AS media_id,
                ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
                encode(text) AS payload,
+               CAST(octet_length(encode(text)) AS INT) AS payload_bytes,
                CASE WHEN doc_id % 3 = 0
                     THEN CAST((doc_id * 37) % 1920 + 1 AS INT) END AS width,
                CASE WHEN doc_id % 3 = 0

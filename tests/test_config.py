@@ -39,6 +39,36 @@ def test_case_insensitive_prefix():
     assert normalize_case_insensitive("(?i)abc") == "(?i)abc"
 
 
+def test_rules_compile_case_sensitive():
+    """Reference parity: only the PARSER expression gets (?i)
+    (parser.go:44-47); rule expressions compile verbatim (rule.go:17-21),
+    so 'Authentication failure' must NOT match 'authentication failure'."""
+    from takuan_spark.config import ParserSpec, RuleSpec
+
+    rule = RuleSpec(name="r", token="msg", expression="Authentication (failure|failed)")
+    assert rule.compiled_expression() == "Authentication (failure|failed)"
+    parser = ParserSpec(
+        expression="^(.+) (.+)$",
+        datetime_format="2006",
+        tokens={"datetime": 1, "address": 2},
+    )
+    assert parser.compiled_expression().startswith("(?i)")
+
+
+def test_mixed_token_types_raise_config_error():
+    """A regex parser whose tokens mix strings with ints must raise
+    ConfigError, not TypeError from max() over mixed types."""
+    from takuan_spark.config import ConfigError, ParserSpec
+
+    p = ParserSpec(
+        expression="^(.+) (.+)$",
+        datetime_format="2006",
+        tokens={"datetime": 1, "address": "$.ip"},
+    )
+    with pytest.raises(ConfigError, match="group index"):
+        p.validate()
+
+
 def test_mandatory_token_validation():
     # ref: core/parser.go:14-17,32-36
     p = ParserSpec(expression="^(.+)$", datetime_format="2006", tokens={"datetime": 1})

@@ -29,7 +29,9 @@ JSON_CONF = {
                 },
             },
             "rules": [
-                {"name": "denied", "token": "msg", "expression": "access denied"},
+                # rules compile as-is (reference parity: rule.go:17-21);
+                # case-insensitivity is an explicit (?i) opt-in
+                {"name": "denied", "token": "msg", "expression": "(?i)access denied"},
                 {"name": "flood", "token": "msg", "expression": "rate limit"},
             ],
         }
@@ -57,7 +59,7 @@ def test_json_sensor_end_to_end(spark, json_logs):
     ev = compile_batch(spark, conf, paths={"app": json_logs})
     rows = {r["address"]: r for r in ev.collect()}
     assert set(rows) == {"1.2.3.4", "5.6.7.8"}
-    assert rows["1.2.3.4"]["rule"] == "denied"  # (?i) case-insensitive match
+    assert rows["1.2.3.4"]["rule"] == "denied"  # explicit (?i) in the rule
     assert rows["5.6.7.8"]["rule"] == "flood"
     assert rows["1.2.3.4"]["created_at"] == datetime(2026, 8, 13, 10, 0, 1)
     assert rows["1.2.3.4"]["sensor"] == "app"

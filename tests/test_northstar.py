@@ -233,10 +233,10 @@ def test_knn_join_rank1_is_self(spark, sf_dir):
 
 def _media_df(spark):
     rows = [
-        (1, "image", b"\x89PNGfakebytes", 64, 64, None, "png"),
-        (2, "image", b"\xff\xd8fakejpeg", 32, 32, None, "jpg"),
-        (3, "video", b"fakemp4", 640, 480, 3500, "mp4"),
-        (4, "audio", None, None, None, 2000, "wav"),
+        (1, "image", b"\x89PNGfakebytes", 13, 64, 64, None, "png"),
+        (2, "image", b"\xff\xd8fakejpeg", 10, 32, 32, None, "jpg"),
+        (3, "video", b"fakemp4", 7, 640, 480, 3500, "mp4"),
+        (4, "audio", None, None, None, None, 2000, "wav"),
     ]
     return spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
 

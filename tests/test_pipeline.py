@@ -228,5 +228,14 @@ def test_format_country_summary_pluralization():
 
     # Row-like access: format uses r['total_events'] and r[0]
     r = {0: "CN", "total_events": 3}
-    assert format_country_summary([r], 3) == "3 events: 3 from CN..."
+    assert format_country_summary([r], 3) == "3 events: 3 from \U0001F1E8\U0001F1F3 CN..."
     assert format_country_summary([], 1) == "1 event: "
+
+
+def test_country_flag_codepoints():
+    from takuan_spark.operators.reports import country_flag
+
+    assert country_flag("US") == "\U0001F1FA\U0001F1F8"
+    assert country_flag("de") == "\U0001F1E9\U0001F1EA"
+    assert country_flag(None) == "\U0001F3F3"
+    assert country_flag("??") == "\U0001F3F3"

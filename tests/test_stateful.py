@@ -60,10 +60,14 @@ def _run_stream(spark, env, df_fn):
 
 def test_brute_force_detector(spark, stream_env):
     _write_events_chunk(stream_env["src"] / "c1.parquet", _attack_rows())
+    # idle_timeout_secs=None: availableNow drains then STOPS; with a
+    # processing-time timeout armed it would wait out the idle timers.
     _run_stream(
         spark,
         stream_env,
-        lambda s: brute_force_alerts(s, threshold=5, window_secs=60, cooldown_secs=300),
+        lambda s: brute_force_alerts(
+            s, threshold=5, window_secs=60, cooldown_secs=300, idle_timeout_secs=None
+        ),
     )
     alerts = spark.read.parquet(stream_env["out"]).collect()
     assert [a["address"] for a in alerts] == ["203.0.113.7"]
@@ -76,7 +80,7 @@ def test_brute_force_state_carries_across_batches(spark, stream_env):
     rows = [("7.7.7.7", f"2026-08-13 06:00:{i:02d}", "ssh", "r") for i in range(3)]
     _write_events_chunk(stream_env["src"] / "c1.parquet", rows)
     detector = lambda s: brute_force_alerts(  # noqa: E731
-        s, threshold=5, window_secs=60, cooldown_secs=300
+        s, threshold=5, window_secs=60, cooldown_secs=300, idle_timeout_secs=None
     )
     _run_stream(spark, stream_env, detector)
     import os
@@ -90,6 +94,69 @@ def test_brute_force_state_carries_across_batches(spark, stream_env):
     _run_stream(spark, stream_env, detector)
     alerts = spark.read.parquet(stream_env["out"]).collect()
     assert len(alerts) == 1 and alerts[0]["address"] == "7.7.7.7"
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the update fn."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_update_fn_evicts_on_timeout_and_bounds_state_by_time():
+    from takuan_spark.streaming.stateful import make_update_fn
+
+    fn = make_update_fn(
+        time_col="created_at",
+        threshold=5,
+        window_secs=60,
+        cooldown_secs=300,
+        idle_timeout_secs=360,
+    )
+    # timed-out group: state removed, nothing emitted
+    st = _FakeState(value=("100,200", 100), timed_out=True)
+    assert list(fn(("1.2.3.4",), iter([]), st)) == []
+    assert st.removed and not st.exists
+
+    # heavy burst: MORE than threshold*4 events inside one window must
+    # all be retained (the old fixed-count truncation dropped some)
+    base = pd.Timestamp("2026-08-13 06:00:00")
+    n = 30  # > threshold*4 = 20
+    pdf = pd.DataFrame(
+        {"created_at": [base + pd.Timedelta(seconds=i) for i in range(n)]}
+    )
+    st2 = _FakeState()
+    list(fn(("5.6.7.8",), iter([pdf]), st2))
+    recent_csv, _ = st2.get
+    kept = [int(x) for x in recent_csv.split(",") if x]
+    assert len(kept) == n  # all 30 are inside the 60s window
+    assert st2.timeout_ms == 360 * 1000  # idle-eviction clock re-armed
+
+    # events older than the window relative to the newest are dropped
+    pdf2 = pd.DataFrame({"created_at": [base + pd.Timedelta(seconds=120)]})
+    list(fn(("5.6.7.8",), iter([pdf2]), st2))
+    kept2 = [int(x) for x in st2.get[0].split(",") if x]
+    assert kept2 == [int((base + pd.Timedelta(seconds=120)).timestamp())]
 
 
 def test_windowed_counts_streaming_with_watermark(spark, stream_env):
