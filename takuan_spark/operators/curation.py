@@ -1,0 +1,161 @@
+"""Corpus-curation operators for training-data pipelines (SURVEY.md
+§2.2 north-star: "the operations a large-scale training-data pipeline
+would need" beyond dedup/similarity).
+
+Three production shapes, each pure DataFrame ops (no UDFs, codegen'd
+per-row work, shuffles only on small aggregate keys):
+
+- **Repetition filtering** (the Gopher/C4-style quality gate): documents
+  dominated by repeated words / n-grams are SEO spam or boilerplate;
+  compute duplicate-word and top-bigram fractions and gate on them.
+- **Decontamination**: training documents sharing enough n-gram shingles
+  with an evaluation/benchmark set must be dropped before training.
+  Inverted-index join on hashed shingles — same linear discovery shape
+  as Jaccard dedup, never all-pairs.
+- **Sequence packing**: concat-then-chunk assignment of documents to
+  fixed token-budget training sequences, deterministically, per stratum
+  (running token total within each language; a doc starts in the bin its
+  preceding cumulative total falls in). Per-stratum windows keep the
+  sort bounded — the at-scale form packs within shards/partitions rather
+  than one global ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from takuan_spark.operators.skew import spread
+from takuan_spark.operators.text import words
+
+
+def repetition_stats(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_word_frac: float = 0.6,
+    max_top_bigram_frac: float = 0.1,
+) -> DataFrame:
+    """Per-document repetition metrics + keep decision.
+
+    ``dup_word_frac`` = 1 - distinct_words/words (how much of the doc is
+    re-used vocabulary); ``top_bigram_frac`` = count of the most frequent
+    word bigram / total bigrams (boilerplate detector). One explode +
+    two-level aggregation; the shuffle key is (doc, bigram) with map-side
+    combine, so the exchange carries distinct bigrams per doc, not words.
+    """
+    w = words(F.col(text_col))
+    base = spread(docs).select(
+        F.col(id_col),
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        w.alias("w"),
+    )
+    idx = F.when(
+        F.col("n_words") >= 2, F.sequence(F.lit(0), F.col("n_words") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, 2)))
+    bg = base.select(id_col, "n_words", "n_distinct", F.explode(bigrams).alias("bg"))
+    counts = bg.groupBy(id_col, "n_words", "n_distinct", "bg").agg(
+        F.count("*").alias("c")
+    )
+    per_doc = counts.groupBy(id_col, "n_words", "n_distinct").agg(
+        F.max("c").alias("top_bg"), F.sum("c").alias("n_bg")
+    )
+    dup_frac = F.round(1 - F.col("n_distinct") / F.col("n_words"), 6)
+    top_frac = F.round(F.col("top_bg") / F.col("n_bg"), 6)
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_words"),
+        dup_frac.alias("dup_word_frac"),
+        top_frac.alias("top_bigram_frac"),
+        (
+            (dup_frac <= max_dup_word_frac) & (top_frac <= max_top_bigram_frac)
+        ).alias("keep"),
+    )
+
+
+def contamination_flags(
+    train: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Training docs contaminated by the benchmark set: at least
+    ``min_shared`` distinct shared word ``n``-gram shingles with some
+    benchmark document.
+
+    Inverted-index join on int64-hashed shingles (8-byte shuffle keys):
+    a (train, bench) pair is only materialized if it shares a shingle,
+    and partial aggregation collapses per-pair counts before the final
+    exchange. Output: (doc_id, n_bench_hits, max_shared) per
+    contaminated training doc.
+    """
+    from takuan_spark.operators.dedup import shingle_df
+
+    t = shingle_df(train, text_col=text_col, id_col=id_col, n=n).select(
+        F.col(id_col).alias("train_id"), F.xxhash64("shingle").alias("sh")
+    )
+    b = shingle_df(benchmark, text_col=text_col, id_col=id_col, n=n).select(
+        F.col(id_col).alias("bench_id"), F.xxhash64("shingle").alias("sh")
+    )
+    shared = (
+        t.join(b, on="sh")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    return (
+        shared.groupBy("train_id")
+        .agg(
+            F.count("*").alias("n_bench_hits"),
+            F.max("shared").alias("max_shared"),
+        )
+        .select(
+            F.col("train_id").alias(id_col), "n_bench_hits", "max_shared"
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    budget: int = 256,
+) -> DataFrame:
+    """Assign documents to fixed token-budget training sequences:
+    concat-then-chunk semantics — docs are laid out in ``id_col`` order
+    within each stratum, and a doc belongs to the sequence its preceding
+    cumulative token total falls in (``seq_id = cum_before // budget``,
+    ``seq_offset = cum_before % budget``).
+
+    Deterministic (pure function of the data), rerun- and
+    partitioning-invariant. The window sorts within strata only; at
+    corpus scale the stratum is a shard key, so no global sort exists —
+    ``repartitionByRange`` on (stratum, id) then per-partition windows is
+    the same plan Spark produces here.
+    """
+    n_tok = F.size(words(F.col(text_col)))
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
+    return (
+        spread(docs)
+        .select(F.col(id_col), F.col(stratum_col), n_tok.alias("n_tok"))
+        .select(
+            id_col,
+            stratum_col,
+            "n_tok",
+            F.floor(cum_before / budget).cast("long").alias("seq_id"),
+            (cum_before % budget).alias("seq_offset"),
+        )
+    )

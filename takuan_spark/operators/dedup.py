@@ -404,12 +404,27 @@ def dedup_clusters(
         )
         .distinct()
     )
-    edges = materialize(edges)
+    # The iteration frames are (node, label) pairs — tiny relative to the
+    # corpus (only near-dup docs appear). Pin them to a few partitions so
+    # each round schedules a handful of tasks instead of a full
+    # shuffle-partition fan-out; at genuinely large pair graphs AQE's
+    # post-shuffle coalescing keeps later rounds sized to the data.
+    edges = materialize(edges.repartition(8, "dst"))
     labels = materialize(
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("id"), F.col("src").alias("label"))
     )
+    def _label_sum(frame: DataFrame) -> int:
+        # Convergence probe without a join: labels only ever decrease
+        # (every update is least(...)), so the label sum is strictly
+        # monotone — equal sums ⇔ no label changed. decimal(38,0) keeps
+        # the sum exact at any node count.
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).head()["s"]
+
+    prev_sum = _label_sum(labels)
     changed = 0
     for _ in range(max_iter):
         neighbor_min = (
@@ -417,13 +432,19 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        cand = labels.join(
-            neighbor_min, labels["id"] == neighbor_min["src"], "left"
-        ).select(
-            "id",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-            ).alias("label"),
+        # materialize: cand feeds BOTH sides of the pointer-jump
+        # self-join below, and Catalyst does not reuse the exchange
+        # across self-join branches — uncached, the neighbor-min join
+        # would execute twice per round.
+        cand = materialize(
+            labels.join(
+                neighbor_min, labels["id"] == neighbor_min["src"], "left"
+            ).select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
         )
         # Pointer jumping: label <- label(label). Every label value is
         # itself a node id, so a self-join compresses two propagation
@@ -439,12 +460,10 @@ def dedup_clusters(
                 ).alias("label"),
             )
         )
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "id")
-            .where(F.col("o.label") != F.col("n.label"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
+        changed = int(new_sum != prev_sum)
+        prev_sum = new_sum
+        cand.unpersist()
         labels.unpersist()
         labels = new_labels
         if changed == 0:
@@ -453,9 +472,8 @@ def dedup_clusters(
         import logging
 
         logging.getLogger(__name__).warning(
-            "dedup_clusters: max_iter=%d exhausted with %d labels still "
+            "dedup_clusters: max_iter=%d exhausted while labels were still "
             "changing — clusters may be split; raise max_iter",
             max_iter,
-            changed,
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

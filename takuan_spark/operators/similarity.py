@@ -404,20 +404,26 @@ def ivf_assign_fixed(
 ) -> DataFrame:
     """Assign every vector its IVF cell = argmax_j round(dot(v, c_j), 6)
     (unit centroids ⇒ argmax dot ≡ cosine-nearest; rounding makes the
-    argmax tie-stable across engines, first index wins). Pure expression
-    tree — no fit, no shuffle, no Python."""
-    dim = len(centroids[0])
-    v = _as_double(F.col(vec_col))
-    dots = F.array(
-        *[
-            F.round(
-                dot_unrolled(v, F.array(*[F.lit(float(c)) for c in cent]), dim), 6
-            )
-            for cent in centroids
-        ]
-    )
-    cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
-    return embeddings.withColumn("cell", cell)
+    argmax tie-stable across engines, and np.argmax takes the FIRST max —
+    the same lowest-cell tiebreak the SQL oracle's window rank uses).
+
+    Arrow-vectorized: one numpy GEMM per batch against the nlist x dim
+    centroid matrix. The expression-tree alternative (nlist*dim literal
+    multiply-adds per row) measured ~8s at sf0.1 — the generated code is
+    megabytes and falls out of JIT-friendly territory; the UDF keeps the
+    plan tiny and the math in BLAS (same reasoning as
+    lsh_signatures_udf)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.array(centroids, dtype=np.float64)  # nlist x dim
+
+    @pandas_udf("int")
+    def cell_of(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        d = np.round(x @ cmat.T, 6)
+        return pd.Series(np.argmax(d, axis=1).astype(np.int32))
+
+    return embeddings.withColumn("cell", cell_of(F.col(vec_col)))
 
 
 def probe_cells(
@@ -500,6 +506,11 @@ def ivf_probe(
     return cosine_topk(cand, query_vec, k=k, vec_col=vec_col, id_col=id_col)
 
 
+#: How many of the signature's high bits form the partition directory
+#: (the rest are pruned via parquet min/max stats on the sorted column).
+LSH_PREFIX_BITS = 4
+
+
 def lsh_index_build(
     embeddings: DataFrame,
     path: str,
@@ -511,19 +522,34 @@ def lsh_index_build(
     seed: int = 42,
 ) -> None:
     """Build the persisted LSH index: one row per (vector, table) with
-    its signature, PARTITIONED BY (tbl, sig) — each bucket is a
-    directory, so a probe's Hamming ball enumerates to an isin filter
-    that prunes to tables*(1+nbits) directories out of
-    tables*2^nbits. This is the stored-signature-columns design the r1
-    verdict asked for (vs computing signatures inline per query)."""
+    its stored signature column — the design the r1 verdict asked for
+    (vs computing signatures inline per query).
+
+    Layout: PARTITIONED BY (tbl, sigp) where ``sigp`` is the
+    signature's high LSH_PREFIX_BITS (tables * 2^prefix directories,
+    64 here), with rows routed to their owning task and SORTED by the
+    full ``sig`` within each file. A probe prunes twice: directory
+    listing on (tbl, sigp), then parquet min/max row-group stats on the
+    sorted ``sig`` column. One-directory-per-full-signature
+    (tables * 2^nbits dirs) measured 2x slower to build at bench scale
+    from small-file commit overhead alone and gets worse as nbits grows;
+    prefix dirs + clustered sig is the layout that holds at 100 TB."""
     dim = len(embeddings.select(vec_col).head()[0])
     sig_fn = lsh_signatures_udf(dim, nbits=nbits, tables=tables, seed=seed)
     base = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
         F.posexplode(sig_fn(F.col(vec_col))).alias("tbl", "sig"),
+    ).withColumn(
+        "sigp", F.shiftright(F.col("sig"), nbits - LSH_PREFIX_BITS).cast("int")
     )
-    base.write.mode("overwrite").partitionBy("tbl", "sig").parquet(path)
+    (
+        base.repartition(F.col("tbl"), F.col("sigp"))
+        .sortWithinPartitions("sig")
+        .write.mode("overwrite")
+        .partitionBy("tbl", "sigp")
+        .parquet(path)
+    )
 
 
 def hamming_ball(sig: int, *, nbits: int, radius: int) -> list[int]:
@@ -555,10 +581,12 @@ def lsh_index_probe(
     seed: int = 42,
 ) -> DataFrame:
     """Probe a persisted LSH index: enumerate the query's Hamming ball
-    per table, read only those (tbl, sig) partitions, dedupe vectors
+    per table, read only the (tbl, sigp) partitions the ball touches
+    (directory pruning) with the full-sig membership pushed to the scan
+    (row-group stats pruning on the sorted sig column), dedupe vectors
     that collide in several tables, exact-cosine top-k the survivors.
     Identical result to the inline lsh_bucketed_topk, but the scan is
-    partition-pruned instead of full."""
+    pruned instead of full."""
     dim = len(query_vec)
     cond = None
     for t in range(tables):
@@ -568,7 +596,12 @@ def lsh_index_probe(
             d = sum(float(a) * b for a, b in zip(query_vec, plane))
             qsig |= (1 if d > 0 else 0) << i
         ball = hamming_ball(qsig, nbits=nbits, radius=hamming_radius)
-        hit = (F.col("tbl") == t) & F.col("sig").isin(ball)
+        prefixes = sorted({s >> (nbits - LSH_PREFIX_BITS) for s in ball})
+        hit = (
+            (F.col("tbl") == t)
+            & F.col("sigp").isin(prefixes)
+            & F.col("sig").isin(ball)
+        )
         cond = hit if cond is None else cond | hit
     cand = (
         spark.read.parquet(path)

@@ -79,14 +79,14 @@ PRIORITY: list[str] = [
     "ns_ivf_probe", "ns_lsh_probe",
     "q2_min_cost_supplier", "q13_customer_distribution",
     "q21_suppliers_kept_waiting",
+    "ns_repetition_filter", "ns_decontaminate", "ns_pack_sequences",
     # changed this round (re-verify): in-plan TF-IDF doc count
     "ns_tfidf_topterms",
     # headline keep-greens filling the 50-row driver window
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q4_order_priority", "q10_returned_items",
     "q14_promo_revenue", "q19_disjunctive_filter", "q_top_customers",
-    "q_asof_join", "q_cube", "q_rollup", "q_grouping_sets",
-    "q_window_lag_lead", "q_window_rank", "q_pandas_udaf",
+    "q_asof_join", "q_rollup", "q_grouping_sets", "q_pandas_udaf",
     "ns_dedup_exact", "ns_jaccard_neardup", "ns_embedding_neardup",
     "ns_similarity_topk", "ns_knn_join",
 ]
@@ -120,6 +120,7 @@ def _load() -> None:
         return
     from takuan_spark.queries import (  # noqa: F401
         advanced,
+        curation,
         multimodal,
         northstar,
         relational,

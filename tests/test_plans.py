@@ -146,13 +146,17 @@ def test_lsh_probe_scans_only_hamming_ball_buckets(spark, sf_dir, tmp_path):
         spark, path, qvec, k=10, nbits=8, tables=4, hamming_radius=1
     )
     plan = plan_of(probe_df)
-    # the (tbl, sig) Hamming-ball disjunction must land in the scan's
-    # partition filters (both are partition columns), not a post-scan
-    # Filter — that is what makes the probe a pruned directory listing
+    # the (tbl, sig-prefix) Hamming-ball disjunction must land in the
+    # scan's partition filters (directory pruning), with the full-sig
+    # membership pushed to the scan for row-group stats pruning on the
+    # sorted sig column — not a post-scan Filter over a full read
     pf = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
     assert pf, f"no partition filters in plan:\n{plan[:2000]}"
-    assert "tbl" in pf.group(1) and "sig" in pf.group(1)
-    # spot-check: table 0's ball appears as an IN list over sig values
+    assert "tbl" in pf.group(1) and "sigp" in pf.group(1)
+    assert re.search(r"PushedFilters: \[.*In\(sig, \[", plan), (
+        "sig ball not pushed to the scan"
+    )
+    # spot-check: table 0's ball appears as an In(sig, [...]) list
     planes = similarity.random_hyperplanes(len(qvec), 8, seed=42)
     qsig = sum(
         (1 if sum(a * b for a, b in zip(qvec, p)) > 0 else 0) << i
@@ -161,6 +165,6 @@ def test_lsh_probe_scans_only_hamming_ball_buckets(spark, sf_dir, tmp_path):
     ball = set(similarity.hamming_ball(qsig, nbits=8, radius=1))
     in_lists = [
         {int(x) for x in m.group(1).split(",")}
-        for m in re.finditer(r"sig#\d+ IN \(([\d,]+)\)", pf.group(1))
+        for m in re.finditer(r"In\(sig, \[([\d,]+)\]\)", plan)
     ]
     assert any(s == ball for s in in_lists), (ball, in_lists)
