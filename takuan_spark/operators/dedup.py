@@ -452,13 +452,21 @@ def dedup_clusters(
         lookup = cand.select(
             F.col("id").alias("_lid"), F.col("label").alias("_llabel")
         )
+        # coalesce before caching: the label frame is tiny (near-dup
+        # nodes only) and persist() materializes every partition as its
+        # own task — 32 near-empty cache tasks per round is pure
+        # scheduling overhead. AQE can't help here because caching pins
+        # the pre-coalesce layout. Harmless at scale: 8 partitions of
+        # labels is still only the candidate-node set, not the corpus.
         new_labels = materialize(
-            cand.join(lookup, cand["label"] == lookup["_lid"], "left").select(
+            cand.join(lookup, cand["label"] == lookup["_lid"], "left")
+            .select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("_llabel"), F.col("label"))
                 ).alias("label"),
             )
+            .coalesce(8)
         )
         new_sum = _label_sum(new_labels)
         changed = int(new_sum != prev_sum)

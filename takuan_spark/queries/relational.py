@@ -978,3 +978,185 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+    lim AS (
+        SELECT l_partkey, 0.2 * AVG(l_quantity) AS lim
+        FROM lineitem JOIN bp ON l_partkey = p_partkey
+        GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN lim USING (l_partkey)
+    WHERE l_quantity < lim
+    """,
+    "TPC-H Q17 shape: per-part correlated average (decorrelated to a "
+    "grouped aggregate + join — the rewrite Catalyst itself performs), "
+    "brand-filtered via a broadcast semi-join so the per-part average "
+    "is only computed for parts that can match. Quantities are "
+    "integer-valued doubles, so the averages are exact and the "
+    "threshold comparison is engine-stable.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bp = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    brand_li = li.join(
+        F.broadcast(bp), li.l_partkey == bp.p_partkey, "left_semi"
+    )
+    lim = brand_li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("lim")
+    )
+    return (
+        brand_li.join(lim, "l_partkey")
+        .where(F.col("l_quantity") < F.col("lim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           ROUND(o_totalprice, 2) AS totalprice,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN big      ON big.l_orderkey = o_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    "TPC-H Q18 shape: HAVING-filtered IN-subquery (orders whose total "
+    "quantity clears a threshold) as a semi-join against the grouped "
+    "aggregate, then the customer/orders/lineitem re-join and top-k.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .where(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    li_big = li.join(
+        big.withColumnRenamed("l_orderkey", "big_key"),
+        li.l_orderkey == F.col("big_key"),
+        "left_semi",
+    )
+    return (
+        li_big.join(orders, li_big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    """
+    WITH thr AS (SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+    SELECT CAST(c_nationkey % 5 AS INT) AS cgroup,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer, thr
+    WHERE c_acctbal > thr.a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    "TPC-H Q22 shape (adapted: nation-key group stands in for the "
+    "phone country code, 'no urgent orders' for 'no orders' — every "
+    "testdata customer has orders): scalar-average subquery broadcast "
+    "into the filter plus an anti-join, then grouped totals.",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    thr = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).cast("int").alias("cgroup"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cgroup")
+    )
+
+
+@query(
+    "q_percentiles",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "Exact interpolated percentiles (median, p95) per group — the "
+    "distribution-shape aggregate. Spark's percentile() is a sort-based "
+    "exact aggregate; at 100 TB swap for approx_percentile with a "
+    "t-digest accuracy knob (same plan shape, bounded memory).",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_histogram",
+    """
+    SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    "Fixed-width histogram binning (10 buckets, last one open-ended): "
+    "a codegen'd projection + tiny hash aggregate — the plan shape is "
+    "identical at any scale since the shuffle carries 10 rows per task.",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast("int")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
