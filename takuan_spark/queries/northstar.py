@@ -16,6 +16,9 @@ a decision.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -890,4 +893,90 @@ def ns_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.knn_join(emb, queries, k=5)
         .withColumnRenamed("rank", "rnk")
         .orderBy("q_id", "rnk")
+    )
+
+
+@query(
+    "ns_embedding_centroids",
+    f"""
+    SELECT label,
+           CAST(g.i - 1 AS INT) AS pos,
+           ROUND(AVG(CAST(embedding[g.i] AS DOUBLE)), 6) AS mean_val,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM embeddings, UNNEST(generate_series(1, {_EMB_DIM})) AS g(i)
+    GROUP BY label, g.i
+    ORDER BY label, pos
+    """,
+    "Per-label embedding centroids (class prototypes): element-wise "
+    "mean over each label's vectors, flattened to (label, pos, mean) "
+    "rows. posexplode + two-key hash agg — the shuffle carries one "
+    "partial sum per (label, dim), independent of corpus size; the "
+    "centroid table this produces is the nearest-class-mean classifier "
+    "/ clustering seed of an embedding pipeline.",
+)
+def ns_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        spread(emb)
+        .select(
+            "label",
+            F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+                "pos", "x"
+            ),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean_val"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+def _projection_matrix(out_dim: int = 16, in_dim: int = 64, seed: int = 99):
+    """Deterministic unit-row projection matrix (seed-derived, embedded
+    as literals in both the Spark UDF closure and the oracle SQL)."""
+    return similarity.random_hyperplanes(in_dim, out_dim, seed=seed)
+
+
+def _rp_oracle_sql(out_dim: int = 16) -> str:
+    mat = _projection_matrix(out_dim=out_dim)
+    exprs = ", ".join(
+        "ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"CAST({_sql_list(row)} AS DOUBLE[])), 6)"
+        for row in mat
+    )
+    return f"""
+    SELECT vec_id, CAST(g.i - 1 AS INT) AS pos, l[g.i] AS val
+    FROM (SELECT vec_id, [{exprs}] AS l FROM embeddings),
+         UNNEST(generate_series(1, {out_dim})) AS g(i)
+    ORDER BY vec_id, pos
+    """
+
+
+@query(
+    "ns_random_projection",
+    _rp_oracle_sql(),
+    "Dimensionality reduction by seed-derived random projection "
+    "(64 -> 16 dims, Johnson-Lindenstrauss style): one Arrow-batched "
+    "numpy GEMM per batch against the literal projection matrix — the "
+    "cheap deterministic reduction applied before clustering/ANN when "
+    "full-width vectors are too expensive to shuffle. The oracle embeds "
+    "the same matrix literals; outputs flattened to (vec_id, pos, val).",
+)
+def ns_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mat = np.array(_projection_matrix(), dtype=np.float64)  # 16 x 64
+
+    @pandas_udf("array<double>")
+    def project(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        return pd.Series(list(np.round(x @ mat.T, 6)))
+
+    return (
+        spread(emb)
+        .select("vec_id", F.posexplode(project("embedding")).alias("pos", "val"))
+        .orderBy("vec_id", "pos")
     )
