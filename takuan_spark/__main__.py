@@ -92,6 +92,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--config", required=True, help="pipeline YAML (reference shape)")
     ap.add_argument("--out", default="./takuan_out", help="output root directory")
+    ap.add_argument(
+        "--db",
+        default=None,
+        help="also land events in this DuckDB file (exactly-once per "
+        "micro-batch — the reference's MySQL sink analog)",
+    )
     ap.add_argument("--geo-dim", default=None, help="geo dimension parquet/csv")
     ap.add_argument(
         "--batch", action="store_true", help="drain available input and exit"
@@ -120,6 +126,19 @@ def main(argv: list[str] | None = None) -> int:
 
     from takuan_spark.streaming.pipeline import start_pipeline
 
+    report_hook = _report_hook(f"{args.out}/reports")
+    if args.db:
+        from takuan_spark.sinks.db import duckdb_exactly_once_sink
+
+        db_sink = duckdb_exactly_once_sink(args.db, "events")
+
+        def hook(batch, epoch_id: int) -> None:
+            db_sink(batch, epoch_id)
+            report_hook(batch, epoch_id)
+
+    else:
+        hook = report_hook
+
     geo_dim = _load_geo_dim(spark, args.geo_dim) if args.geo_dim else None
     query = start_pipeline(
         spark,
@@ -129,7 +148,7 @@ def main(argv: list[str] | None = None) -> int:
         checkpoint_path=f"{args.out}/checkpoint",
         geo_dim=geo_dim,
         available_now=args.batch,
-        post_hook=_report_hook(f"{args.out}/reports"),
+        post_hook=hook,
     )
     if args.batch:
         query.awaitTermination()

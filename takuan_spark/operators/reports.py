@@ -125,7 +125,8 @@ def format_country_summary(topk_rows: list, total: int) -> str:
     """Scalar formatting of the tweet text (O27, ref: core/twitter.go:
     69-90) — cosmetic, driver-side over the tiny top-k result."""
     parts = [
-        f"{r['total_events']} from {country_flag(r[0])} {r[0]}" for r in topk_rows
+        f"{r['total_events']} from {country_flag(r[0])} {r[0] or 'unknown'}"
+        for r in topk_rows
     ]
     plural = "s" if total != 1 else ""
     return f"{total} event{plural}: " + ", ".join(parts) + ("..." if parts else "")

@@ -83,6 +83,27 @@ def test_cli_batch_mode_end_to_end(spark, cli_env, capsys):
     assert "3 events:" in out
 
 
+def test_cli_batch_mode_with_db_sink(spark, cli_env, capsys):
+    import duckdb
+
+    db = str(cli_env["tmp"] / "events.duckdb")
+    rc = main(
+        ["--config", cli_env["cfg"], "--out", cli_env["out"], "--batch", "--db", db]
+    )
+    assert rc == 0
+    con = duckdb.connect(db)
+    assert con.sql("SELECT COUNT(*) FROM events").fetchone()[0] == 3
+    # rerun with the same checkpoint: no new batches, no duplicate rows
+    con.close()
+    rc = main(
+        ["--config", cli_env["cfg"], "--out", cli_env["out"], "--batch", "--db", db]
+    )
+    assert rc == 0
+    con = duckdb.connect(db)
+    assert con.sql("SELECT COUNT(*) FROM events").fetchone()[0] == 3
+    con.close()
+
+
 def test_cli_geo_batch_mode(spark, cli_env, capsys):
     rc = main(["--config", cli_env["cfg"], "--out", cli_env["out"], "--batch"])
     assert rc == 0

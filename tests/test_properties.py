@@ -180,3 +180,63 @@ def test_asof_join_matches_naive(spark, left, right):
         else:
             bt = max(rt for _, rt in cands)
             assert got[i] == (bt, float(k * 1000 + bt)), (i, k, t, got[i])
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_md5_hash_family_matches_python(spark, strings):
+    """The md5-derived hash family (the portability foundation of every
+    sketch oracle) must produce in Spark exactly the integers a plain
+    Python/external-SQL reimplementation derives."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from takuan_spark.operators.hashing import (
+        MERSENNE31,
+        affine,
+        affine_params,
+        md5_int,
+    )
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    (a0, b0), (a1, b1) = affine_params(2)
+    got = {
+        r["s"]: (r["h32"], r["h60"], r["f0"], r["f1"])
+        for r in df.select(
+            "s",
+            md5_int("s").alias("h32"),
+            md5_int("s", hex_chars=15).alias("h60"),
+            affine(md5_int("s") % F.lit(MERSENNE31), a0, b0).alias("f0"),
+            affine(md5_int("s") % F.lit(MERSENNE31), a1, b1).alias("f1"),
+        ).collect()
+    }
+    for s in strings:
+        hx = hashlib.md5(s.encode()).hexdigest()
+        h32, h60 = int(hx[:8], 16), int(hx[:15], 16)
+        assert got[s][0] == h32
+        assert got[s][1] == h60
+        assert got[s][2] == (a0 * (h32 % MERSENNE31) + b0) % MERSENNE31
+        assert got[s][3] == (a1 * (h32 % MERSENNE31) + b1) % MERSENNE31
+
+
+def test_affine_params_deterministic_and_in_range():
+    from takuan_spark.operators.hashing import MERSENNE31, affine_params
+
+    p1, p2 = affine_params(64), affine_params(64)
+    assert p1 == p2  # pure function of (seed, i)
+    assert affine_params(64, seed=7) != p1  # seed actually changes family
+    for a, b in p1:
+        assert 1 <= a < MERSENNE31 and 0 <= b < MERSENNE31
+    assert len({ab for ab in p1}) == 64  # distinct members
