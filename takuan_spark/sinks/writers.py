@@ -112,3 +112,15 @@ def write_csv_report(df: DataFrame, path: str, *, single_file: bool = True) -> N
     """
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_events_orc(df: DataFrame, path: str, *, mode: str = "append") -> None:
+    """ORC twin of :func:`write_events` — same date partitioning, ORC
+    files (stripe-statistics pruning instead of parquet row groups).
+    One engine, two columnar formats at rest."""
+    (
+        df.withColumn("event_date", F.to_date("created_at"))
+        .write.mode(mode)
+        .partitionBy("event_date")
+        .orc(path)
+    )

@@ -85,3 +85,34 @@ def test_write_clustered_ranges_are_disjoint(spark, sf_dir, tmp_path):
     assert len(ranges) >= 2
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, "file ranges overlap"
+
+
+def test_orc_round_trip_with_partition_pruning(spark, tmp_path):
+    from takuan_spark.sinks.writers import write_events_orc
+    from takuan_spark.sources.readers import read_orc
+
+    df = spark.createDataFrame(
+        [
+            ("1.1.1.1", "2026-08-12 06:00:00", "ssh", "r1"),
+            ("2.2.2.2", "2026-08-13 07:00:00", "ssh", "r2"),
+        ],
+        "address string, created_at string, sensor string, rule string",
+    ).withColumn("created_at", F.col("created_at").cast("timestamp"))
+    path = str(tmp_path / "events_orc")
+    write_events_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.count() == 2
+    one_day = back.where(F.col("event_date") == "2026-08-13")
+    assert [r["address"] for r in one_day.collect()] == ["2.2.2.2"]
+    # date filter lands as a partition filter (directory pruning)
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan
+
+
+def test_read_avro_raises_clear_error_without_package(spark, tmp_path):
+    import pytest as _pytest
+
+    from takuan_spark.sources.readers import read_avro
+
+    with _pytest.raises(RuntimeError, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "nope.avro"))
