@@ -523,3 +523,43 @@ def q_ip_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("country_code").asc_nulls_first())
     )
+
+
+@query(
+    "q_salted_agg",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT 50
+    """,
+    "Two-phase SALTED aggregation vs the plain GROUP BY oracle: the "
+    "oracle is deliberately the unsalted SQL, so the hash-match proves "
+    "the salt/re-aggregate rewrite is semantics-preserving. The salted "
+    "plan's first shuffle spreads each hot key over 16 reducers; the "
+    "second moves 16 rows per key — the explicit fallback when one key "
+    "dominates and AQE skew handling is unavailable (e.g. "
+    "high-cardinality state per key).",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.skew import salted_agg
+    from takuan_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        events,
+        ["user_id"],
+        aggs=lambda: [
+            F.count("*").alias("c"),
+            F.sum("value").alias("s"),
+        ],
+        reaggs=lambda: [
+            F.sum("c").alias("n_events"),
+            F.round(F.sum("s"), 2).alias("total_value"),
+        ],
+        salt_buckets=16,
+    )
+    return out.orderBy(F.desc("n_events"), F.asc("user_id")).limit(50)

@@ -128,3 +128,114 @@ def ns_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ns_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return curation.pack_sequences(docs, budget=256).orderBy("doc_id")
+
+
+@query(
+    "ns_curation_pipeline",
+    """
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS t
+        FROM train
+    ),
+    base AS (
+        SELECT doc_id, len(t) AS n_words, len(list_distinct(t)) AS n_distinct, t
+        FROM toks
+    ),
+    bg AS (
+        SELECT doc_id, n_words, n_distinct, t[i] || ' ' || t[i+1] AS bg
+        FROM base, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+    ),
+    counts AS (
+        SELECT doc_id, n_words, n_distinct, bg, COUNT(*) AS c
+        FROM bg GROUP BY ALL
+    ),
+    per_doc AS (
+        SELECT doc_id, n_words, n_distinct, MAX(c) AS top_bg, SUM(c) AS n_bg
+        FROM counts GROUP BY doc_id, n_words, n_distinct
+    ),
+    kept AS (
+        SELECT doc_id FROM per_doc
+        WHERE ROUND(1 - n_distinct * 1.0 / n_words, 6) <= 0.6
+          AND ROUND(top_bg * 1.0 / n_bg, 6) <= 0.1
+    ),
+    surv AS (
+        SELECT MIN(k.doc_id) AS doc_id
+        FROM train tr JOIN kept k ON tr.doc_id = k.doc_id
+        GROUP BY md5(trim(regexp_replace(lower(tr.text), '\\s+', ' ', 'g')))
+    ),
+    tsh AS (
+        SELECT s.doc_id, sub.shingle
+        FROM surv s JOIN (
+            SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+            FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+        ) sub ON sub.doc_id = s.doc_id
+        GROUP BY s.doc_id, sub.shingle
+    ),
+    bsh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM (
+            SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> '') AS t
+            FROM documents WHERE doc_id % 2 = 0
+        ), UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+    ),
+    contaminated AS (
+        SELECT DISTINCT train_id AS doc_id FROM (
+            SELECT t.doc_id AS train_id, b.doc_id AS bench_id, COUNT(*) AS shared
+            FROM tsh t JOIN bsh b USING (shingle)
+            GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        )
+    ),
+    clean AS (
+        SELECT tr.doc_id, tr.lang, tr.text
+        FROM train tr
+        JOIN surv s ON tr.doc_id = s.doc_id
+        WHERE tr.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    nt AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '')) AS n_tok
+        FROM clean
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tok,
+               COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM nt
+    )
+    SELECT doc_id, lang, CAST(n_tok AS INT) AS n_tok,
+           CAST(cb // 256 AS BIGINT) AS seq_id,
+           CAST(cb % 256 AS BIGINT) AS seq_offset
+    FROM c
+    ORDER BY doc_id
+    """,
+    "The COMPOSED training-corpus pipeline, end to end in one plan: "
+    "repetition quality gate -> exact dedup (min-id survivor) -> "
+    "benchmark decontamination -> sequence packing, over the odd-id "
+    "training split against the even-id benchmark split. Each stage is "
+    "the registered operator; composing them costs no extra passes — "
+    "Catalyst pipelines the narrow stages and each shuffle feeds the "
+    "next stage directly. The oracle recomputes the full chain.",
+)
+def ns_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.dedup import dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 1)
+    bench = docs.where(F.col("doc_id") % 2 == 0)
+    kept = (
+        curation.repetition_stats(train)
+        .where(F.col("keep"))
+        .select("doc_id")
+    )
+    gated = train.join(kept, "doc_id", "left_semi")
+    survivors = dedup_exact(gated)
+    flagged = curation.contamination_flags(
+        survivors, bench, n=3, min_shared=3
+    ).select("doc_id")
+    clean = survivors.join(flagged, "doc_id", "left_anti")
+    return curation.pack_sequences(clean, budget=256).orderBy("doc_id")
