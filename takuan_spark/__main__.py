@@ -98,6 +98,18 @@ def main(argv: list[str] | None = None) -> int:
         help="also land events in this DuckDB file (exactly-once per "
         "micro-batch — the reference's MySQL sink analog)",
     )
+    ap.add_argument(
+        "--jdbc-url",
+        default=None,
+        help="also land events over JDBC (exactly-once staging+promote; "
+        "embedded Derby URL works out of the box, e.g. "
+        "jdbc:derby:/path/db;create=true)",
+    )
+    ap.add_argument(
+        "--jdbc-driver",
+        default=None,
+        help="JDBC driver class (default: embedded Derby)",
+    )
     ap.add_argument("--geo-dim", default=None, help="geo dimension parquet/csv")
     ap.add_argument(
         "--batch", action="store_true", help="drain available input and exit"
@@ -127,13 +139,26 @@ def main(argv: list[str] | None = None) -> int:
     from takuan_spark.streaming.pipeline import start_pipeline
 
     report_hook = _report_hook(f"{args.out}/reports")
+    db_sinks = []
     if args.db:
         from takuan_spark.sinks.db import duckdb_exactly_once_sink
 
-        db_sink = duckdb_exactly_once_sink(args.db, "events")
+        db_sinks.append(duckdb_exactly_once_sink(args.db, "events"))
+    if args.jdbc_url:
+        from takuan_spark.sinks.jdbc import DERBY_DRIVER, jdbc_exactly_once_sink
+
+        db_sinks.append(
+            jdbc_exactly_once_sink(
+                args.jdbc_url, "events",
+                driver=args.jdbc_driver or DERBY_DRIVER,
+            )
+        )
+
+    if db_sinks:
 
         def hook(batch, epoch_id: int) -> None:
-            db_sink(batch, epoch_id)
+            for sink in db_sinks:
+                sink(batch, epoch_id)
             report_hook(batch, epoch_id)
 
     else:

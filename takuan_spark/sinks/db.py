@@ -10,17 +10,11 @@ replayed with the same ``epoch_id``), so a sink that records delivered
 exactly-once end-to-end — the reference's ``reported_at`` protocol as a
 two-line transactional guard.
 
-This container has no MySQL and no JDBC driver jar, so the tested
-implementation lands batches in **DuckDB** (in-process, transactional,
-SQL) via Arrow — the same protocol, a different driver. On a real
-cluster the swap is mechanical::
-
-    batch.write.mode("append").jdbc(url, table, properties=props)
-
-with the epoch guard kept in the DB (see :func:`jdbc_exactly_once_sink`).
-The DuckDB write necessarily funnels through the driver (single-writer
-embedded DB); the JDBC form writes from executors in parallel. What this
-module pins down is the *protocol*, which is identical.
+This module lands batches in **DuckDB** (in-process, transactional, SQL)
+via Arrow. The DuckDB write necessarily funnels through the driver
+(single-writer embedded DB); the executor-parallel form of the same
+protocol over real JDBC (staging table + transactional promote, tested
+against embedded Derby) is ``sinks/jdbc.py:jdbc_exactly_once_sink``.
 """
 
 from __future__ import annotations
@@ -76,31 +70,5 @@ def duckdb_exactly_once_sink(
             con.execute("COMMIT")
         finally:
             con.close()
-
-    return _sink
-
-
-def jdbc_exactly_once_sink(
-    url: str,
-    table: str,
-    *,
-    properties: dict[str, str] | None = None,
-    epoch_guard_sql: str | None = None,
-) -> Callable[[DataFrame, int], None]:
-    """The cluster-scale form of the same protocol over ``write.jdbc``
-    (requires a JDBC driver jar on the classpath — not available in this
-    container, hence untested here; the DuckDB sink above exercises the
-    identical epoch-guard protocol).
-
-    ``epoch_guard_sql`` customizes the guard-table dialect if the target
-    DB needs it. The write itself is executor-parallel: Spark opens one
-    JDBC connection per partition.
-    """
-
-    def _sink(batch: DataFrame, epoch_id: int) -> None:  # pragma: no cover
-        # Guard check/insert must run against the target DB inside the
-        # same transaction boundary as the append for true exactly-once;
-        # most RDBMS achieve this with an epoch PK + idempotent insert.
-        batch.write.mode("append").jdbc(url, table, properties=properties or {})
 
     return _sink

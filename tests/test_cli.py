@@ -104,6 +104,31 @@ def test_cli_batch_mode_with_db_sink(spark, cli_env, capsys):
     con.close()
 
 
+def test_cli_batch_mode_with_jdbc_sink(spark, cli_env, capsys):
+    url = f"jdbc:derby:{cli_env['tmp']}/jdbc_db;create=true"
+    argv = [
+        "--config", cli_env["cfg"], "--out", cli_env["out"], "--batch",
+        "--jdbc-url", url,
+    ]
+    assert main(argv) == 0
+
+    def count():
+        return (
+            spark.read.format("jdbc")
+            .options(
+                url=url, dbtable="events",
+                driver="org.apache.derby.jdbc.EmbeddedDriver",
+            )
+            .load()
+            .count()
+        )
+
+    assert count() == 3
+    # rerun with the same checkpoint: no new batches, no duplicate rows
+    assert main(argv) == 0
+    assert count() == 3
+
+
 def test_cli_geo_batch_mode(spark, cli_env, capsys):
     rc = main(["--config", cli_env["cfg"], "--out", cli_env["out"], "--batch"])
     assert rc == 0
