@@ -43,7 +43,7 @@ def _load_geo_dim(spark: SparkSession, path: str):
     return spark.read.parquet(path)
 
 
-def _report_hook(out_dir: str):
+def _report_hook(out_dir: str, webhook_url: str | None = None):
     """Per-flush report job: address report + country top-k CSVs and the
     formatted summary on stdout. Pure set-oriented queries over the
     just-flushed batch — the hourly-report semantics of the reference,
@@ -54,7 +54,10 @@ def _report_hook(out_dir: str):
         country_topk,
         format_country_summary,
     )
+    from takuan_spark.sinks.publish import webhook_publisher
     from takuan_spark.sinks.writers import write_csv_report
+
+    send = webhook_publisher(webhook_url) if webhook_url else None
 
     def hook(batch, epoch_id: int) -> None:
         if batch.isEmpty():
@@ -63,7 +66,10 @@ def _report_hook(out_dir: str):
         write_csv_report(report, f"{out_dir}/address_report_{epoch_id:06d}.csv")
         topk = country_topk(batch).collect()
         total = batch.count()
-        print(format_country_summary(topk, total), flush=True)
+        status = format_country_summary(topk, total)
+        print(status, flush=True)
+        if send:  # the reference's tweet (twitter.go:82-99), generalized
+            send({"epoch_id": epoch_id, "n_events": total, "status": status})
 
     return hook
 
@@ -110,6 +116,12 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="JDBC driver class (default: embedded Derby)",
     )
+    ap.add_argument(
+        "--webhook-url",
+        default=None,
+        help="POST the per-batch report summary to this endpoint "
+        "(the reference's tweet, generalized)",
+    )
     ap.add_argument("--geo-dim", default=None, help="geo dimension parquet/csv")
     ap.add_argument(
         "--batch", action="store_true", help="drain available input and exit"
@@ -138,7 +150,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from takuan_spark.streaming.pipeline import start_pipeline
 
-    report_hook = _report_hook(f"{args.out}/reports")
+    report_hook = _report_hook(f"{args.out}/reports", args.webhook_url)
     db_sinks = []
     if args.db:
         from takuan_spark.sinks.db import duckdb_exactly_once_sink
