@@ -223,6 +223,7 @@ def ns_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ns_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from takuan_spark.operators.dedup import dedup_exact
+    from takuan_spark.operators.skew import materialize
 
     docs = load_table(spark, sf_dir, "documents")
     train = docs.where(F.col("doc_id") % 2 == 1)
@@ -233,7 +234,10 @@ def ns_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     gated = train.join(kept, "doc_id", "left_semi")
-    survivors = dedup_exact(gated)
+    # survivors feeds BOTH the contamination shingle branch and the
+    # final anti-join; unmaterialized, the whole gate+dedup upstream
+    # (two shuffles + a bigram explode) would run twice.
+    survivors = materialize(dedup_exact(gated))
     flagged = curation.contamination_flags(
         survivors, bench, n=3, min_shared=3
     ).select("doc_id")
