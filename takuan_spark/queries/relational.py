@@ -1375,14 +1375,20 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "via a rank-over-empty-window on the tiny aggregate.",
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.skew import materialize
+
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("total_revenue")
+    # revenue feeds both the scalar max and the join probe; without
+    # materialize the plan scans lineitem twice (verified in .explain).
+    revenue = materialize(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
     )
     # scalar max as a broadcast 1-row frame: no single-partition window,
     # no lineitem re-scan — the aggregate reduces once, the max reduces
