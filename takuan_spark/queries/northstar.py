@@ -987,3 +987,72 @@ def ns_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.posexplode(project("embedding")).alias("pos", "val"))
         .orderBy("vec_id", "pos")
     )
+
+
+def _pq_cte(*, m: int = 8, ksub: int = 16, seed: int = 4242) -> str:
+    """PQ codebook + assignment + query distance table against the
+    seed-derived codebooks. Code = argmin of round(||sub - c||^2, 6)
+    with first-index tiebreak — exactly similarity.pq_encode's rule
+    (the IVF determinism discipline, argmin instead of argmax)."""
+    cbs = similarity.pq_codebooks(_EMB_DIM, m=m, ksub=ksub, seed=seed)
+    dsub = _EMB_DIM // m
+    rows = ", ".join(
+        f"({i}, {j}, CAST({_sql_list(c)} AS DOUBLE[]))"
+        for i, cb in enumerate(cbs)
+        for j, c in enumerate(cb)
+    )
+    sq = "p -> (p[1]-p[2])*(p[1]-p[2])"
+    sub_slice = f"list_slice(CAST(e.embedding AS DOUBLE[]), cb.sub*{dsub}+1, cb.sub*{dsub}+{dsub})"
+    q_slice = (
+        f"list_slice((SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
+        f"WHERE vec_id = 0), cb.sub*{dsub}+1, cb.sub*{dsub}+{dsub})"
+    )
+    return f"""
+    pqcb(sub, code, cv) AS (SELECT * FROM (VALUES {rows}) v(sub, code, cv)),
+    dists AS (
+        SELECT e.vec_id, cb.sub, cb.code,
+               ROUND(list_sum(list_transform(list_zip({sub_slice}, cb.cv),
+                     {sq})), 6) AS d
+        FROM embeddings e CROSS JOIN pqcb cb
+        WHERE e.vec_id <> 0
+    ),
+    assign AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d, code) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    qd AS (
+        SELECT cb.sub, cb.code,
+               list_sum(list_transform(list_zip({q_slice}, cb.cv), {sq})) AS d
+        FROM pqcb cb
+    )"""
+
+
+@query(
+    "ns_pq_topk",
+    f"""
+    WITH {_pq_cte()}
+    SELECT a.vec_id, ROUND(SUM(qd.d), 6) AS adist
+    FROM assign a JOIN qd ON a.sub = qd.sub AND a.code = qd.code
+    GROUP BY a.vec_id
+    ORDER BY adist, a.vec_id
+    LIMIT 10
+    """,
+    "Product-quantization ANN top-10 (m=8 subspaces x 16 codes, "
+    "seed-derived codebooks): vectors compress to 8 small ints; the "
+    "query ranks by asymmetric-distance lookups against an 8x16 literal "
+    "table — pure codegen, no raw vectors touched at query time. The "
+    "oracle re-derives identical codes from the same centroid literals.",
+)
+def ns_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    return similarity.pq_topk(
+        emb.where(F.col("vec_id") != 0), qvec, k=10, m=8, ksub=16
+    )

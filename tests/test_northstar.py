@@ -397,3 +397,40 @@ def test_dedup_clusters_connected_components(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20, 23: 20,
     }
+
+
+def test_pq_encode_shape_and_determinism(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_codebooks(64, m=8, ksub=16)
+    codes = similarity.pq_encode(emb, cbs).select("vec_id", "codes")
+    rows = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    assert all(len(c) == 8 for c in rows.values())
+    assert all(0 <= x < 16 for c in rows.values() for x in c)
+    # partitioning-invariant: same codes after a repartition
+    rows2 = {
+        r["vec_id"]: r["codes"]
+        for r in similarity.pq_encode(emb.repartition(7), cbs)
+        .select("vec_id", "codes")
+        .collect()
+    }
+    assert rows == rows2
+
+
+def test_pq_topk_exact_duplicate_attains_min_distance(spark, sf_dir):
+    """An exact copy of the query vector encodes to the query's own
+    argmin codes, so its ADC distance is sum_i min_j dtab[i][j] — the
+    global minimum. It must appear in the top-k at that distance."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    dup_id = 300000
+    corpus = emb.where(F.col("vec_id") != 0).unionByName(
+        spark.createDataFrame(
+            [(dup_id, qvec, -1)], "vec_id bigint, embedding array<float>, label int"
+        )
+    )
+    top = similarity.pq_topk(corpus, qvec, k=10, m=8, ksub=16).collect()
+    by_id = {r["vec_id"]: r["adist"] for r in top}
+    assert dup_id in by_id, f"planted duplicate missing from top-k: {sorted(by_id)}"
+    assert by_id[dup_id] == min(r["adist"] for r in top)
+    dists = [r["adist"] for r in top]
+    assert dists == sorted(dists)
