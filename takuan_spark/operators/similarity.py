@@ -820,3 +820,63 @@ def pq_topk(
         .orderBy(F.asc("adist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def pq_build(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 4242,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Build the persisted PQ index: encode once and write ONLY
+    (id, codes) — m small ints per vector instead of 4*dim bytes of
+    floats. At 100 TB of float32 embeddings this is the ~32x compressed
+    representation the ADC scan reads; raw vectors stay in the source
+    table for the optional exact re-rank."""
+    dim = len(embeddings.select(vec_col).head()[0])
+    cbs = pq_codebooks(dim, m=m, ksub=ksub, seed=seed)
+    (
+        pq_encode(embeddings, cbs, vec_col=vec_col)
+        .select(id_col, "codes")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def pq_probe(
+    spark,
+    path: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 4242,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a persisted PQ index: the scan reads codes only (the
+    ReadSchema never mentions an embedding column), scores every row
+    with the literal ADC table, and TakeOrdered keeps k. Decoupling
+    from :func:`pq_topk`: no encode at query time at all."""
+    cbs = pq_codebooks(len(query_vec), m=m, ksub=ksub, seed=seed)
+    dtab = pq_distance_table(query_vec, cbs)
+    codes = spark.read.parquet(path)
+    lookups = [
+        F.element_at(
+            F.array(*[F.lit(d) for d in dtab[i]]),
+            F.element_at(F.col("codes"), i + 1) + 1,
+        )
+        for i in range(m)
+    ]
+    adist = lookups[0]
+    for term in lookups[1:]:
+        adist = adist + term
+    return (
+        codes.select(F.col(id_col), F.round(adist, 6).alias("adist"))
+        .orderBy(F.asc("adist"), F.asc(id_col))
+        .limit(k)
+    )

@@ -84,7 +84,7 @@ PRIORITY: list[str] = [
     "ns_curation_pipeline", "q_salted_agg",
     "q7_nation_volume_shipping", "q8_market_share",
     "q9_product_type_profit", "q15_top_supplier",
-    "ns_pq_topk",
+    "ns_pq_topk", "ns_pq_probe",
     # changed this round (re-verify): in-plan TF-IDF doc count
     "ns_tfidf_topterms",
     # headline keep-greens filling the 50-row driver window
@@ -93,7 +93,7 @@ PRIORITY: list[str] = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q19_disjunctive_filter",
-    "ns_dedup_exact", "ns_jaccard_neardup", "ns_embedding_neardup",
+    "ns_dedup_exact", "ns_jaccard_neardup",
     "ns_similarity_topk",
 ]
 

@@ -1031,16 +1031,19 @@ def _pq_cte(*, m: int = 8, ksub: int = 16, seed: int = 4242) -> str:
     )"""
 
 
-@query(
-    "ns_pq_topk",
-    f"""
+_PQ_TOPK_SQL = f"""
     WITH {_pq_cte()}
     SELECT a.vec_id, ROUND(SUM(qd.d), 6) AS adist
     FROM assign a JOIN qd ON a.sub = qd.sub AND a.code = qd.code
     GROUP BY a.vec_id
     ORDER BY adist, a.vec_id
     LIMIT 10
-    """,
+    """
+
+
+@query(
+    "ns_pq_topk",
+    _PQ_TOPK_SQL,
     "Product-quantization ANN top-10 (m=8 subspaces x 16 codes, "
     "seed-derived codebooks): vectors compress to 8 small ints; the "
     "query ranks by asymmetric-distance lookups against an 8x16 literal "
@@ -1056,3 +1059,23 @@ def ns_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(
         emb.where(F.col("vec_id") != 0), qvec, k=10, m=8, ksub=16
     )
+
+
+@query(
+    "ns_pq_probe",
+    _PQ_TOPK_SQL,
+    "Persisted-PQ probe: the corpus is encoded once into an (id, codes) "
+    "table — m small ints per vector, ~32x smaller than the float32 "
+    "embeddings — and the probe scans codes ONLY (no embedding column "
+    "in the ReadSchema), scoring by the literal ADC table. Same result "
+    "(and same oracle) as the inline ns_pq_topk.",
+)
+def ns_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    path = f"{_SCRATCH}/pq_index_{sf_dir.strip('/').split('/')[-1]}"
+    similarity.pq_build(emb.where(F.col("vec_id") != 0), path, m=8, ksub=16)
+    return similarity.pq_probe(spark, path, qvec, k=10, m=8, ksub=16)

@@ -168,3 +168,26 @@ def test_lsh_probe_scans_only_hamming_ball_buckets(spark, sf_dir, tmp_path):
         for m in re.finditer(r"In\(sig, \[([\d,]+)\]\)", plan)
     ]
     assert any(s == ball for s in in_lists), (ball, in_lists)
+
+
+def test_pq_probe_reads_codes_only(spark, sf_dir, tmp_path):
+    """The persisted-PQ probe must never scan raw vectors: its parquet
+    scan's ReadSchema carries only (vec_id, codes), and the result
+    matches the inline encode-at-query-time pq_topk exactly."""
+    from takuan_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    corpus = emb.where(F.col("vec_id") != 0)
+    path = str(tmp_path / "pq")
+    similarity.pq_build(corpus, path, m=8, ksub=16)
+
+    probe_df = similarity.pq_probe(spark, path, qvec, k=10, m=8, ksub=16)
+    plan = plan_of(probe_df)
+    read_schema = re.search(r"ReadSchema: ([^\n]+)", plan).group(1)
+    assert "embedding" not in read_schema, read_schema
+    assert "codes" in read_schema
+
+    inline = similarity.pq_topk(corpus, qvec, k=10, m=8, ksub=16).collect()
+    persisted = probe_df.collect()
+    assert [tuple(r) for r in inline] == [tuple(r) for r in persisted]
