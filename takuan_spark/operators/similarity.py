@@ -880,3 +880,35 @@ def pq_probe(
         .orderBy(F.asc("adist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def pq_rerank_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    candidates: int = 50,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 4242,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage retrieval — the standard ANN deployment shape: PQ/ADC
+    narrows the corpus to ``candidates`` ids in the compressed domain,
+    then EXACT cosine re-ranks only those against the raw vectors.
+
+    The expensive float math touches ``candidates`` rows instead of the
+    corpus; the candidate set is deterministic (rounded adist + id
+    tiebreak), so the whole two-stage result is oracle-checkable. The
+    re-rank join is a broadcast of the tiny candidate id list.
+    """
+    cand = pq_topk(
+        embeddings, query_vec,
+        k=candidates, m=m, ksub=ksub, seed=seed,
+        vec_col=vec_col, id_col=id_col,
+    ).select(id_col)
+    shortlist = embeddings.join(F.broadcast(cand), id_col, "left_semi")
+    return cosine_topk(
+        shortlist, query_vec, k=k, vec_col=vec_col, id_col=id_col
+    )

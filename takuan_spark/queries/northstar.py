@@ -1079,3 +1079,37 @@ def ns_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{_SCRATCH}/pq_index_{sf_dir.strip('/').split('/')[-1]}"
     similarity.pq_build(emb.where(F.col("vec_id") != 0), path, m=8, ksub=16)
     return similarity.pq_probe(spark, path, qvec, k=10, m=8, ksub=16)
+
+@query(
+    "ns_pq_rerank",
+    f"""
+    WITH {_pq_cte()},
+    adist AS (
+        SELECT a.vec_id, ROUND(SUM(qd.d), 6) AS adist
+        FROM assign a JOIN qd ON a.sub = qd.sub AND a.code = qd.code
+        GROUP BY a.vec_id
+    ),
+    cand AS (
+        SELECT vec_id FROM adist ORDER BY adist, vec_id LIMIT 50
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, ROUND({_COSINE_EQ}, 6) AS sim
+    FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, q
+    ORDER BY sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    "Two-stage retrieval (the standard ANN deployment): PQ/ADC narrows "
+    "to 50 candidate ids in the compressed domain, exact cosine "
+    "re-ranks only those 50 raw vectors — the float math never touches "
+    "the corpus. Candidate set and re-rank are both deterministic, so "
+    "the full chain is hash-checked.",
+)
+def ns_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    return similarity.pq_rerank_topk(
+        emb.where(F.col("vec_id") != 0), qvec, k=10, candidates=50
+    )

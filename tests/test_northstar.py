@@ -434,3 +434,22 @@ def test_pq_topk_exact_duplicate_attains_min_distance(spark, sf_dir):
     assert by_id[dup_id] == min(r["adist"] for r in top)
     dists = [r["adist"] for r in top]
     assert dists == sorted(dists)
+
+
+def test_pq_rerank_surfaces_exact_duplicate_at_sim_1(spark, sf_dir):
+    """The planted exact duplicate survives the compressed-domain stage
+    (global-min ADC distance) and the exact re-rank puts it first with
+    cosine 1.0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    dup_id = 300001
+    corpus = emb.where(F.col("vec_id") != 0).unionByName(
+        spark.createDataFrame(
+            [(dup_id, qvec, -1)], "vec_id bigint, embedding array<float>, label int"
+        )
+    )
+    top = similarity.pq_rerank_topk(corpus, qvec, k=10, candidates=50).collect()
+    assert top[0]["vec_id"] == dup_id
+    assert top[0]["sim"] == 1.0
+    sims = [r["sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
