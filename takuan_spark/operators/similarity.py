@@ -912,3 +912,73 @@ def pq_rerank_topk(
     return cosine_topk(
         shortlist, query_vec, k=k, vec_col=vec_col, id_col=id_col
     )
+
+
+def ivfpq_build(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    nlist: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    ivf_seed: int = 777,
+    pq_seed: int = 4242,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Build the composite IVF+PQ index (the FAISS IVFADC layout): rows
+    are (id, codes) partitioned by coarse-quantizer cell. The two
+    at-scale levers stack — directory-level partition pruning cuts the
+    corpus to nprobe/nlist, and inside the probed cells the scan reads
+    m-byte codes, never raw floats."""
+    dim = len(embeddings.select(vec_col).head()[0])
+    cents = fixed_centroids(dim, nlist=nlist, seed=ivf_seed)
+    cbs = pq_codebooks(dim, m=m, ksub=ksub, seed=pq_seed)
+    assigned = ivf_assign_fixed(embeddings, cents, vec_col=vec_col)
+    encoded = pq_encode(assigned, cbs, vec_col=vec_col)
+    (
+        encoded.select(id_col, "cell", "codes")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivfpq_probe(
+    spark,
+    path: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    ivf_seed: int = 777,
+    pq_seed: int = 4242,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the IVF+PQ index: partition pruning to ``nprobe`` cell
+    directories, then the literal-table ADC ranking over codes only —
+    both stages visible in the plan (PartitionFilters + a ReadSchema
+    with no embedding column)."""
+    cents = fixed_centroids(len(query_vec), nlist=nlist, seed=ivf_seed)
+    cbs = pq_codebooks(len(query_vec), m=m, ksub=ksub, seed=pq_seed)
+    dtab = pq_distance_table(query_vec, cbs)
+    probes = probe_cells(query_vec, cents, nprobe=nprobe)
+    codes = spark.read.parquet(path).where(F.col("cell").isin(probes))
+    lookups = [
+        F.element_at(
+            F.array(*[F.lit(d) for d in dtab[i]]),
+            F.element_at(F.col("codes"), i + 1) + 1,
+        )
+        for i in range(m)
+    ]
+    adist = lookups[0]
+    for term in lookups[1:]:
+        adist = adist + term
+    return (
+        codes.select(F.col(id_col), F.round(adist, 6).alias("adist"))
+        .orderBy(F.asc("adist"), F.asc(id_col))
+        .limit(k)
+    )

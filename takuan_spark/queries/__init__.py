@@ -84,14 +84,13 @@ PRIORITY: list[str] = [
     "ns_curation_pipeline", "q_salted_agg",
     "q7_nation_volume_shipping", "q8_market_share",
     "q9_product_type_profit", "q15_top_supplier",
-    "ns_pq_topk", "ns_pq_probe", "ns_pq_rerank",
+    "ns_pq_topk", "ns_pq_probe", "ns_pq_rerank", "ns_ivfpq_probe",
     # changed this round (re-verify): in-plan TF-IDF doc count
     "ns_tfidf_topterms",
     # headline keep-greens filling the 50-row driver window
     # (displaced r1 greens — q_asof_join, q_rollup, q_grouping_sets,
     # q_pandas_udaf — stay on record in CORRECTNESS_r01 + local oracle)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q19_disjunctive_filter",
     "ns_dedup_exact", "ns_jaccard_neardup",
     "ns_similarity_topk",
 ]

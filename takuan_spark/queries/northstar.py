@@ -1113,3 +1113,108 @@ def ns_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_rerank_topk(
         emb.where(F.col("vec_id") != 0), qvec, k=10, candidates=50
     )
+
+def _ivfpq_sql(*, nlist: int = 16, nprobe: int = 4, m: int = 8,
+               ksub: int = 16, ivf_seed: int = 777, pq_seed: int = 4242) -> str:
+    """Composite IVF+PQ oracle: coarse-cell assignment/probe selection
+    (the _ivf_cte rules) AND per-subspace code assignment (the _pq_cte
+    rules), renamed to coexist, then ADC restricted to probed cells."""
+    cents = similarity.fixed_centroids(_EMB_DIM, nlist=nlist, seed=ivf_seed)
+    cent_rows = ", ".join(
+        f"({j}, CAST({_sql_list(c)} AS DOUBLE[]))" for j, c in enumerate(cents)
+    )
+    cbs = similarity.pq_codebooks(_EMB_DIM, m=m, ksub=ksub, seed=pq_seed)
+    dsub = _EMB_DIM // m
+    cb_rows = ", ".join(
+        f"({i}, {j}, CAST({_sql_list(c)} AS DOUBLE[]))"
+        for i, cb in enumerate(cbs)
+        for j, c in enumerate(cb)
+    )
+    sq = "p -> (p[1]-p[2])*(p[1]-p[2])"
+    sub_slice = f"list_slice(CAST(e.embedding AS DOUBLE[]), cb.sub*{dsub}+1, cb.sub*{dsub}+{dsub})"
+    q_slice = (
+        f"list_slice((SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
+        f"WHERE vec_id = 0), cb.sub*{dsub}+1, cb.sub*{dsub}+{dsub})"
+    )
+    return f"""
+    WITH cents(cell, cv) AS (SELECT * FROM (VALUES {cent_rows}) v(cell, cv)),
+    cdots AS (
+        SELECT e.vec_id, c.cell,
+               ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS d
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id <> 0
+    ),
+    cassign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d DESC, cell) AS rn
+            FROM cdots
+        ) WHERE rn = 1
+    ),
+    cqd AS (
+        SELECT c.cell,
+               ROUND(list_dot_product(
+                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0),
+                   c.cv), 6) AS d
+        FROM cents c
+    ),
+    probes AS (
+        SELECT cell FROM (
+            SELECT cell, ROW_NUMBER() OVER (ORDER BY d DESC, cell) AS rn FROM cqd
+        ) WHERE rn <= {nprobe}
+    ),
+    pqcb(sub, code, cv) AS (SELECT * FROM (VALUES {cb_rows}) v(sub, code, cv)),
+    pdists AS (
+        SELECT e.vec_id, cb.sub, cb.code,
+               ROUND(list_sum(list_transform(list_zip({sub_slice}, cb.cv),
+                     {sq})), 6) AS d
+        FROM embeddings e CROSS JOIN pqcb cb
+        WHERE e.vec_id <> 0
+    ),
+    passign AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d, code) AS rn
+            FROM pdists
+        ) WHERE rn = 1
+    ),
+    pqd AS (
+        SELECT cb.sub, cb.code,
+               list_sum(list_transform(list_zip({q_slice}, cb.cv), {sq})) AS d
+        FROM pqcb cb
+    )
+    SELECT a.vec_id, ROUND(SUM(pqd.d), 6) AS adist
+    FROM passign a
+    JOIN cassign ca ON ca.vec_id = a.vec_id
+    JOIN probes p ON p.cell = ca.cell
+    JOIN pqd ON a.sub = pqd.sub AND a.code = pqd.code
+    GROUP BY a.vec_id
+    ORDER BY adist, a.vec_id
+    LIMIT 10
+    """
+
+
+@query(
+    "ns_ivfpq_probe",
+    _ivfpq_sql(),
+    "Composite IVF+PQ (FAISS IVFADC layout): the persisted index is "
+    "(id, codes) partitioned by coarse cell; the probe prunes to "
+    "nprobe=4 of 16 cell directories AND reads only m-byte codes inside "
+    "them, ranking by the literal ADC table. Both scale levers stack; "
+    "the oracle re-derives cells and codes from the same literals.",
+)
+def ns_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    path = f"{_SCRATCH}/ivfpq_index_{sf_dir.strip('/').split('/')[-1]}"
+    similarity.ivfpq_build(
+        emb.where(F.col("vec_id") != 0), path, nlist=16, m=8, ksub=16
+    )
+    return similarity.ivfpq_probe(
+        spark, path, qvec, k=10, nlist=16, nprobe=4, m=8, ksub=16
+    )

@@ -191,3 +191,23 @@ def test_pq_probe_reads_codes_only(spark, sf_dir, tmp_path):
     inline = similarity.pq_topk(corpus, qvec, k=10, m=8, ksub=16).collect()
     persisted = probe_df.collect()
     assert [tuple(r) for r in inline] == [tuple(r) for r in persisted]
+
+
+def test_ivfpq_probe_prunes_cells_and_reads_codes_only(spark, sf_dir, tmp_path):
+    """The composite index must show BOTH levers in one plan: a static
+    cell partition filter (nprobe of nlist directories) and a ReadSchema
+    without any embedding column."""
+    from takuan_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    path = str(tmp_path / "ivfpq")
+    similarity.ivfpq_build(emb.where(F.col("vec_id") != 0), path, nlist=16)
+    probe_df = similarity.ivfpq_probe(spark, path, qvec, k=10, nlist=16, nprobe=4)
+    plan = plan_of(probe_df)
+    pf = re.search(r"PartitionFilters: \[cell#\d+ IN \(([\d,]+)\)\]", plan)
+    assert pf, f"no cell partition filter:\n{plan[:2000]}"
+    assert len(pf.group(1).split(",")) == 4
+    read_schema = re.search(r"ReadSchema: ([^\n]+)", plan).group(1)
+    assert "embedding" not in read_schema, read_schema
+    assert "codes" in read_schema
