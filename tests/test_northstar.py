@@ -453,3 +453,25 @@ def test_pq_rerank_surfaces_exact_duplicate_at_sim_1(spark, sf_dir):
     assert top[0]["sim"] == 1.0
     sims = [r["sim"] for r in top]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_ivfpq_probe_surfaces_exact_duplicate(spark, sf_dir, tmp_path):
+    """An exact copy of the query lands in the query's own coarse cell
+    (same argmax) with the query's own argmin codes, so the composite
+    probe must surface it at the global-minimum ADC distance."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    dup_id = 300002
+    corpus = emb.where(F.col("vec_id") != 0).unionByName(
+        spark.createDataFrame(
+            [(dup_id, qvec, -1)], "vec_id bigint, embedding array<float>, label int"
+        )
+    )
+    path = str(tmp_path / "ivfpq")
+    similarity.ivfpq_build(corpus, path, nlist=16, m=8, ksub=16)
+    top = similarity.ivfpq_probe(
+        spark, path, qvec, k=10, nlist=16, nprobe=4, m=8, ksub=16
+    ).collect()
+    by_id = {r["vec_id"]: r["adist"] for r in top}
+    assert dup_id in by_id
+    assert by_id[dup_id] == min(r["adist"] for r in top)
