@@ -87,9 +87,10 @@ PRIORITY: list[str] = [
     "ns_pq_topk", "ns_pq_probe", "ns_pq_rerank", "ns_ivfpq_probe",
     # changed this round (re-verify): in-plan TF-IDF doc count
     "ns_tfidf_topterms",
-    # headline keep-greens filling the 50-row driver window
-    # (displaced r1 greens — q_asof_join, q_rollup, q_grouping_sets,
-    # q_pandas_udaf — stay on record in CORRECTNESS_r01 + local oracle)
+    # headline keep-greens filling the 50-row driver window (displaced
+    # r1 greens — q_asof_join, q_rollup, q_grouping_sets, q_pandas_udaf,
+    # q4/q6/q10/q14/q19, ns_embedding_neardup — stay on record in
+    # CORRECTNESS_r01 and remain covered by tests/test_oracle.py)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "ns_dedup_exact", "ns_jaccard_neardup",
     "ns_similarity_topk",
