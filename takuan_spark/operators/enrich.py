@@ -172,3 +172,54 @@ def re_enrich(
         )
         .drop("__geo_key", "__new_cc", "__new_cn")
     )
+
+
+def geo_dim_from_mmdb(spark, mmdb_path: str, *, reader_factory=None):
+    """Convert a MaxMind country database (the reference's
+    ``database.geoip`` file, ref core/aggregator.go:154-157 +
+    config.example.yml:7) into the (ip_lo, ip_hi, country_code,
+    country_name) range-dim DataFrame that :func:`ip_range_enrich` and
+    its bucketed form consume.
+
+    The mmdb is a prefix trie over CIDR networks; flattening it to
+    [network_start, network_end] rows turns the longest-prefix lookup
+    into the broadcastable range join — the at-scale equivalent of the
+    reference's per-row ``geoip.Country()`` call. Runs driver-side once
+    per refresh (GeoLite is ~half a million IPv4 networks, a few MB as
+    a dim table), then broadcasts.
+
+    ``reader_factory`` injects any iterable of ``(network, record)``
+    pairs (ipaddress.IPv4Network, MaxMind-shaped dict); the default
+    needs the optional ``maxminddb`` package.
+    """
+    if reader_factory is None:
+        try:
+            import maxminddb
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "geo_dim_from_mmdb needs the 'maxminddb' package (or pass "
+                "reader_factory=); alternatively supply the geo dimension "
+                "as parquet/csv via ip_range_enrich directly"
+            ) from e
+
+        def reader_factory():  # pragma: no cover - env-dependent
+            with maxminddb.open_database(mmdb_path) as r:
+                yield from r  # (network, record) pairs
+
+    rows = []
+    for network, record in reader_factory():
+        if network.version != 4:
+            continue
+        country = (record or {}).get("country") or {}
+        names = country.get("names") or {}
+        rows.append(
+            (
+                int(network.network_address),
+                int(network.broadcast_address),
+                country.get("iso_code"),
+                names.get("en"),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "ip_lo long, ip_hi long, country_code string, country_name string"
+    )

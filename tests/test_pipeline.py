@@ -239,3 +239,35 @@ def test_country_flag_codepoints():
     assert country_flag("de") == "\U0001F1E9\U0001F1EA"
     assert country_flag(None) == "\U0001F3F3"
     assert country_flag("??") == "\U0001F3F3"
+
+
+def test_geo_dim_from_mmdb_conversion_and_range_join(spark):
+    """The mmdb trie flattens to the range-dim shape ip_range_enrich
+    consumes; verified end-to-end with an injected reader (the real
+    maxminddb package is optional and absent in this container)."""
+    import ipaddress
+
+    from takuan_spark.operators.enrich import geo_dim_from_mmdb, ip_range_enrich
+
+    def fake_reader():
+        yield (
+            ipaddress.ip_network("203.0.113.0/24"),
+            {"country": {"iso_code": "CN", "names": {"en": "China"}}},
+        )
+        yield (
+            ipaddress.ip_network("198.51.100.0/24"),
+            {"country": {"iso_code": "US", "names": {"en": "United States"}}},
+        )
+        yield (ipaddress.ip_network("2001:db8::/32"), {})  # v6 skipped
+
+    dim = geo_dim_from_mmdb(spark, "unused.mmdb", reader_factory=fake_reader)
+    assert dim.count() == 2
+
+    events = spark.createDataFrame(
+        [("203.0.113.7",), ("198.51.100.23",), ("10.0.0.1",)], "address string"
+    )
+    out = {
+        r["address"]: r["country_code"]
+        for r in ip_range_enrich(events, dim).collect()
+    }
+    assert out == {"203.0.113.7": "CN", "198.51.100.23": "US", "10.0.0.1": None}
