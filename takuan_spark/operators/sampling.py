@@ -53,3 +53,54 @@ def stratified_hash_sample(
             F.col(stratum_col) == value, F.lit(int(frac * _BUCKETS))
         ).otherwise(threshold)
     return df.where(_bucket(key_col, seed) < threshold)
+
+
+def sample_to_mix(
+    df: DataFrame,
+    *,
+    key_col: str,
+    stratum_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """The LARGEST deterministic sample whose strata follow the target
+    ``weights`` — the data-mixing primitive of corpus construction
+    ("50% en / 30% de / 20% fr, as much data as that allows").
+
+    The binding stratum (smallest count/weight ratio) is kept whole and
+    every other stratum downsamples to match: keep_fraction_s =
+    c * w_s / cnt_s where c = min_t(cnt_t / w_t). The whole derivation
+    stays in-plan — per-stratum counts (one aggregate), the scalar c
+    (one-row broadcast), the per-stratum thresholds (broadcast join) —
+    so the same two-pass shape runs at 100 TB with no driver arithmetic
+    on data-dependent floats (which is also what lets an external SQL
+    engine re-derive identical thresholds). Strata not in ``weights``
+    are dropped. Membership stays the pure (seed, key) hash function of
+    the other samplers.
+    """
+    w_expr: Column = F.lit(None).cast("double")
+    for value, w in weights.items():
+        w_expr = F.when(F.col(stratum_col) == value, F.lit(float(w))).otherwise(
+            w_expr
+        )
+    counts = (
+        df.where(F.col(stratum_col).isin(list(weights)))
+        .groupBy(stratum_col)
+        .agg(F.count("*").cast("double").alias("cnt"))
+        .withColumn("w", w_expr)
+    )
+    c = counts.agg(F.min(F.col("cnt") / F.col("w")).alias("c"))
+    thresholds = (
+        counts.crossJoin(F.broadcast(c))
+        .select(
+            stratum_col,
+            F.floor(
+                F.col("c") * F.col("w") / F.col("cnt") * F.lit(float(_BUCKETS))
+            )
+            .cast("int")
+            .alias("thr"),
+        )
+    )
+    return df.join(F.broadcast(thresholds), stratum_col).where(
+        _bucket(key_col, seed) < F.col("thr")
+    ).drop("thr")

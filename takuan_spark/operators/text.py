@@ -106,6 +106,39 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+#: PII patterns, applied in this order (email first so its local part
+#: cannot later match the phone digit-run). Regex subset chosen to mean
+#: the same thing under Java regex (Spark) and RE2 (DuckDB): character
+#: classes, bounded repeats, \b word boundaries — no lookaround, no
+#: backreferences.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+\d{7,15}\b", "<PHONE>"),
+]
+
+
+def pii_counts(col: Column | str) -> Column:
+    """Total PII hits (email + IP + phone) in the raw text — counted
+    BEFORE redaction so the numbers describe the original document."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.lit(0)
+    for pat, _ in PII_PATTERNS:
+        out = out + F.regexp_count(c, F.lit(pat))
+    return out.cast("int")
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails, IPv4 addresses, and international phone numbers
+    with typed placeholders — the scrubbing gate a training-data
+    pipeline runs before anything else persists the text. Pure
+    regexp_replace chain: JVM-side, codegen'd, order-deterministic."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 def text_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     """Per-document stats projection used by corpus-quality queries."""
     c = F.col(text_col)

@@ -243,3 +243,106 @@ def ns_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
     clean = survivors.join(flagged, "doc_id", "left_anti")
     return curation.pack_sequences(clean, budget=256).orderBy("doc_id")
+
+
+@query(
+    "ns_pii_redact",
+    """
+    WITH synth AS (
+        SELECT doc_id,
+               'reach ' || source || '@example.com or +1555'
+                 || lpad(CAST(doc_id * 7919 % 1000000 AS VARCHAR), 6, '0')
+                 || ' from 203.0.113.' || CAST(doc_id % 251 AS VARCHAR)
+                 || ' ' || text AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(regexp_extract_all(raw,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+                    .len()
+              + regexp_extract_all(raw,
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b').len()
+              + regexp_extract_all(raw, '\\+\\d{7,15}\\b').len() AS INT)
+             AS n_pii,
+           md5(regexp_replace(
+               regexp_replace(
+                   regexp_replace(raw,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                   '<IP>', 'g'),
+               '\\+\\d{7,15}\\b', '<PHONE>', 'g')) AS redacted_md5
+    FROM synth
+    ORDER BY doc_id
+    """,
+    "PII scrubbing gate: emails / IPv4s / phone numbers replaced by "
+    "typed placeholders in one codegen'd regexp_replace chain, with the "
+    "hit count taken BEFORE redaction. Every row carries synthetic PII "
+    "built from its own columns, so the oracle exercises all three "
+    "patterns on every document (the regex subset is chosen to mean the "
+    "same thing under Java regex and RE2).",
+)
+def ns_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.text import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("reach "), F.col("source"), F.lit("@example.com or +1555"),
+        F.lpad((F.col("doc_id") * 7919 % 1000000).cast("string"), 6, "0"),
+        F.lit(" from 203.0.113."), (F.col("doc_id") % 251).cast("string"),
+        F.lit(" "), F.col("text"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            pii_counts(raw).alias("n_pii"),
+            F.md5(redact_pii(raw)).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "ns_sample_to_mix",
+    """
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS DOUBLE) AS cnt,
+               CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3
+                         WHEN 'fr' THEN 0.2 END AS w
+        FROM documents
+        WHERE lang IN ('en', 'de', 'fr')
+        GROUP BY lang
+    ),
+    c AS (SELECT MIN(cnt / w) AS c FROM counts),
+    thresholds AS (
+        SELECT lang,
+               CAST(FLOOR(c.c * w / cnt * 10000.0) AS INT) AS thr
+        FROM counts, c
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thresholds t ON d.lang = t.lang
+    WHERE CAST(concat('0x', substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 10000 < t.thr
+    ORDER BY d.doc_id
+    """,
+    "Target-mixture sampling: the LARGEST deterministic subcorpus with "
+    "a 50/30/20 en/de/fr mix. The binding stratum stays whole; the "
+    "others downsample to match. Per-stratum thresholds are derived "
+    "IN-PLAN (counts -> scalar min ratio -> broadcast thresholds), so "
+    "the oracle re-derives bit-identical cutoffs from the data.",
+)
+def ns_sample_to_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.sampling import sample_to_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sample_to_mix(
+            docs,
+            key_col="doc_id",
+            stratum_col="lang",
+            weights={"en": 0.5, "de": 0.3, "fr": 0.2},
+            seed=42,
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

@@ -72,3 +72,58 @@ def test_pack_sequences_boundaries(spark):
     assert got[2] == (0, 3)
     assert got[3] == (1, 1)
     assert got[10] == (0, 0)
+
+
+def test_redact_pii_patterns(spark):
+    from takuan_spark.operators.text import pii_counts, redact_pii
+
+    rows = [
+        ("mail bob.smith+x@corp.example.org now",),
+        ("from 203.0.113.7 and 10.0.0.1",),
+        ("call +15551234567 please",),
+        ("clean text with 1.2 version and a@b",),  # no full matches
+    ]
+    df = spark.createDataFrame(rows, "raw string").select(
+        "raw",
+        pii_counts("raw").alias("n"),
+        redact_pii("raw").alias("red"),
+    )
+    got = {r["raw"]: (r["n"], r["red"]) for r in df.collect()}
+    assert got[rows[0][0]] == (1, "mail <EMAIL> now")
+    assert got[rows[1][0]] == (2, "from <IP> and <IP>")
+    assert got[rows[2][0]] == (1, "call <PHONE> please")
+    assert got[rows[3][0]][0] == 0
+    assert got[rows[3][0]][1] == rows[3][0]
+
+
+def test_sample_to_mix_hits_target_mixture(spark):
+    from takuan_spark.operators.sampling import sample_to_mix
+
+    rows = (
+        [(i, "en") for i in range(100)]
+        + [(100 + i, "de") for i in range(30)]
+        + [(130 + i, "fr") for i in range(10)]
+        + [(140 + i, "zz") for i in range(5)]  # unlisted stratum dropped
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sample_to_mix(
+        df, key_col="doc_id", stratum_col="lang",
+        weights={"en": 0.5, "de": 0.3, "fr": 0.2}, seed=42,
+    )
+    by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")
+    ).collect()}
+    # fr is the binding stratum (10/0.2 = 50 < 100/0.3 < 200): kept whole
+    assert by_lang["fr"] == 10
+    assert "zz" not in by_lang
+    # en targets 25 rows (50*0.5), de 15 (50*0.3) — hash-sample variance
+    # is real at n=100, so assert loose bands around the targets
+    assert 15 <= by_lang["en"] <= 35
+    assert 8 <= by_lang["de"] <= 22
+    # deterministic: rerun with different partitioning, same rows
+    ids1 = {r["doc_id"] for r in out.collect()}
+    out2 = sample_to_mix(
+        df.repartition(7), key_col="doc_id", stratum_col="lang",
+        weights={"en": 0.5, "de": 0.3, "fr": 0.2}, seed=42,
+    )
+    assert {r["doc_id"] for r in out2.collect()} == ids1
