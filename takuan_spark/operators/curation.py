@@ -159,3 +159,47 @@ def pack_sequences(
             (cum_before % budget).alias("seq_offset"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    retrieval-pipeline chunking stage (size-token chunks, stride
+    size-overlap, so consecutive chunks share ``overlap`` tokens).
+
+    One narrow projection: tokenize, generate the stride start
+    positions, explode, slice — no shuffle at all; chunking 100 TB is
+    embarrassingly parallel and this plan keeps it that way. Output is
+    one row per (doc, chunk) with the chunk's token span and text.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap=} {size=}")
+    stride = size - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - F.lit(1), F.lit(0)),
+        F.lit(stride),
+    )
+    out = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_id", "start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("start") + 1, size)
+    return (
+        out.where(F.col("start") < F.size("_toks"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.col("start").alias("tok_start"),
+            F.size(chunk).cast("int").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

@@ -14,10 +14,11 @@ schema + order-insensitive value hash), so:
 - orderings carry stable tiebreak keys, and string encodings (counter
   segments, fingerprints) are defined deterministically.
 
-Queries whose semantics are not reasonably SQL-expressible (MinHash LSH
-banding, SimHash) are registered without oracle SQL — the driver records
-a weaker rows-only check, and tests/test_northstar.py pins their
-semantics against independent Python implementations instead.
+Since round 2 EVERY registered query carries an oracle — the sketch
+families (MinHash, SimHash, LSH, IVF, PQ) were made externally
+reproducible via md5-derived hashes and literal-embedded
+hyperplanes/centroids/codebooks; tests/test_northstar.py additionally
+pins their semantics against independent Python implementations.
 """
 
 from __future__ import annotations
@@ -85,15 +86,15 @@ PRIORITY: list[str] = [
     "q7_nation_volume_shipping", "q8_market_share",
     "q9_product_type_profit", "q15_top_supplier",
     "ns_pq_topk", "ns_pq_probe", "ns_pq_rerank", "ns_ivfpq_probe",
-    "ns_pii_redact", "ns_sample_to_mix",
+    "ns_pii_redact", "ns_sample_to_mix", "ns_chunk_documents",
     # changed this round (re-verify): in-plan TF-IDF doc count
     "ns_tfidf_topterms",
     # headline keep-greens filling the 50-row driver window (displaced
     # r1 greens — q_asof_join, q_rollup, q_grouping_sets, q_pandas_udaf,
-    # q4/q6/q10/q14/q19, ns_embedding_neardup — stay on record in
+    # q4/q6/q10/q14/q19, ns_embedding_neardup, ns_dedup_exact,
+    # ns_jaccard_neardup, ns_similarity_topk — stay on record in
     # CORRECTNESS_r01 and remain covered by tests/test_oracle.py)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "ns_dedup_exact",
 ]
 
 

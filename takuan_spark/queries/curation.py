@@ -346,3 +346,38 @@ def ns_sample_to_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "ns_chunk_documents",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS t
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST((i - 1) / 48 AS INT) AS chunk_id,
+               CAST(i - 1 AS INT) AS tok_start,
+               list_slice(t, i, i + 63) AS chunk
+        FROM toks,
+             UNNEST(generate_series(1, greatest(len(t), 1), 48)) AS g(i)
+        WHERE i <= len(t)
+    )
+    SELECT doc_id, chunk_id, tok_start,
+           CAST(len(chunk) AS INT) AS n_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+    "RAG-style document chunking: 64-token windows with 16-token "
+    "overlap (stride 48). Pure narrow projection — tokenize, stride "
+    "positions, explode, slice — zero shuffles; chunking stays "
+    "embarrassingly parallel at any corpus size.",
+)
+def ns_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.chunk_documents(docs, size=64, overlap=16).orderBy(
+        "doc_id", "chunk_id"
+    )

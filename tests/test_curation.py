@@ -127,3 +127,22 @@ def test_sample_to_mix_hits_target_mixture(spark):
         weights={"en": 0.5, "de": 0.3, "fr": 0.2}, seed=42,
     )
     assert {r["doc_id"] for r in out2.collect()} == ids1
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from takuan_spark.operators.curation import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_documents(df, size=4, overlap=1).orderBy("chunk_id").collect()
+    # stride 3 over 10 tokens: starts 0,3,6,9
+    assert [(r["chunk_id"], r["tok_start"], r["n_tokens"]) for r in rows] == [
+        (0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1),
+    ]
+    assert rows[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[1]["chunk_text"] == "w3 w4 w5 w6"   # 1-token overlap
+    assert rows[3]["chunk_text"] == "w9"             # short tail kept
+
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=4, overlap=4)
