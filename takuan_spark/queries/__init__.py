@@ -87,6 +87,7 @@ PRIORITY: list[str] = [
     "q9_product_type_profit", "q15_top_supplier",
     "ns_pq_topk", "ns_pq_probe", "ns_pq_rerank", "ns_ivfpq_probe",
     "ns_pii_redact", "ns_sample_to_mix", "ns_chunk_documents",
+    "ns_rag_pipeline",
     # changed this round (re-verify): in-plan TF-IDF doc count
     "ns_tfidf_topterms",
     # headline keep-greens filling the 50-row driver window (displaced
@@ -94,7 +95,7 @@ PRIORITY: list[str] = [
     # q4/q6/q10/q14/q19, ns_embedding_neardup, ns_dedup_exact,
     # ns_jaccard_neardup, ns_similarity_topk — stay on record in
     # CORRECTNESS_r01 and remain covered by tests/test_oracle.py)
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q1_pricing_summary", "q3_shipping_priority",
 ]
 
 

@@ -381,3 +381,101 @@ def ns_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.chunk_documents(docs, size=64, overlap=16).orderBy(
         "doc_id", "chunk_id"
     )
+
+
+def _hash_embed_exprs(col_expr: str, dim: int = 8) -> str:
+    """DuckDB list literal of md5-derived embedding components."""
+    comps = ", ".join(
+        f"CAST(concat('0x', substr(md5({col_expr}), {2*i+1}, 2)) AS BIGINT) / 255.0"
+        for i in range(dim)
+    )
+    return f"[{comps}]"
+
+
+def _hash_embed_col(col, dim: int = 8):
+    """Spark twin of :func:`_hash_embed_exprs`: md5 hex pairs -> [0,1]
+    floats. Pure built-ins (md5/substring/conv) — a deterministic
+    stand-in embedding with the exact plumbing (schema, joins, scoring)
+    of a real encoder, swappable for a pandas-UDF model call."""
+    h = F.md5(col)
+    return F.array(
+        *[
+            (F.conv(F.substring(h, 2 * i + 1, 2), 16, 10).cast("double") / 255.0)
+            for i in range(dim)
+        ]
+    )
+
+
+_RAG_QUERY_TEXT = "spark join performance"
+
+
+def _rag_query_vec(dim: int = 8) -> list[float]:
+    import hashlib
+
+    h = hashlib.md5(_RAG_QUERY_TEXT.encode()).hexdigest()
+    return [int(h[2 * i : 2 * i + 2], 16) / 255.0 for i in range(dim)]
+
+
+@query(
+    "ns_rag_pipeline",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS t
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST((i - 1) / 48 AS INT) AS chunk_id,
+               array_to_string(list_slice(t, i, i + 63), ' ') AS chunk_text
+        FROM toks,
+             UNNEST(generate_series(1, greatest(len(t), 1), 48)) AS g(i)
+        WHERE i <= len(t)
+    ),
+    embedded AS (
+        SELECT doc_id, chunk_id,
+               CAST({_hash_embed_exprs('chunk_text')} AS DOUBLE[]) AS ev
+        FROM chunks
+    ),
+    q(qv) AS (SELECT CAST({'[' + ', '.join(repr(x) for x in _rag_query_vec()) + ']'} AS DOUBLE[])),
+    scored AS (
+        SELECT doc_id, chunk_id,
+               ROUND(list_dot_product(ev, qv)
+                     / (sqrt(list_dot_product(ev, ev))
+                        * sqrt(list_dot_product(qv, qv))), 6) AS sim
+        FROM embedded, q
+    )
+    SELECT doc_id, chunk_id, sim
+    FROM scored
+    ORDER BY sim DESC, doc_id, chunk_id
+    LIMIT 5
+    """,
+    "The composed retrieval-ingest pipeline in ONE plan: chunk every "
+    "document into overlapping token windows, embed each chunk, cosine-"
+    "rank against a query embedding — chunk/embed/search with zero "
+    "shuffles before the final top-k. The embedding is a deterministic "
+    "md5-derived stand-in with the exact plumbing of a model encoder "
+    "(swap _hash_embed_col for a pandas-UDF model call); determinism is "
+    "what lets the oracle replay the entire chain.",
+)
+def ns_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = curation.chunk_documents(docs, size=64, overlap=16)
+    qv = _rag_query_vec()
+    ev = _hash_embed_col(F.col("chunk_text"))
+    qlit = F.array(*[F.lit(x) for x in qv])
+    dot = F.aggregate(
+        F.zip_with(ev, qlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(ev, F.lit(0.0), lambda acc, x: acc + x * x)
+    ) * F.sqrt(F.lit(sum(x * x for x in qv)))
+    return (
+        chunks.select(
+            "doc_id", "chunk_id", F.round(dot / nrm, 6).alias("sim")
+        )
+        .orderBy(F.desc("sim"), "doc_id", "chunk_id")
+        .limit(5)
+    )
