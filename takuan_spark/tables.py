@@ -27,29 +27,36 @@ TABLE_NAMES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as long via the
-    runtime conf and rebuild the timestamp at microsecond precision —
-    lossless here (the generator emits µs-aligned values) and matching
-    DuckDB, which also reads this column at µs precision.
+    ``events.ts`` has shipped in two physical forms across testdata
+    generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    reader rejects ([PARQUET_TYPE_ILLEGAL]) unless read as long — and a
+    native µs timestamp. We branch on the bound schema: when ``ts`` comes
+    back as a long (nanos-as-long conf), rebuild the timestamp at
+    microsecond precision — lossless (the generator emits µs-aligned
+    values) and matching DuckDB, which also reads this column at µs
+    precision. When it is already a timestamp, normalize to TIMESTAMP_NTZ
+    (naive, like DuckDB reads it) so downstream date_trunc/date_format is
+    session-timezone-independent.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # Rebuild as TIMESTAMP_NTZ (naive, like DuckDB reads it) so every
-        # downstream date_trunc/date_format is session-timezone-independent
-        # — the driver's own SparkSession may not run in UTC.
-        # Integer `div`, NOT floor(ts/1000): the double division loses
-        # ~256 ns of precision at 2024-epoch nanos (1.7e18 > 2^53) and
-        # shifts ~half of all timestamps by 1 µs.
-        return df.withColumn(
-            "ts",
-            F.timestamp_add(
-                "MICROSECOND",
-                F.expr("ts div 1000"),
-                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
-            ),
-        )
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "long":
+            # Integer `div`, NOT floor(ts/1000): the double division loses
+            # ~256 ns of precision at 2024-epoch nanos (1.7e18 > 2^53) and
+            # shifts ~half of all timestamps by 1 µs.
+            return df.withColumn(
+                "ts",
+                F.timestamp_add(
+                    "MICROSECOND",
+                    F.expr("ts div 1000"),
+                    F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+                ),
+            )
+        if ts_type == "timestamp":
+            return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return df  # already timestamp_ntz
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
