@@ -387,14 +387,18 @@ def dedup_clusters(
     cluster_id, drop the rest).
 
     Iterative min-label propagation with pointer jumping: each round
-    every node takes the min label among itself and its neighbours
-    (propagates 1 hop), then compresses ``label <- label(label)``
-    (doubles the already-propagated distance) — so convergence needs
-    O(log(diameter)) rounds, not O(diameter). Each round is two joins +
-    one aggregation, all shuffle-based (no driver state beyond the
-    convergence counter); frames are cached and replaced per round. If
-    ``max_iter`` is exhausted while labels are still changing the result
-    may contain split clusters — a warning is logged. Input:
+    every node takes the min label among itself, its neighbours' labels
+    (propagates 1 hop), and its label's label (``label(label)`` — the
+    compression step that doubles the already-propagated distance), so
+    convergence needs O(log(diameter)) rounds, not O(diameter). Both the
+    neighbour-min and the jump read the SAME cached pre-round label
+    frame, so a round is one plan: two joins feeding a single ``least``
+    projection, ONE cache materialization, and ONE driver action — the
+    convergence-probe aggregate itself forces the cache, so tiny graphs
+    do not drown in per-round job-scheduling overhead. No driver state
+    beyond the convergence counter; frames are cached and replaced per
+    round. If ``max_iter`` is exhausted while labels are still changing
+    the result may contain split clusters — a warning is logged. Input:
     (id_a, id_b [, ...]) with id_a < id_b.
     """
     edges = (
@@ -414,12 +418,15 @@ def dedup_clusters(
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("id"), F.col("src").alias("label"))
+        .coalesce(8)
     )
+
     def _label_sum(frame: DataFrame) -> int:
         # Convergence probe without a join: labels only ever decrease
         # (every update is least(...)), so the label sum is strictly
         # monotone — equal sums ⇔ no label changed. decimal(38,0) keeps
-        # the sum exact at any node count.
+        # the sum exact at any node count. Running the probe on the
+        # freshly-persisted frame is also what materializes its cache.
         return frame.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).head()["s"]
@@ -432,24 +439,13 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        # materialize: cand feeds BOTH sides of the pointer-jump
-        # self-join below, and Catalyst does not reuse the exchange
-        # across self-join branches — uncached, the neighbor-min join
-        # would execute twice per round.
-        cand = materialize(
-            labels.join(
-                neighbor_min, labels["id"] == neighbor_min["src"], "left"
-            ).select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
-        )
-        # Pointer jumping: label <- label(label). Every label value is
-        # itself a node id, so a self-join compresses two propagation
-        # hops into one round — the doubling that makes this O(log d).
-        lookup = cand.select(
+        # Pointer jumping off the CACHED pre-round labels: label values
+        # are node ids, so joining labels to itself on label = id reads
+        # label(label). Using pre-round labels for the jump (instead of
+        # the post-neighbor-min candidate) keeps the whole round a
+        # single plan over one cached frame — still a doubling step,
+        # same fixpoint, one materialization per round instead of two.
+        lookup = labels.select(
             F.col("id").alias("_lid"), F.col("label").alias("_llabel")
         )
         # coalesce before caching: the label frame is tiny (near-dup
@@ -458,20 +454,23 @@ def dedup_clusters(
         # scheduling overhead. AQE can't help here because caching pins
         # the pre-coalesce layout. Harmless at scale: 8 partitions of
         # labels is still only the candidate-node set, not the corpus.
-        new_labels = materialize(
-            cand.join(lookup, cand["label"] == lookup["_lid"], "left")
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .join(lookup, labels["label"] == lookup["_lid"], "left")
             .select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("_llabel"), F.col("label"))
+                    F.col("label"),
+                    F.coalesce(F.col("nmin"), F.col("label")),
+                    F.coalesce(F.col("_llabel"), F.col("label")),
                 ).alias("label"),
             )
             .coalesce(8)
+            .persist()
         )
         new_sum = _label_sum(new_labels)
         changed = int(new_sum != prev_sum)
         prev_sum = new_sum
-        cand.unpersist()
         labels.unpersist()
         labels = new_labels
         if changed == 0:
