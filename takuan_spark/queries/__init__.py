@@ -90,11 +90,13 @@ PRIORITY: list[str] = [
     "ns_rag_pipeline",
     # changed this round (re-verify): in-plan TF-IDF doc count
     "ns_tfidf_topterms",
-    # headline keep-greens filling the 50-row driver window (displaced
-    # r1 greens — q_asof_join, q_rollup, q_grouping_sets, q_pandas_udaf,
-    # q4/q6/q10/q14/q19, ns_embedding_neardup, ns_dedup_exact,
-    # ns_jaccard_neardup, ns_similarity_topk — stay on record in
-    # CORRECTNESS_r01 and remain covered by tests/test_oracle.py)
+    # new time-series family (gap-fill/LOCF/interpolate, rollup merge)
+    "q_gap_fill_interpolate", "q_hypertable_rollup",
+    # headline keep-greens fill any remaining driver window (displaced
+    # r1 greens — q1/q3, q_asof_join, q_rollup, q_grouping_sets,
+    # q_pandas_udaf, q4/q6/q10/q14/q19, ns_embedding_neardup,
+    # ns_dedup_exact, ns_jaccard_neardup, ns_similarity_topk — stay on
+    # record in CORRECTNESS_r01 and remain covered by tests/test_oracle.py)
     "q1_pricing_summary", "q3_shipping_priority",
 ]
 
@@ -132,6 +134,7 @@ def _load() -> None:
         northstar,
         relational,
         takuan,
+        timeseries,
     )
 
     _loaded = True

@@ -1,0 +1,170 @@
+"""Time-series queries: gap-filled downsampling with LOCF + linear
+interpolation, and the hypertable-style two-resolution rollup merge.
+
+The bucket arithmetic is deliberately timezone-free on BOTH sides
+(calendar-field floor in Spark, naive-epoch floor in DuckDB) so the
+results are identical whatever timezone the consuming sessions run in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from takuan_spark.operators import timeseries as tsops
+from takuan_spark.queries import query
+from takuan_spark.tables import load_table
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DDB = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "q_gap_fill_interpolate",
+    f"""
+    WITH b AS (
+        SELECT event_type,
+               date_trunc('second', ts) - to_seconds(
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) % 900) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(AVG(value), 6) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT event_type,
+               UNNEST(generate_series(MIN(bucket), MAX(bucket),
+                                      INTERVAL 900 SECONDS)) AS bucket
+        FROM b GROUP BY event_type
+    ),
+    filled AS (
+        SELECT s.event_type, s.bucket,
+               COALESCE(b.n_events, 0) AS n_events, b.avg_value
+        FROM spine s LEFT JOIN b USING (event_type, bucket)
+    ),
+    f AS (
+        SELECT event_type, bucket, n_events, avg_value,
+               LAST_VALUE(avg_value IGNORE NULLS) OVER w_back AS locf_value,
+               LAST_VALUE(avg_value IGNORE NULLS) OVER w_back AS pv,
+               LAST_VALUE(CASE WHEN avg_value IS NOT NULL
+                               THEN CAST(epoch(bucket) AS BIGINT) END
+                          IGNORE NULLS) OVER w_back AS pt,
+               FIRST_VALUE(avg_value IGNORE NULLS) OVER w_fwd AS nv,
+               FIRST_VALUE(CASE WHEN avg_value IS NOT NULL
+                                THEN CAST(epoch(bucket) AS BIGINT) END
+                           IGNORE NULLS) OVER w_fwd AS nt
+        FROM filled
+        WINDOW
+            w_back AS (PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            w_fwd AS (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type,
+           strftime(bucket, '{_TS_FMT_DDB}') AS bucket,
+           n_events,
+           avg_value,
+           ROUND(locf_value, 6) AS locf_value,
+           -- floored integer micro-units, NOT round(double, n): both
+           -- engines hold bit-identical doubles here, and floor is the
+           -- one decimal projection they agree on at every boundary
+           CAST(floor(1000000 * CASE
+                      WHEN avg_value IS NOT NULL THEN avg_value
+                      ELSE pv + (nv - pv) * (CAST(epoch(bucket) AS BIGINT) - pt)
+                                / (nt - pt)
+                 END) AS BIGINT) AS interp_value_e6
+    FROM f
+    ORDER BY event_type, bucket
+    """,
+    "Gap-filled 15-minute downsample of the events stream per type: a "
+    "dense bucket spine (generated executor-side via sequence explode, "
+    "never on the driver), left-joined aggregates, then LOCF "
+    "carry-forward and linear interpolation as ignore-nulls windows "
+    "over the filled series — the TimescaleDB time_bucket_gapfill / "
+    "locf / interpolate family as one shuffle-of-the-series plan.",
+)
+def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    series = tsops.bucket_aggregate(
+        ev,
+        ts_col="ts",
+        interval_secs=900,
+        group_cols=["event_type"],
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        ],
+    )
+    filled = tsops.gap_fill(
+        series,
+        group_cols=["event_type"],
+        interval_secs=900,
+        value_col="avg_value",
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("bucket", _TS_FMT_SPARK).alias("bucket"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        "avg_value",
+        F.round("locf_value", 6).alias("locf_value"),
+        F.floor(F.lit(1000000) * F.col("interp_value"))
+        .cast("bigint")
+        .alias("interp_value_e6"),
+    ).orderBy("event_type", "bucket")
+
+
+@query(
+    "q_hypertable_rollup",
+    f"""
+    WITH coarse AS (
+        SELECT event_type,
+               date_trunc('second', ts) - to_seconds(
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) % 86400) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value,
+               86400 AS resolution_secs
+        FROM events WHERE ts < TIMESTAMP '2024-01-24 00:00:00'
+        GROUP BY 1, 2
+    ),
+    fine AS (
+        SELECT event_type,
+               date_trunc('second', ts) - to_seconds(
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) % 3600) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value,
+               3600 AS resolution_secs
+        FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+        GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(bucket, '{_TS_FMT_DDB}') AS bucket,
+           n_events, sum_value, CAST(resolution_secs AS INT) AS resolution_secs
+    FROM (SELECT * FROM coarse UNION ALL SELECT * FROM fine)
+    ORDER BY event_type, bucket, resolution_secs
+    """,
+    "Hypertable continuous-aggregate read shape: daily rollup for "
+    "history, hourly for the tail past the cutoff, one unioned series "
+    "tagged with its resolution. Each branch's time filter pushes to "
+    "the scan; with the coarse branch persisted by the rollup writer "
+    "only the tail ever reads raw events.",
+)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    merged = tsops.rollup_merge(
+        ev,
+        ts_col="ts",
+        cutoff="2024-01-24 00:00:00",
+        coarse_secs=86400,
+        fine_secs=3600,
+        group_cols=["event_type"],
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+    return merged.select(
+        "event_type",
+        F.date_format("bucket", _TS_FMT_SPARK).alias("bucket"),
+        "n_events",
+        "sum_value",
+        F.col("resolution_secs").cast("int").alias("resolution_secs"),
+    ).orderBy("event_type", "bucket", "resolution_secs")
