@@ -92,6 +92,9 @@ PRIORITY: list[str] = [
     "ns_tfidf_topterms",
     # new time-series family (gap-fill/LOCF/interpolate, rollup merge)
     "q_gap_fill_interpolate", "q_hypertable_rollup",
+    # adapted TPC-H shapes new this round
+    "q11_part_value_share", "q12_priority_by_returnflag",
+    "q16_supplier_count_by_part", "q20_promo_share_suppliers",
     # headline keep-greens fill any remaining driver window (displaced
     # r1 greens — q1/q3, q_asof_join, q_rollup, q_grouping_sets,
     # q_pandas_udaf, q4/q6/q10/q14/q19, ns_embedding_neardup,

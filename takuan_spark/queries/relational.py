@@ -1404,3 +1404,219 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "q11_part_value_share",
+    """
+    WITH eu_supp AS (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    val AS (
+        SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS value
+        FROM lineitem JOIN eu_supp ON l_suppkey = s_suppkey
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, ROUND(value, 2) AS value
+    FROM val
+    WHERE value > (SELECT SUM(value) * 0.0005 FROM val)
+    ORDER BY value DESC, l_partkey
+    """,
+    "TPC-H Q11 shape (adapted: lineitem revenue stands in for "
+    "partsupp value — the testdata has no ps_availqty/ps_supplycost): "
+    "per-part value restricted to EUROPE suppliers, kept when above a "
+    "fraction of the total (HAVING vs scalar subquery). Spark-side the "
+    "per-part aggregate is materialized once and the scalar total is a "
+    "broadcast one-row join — no second lineitem scan, no "
+    "single-partition window.",
+)
+def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.skew import materialize
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey")
+    )
+    # suppliers are a small dim: broadcast the semi-join so lineitem
+    # only shuffles once, on l_partkey for the aggregate.
+    val = materialize(
+        li.join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "value"
+            )
+        )
+    )
+    threshold = val.agg((F.sum("value") * F.lit(0.0005)).alias("thr"))
+    return (
+        val.join(F.broadcast(threshold), F.col("value") > F.col("thr"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+@query(
+    "q12_priority_by_returnflag",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "TPC-H Q12 shape (adapted: l_returnflag stands in for l_shipmode, "
+    "which the testdata lacks): orders x lineitem over a one-year ship "
+    "window, priority split as conditional aggregates. The date filter "
+    "pushes to the lineitem scan; the conditional counts are a single "
+    "partial+final hash agg after the join.",
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q16_supplier_count_by_part",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 36)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "TPC-H Q16 shape (adapted: lineitem stands in for partsupp; "
+    "negative account balance stands in for the complaints LIKE "
+    "filter): distinct-supplier counts per (brand, type, size) with a "
+    "NOT IN exclusion subquery. The exclusion is a broadcast anti-join "
+    "(supplier is a dim), part filters push to the scan, and the "
+    "distinct count is a two-phase agg (dedup by group+suppkey, then "
+    "count) — no giant exact-distinct state per group.",
+)
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 36))
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_promo_share_suppliers",
+    """
+    WITH promo_parts AS (
+        SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+    ),
+    shipped AS (
+        SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+        FROM lineitem
+        JOIN promo_parts ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    qualifying AS (
+        SELECT DISTINCT l_suppkey FROM (
+            SELECT l_suppkey, qty,
+                   SUM(qty) OVER (PARTITION BY l_partkey) AS part_total
+            FROM shipped
+        ) WHERE qty > 0.3 * part_total
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM qualifying)
+    ORDER BY s_suppkey
+    """,
+    "TPC-H Q20 shape (adapted: the availqty comparison becomes a "
+    "share-of-part-volume comparison — no partsupp in the testdata): "
+    "suppliers who shipped more than 30% of any PROMO part's one-year "
+    "volume. The per-part total is a window over the already-aggregated "
+    "(part, supp) frame (no self-join), and the supplier lookup is a "
+    "broadcast semi-join chain. l_quantity values are small integers, "
+    "so the share comparison is FP-exact in both engines.",
+)
+def q20_promo_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    promo = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    shipped = (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    qualifying = (
+        shipped.withColumn("part_total", F.sum("qty").over(w))
+        .where(F.col("qty") > 0.3 * F.col("part_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(
+            F.broadcast(qualifying),
+            supp.s_suppkey == qualifying.l_suppkey,
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
