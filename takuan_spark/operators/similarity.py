@@ -464,6 +464,34 @@ def ivf_topk_fixed(
     return cosine_topk(cand, query_vec, k=k, vec_col=vec_col, id_col=id_col)
 
 
+def _index_marker(path: str) -> dict | None:
+    """Read ``{path}/_BUILT.json`` — the build-identity marker that makes
+    index builds idempotent. Local-FS semantics here; on a real cluster
+    the same role is played by a catalog/metastore entry keyed on the
+    index parameters + source snapshot id."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(path, "_BUILT.json")) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _write_index_marker(path: str, key: dict, info: dict) -> None:
+    import json
+    import os
+
+    with open(os.path.join(path, "_BUILT.json"), "w") as fh:
+        json.dump({"key": key, "info": info}, fh)
+
+
+def index_is_current(path: str, key: dict) -> bool:
+    marker = _index_marker(path)
+    return marker is not None and marker.get("key") == key
+
+
 def ivf_build(
     embeddings: DataFrame,
     path: str,
@@ -471,16 +499,33 @@ def ivf_build(
     nlist: int = 16,
     vec_col: str = "embedding",
     seed: int = 777,
+    rebuild: bool = False,
+    source_id: str | None = None,
 ) -> list[list[float]]:
     """Build the persisted IVF index: write the corpus PARTITIONED BY
     cell (one directory per quantizer cell). Probes then scan only
     ``nprobe`` of ``nlist`` directories — partition pruning at the file
     listing level, the at-scale design the r1 verdict asked to make
-    real. Build once, probe many. Returns the centroids."""
+    real. Build once, probe many. Returns the centroids.
+
+    Idempotent: when ``path`` already holds an index built with the
+    same parameters (the ``_BUILT.json`` marker matches) the build —
+    including its full corpus scan — is skipped entirely; pass
+    ``rebuild=True`` after the source data changes. Probe-only callers
+    therefore never pay a rebuild, closing the r1 'index rebuild per
+    query' scale defect for repeated probes too."""
+    key = {"op": "ivf", "nlist": nlist, "seed": seed, "src": source_id}
+    if not rebuild:
+        marker = _index_marker(path)
+        if marker is not None and marker.get("key") == key:
+            return fixed_centroids(
+                int(marker["info"]["dim"]), nlist=nlist, seed=seed
+            )
     dim = len(embeddings.select(vec_col).head()[0])
     cents = fixed_centroids(dim, nlist=nlist, seed=seed)
     assigned = ivf_assign_fixed(embeddings, cents, vec_col=vec_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _write_index_marker(path, key, {"dim": dim})
     return cents
 
 
@@ -520,10 +565,13 @@ def lsh_index_build(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    rebuild: bool = False,
+    source_id: str | None = None,
 ) -> None:
     """Build the persisted LSH index: one row per (vector, table) with
     its stored signature column — the design the r1 verdict asked for
-    (vs computing signatures inline per query).
+    (vs computing signatures inline per query). Idempotent via the
+    ``_BUILT.json`` marker (see :func:`ivf_build`).
 
     Layout: PARTITIONED BY (tbl, sigp) where ``sigp`` is the
     signature's high LSH_PREFIX_BITS (tables * 2^prefix directories,
@@ -534,6 +582,12 @@ def lsh_index_build(
     (tables * 2^nbits dirs) measured 2x slower to build at bench scale
     from small-file commit overhead alone and gets worse as nbits grows;
     prefix dirs + clustered sig is the layout that holds at 100 TB."""
+    key = {
+        "op": "lsh", "nbits": nbits, "tables": tables, "seed": seed,
+        "src": source_id,
+    }
+    if not rebuild and index_is_current(path, key):
+        return
     dim = len(embeddings.select(vec_col).head()[0])
     sig_fn = lsh_signatures_udf(dim, nbits=nbits, tables=tables, seed=seed)
     base = embeddings.select(
@@ -550,6 +604,7 @@ def lsh_index_build(
         .partitionBy("tbl", "sigp")
         .parquet(path)
     )
+    _write_index_marker(path, key, {"dim": dim})
 
 
 def hamming_ball(sig: int, *, nbits: int, radius: int) -> list[int]:
@@ -831,12 +886,18 @@ def pq_build(
     seed: int = 4242,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rebuild: bool = False,
+    source_id: str | None = None,
 ) -> None:
     """Build the persisted PQ index: encode once and write ONLY
     (id, codes) — m small ints per vector instead of 4*dim bytes of
     floats. At 100 TB of float32 embeddings this is the ~32x compressed
     representation the ADC scan reads; raw vectors stay in the source
-    table for the optional exact re-rank."""
+    table for the optional exact re-rank. Idempotent via the
+    ``_BUILT.json`` marker (see :func:`ivf_build`)."""
+    key = {"op": "pq", "m": m, "ksub": ksub, "seed": seed, "src": source_id}
+    if not rebuild and index_is_current(path, key):
+        return
     dim = len(embeddings.select(vec_col).head()[0])
     cbs = pq_codebooks(dim, m=m, ksub=ksub, seed=seed)
     (
@@ -845,6 +906,7 @@ def pq_build(
         .write.mode("overwrite")
         .parquet(path)
     )
+    _write_index_marker(path, key, {"dim": dim})
 
 
 def pq_probe(
@@ -925,12 +987,26 @@ def ivfpq_build(
     pq_seed: int = 4242,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rebuild: bool = False,
+    source_id: str | None = None,
 ) -> None:
     """Build the composite IVF+PQ index (the FAISS IVFADC layout): rows
     are (id, codes) partitioned by coarse-quantizer cell. The two
     at-scale levers stack — directory-level partition pruning cuts the
     corpus to nprobe/nlist, and inside the probed cells the scan reads
-    m-byte codes, never raw floats."""
+    m-byte codes, never raw floats. Idempotent via the ``_BUILT.json``
+    marker (see :func:`ivf_build`)."""
+    key = {
+        "op": "ivfpq",
+        "nlist": nlist,
+        "m": m,
+        "ksub": ksub,
+        "ivf_seed": ivf_seed,
+        "pq_seed": pq_seed,
+        "src": source_id,
+    }
+    if not rebuild and index_is_current(path, key):
+        return
     dim = len(embeddings.select(vec_col).head()[0])
     cents = fixed_centroids(dim, nlist=nlist, seed=ivf_seed)
     cbs = pq_codebooks(dim, m=m, ksub=ksub, seed=pq_seed)
@@ -942,6 +1018,7 @@ def ivfpq_build(
         .partitionBy("cell")
         .parquet(path)
     )
+    _write_index_marker(path, key, {"dim": dim})
 
 
 def ivfpq_probe(

@@ -41,6 +41,21 @@ _EMB_DIM = 64
 _SCRATCH = "/root/repo/.scratch"
 
 
+def _source_id(sf_dir: str, table: str = "embeddings") -> str:
+    """Cheap identity of the index's source data (size + mtime of the
+    parquet file): goes into the build marker so a regenerated testdata
+    set invalidates previously-built scratch indexes instead of being
+    silently probed stale."""
+    import os
+
+    try:
+        st = os.stat(f"{sf_dir.rstrip('/')}/{table}.parquet")
+        return f"{st.st_size}:{int(st.st_mtime)}"
+    except OSError:
+        return "unknown"
+
+
+
 def _sql_list(vec: list[float]) -> str:
     """A float64 list literal whose DuckDB parse round-trips to the exact
     same doubles Python embeds in the Spark plan (repr is shortest
@@ -806,7 +821,8 @@ def ns_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     path = f"{_SCRATCH}/lsh_index_{sf_dir.strip('/').split('/')[-1]}"
     similarity.lsh_index_build(
-        emb.where(F.col("vec_id") != 0), path, nbits=8, tables=4
+        emb.where(F.col("vec_id") != 0), path, nbits=8, tables=4,
+        source_id=_source_id(sf_dir),
     )
     return similarity.lsh_index_probe(
         spark, path, qvec, k=10, nbits=8, tables=4, hamming_radius=1
@@ -864,7 +880,10 @@ def ns_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     ]
     path = f"{_SCRATCH}/ivf_index_{sf_dir.strip('/').split('/')[-1]}"
-    similarity.ivf_build(emb.where(F.col("vec_id") != 0), path, nlist=16)
+    similarity.ivf_build(
+        emb.where(F.col("vec_id") != 0), path, nlist=16,
+        source_id=_source_id(sf_dir),
+    )
     return similarity.ivf_probe(spark, path, qvec, k=10, nlist=16, nprobe=4)
 
 
@@ -1077,7 +1096,10 @@ def ns_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     ]
     path = f"{_SCRATCH}/pq_index_{sf_dir.strip('/').split('/')[-1]}"
-    similarity.pq_build(emb.where(F.col("vec_id") != 0), path, m=8, ksub=16)
+    similarity.pq_build(
+        emb.where(F.col("vec_id") != 0), path, m=8, ksub=16,
+        source_id=_source_id(sf_dir),
+    )
     return similarity.pq_probe(spark, path, qvec, k=10, m=8, ksub=16)
 
 @query(
@@ -1213,7 +1235,8 @@ def ns_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     path = f"{_SCRATCH}/ivfpq_index_{sf_dir.strip('/').split('/')[-1]}"
     similarity.ivfpq_build(
-        emb.where(F.col("vec_id") != 0), path, nlist=16, m=8, ksub=16
+        emb.where(F.col("vec_id") != 0), path, nlist=16, m=8, ksub=16,
+        source_id=_source_id(sf_dir),
     )
     return similarity.ivfpq_probe(
         spark, path, qvec, k=10, nlist=16, nprobe=4, m=8, ksub=16
