@@ -2,8 +2,10 @@
 §2.2 north-star: "the operations a large-scale training-data pipeline
 would need" beyond dedup/similarity).
 
-Three production shapes, each pure DataFrame ops (no UDFs, codegen'd
-per-row work, shuffles only on small aggregate keys):
+Three production shapes; decontamination and packing are pure DataFrame
+ops (codegen'd per-row work, shuffles only on small aggregate keys),
+the repetition gate is a single Arrow-batched pass (see its docstring
+for why a pandas UDF is the at-scale choice there):
 
 - **Repetition filtering** (the Gopher/C4-style quality gate): documents
   dominated by repeated words / n-grams are SEO spam or boilerplate;

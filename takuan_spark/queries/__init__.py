@@ -88,19 +88,20 @@ PRIORITY: list[str] = [
     "ns_pq_topk", "ns_pq_probe", "ns_pq_rerank", "ns_ivfpq_probe",
     "ns_pii_redact", "ns_sample_to_mix", "ns_chunk_documents",
     "ns_rag_pipeline",
-    # changed this round (re-verify): in-plan TF-IDF doc count
-    "ns_tfidf_topterms",
     # new time-series family (gap-fill/LOCF/interpolate, rollup merge)
     "q_gap_fill_interpolate", "q_hypertable_rollup",
     # adapted TPC-H shapes new this round
     "q11_part_value_share", "q12_priority_by_returnflag",
     "q16_supplier_count_by_part", "q20_promo_share_suppliers",
-    # headline keep-greens fill any remaining driver window (displaced
-    # r1 greens — q1/q3, q_asof_join, q_rollup, q_grouping_sets,
-    # q_pandas_udaf, q4/q6/q10/q14/q19, ns_embedding_neardup,
-    # ns_dedup_exact, ns_jaccard_neardup, ns_similarity_topk — stay on
-    # record in CORRECTNESS_r01 and remain covered by tests/test_oracle.py)
-    "q1_pricing_summary", "q3_shipping_priority",
+    # queries that ALREADY have a green r1 driver row come last, so the
+    # driver's row window (50 in r1) is spent entirely on rows that
+    # don't exist yet; tfidf changed this round (in-plan doc count) but
+    # remains covered locally either way. Other displaced r1 greens —
+    # q_asof_join, q_rollup, q_grouping_sets, q_pandas_udaf,
+    # q4/q6/q10/q14/q19, ns_embedding_neardup, ns_dedup_exact,
+    # ns_jaccard_neardup, ns_similarity_topk — stay on record in
+    # CORRECTNESS_r01 and remain covered by tests/test_oracle.py.
+    "ns_tfidf_topterms", "q1_pricing_summary", "q3_shipping_priority",
 ]
 
 
