@@ -1,0 +1,215 @@
+"""Mergeable sketch aggregates on the portable md5 hash family.
+
+Classic OLAP sketches — KMV (k-minimum-values) for distinct counts,
+count-min for frequency estimates — built so that an external SQL
+engine derives bit-identical state from the same data: hashes come from
+``operators.hashing.md5_int`` (md5 is md5 everywhere), estimates use
+only integer/double arithmetic both engines evaluate identically. That
+makes APPROXIMATE answers hash-match oracle-checkable, the same story
+as the MinHash/SimHash families.
+
+Why sketches at 100 TB: an exact distinct shuffles every distinct value
+to its group; a KMV sketch keeps k 8-byte hashes per group and merges
+associatively, so partial aggregation collapses each map partition to
+at most k values before the exchange. Count-min is a fixed (depth x
+width) counter grid per group — bounded state however many distinct
+items flow through, built with ordinary partial+final hash aggregation.
+
+Determinism note: the KMV merged state (the k smallest DISTINCT hashes
+over the whole group) is independent of partitioning and merge order —
+that is what makes the partial/merge implementation exactly equal to
+the oracle's global formulation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from takuan_spark.operators.hashing import md5_int, sql_md5_int
+
+#: md5_int(hex_chars=15) draws from [0, 2^60): the domain size in the
+#: KMV estimator. Embedded as a literal in both engines' formulas.
+KMV_DOMAIN = 1 << 60
+
+
+def kmv_distinct(
+    exploded: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV distinct-count sketch per group: (group..., est_distinct,
+    n_kept) where ``est_distinct = floor((k-1) * 2^60 / h_k)`` when the
+    group saw >= k distinct hashes, else the exact kept count.
+
+    Two-phase, state bounded by k everywhere:
+
+    1. partial (narrow, mapInPandas): each input partition reduces to at
+       most k distinct minimum hashes per group it contains — this is
+       the map-side combine an exact distinct cannot have;
+    2. merge: ``collect_list`` of the per-partition arrays (each <= k,
+       so a group's merge input is <= k * partitions values, not its
+       distinct cardinality), flatten/dedup/sort/slice back to k.
+
+    The merged k-minimum set equals the global k smallest distinct
+    hashes regardless of partitioning, so the DuckDB oracle can compute
+    it with a plain ``row_number() <= k`` over distinct hashes.
+    """
+    groups = list(group_cols)
+    hashed = exploded.select(
+        *groups, (md5_int(F.col(value_col), hex_chars=15)).alias("h")
+    )
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Vectorized per-partition reduce: after every batch the carried
+        # state is at most k rows per group seen — the sketch bound.
+        state: pd.DataFrame | None = None
+        for pdf in batches:
+            frames = [pdf] if state is None else [state, pdf]
+            state = (
+                pd.concat(frames, ignore_index=True)
+                .drop_duplicates()
+                .sort_values("h", kind="mergesort")
+                .groupby(groups, sort=False)
+                .head(k)
+            )
+        if state is None or state.empty:
+            yield pd.DataFrame({**{g: [] for g in groups}, "ks": []})
+            return
+        out = (
+            state.sort_values("h", kind="mergesort")
+            .groupby(groups, as_index=False, sort=False)
+            .agg(ks=("h", lambda s: s.tolist()))
+        )
+        yield out
+
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in hashed.schema.fields[:-1]]
+        + ["ks array<bigint>"]
+    )
+    partials = hashed.mapInPandas(_partial, schema)
+    merged = partials.groupBy(*groups).agg(
+        F.slice(
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("ks")))),
+            1,
+            k,
+        ).alias("ks")
+    )
+    n_kept = F.size("ks")
+    h_k = F.element_at("ks", k)
+    est = F.floor((F.lit(float(k - 1)) * F.lit(float(KMV_DOMAIN))) / h_k)
+    return merged.select(
+        *groups,
+        F.when(n_kept >= k, est).otherwise(n_kept.cast("bigint")).alias(
+            "est_distinct"
+        ),
+        n_kept.cast("int").alias("n_kept"),
+    )
+
+
+def kmv_oracle_sql(
+    *,
+    source_expr: str,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`kmv_distinct` over ``source_expr`` (a
+    relation producing (group, value) rows): global k smallest distinct
+    hashes per group via row_number."""
+    return f"""
+    WITH hashed AS (
+        SELECT DISTINCT {group_col},
+               {sql_md5_int(value_col, hex_chars=15)} AS h
+        FROM {source_expr}
+    ),
+    ranked AS (
+        SELECT {group_col}, h,
+               ROW_NUMBER() OVER (PARTITION BY {group_col} ORDER BY h) AS rn
+        FROM hashed
+    ),
+    kept AS (
+        SELECT {group_col},
+               CAST(COUNT(*) AS INT) AS n_kept,
+               MAX(CASE WHEN rn = {k} THEN h END) AS h_k
+        FROM ranked WHERE rn <= {k}
+        GROUP BY {group_col}
+    )
+    SELECT {group_col},
+           CAST(CASE WHEN n_kept >= {k}
+                     THEN floor(({k} - 1.0) * {float(KMV_DOMAIN)} / h_k)
+                     ELSE n_kept END AS BIGINT) AS est_distinct,
+           n_kept
+    FROM kept
+    """
+
+
+def cms_counters(
+    exploded: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch counters per group: (group..., row, bucket, c)
+    with ``bucket = md5_int(concat(row, ':', value)) % width``. The
+    counter grid is depth x width rows per group — fixed-size state
+    built by one partial+final hash aggregation over the exploded
+    items, whatever the distinct cardinality."""
+    groups = list(group_cols)
+    rows = F.explode(
+        F.array(*[F.lit(j) for j in range(depth)])
+    ).alias("row")
+    plane = exploded.select(*groups, F.col(value_col).alias("v"), rows)
+    bucket = (
+        md5_int(F.concat_ws(":", F.col("row"), F.col("v")), hex_chars=15)
+        % F.lit(width)
+    ).cast("int")
+    return (
+        plane.select(*groups, "row", bucket.alias("bucket"))
+        .groupBy(*groups, "row", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    probes: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    probe_col: str = "term",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-estimate item frequencies from CMS counters: for each
+    (group, probe term), est = min over rows of the counter at that
+    row's bucket (the classic upper-bound estimate; over-counts only on
+    collisions). An EMPTY bucket means a count of 0, so the probe grid
+    left-joins the counters (an inner join would silently drop the
+    zero rows and overestimate absent terms). The probe side is tiny
+    and broadcast against the depth x width counter grid."""
+    groups = list(group_cols)
+    rows = F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("row")
+    pr = probes.select(F.col(probe_col).alias("term"), rows)
+    pr = pr.withColumn(
+        "bucket",
+        (
+            md5_int(F.concat_ws(":", F.col("row"), F.col("term")), hex_chars=15)
+            % F.lit(width)
+        ).cast("int"),
+    )
+    grid = counters.select(*groups).distinct().crossJoin(F.broadcast(pr))
+    joined = grid.join(
+        counters, [*groups, "row", "bucket"], "left"
+    ).withColumn("c", F.coalesce("c", F.lit(0)))
+    return (
+        joined.groupBy(*groups, "term")
+        .agg(F.min("c").cast("bigint").alias("est_count"))
+    )

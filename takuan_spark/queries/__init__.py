@@ -93,6 +93,8 @@ PRIORITY: list[str] = [
     # adapted TPC-H shapes new this round
     "q11_part_value_share", "q12_priority_by_returnflag",
     "q16_supplier_count_by_part", "q20_promo_share_suppliers",
+    # oracle-checkable sketch aggregates new this round
+    "ns_kmv_distinct", "ns_cms_heavy_hitters",
     # queries that ALREADY have a green r1 driver row come last, so the
     # driver's row window (50 in r1) is spent entirely on rows that
     # don't exist yet; tfidf changed this round (in-plan doc count) but
@@ -137,6 +139,7 @@ def _load() -> None:
         multimodal,
         northstar,
         relational,
+        sketches,
         takuan,
         timeseries,
     )

@@ -1,0 +1,66 @@
+"""Unit tests for the sketch aggregates: KMV partitioning invariance
+(the property that makes the approximate answer oracle-checkable) and
+CMS estimate guarantees. Oracle comparison lives in test_oracle.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from takuan_spark.operators import sketches
+
+
+def _toks(spark, n_parts):
+    rows = [("s%d" % (i % 2), "tok%d" % (i % 37)) for i in range(500)]
+    return spark.createDataFrame(rows, "source string, tok string").repartition(
+        n_parts
+    )
+
+
+def test_kmv_exact_below_k_and_partition_invariant(spark):
+    # 37 distinct per source < k=64 -> exact count; and the result must
+    # not depend on how the input was partitioned (merge associativity).
+    outs = []
+    for n_parts in (1, 7):
+        out = (
+            sketches.kmv_distinct(
+                _toks(spark, n_parts), group_cols=["source"], value_col="tok", k=64
+            )
+            .orderBy("source")
+            .collect()
+        )
+        outs.append([(r["source"], r["est_distinct"], r["n_kept"]) for r in out])
+    assert outs[0] == outs[1]
+    assert all(est == 37 and kept == 37 for _, est, kept in outs[0])
+
+
+def test_kmv_estimate_accuracy_above_k(spark):
+    rows = [("s", f"item-{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "source string, tok string").repartition(11)
+    out = sketches.kmv_distinct(
+        df, group_cols=["source"], value_col="tok", k=64
+    ).collect()[0]
+    assert out["n_kept"] == 64
+    # KMV with k=64 has ~1/sqrt(62) ~ 13% std error; allow 3 sigma.
+    assert 3000 < out["est_distinct"] < 7500
+
+
+def test_cms_estimate_upper_bounds_and_zero_for_absent(spark):
+    rows = [("s", "alpha")] * 40 + [("s", "beta")] * 7 + [("s", "gamma")] * 1
+    toks = spark.createDataFrame(rows, "source string, tok string")
+    counters = sketches.cms_counters(
+        toks, group_cols=["source"], value_col="tok", depth=4, width=256
+    )
+    probes = spark.createDataFrame(
+        [("alpha",), ("beta",), ("never-seen",)], "term string"
+    )
+    out = {
+        r["term"]: r["est_count"]
+        for r in sketches.cms_estimate(
+            counters, probes, group_cols=["source"], depth=4, width=256
+        ).collect()
+    }
+    # CMS never underestimates; with 3 items in 4x256 cells collisions
+    # are essentially impossible, so estimates are exact here.
+    assert out["alpha"] == 40
+    assert out["beta"] == 7
+    assert out["never-seen"] == 0
