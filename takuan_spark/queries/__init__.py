@@ -95,6 +95,8 @@ PRIORITY: list[str] = [
     "q16_supplier_count_by_part", "q20_promo_share_suppliers",
     # oracle-checkable sketch aggregates new this round
     "ns_kmv_distinct", "ns_cms_heavy_hitters",
+    # UDTF surface (one-row-to-many with LATERAL)
+    "q_udtf_tokenize",
     # queries that ALREADY have a green r1 driver row come last, so the
     # driver's row window (50 in r1) is spent entirely on rows that
     # don't exist yet; tfidf changed this round (in-plan doc count) but
@@ -141,6 +143,7 @@ def _load() -> None:
         relational,
         sketches,
         takuan,
+        udtf_surface,
         timeseries,
     )
 
