@@ -1,0 +1,75 @@
+"""Portable Bloom-filter pre-filtering — the runtime-filter join
+optimization, made oracle-checkable.
+
+The at-scale pattern: before a big fact-to-dim join shuffles the fact
+table, broadcast a small bit-set built from the dim keys and drop fact
+rows that cannot match. Spark's own runtime filters (and Parquet
+bloom filters) do this opaquely; this operator builds the filter from
+the portable md5 hash family, so which rows pass — including the false
+positives — is bit-reproducible by an external SQL engine.
+
+The filter state is a sorted array of occupied bucket ids (at most
+``mbits`` ints, broadcast as one row). Membership tests are ``k``
+``array_contains`` lookups AND-ed together — pure codegen'd
+expressions on the fact side; no UDFs, no join until after the
+pre-filter has discarded the misses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from takuan_spark.operators.hashing import md5_int, sql_md5_int
+
+
+def _bucket(key: Column, j: int, mbits: int) -> Column:
+    return (
+        md5_int(F.concat_ws(":", F.lit(j), key), hex_chars=15) % F.lit(mbits)
+    ).cast("int")
+
+
+def bloom_build(
+    keys: DataFrame,
+    *,
+    key_col: str,
+    mbits: int = 1024,
+    k: int = 3,
+) -> DataFrame:
+    """One-row frame ``(bloom array<int>)``: the sorted distinct bucket
+    ids occupied by the key set under ``k`` hash functions. Bounded by
+    ``mbits`` whatever the key count — that bound is what makes it
+    broadcastable when the dim is too big to broadcast raw."""
+    buckets = keys.select(
+        F.explode(
+            F.array(*[_bucket(F.col(key_col), j, mbits) for j in range(k)])
+        ).alias("b")
+    )
+    return buckets.agg(F.sort_array(F.collect_set("b")).alias("bloom"))
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    bloom: DataFrame,
+    *,
+    key_col: str,
+    mbits: int = 1024,
+    k: int = 3,
+) -> DataFrame:
+    """Fact rows whose key MIGHT be in the filter (all ``k`` buckets
+    occupied). The one-row bloom frame is broadcast; the membership
+    predicate is codegen'd array lookups, evaluated before any shuffle
+    of the fact table."""
+    cond = None
+    for j in range(k):
+        c = F.array_contains(F.col("bloom"), _bucket(F.col(key_col), j, mbits))
+        cond = c if cond is None else (cond & c)
+    return fact.crossJoin(F.broadcast(bloom)).where(cond).drop("bloom")
+
+
+def sql_bloom_bucket(key_expr: str, j: int, mbits: int) -> str:
+    """DuckDB spelling of the bucket hash — identical integers to
+    :func:`_bucket` (Spark's concat_ws renders a bigint key the same
+    way CAST AS VARCHAR does)."""
+    inner = f"('{j}:' || CAST({key_expr} AS VARCHAR))"
+    return f"CAST({sql_md5_int(inner, hex_chars=15)} % {mbits} AS INT)"

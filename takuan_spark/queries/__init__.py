@@ -97,6 +97,8 @@ PRIORITY: list[str] = [
     "ns_kmv_distinct", "ns_cms_heavy_hitters",
     # UDTF surface (one-row-to-many with LATERAL)
     "q_udtf_tokenize",
+    # bloom runtime pre-filter (oracle-reproducible pass set)
+    "q_bloom_prefilter",
     # queries that ALREADY have a green r1 driver row come last, so the
     # driver's row window (50 in r1) is spent entirely on rows that
     # don't exist yet; tfidf changed this round (in-plan doc count) but
@@ -137,6 +139,7 @@ def _load() -> None:
         return
     from takuan_spark.queries import (  # noqa: F401
         advanced,
+        bloom_filter,
         curation,
         multimodal,
         northstar,
