@@ -72,9 +72,11 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     passed = bloom.bloom_prefilter(
         li.select("l_suppkey"), bl, key_col="l_suppkey", mbits=_MBITS, k=_K
     ).agg(F.count("*").alias("n_bloom_pass"))
+    # the supplier subset scales with SF: AQE decides (the bloom
+    # frame above is one row and IS hinted — that bound is the point).
     exact = (
         li.select("l_suppkey")
-        .join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey, "left_semi")
+        .join(eu, li.l_suppkey == eu.s_suppkey, "left_semi")
         .agg(F.count("*").alias("n_exact"))
     )
     return passed.crossJoin(exact).select(

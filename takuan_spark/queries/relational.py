@@ -1416,11 +1416,16 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r_name = 'EUROPE'
     ),
     val AS (
-        SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS value
+        -- per-term round -> DECIMAL before SUM: the aggregate is exact
+        -- and ORDER-INSENSITIVE, so the result cannot drift with the
+        -- physical join strategy / partitioning on either engine
+        SELECT l_partkey,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                        AS DECIMAL(18,4))) AS value
         FROM lineitem JOIN eu_supp ON l_suppkey = s_suppkey
         GROUP BY l_partkey
     )
-    SELECT l_partkey, ROUND(value, 2) AS value
+    SELECT l_partkey, ROUND(CAST(value AS DOUBLE), 2) AS value
     FROM val
     WHERE value > (SELECT SUM(value) * 0.0005 FROM val)
     ORDER BY value DESC, l_partkey
@@ -1445,21 +1450,26 @@ def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .select("s_suppkey")
     )
-    # suppliers are a small dim: broadcast the semi-join so lineitem
-    # only shuffles once, on l_partkey for the aggregate.
+    # the supplier subset scales with SF: no broadcast hint — AQE
+    # picks broadcast while it fits and falls back to shuffle join
+    # beyond that. The one-row threshold below IS hinted.
+    # per-term round -> decimal before the sum: exact, order-insensitive
+    # aggregation that cannot drift with the join strategy (see oracle).
+    term = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
     val = materialize(
-        li.join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey, "left_semi")
+        li.join(eu, li.l_suppkey == eu.s_suppkey, "left_semi")
         .groupBy("l_partkey")
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "value"
-            )
-        )
+        .agg(F.sum(term).alias("value"))
     )
     threshold = val.agg((F.sum("value") * F.lit(0.0005)).alias("thr"))
     return (
         val.join(F.broadcast(threshold), F.col("value") > F.col("thr"))
-        .select("l_partkey", F.round("value", 2).alias("value"))
+        .select(
+            "l_partkey",
+            F.round(F.col("value").cast("double"), 2).alias("value"),
+        )
         .orderBy(F.desc("value"), "l_partkey")
     )
 
@@ -1542,9 +1552,12 @@ def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s_acctbal") < 0)
         .select("s_suppkey")
     )
+    # part and the excluded-supplier set scale with SF — leave the
+    # join strategy to AQE rather than pinning a broadcast that breaks
+    # at 100x.
     return (
-        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -1596,8 +1609,9 @@ def q20_promo_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p_type") == "PROMO")
         .select("p_partkey")
     )
+    # promo partkeys scale with SF: AQE decides the strategy.
     shipped = (
-        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi")
+        li.join(promo, li.l_partkey == promo.p_partkey, "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -1612,11 +1626,7 @@ def q20_promo_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = _t(spark, sf_dir, "nation")
     return (
         supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .join(
-            F.broadcast(qualifying),
-            supp.s_suppkey == qualifying.l_suppkey,
-            "left_semi",
-        )
+        .join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name", "n_name")
         .orderBy("s_suppkey")
     )
