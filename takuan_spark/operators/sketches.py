@@ -80,7 +80,15 @@ def kmv_distinct(
                 .head(k)
             )
         if state is None or state.empty:
-            yield pd.DataFrame({**{g: [] for g in groups}, "ks": []})
+            # empty partitions still flow through Arrow: the list column
+            # must be object-dtyped or the converter infers float64 and
+            # rejects the list<bigint> target type
+            yield pd.DataFrame(
+                {
+                    **{g: pd.Series([], dtype=object) for g in groups},
+                    "ks": pd.Series([], dtype=object),
+                }
+            )
             return
         out = (
             state.sort_values("h", kind="mergesort")

@@ -33,6 +33,18 @@ def test_kmv_exact_below_k_and_partition_invariant(spark):
     assert all(est == 37 and kept == 37 for _, est, kept in outs[0])
 
 
+def test_kmv_handles_empty_partitions(spark):
+    # 10 rows spread over 50 partitions: most partitions are empty, and
+    # their empty Arrow batches must carry object-dtyped list columns
+    # (a float64-inferred empty column fails list<bigint> conversion).
+    rows = [("s", f"t{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "source string, tok string").repartition(50)
+    out = sketches.kmv_distinct(
+        df, group_cols=["source"], value_col="tok", k=64
+    ).collect()
+    assert out[0]["est_distinct"] == 10
+
+
 def test_kmv_estimate_accuracy_above_k(spark):
     rows = [("s", f"item-{i}") for i in range(5000)]
     df = spark.createDataFrame(rows, "source string, tok string").repartition(11)
