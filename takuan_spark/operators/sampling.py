@@ -104,3 +104,46 @@ def sample_to_mix(
     return df.join(F.broadcast(thresholds), stratum_col).where(
         _bucket(key_col, seed) < F.col("thr")
     ).drop("thr")
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    stratum_col: str,
+    order_col: str,
+    stride: int,
+) -> DataFrame:
+    """Size-proportional systematic sampling: a row is selected iff its
+    weight interval ``[cum_before, cum_before + w)`` crosses a multiple
+    of ``stride`` on the per-stratum cumulative weight line — so
+    selection probability is proportional to weight (rows heavier than
+    ``stride`` are always selected), the expected sample size is
+    ``total_weight / stride``, and everything is INTEGER arithmetic:
+    deterministic, partition-invariant, reproducible by any engine (no
+    RNG, no transcendental priority keys).
+
+    The cumulative sum is a per-stratum window ordered by ``order_col``
+    (same bounded shape as sequence packing: sorts happen within
+    strata, never globally). Output adds ``cum_before`` and ``n_picks``
+    (how many stride boundaries the interval crosses — the sampling
+    multiplicity a with-replacement estimator would weight by).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(F.col(weight_col).cast("bigint")).over(w), F.lit(0)
+    )
+    picks = (
+        (cum_before + F.col(weight_col).cast("bigint")) / stride
+    ).cast("bigint") - (cum_before / stride).cast("bigint")
+    return (
+        df.withColumn("cum_before", cum_before)
+        .withColumn("n_picks", picks)
+        .where(F.col("n_picks") >= 1)
+    )

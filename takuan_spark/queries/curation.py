@@ -479,3 +479,50 @@ def ns_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sim"), "doc_id", "chunk_id")
         .limit(5)
     )
+
+
+@query(
+    "ns_weighted_sample",
+    """
+    WITH c AS (
+        SELECT doc_id, lang, n_chars,
+               COALESCE(SUM(n_chars) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(cum_before AS BIGINT) AS cum_before,
+           CAST((cum_before + n_chars) // 20000 - cum_before // 20000
+                AS BIGINT) AS n_picks
+    FROM c
+    WHERE (cum_before + n_chars) // 20000 - cum_before // 20000 >= 1
+    ORDER BY lang, doc_id
+    """,
+    "Size-proportional systematic sampling per language: a document is "
+    "selected iff its weight interval crosses a 20000-char stride "
+    "boundary on the per-stratum cumulative line — selection "
+    "probability proportional to n_chars, expected sample total_chars/"
+    "stride, pure integer arithmetic (no RNG, no transcendental "
+    "priority keys), partition-invariant and engine-portable. n_picks "
+    "is the with-replacement multiplicity.",
+)
+def ns_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.sampling import weighted_systematic_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_systematic_sample(
+        docs,
+        weight_col="n_chars",
+        stratum_col="lang",
+        order_col="doc_id",
+        stride=20000,
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "cum_before",
+        "n_picks",
+    ).orderBy("lang", "doc_id")
