@@ -1630,3 +1630,28 @@ def q20_promo_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "q_except_all",
+    """
+    SELECT nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey FROM supplier
+    )
+    ORDER BY nationkey
+    """,
+    "Set operation EXCEPT ALL (multiset semantics: each supplier row "
+    "cancels ONE customer row with the same nation key, surviving "
+    "multiplicities preserved) — exceptAll in the DataFrame API; "
+    "complements q_set_ops' INTERSECT and the join-form q_anti_join.",
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.exceptAll(supp).orderBy("nationkey")
