@@ -211,3 +211,46 @@ def test_ivfpq_probe_prunes_cells_and_reads_codes_only(spark, sf_dir, tmp_path):
     read_schema = re.search(r"ReadSchema: ([^\n]+)", plan).group(1)
     assert "embedding" not in read_schema, read_schema
     assert "codes" in read_schema
+
+
+def test_gap_fill_prunes_scan_and_single_window_sort(spark, sf_dir):
+    plan = plan_of(REGISTRY["q_gap_fill_interpolate"].builder(spark, sf_dir))
+    # the events scan reads only the three needed columns
+    read_schema = re.search(r"ReadSchema: ([^\n]+)", plan).group(1)
+    assert "ts" in read_schema and "event_type" in read_schema
+    assert "props" not in read_schema and "user_id" not in read_schema
+    tree = tree_of(plan)
+    # LOCF + the four interpolation anchors share one partitioning and
+    # ordering: two adjacent Window nodes, no exchange between them
+    # (the windows sit directly on one sort of the filled series)
+    assert tree.count("Window") == 2
+    assert "InMemoryTableScan" in tree  # the bucketed series is cached once
+
+
+def test_bloom_prefilter_before_any_exchange(spark, sf_dir):
+    plan = plan_of(REGISTRY["q_bloom_prefilter"].builder(spark, sf_dir))
+    tree = tree_of(plan)
+    # the membership filter must sit below the aggregate's exchange:
+    # find the bloom-pass branch -> its Filter appears deeper than any
+    # Exchange on the lineitem path. Cheap structural proxy: the fact
+    # scan's ReadSchema is the single join column, and the pass-count
+    # branch has no SortMergeJoin (one-row bloom frame broadcast only).
+    schemas = re.findall(r"ReadSchema: ([^\n]+)", plan)
+    assert any(s.count(":") == 1 and "l_suppkey" in s for s in schemas)
+    assert "array_contains" in plan
+    assert "SortMergeJoin" not in tree.split("BroadcastNestedLoopJoin")[0]
+
+
+def test_kmv_exchange_carries_sketches_not_values(spark, sf_dir):
+    plan = plan_of(REGISTRY["ns_kmv_distinct"].builder(spark, sf_dir))
+    tree = tree_of(plan)
+    # the partial sketch runs in one ArrowEvalPython/mapInPandas stage
+    # BELOW the exchange: the shuffle moves (source, ks-array) rows,
+    # not exploded token hashes
+    assert "MapInPandas" in tree
+    pos_map = tree.find("MapInPandas")
+    pos_exchange = tree.find("Exchange")
+    assert pos_exchange != -1 and pos_map != -1
+    # in explain output, deeper operators appear later; the map stage
+    # must be deeper (later) than the aggregate exchange it feeds
+    assert pos_map > pos_exchange
