@@ -240,3 +240,74 @@ def test_affine_params_deterministic_and_in_range():
     for a, b in p1:
         assert 1 <= a < MERSENNE31 and 0 <= b < MERSENNE31
     assert len({ab for ab in p1}) == 64  # distinct members
+
+
+# ---------------------------------------------------------- timeseries
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),  # bucket index
+            st.floats(
+                min_value=-100, max_value=100, allow_nan=False, width=32
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_gap_fill_spine_density_and_locf(spark, points):
+    """The filled series has exactly (max-min)/interval + 1 rows, the
+    value column survives on observed buckets, and LOCF is never null
+    (the spine starts at the first observation)."""
+    import datetime as dt
+
+    from takuan_spark.operators.timeseries import gap_fill
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("g", base + dt.timedelta(seconds=600 * i), float(v))
+        for i, v in points
+    ]
+    series = spark.createDataFrame(
+        rows, "g string, bucket timestamp_ntz, v double"
+    )
+    out = gap_fill(
+        series, group_cols=["g"], interval_secs=600, value_col="v"
+    ).collect()
+    idxs = sorted(i for i, _ in points)
+    assert len(out) == idxs[-1] - idxs[0] + 1
+    assert all(r["locf_value"] is not None for r in out)
+    observed = {i for i, _ in points}
+    for r in out:
+        i = int((r["bucket"] - base).total_seconds()) // 600
+        assert (r["v"] is not None) == (i in observed)
+
+
+# ------------------------------------------------------------ sketches
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="abcdefghij", min_size=1, max_size=6
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=2, max_value=7),
+)
+def test_kmv_exact_when_under_k_any_partitioning(spark, toks, n_parts):
+    """With fewer distinct values than k the sketch IS the distinct
+    count, under any partitioning of the input."""
+    from takuan_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("s", t) for t in toks], "source string, tok string"
+    ).repartition(n_parts)
+    out = kmv_distinct(
+        df, group_cols=["source"], value_col="tok", k=4096
+    ).collect()[0]
+    assert out["est_distinct"] == len(set(toks))
