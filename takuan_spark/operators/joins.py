@@ -37,17 +37,30 @@ def asof_join(
     right_time: str,
     right_values: dict[str, str],
     direction: str = "backward",
+    tolerance_secs: int | None = None,
 ) -> DataFrame:
     """Point-in-time join: every left row + the matching right row's
     values (null when no right row qualifies — left-outer semantics).
 
     ``right_values`` maps right-side column -> output name (output names
     must not collide with left columns). ``direction='backward'`` takes
-    the latest right row with ``right_time <= left_time``; ``'forward'``
-    the earliest with ``right_time >= left_time``.
+    the latest right row with ``right_time <= left_time``;
+    ``'forward'`` the earliest with ``right_time >= left_time``;
+    ``'nearest'`` whichever of the two is closer in time (tie →
+    backward, matching pandas ``merge_asof``). ``tolerance_secs``
+    drops a match farther than that from the left time (the pandas
+    ``tolerance`` parameter).
+
+    ``nearest`` stays ONE shuffle: both directional windows share the
+    union's hash partitioning on the key — Spark adds a second
+    in-partition sort for the opposite ordering but never re-exchanges.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    from takuan_spark.operators.timeseries import epoch_secs
+
     payload = F.struct(
         F.col(right_time).alias("_rt"),
         *[F.col(src).alias(out) for src, out in right_values.items()],
@@ -62,15 +75,42 @@ def asof_join(
         "_t", F.col(left_time)
     ).withColumn("_side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
-    t_order: Column = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(t_order, F.col("_side").asc(), F.col("_rv").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # materialize the window result BEFORE filtering to left rows — the
+
+    def _dir_window(backward: bool) -> Window:
+        t_order: Column = F.col("_t").asc() if backward else F.col("_t").desc()
+        return (
+            Window.partitionBy("_k")
+            .orderBy(t_order, F.col("_side").asc(), F.col("_rv").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    # the window result is computed BEFORE filtering to left rows — the
     # frame must see the right rows that the filter removes.
-    u = u.withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
+    if direction in ("backward", "forward"):
+        u = u.withColumn(
+            "_m", F.last("_rv", ignorenulls=True).over(_dir_window(direction == "backward"))
+        )
+    else:
+        mb = F.last("_rv", ignorenulls=True).over(_dir_window(True))
+        mf = F.last("_rv", ignorenulls=True).over(_dir_window(False))
+        u = u.withColumn("_mb", mb).withColumn("_mf", mf)
+        t = epoch_secs(F.col("_t"))
+        db = t - epoch_secs(F.col("_mb._rt"))
+        df_ = epoch_secs(F.col("_mf._rt")) - t
+        u = u.withColumn(
+            "_m",
+            F.when(F.col("_mb").isNull(), F.col("_mf"))
+            .when(F.col("_mf").isNull(), F.col("_mb"))
+            .when(db <= df_, F.col("_mb"))
+            .otherwise(F.col("_mf")),
+        )
+    if tolerance_secs is not None:
+        dist = F.abs(
+            epoch_secs(F.col("_m._rt")) - epoch_secs(F.col("_t"))
+        )
+        u = u.withColumn(
+            "_m", F.when(dist <= tolerance_secs, F.col("_m"))
+        )
     out_cols = [F.col(c) for c in left.columns] + [
         F.col("_m")[out].alias(out) for out in right_values.values()
     ]

@@ -103,6 +103,8 @@ PRIORITY: list[str] = [
     "ns_weighted_sample",
     # multiset EXCEPT ALL set op
     "q_except_all",
+    # as-of nearest + tolerance (merge_asof parity)
+    "q_asof_nearest_tolerance",
     # queries that ALREADY have a green r1 driver row come last, so the
     # driver's row window (50 in r1) is spent entirely on rows that
     # don't exist yet; tfidf changed this round (in-plan doc count) but

@@ -563,3 +563,82 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_buckets=16,
     )
     return out.orderBy(F.desc("n_events"), F.asc("user_id")).limit(50)
+
+
+@query(
+    "q_asof_nearest_tolerance",
+    """
+    WITH errors AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'error'),
+         clicks AS (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'click'),
+    b AS (
+        SELECT e.event_id, e.user_id, e.ts, c.ts AS bt, c.value AS bv
+        FROM errors e ASOF LEFT JOIN clicks c
+          ON e.user_id = c.user_id AND e.ts >= c.ts
+    ),
+    f AS (
+        SELECT e.event_id, c.ts AS ft, c.value AS fv
+        FROM errors e ASOF LEFT JOIN clicks c
+          ON e.user_id = c.user_id AND e.ts <= c.ts
+    ),
+    picked AS (
+        SELECT b.event_id, b.user_id, b.ts,
+               CASE WHEN bt IS NULL THEN ft
+                    WHEN ft IS NULL THEN bt
+                    WHEN CAST(epoch(date_trunc('second', b.ts)) AS BIGINT)
+                         - CAST(epoch(date_trunc('second', bt)) AS BIGINT)
+                      <= CAST(epoch(date_trunc('second', ft)) AS BIGINT)
+                         - CAST(epoch(date_trunc('second', b.ts)) AS BIGINT)
+                    THEN bt ELSE ft END AS ct,
+               CASE WHEN bt IS NULL THEN fv
+                    WHEN ft IS NULL THEN bv
+                    WHEN CAST(epoch(date_trunc('second', b.ts)) AS BIGINT)
+                         - CAST(epoch(date_trunc('second', bt)) AS BIGINT)
+                      <= CAST(epoch(date_trunc('second', ft)) AS BIGINT)
+                         - CAST(epoch(date_trunc('second', b.ts)) AS BIGINT)
+                    THEN bv ELSE fv END AS cv
+        FROM b JOIN f USING (event_id)
+    )
+    SELECT event_id, user_id, ts AS err_ts,
+           CASE WHEN abs(CAST(epoch(date_trunc('second', ct)) AS BIGINT)
+                         - CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+                     <= 1800 THEN ct END AS click_ts,
+           CASE WHEN abs(CAST(epoch(date_trunc('second', ct)) AS BIGINT)
+                         - CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+                     <= 1800 THEN cv END AS click_value
+    FROM picked
+    ORDER BY event_id
+    """,
+    "As-of join, nearest direction with 30-minute tolerance (pandas "
+    "merge_asof parity): each error matches the CLOSER of the latest "
+    "click before and the earliest click after (tie -> backward), "
+    "dropped when farther than the tolerance. Spark side is still ONE "
+    "shuffle — both directional windows share the union's hash "
+    "partitioning; the oracle composes two DuckDB ASOF joins. "
+    "Distances are whole-second floors on both engines.",
+)
+def q_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return (
+        asof_join(
+            errors,
+            clicks,
+            on="user_id",
+            left_time="ts",
+            right_time="ts",
+            right_values={"ts": "click_ts", "value": "click_value"},
+            direction="nearest",
+            tolerance_secs=1800,
+        )
+        .withColumnRenamed("ts", "err_ts")
+        .orderBy("event_id")
+    )

@@ -68,3 +68,37 @@ def test_asof_single_shuffle_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_nearest_tie_goes_backward_and_tolerance_drops(spark):
+    import datetime as dt
+
+    from takuan_spark.operators.joins import asof_join
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, "k", base), (2, "k", base + dt.timedelta(hours=6))],
+        "id long, k string, t timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", base - dt.timedelta(seconds=60), 1.0),  # 60s before
+            ("k", base + dt.timedelta(seconds=60), 2.0),  # 60s after: tie
+        ],
+        "k string, t timestamp_ntz, v double",
+    )
+    out = {
+        r["id"]: (r["near_v"],)
+        for r in asof_join(
+            left,
+            right,
+            on="k",
+            left_time="t",
+            right_time="t",
+            right_values={"v": "near_v"},
+            direction="nearest",
+            tolerance_secs=3600,
+        ).collect()
+    }
+    assert out[1] == (1.0,)  # equal distance -> backward wins
+    assert out[2] == (None,)  # nearest match is 5h59m away -> tolerance
