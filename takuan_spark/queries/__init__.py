@@ -105,6 +105,8 @@ PRIORITY: list[str] = [
     "q_except_all",
     # as-of nearest + tolerance (merge_asof parity)
     "q_asof_nearest_tolerance",
+    # RANGE (interval) window frame
+    "q_window_range_frame",
     # queries that ALREADY have a green r1 driver row come last, so the
     # driver's row window (50 in r1) is spent entirely on rows that
     # don't exist yet; tfidf changed this round (in-plan doc count) but

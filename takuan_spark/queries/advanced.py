@@ -642,3 +642,45 @@ def q_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("ts", "err_ts")
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_window_range_frame",
+    """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_hour,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+           ), 2) AS value_last_hour
+    FROM events
+    ORDER BY event_id
+    """,
+    "RANGE window frames (value-based, not row-count-based): per event, "
+    "the count and value sum of the same user's events in the trailing "
+    "hour — a rolling aggregate whose frame is a TIME interval, so ties "
+    "and gaps behave correctly where a ROWS frame would not. Ordering "
+    "key is the whole-second epoch (timezone-free) on both engines.",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from takuan_spark.operators.timeseries import epoch_secs
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_secs(F.col("ts")))
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("value_last_hour"),
+    ).orderBy("event_id")
