@@ -46,10 +46,10 @@ def asof_join(
     must not collide with left columns). ``direction='backward'`` takes
     the latest right row with ``right_time <= left_time``;
     ``'forward'`` the earliest with ``right_time >= left_time``;
-    ``'nearest'`` whichever of the two is closer in time (tie →
-    backward, matching pandas ``merge_asof``). ``tolerance_secs``
-    drops a match farther than that from the left time (the pandas
-    ``tolerance`` parameter).
+    ``'nearest'`` whichever of the two is closer in time at full
+    microsecond precision (tie → backward, matching pandas
+    ``merge_asof``). ``tolerance_secs`` drops a match strictly farther
+    than that from the left time (the pandas ``tolerance`` parameter).
 
     ``nearest`` stays ONE shuffle: both directional windows share the
     union's hash partitioning on the key — Spark adds a second
@@ -59,7 +59,7 @@ def asof_join(
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
-    from takuan_spark.operators.timeseries import epoch_secs
+    from takuan_spark.operators.timeseries import epoch_micros
 
     payload = F.struct(
         F.col(right_time).alias("_rt"),
@@ -94,9 +94,12 @@ def asof_join(
         mb = F.last("_rv", ignorenulls=True).over(_dir_window(True))
         mf = F.last("_rv", ignorenulls=True).over(_dir_window(False))
         u = u.withColumn("_mb", mb).withColumn("_mf", mf)
-        t = epoch_secs(F.col("_t"))
-        db = t - epoch_secs(F.col("_mb._rt"))
-        df_ = epoch_secs(F.col("_mf._rt")) - t
+        # microsecond distances: whole-second floors would mis-pick when
+        # the two candidates straddle a second boundary (e.g. 0.1s back
+        # vs 0.9s forward both floor to "closer-forward")
+        t = epoch_micros(F.col("_t"))
+        db = t - epoch_micros(F.col("_mb._rt"))
+        df_ = epoch_micros(F.col("_mf._rt")) - t
         u = u.withColumn(
             "_m",
             F.when(F.col("_mb").isNull(), F.col("_mf"))
@@ -106,10 +109,11 @@ def asof_join(
         )
     if tolerance_secs is not None:
         dist = F.abs(
-            epoch_secs(F.col("_m._rt")) - epoch_secs(F.col("_t"))
+            epoch_micros(F.col("_m._rt")) - epoch_micros(F.col("_t"))
         )
         u = u.withColumn(
-            "_m", F.when(dist <= tolerance_secs, F.col("_m"))
+            "_m",
+            F.when(dist <= tolerance_secs * 1_000_000, F.col("_m")),
         )
     out_cols = [F.col(c) for c in left.columns] + [
         F.col("_m")[out].alias(out) for out in right_values.values()

@@ -139,11 +139,15 @@ def weighted_systematic_sample(
     cum_before = F.coalesce(
         F.sum(F.col(weight_col).cast("bigint")).over(w), F.lit(0)
     )
-    picks = (
-        (cum_before + F.col(weight_col).cast("bigint")) / stride
-    ).cast("bigint") - (cum_before / stride).cast("bigint")
-    return (
-        df.withColumn("cum_before", cum_before)
-        .withColumn("n_picks", picks)
-        .where(F.col("n_picks") >= 1)
+    # TRUE integer division (SQL `div`), not `/`+cast: `/` promotes to
+    # double, which loses exactness past 2^53 — reachable by a
+    # cumulative weight at corpus scale — and would silently diverge
+    # from the oracle's exact `//`.
+    out = df.withColumn("cum_before", cum_before).withColumn(
+        "n_picks",
+        F.expr(
+            f"(cum_before + CAST({weight_col} AS BIGINT)) div {stride}"
+            f" - cum_before div {stride}"
+        ),
     )
+    return out.where(F.col("n_picks") >= 1)

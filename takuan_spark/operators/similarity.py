@@ -487,9 +487,18 @@ def _write_index_marker(path: str, key: dict, info: dict) -> None:
         json.dump({"key": key, "info": info}, fh)
 
 
-def index_is_current(path: str, key: dict) -> bool:
+def current_marker(path: str, key: dict) -> dict | None:
+    """The stored marker when it matches ``key``, else None — builds
+    that need marker info (e.g. the stored dim) share this instead of
+    re-implementing the comparison."""
     marker = _index_marker(path)
-    return marker is not None and marker.get("key") == key
+    if marker is not None and marker.get("key") == key:
+        return marker
+    return None
+
+
+def index_is_current(path: str, key: dict) -> bool:
+    return current_marker(path, key) is not None
 
 
 def ivf_build(
@@ -516,8 +525,8 @@ def ivf_build(
     query' scale defect for repeated probes too."""
     key = {"op": "ivf", "nlist": nlist, "seed": seed, "src": source_id}
     if not rebuild:
-        marker = _index_marker(path)
-        if marker is not None and marker.get("key") == key:
+        marker = current_marker(path, key)
+        if marker is not None:
             return fixed_centroids(
                 int(marker["info"]["dim"]), nlist=nlist, seed=seed
             )

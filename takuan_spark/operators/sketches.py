@@ -203,7 +203,14 @@ def cms_estimate(
     left-joins the counters (an inner join would silently drop the
     zero rows and overestimate absent terms). The probe side is tiny
     and broadcast against the depth x width counter grid."""
+    from takuan_spark.operators.skew import materialize
+
     groups = list(group_cols)
+    # counters feeds BOTH the group-list branch and the left join;
+    # Catalyst won't reuse the subplan, so unmaterialized the corpus
+    # explode + aggregation would execute twice. The grid is depth x
+    # width rows per group — cache-sized by construction.
+    counters = materialize(counters)
     rows = F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("row")
     pr = probes.select(F.col(probe_col).alias("term"), rows)
     pr = pr.withColumn(

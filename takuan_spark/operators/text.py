@@ -27,7 +27,12 @@ LANG_STOPWORDS = {
 
 def words(col: Column | str) -> Column:
     """Whitespace tokenization; empty strings removed (split on an
-    all-space string yields [''])."""
+    all-space string yields ['']).
+
+    Dialect note: Java's ``\s`` (used here) includes vertical tab
+    \x0b; DuckDB/RE2's does not — oracle SQL mirrors tokenize with
+    RE2 ``\s``, a knowing divergence that only matters for documents
+    containing \x0b (none in the test corpora)."""
     return F.filter(F.split(col, r"\s+"), lambda w: w != "")
 
 

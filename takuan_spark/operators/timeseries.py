@@ -43,6 +43,22 @@ def epoch_secs(ts: Column | str) -> Column:
     return days.cast("bigint") * 86400 + sod.cast("bigint")
 
 
+def epoch_micros(ts: Column | str) -> Column:
+    """Microseconds since 1970-01-01 of a naive timestamp, timezone-free
+    (calendar fields; EXTRACT(SECOND) carries the fractional part as an
+    exact decimal). DuckDB: ``epoch_us(ts)``."""
+    col = F.col(ts) if isinstance(ts, str) else ts
+    days = F.datediff(col.cast("date"), F.lit("1970-01-01").cast("date"))
+    whole = (
+        days.cast("bigint") * 86400
+        + F.hour(col).cast("bigint") * 3600
+        + F.minute(col).cast("bigint") * 60
+    )
+    # date_part('SECOND') returns DECIMAL(8,6) seconds incl. micros
+    secs = F.call_function("date_part", F.lit("SECOND"), col)
+    return whole * F.lit(1_000_000) + (secs * F.lit(1_000_000)).cast("bigint")
+
+
 def time_bucket(ts: Column | str, interval_secs: int) -> Column:
     """Floor ``ts`` to an ``interval_secs``-wide bucket (epoch-aligned,
     timezone-naive). Pure field arithmetic: midnight of the date plus
@@ -66,7 +82,9 @@ def time_bucket(ts: Column | str, interval_secs: int) -> Column:
         )
     days = interval_secs // 86400
     epoch_day = F.datediff(col.cast("date"), F.lit("1970-01-01").cast("date"))
-    floored_day = (epoch_day / days).cast("bigint") * days
+    # floor, not cast-truncation: truncation rounds toward zero, which
+    # would bucket pre-1970 timestamps to the interval AFTER them
+    floored_day = F.floor(epoch_day / days).cast("bigint") * days
     return F.timestamp_add(
         "DAY", floored_day, F.lit("1970-01-01").cast("timestamp_ntz")
     )

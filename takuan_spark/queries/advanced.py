@@ -586,27 +586,25 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT b.event_id, b.user_id, b.ts,
                CASE WHEN bt IS NULL THEN ft
                     WHEN ft IS NULL THEN bt
-                    WHEN CAST(epoch(date_trunc('second', b.ts)) AS BIGINT)
-                         - CAST(epoch(date_trunc('second', bt)) AS BIGINT)
-                      <= CAST(epoch(date_trunc('second', ft)) AS BIGINT)
-                         - CAST(epoch(date_trunc('second', b.ts)) AS BIGINT)
+                    WHEN epoch_us(b.ts)
+                         - epoch_us(bt)
+                      <= epoch_us(ft)
+                         - epoch_us(b.ts)
                     THEN bt ELSE ft END AS ct,
                CASE WHEN bt IS NULL THEN fv
                     WHEN ft IS NULL THEN bv
-                    WHEN CAST(epoch(date_trunc('second', b.ts)) AS BIGINT)
-                         - CAST(epoch(date_trunc('second', bt)) AS BIGINT)
-                      <= CAST(epoch(date_trunc('second', ft)) AS BIGINT)
-                         - CAST(epoch(date_trunc('second', b.ts)) AS BIGINT)
+                    WHEN epoch_us(b.ts)
+                         - epoch_us(bt)
+                      <= epoch_us(ft)
+                         - epoch_us(b.ts)
                     THEN bv ELSE fv END AS cv
         FROM b JOIN f USING (event_id)
     )
     SELECT event_id, user_id, ts AS err_ts,
-           CASE WHEN abs(CAST(epoch(date_trunc('second', ct)) AS BIGINT)
-                         - CAST(epoch(date_trunc('second', ts)) AS BIGINT))
-                     <= 1800 THEN ct END AS click_ts,
-           CASE WHEN abs(CAST(epoch(date_trunc('second', ct)) AS BIGINT)
-                         - CAST(epoch(date_trunc('second', ts)) AS BIGINT))
-                     <= 1800 THEN cv END AS click_value
+           CASE WHEN abs(epoch_us(ct) - epoch_us(ts))
+                     <= 1800 * 1000000 THEN ct END AS click_ts,
+           CASE WHEN abs(epoch_us(ct) - epoch_us(ts))
+                     <= 1800 * 1000000 THEN cv END AS click_value
     FROM picked
     ORDER BY event_id
     """,
@@ -616,7 +614,7 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dropped when farther than the tolerance. Spark side is still ONE "
     "shuffle — both directional windows share the union's hash "
     "partitioning; the oracle composes two DuckDB ASOF joins. "
-    "Distances are whole-second floors on both engines.",
+    "Distances are exact microseconds on both engines.",
 )
 def q_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from takuan_spark.operators.joins import asof_join

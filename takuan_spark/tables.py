@@ -55,7 +55,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 ),
             )
         if ts_type == "timestamp":
-            return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            # NOT a bare cast: TIMESTAMP -> TIMESTAMP_NTZ casts through
+            # the SESSION timezone, so a non-UTC consuming session would
+            # shift every wall clock away from what DuckDB reads. Route
+            # the instant to its UTC wall clock explicitly instead.
+            return df.withColumn(
+                "ts",
+                F.to_utc_timestamp(F.col("ts"), F.expr("current_timezone()"))
+                .cast("timestamp_ntz"),
+            )
         return df  # already timestamp_ntz
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
