@@ -76,16 +76,35 @@ def _report_hook(out_dir: str, webhook_url: str | None = None):
 
 def _run_geo_batch(spark: SparkSession, events_path: str, geo_dim_path: str) -> int:
     """--geo: refresh country columns across the whole events table
-    (broadcast re-enrich), atomically swapping the table directory."""
+    (broadcast re-enrich), swapping the table directory.
+
+    The rewrite PRESERVES the streaming sink's ``event_date``
+    partitioning (writers.py:write_events) — a flat rewrite would leave
+    partition dirs and flat part files under one root and every later
+    read would fail on conflicting directory structures. The swap
+    sequence also cleans up leftovers from a previously crashed swap
+    first (a stale ``__geo_old``/``__geo_tmp`` would otherwise fail the
+    renames), and restores the original directory if the final rename
+    cannot complete."""
     from takuan_spark.operators.enrich import re_enrich
 
     events = spark.read.parquet(events_path)
     refreshed = re_enrich(events, _load_geo_dim(spark, geo_dim_path))
     tmp = events_path.rstrip("/") + "__geo_tmp"
-    refreshed.write.mode("overwrite").parquet(tmp)
     old = events_path.rstrip("/") + "__geo_old"
+    for leftover in (tmp, old):  # crashed prior swap
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    writer = refreshed.write.mode("overwrite")
+    if "event_date" in refreshed.columns:
+        writer = writer.partitionBy("event_date")
+    writer.parquet(tmp)
     os.rename(events_path, old)
-    os.rename(tmp, events_path)
+    try:
+        os.rename(tmp, events_path)
+    except OSError:
+        os.rename(old, events_path)  # roll back: table stays readable
+        raise
     shutil.rmtree(old)
     print(f"re-enriched events table at {events_path}", flush=True)
     return 0

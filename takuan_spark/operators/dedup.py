@@ -334,22 +334,52 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_distance: int = 3,
     bits: int = 60,
-    prefix_bits: int = 15,
+    prefix_bits: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidate pairs within ``max_distance`` Hamming
-    bits, discovered by exact-match banding on 4 disjoint 15-bit blocks
-    (a pair within distance 3 must agree on at least one of 4 disjoint
-    blocks — pigeonhole). Self-join key is (block_idx, block)."""
+    bits, discovered by exact-match banding on ``max_distance + 1``
+    disjoint blocks (a pair within the distance must agree on at least
+    one block — pigeonhole). Self-join key is (block_idx, block).
+
+    Blocks are derived from ``max_distance`` by default (sizes differ by
+    at most one bit, covering all ``bits``), so the recall guarantee
+    holds for ANY distance < bits. Passing ``prefix_bits`` explicitly
+    pins equal-size blocks and is validated: it must divide ``bits``
+    (a remainder would leave uncovered bits a distant pair could hide
+    in) and yield more blocks than ``max_distance``."""
+    if prefix_bits is None:
+        n_blocks = max_distance + 1
+        if n_blocks > bits:
+            raise ValueError(
+                f"max_distance={max_distance} needs more blocks than "
+                f"bits={bits} can provide"
+            )
+        base, rem = divmod(bits, n_blocks)
+        sizes = [base + (1 if i < rem else 0) for i in range(n_blocks)]
+    else:
+        if bits % prefix_bits != 0:
+            raise ValueError(
+                f"bits={bits} must be divisible by prefix_bits={prefix_bits} "
+                "(a remainder leaves bits outside every block)"
+            )
+        if bits // prefix_bits <= max_distance:
+            raise ValueError(
+                f"{bits // prefix_bits} blocks cannot guarantee recall at "
+                f"max_distance={max_distance}: a pair may differ in every "
+                "block (need blocks > max_distance)"
+            )
+        sizes = [prefix_bits] * (bits // prefix_bits)
+    offsets = [sum(sizes[:i]) for i in range(len(sizes))]
     sh = materialize(simhash(df, text_col=text_col, id_col=id_col, bits=bits))
     blocks = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("blk"),
-                F.shiftright(F.col("simhash"), bi * prefix_bits)
-                .bitwiseAND(F.lit((1 << prefix_bits) - 1))
+                F.shiftright(F.col("simhash"), offsets[bi])
+                .bitwiseAND(F.lit((1 << sizes[bi]) - 1))
                 .alias("bv"),
             )
-            for bi in range(bits // prefix_bits)
+            for bi in range(len(sizes))
         ]
     )
     exploded = sh.select(F.col(id_col), "simhash", F.explode(blocks).alias("b")).select(

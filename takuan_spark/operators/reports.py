@@ -116,7 +116,14 @@ def country_flag(code: str | None) -> str:
     symbol (U+1F1E6..U+1F1FF); no lookup table needed. Unknown/missing
     codes render as the white flag, matching the reference's fallback of
     not crashing on unmapped countries."""
-    if not code or len(code) != 2 or not code.isalpha():
+    if (
+        not code
+        or len(code) != 2
+        or not code.isascii()
+        or not code.isalpha()
+    ):
+        # isascii() matters: a non-ASCII "letter" would otherwise map
+        # outside the regional-indicator block (mojibake, not a flag)
         return "\U0001F3F3"  # white flag
     return "".join(chr(0x1F1E6 + ord(c) - ord("A")) for c in code.upper())
 

@@ -246,7 +246,11 @@ def lsh_signatures_udf(
     @pandas_udf("array<long>")
     def sig(v: pd.Series) -> pd.Series:
         x = np.stack(v.to_numpy()).astype(np.float64)
-        bits = (x @ planes.T) > 0  # n x (tables*nbits)
+        # round before the sign test, mirroring the oracle's
+        # ROUND(list_dot_product(...), 6): BLAS and sequential fold
+        # orders differ ~1e-16, which could flip a bit for a vector
+        # lying essentially ON a hyperplane
+        bits = np.round(x @ planes.T, 6) > 0  # n x (tables*nbits)
         sigs = np.stack(
             [
                 bits[:, t * nbits : (t + 1) * nbits].astype(np.int64) @ weights
@@ -594,6 +598,9 @@ def lsh_index_build(
     key = {
         "op": "lsh", "nbits": nbits, "tables": tables, "seed": seed,
         "src": source_id,
+        # signature-format version: bump when the signature function
+        # changes (v2 = rounded-before-sign), so stale indexes rebuild
+        "fmt": 2,
     }
     if not rebuild and index_is_current(path, key):
         return

@@ -107,6 +107,9 @@ PRIORITY: list[str] = [
     "q_asof_nearest_tolerance",
     # RANGE (interval) window frame
     "q_window_range_frame",
+    # round-2-early relational queries that never made the r1 window
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q22_idle_rich_customers", "q_percentiles", "q_histogram",
     # queries that ALREADY have a green r1 driver row come last, so the
     # driver's row window (50 in r1) is spent entirely on rows that
     # don't exist yet; tfidf changed this round (in-plan doc count) but

@@ -38,7 +38,14 @@ _EMB_DIM = 64
 
 #: Scratch root for persisted-index queries (ivf_build/lsh_index_build).
 #: Inside the repo (gitignored) — the container forbids writes elsewhere.
-_SCRATCH = "/root/repo/.scratch"
+import os as _os
+
+#: gitignored scratch root for persisted indexes, derived from the
+#: package location so any checkout path works (not hardcoded).
+_SCRATCH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    ".scratch",
+)
 
 
 def _source_id(sf_dir: str, table: str = "embeddings") -> str:
@@ -120,8 +127,8 @@ def _lsh_sig_sql(t: int, emb_expr: str = "e.embedding", *, nbits: int = 8, seed:
     dots with the same seed-derived hyperplanes the Spark UDF embeds."""
     planes = similarity.random_hyperplanes(_EMB_DIM, nbits, seed=seed + t)
     bits = " + ".join(
-        f"CASE WHEN list_dot_product(CAST({emb_expr} AS DOUBLE[]), "
-        f"CAST({_sql_list(p)} AS DOUBLE[])) > 0 THEN {1 << i} ELSE 0 END"
+        f"CASE WHEN ROUND(list_dot_product(CAST({emb_expr} AS DOUBLE[]), "
+        f"CAST({_sql_list(p)} AS DOUBLE[])), 6) > 0 THEN {1 << i} ELSE 0 END"
         for i, p in enumerate(planes)
     )
     return f"CAST({bits} AS BIGINT)"

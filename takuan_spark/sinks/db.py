@@ -43,7 +43,6 @@ def duckdb_exactly_once_sink(
     def _sink(batch: DataFrame, epoch_id: int) -> None:
         import duckdb
 
-        pdf = batch.toPandas()
         con = duckdb.connect(db_path)
         try:
             con.execute(
@@ -58,6 +57,9 @@ def duckdb_exactly_once_sink(
             if seen:
                 con.execute("ROLLBACK")
                 return
+            # materialize AFTER the guard: a replayed epoch must not pay
+            # the full batch recompute + Arrow transfer it then discards
+            pdf = batch.toPandas()
             con.register("_batch_df", pdf)
             con.execute(
                 f"CREATE TABLE IF NOT EXISTS {table} AS "

@@ -158,7 +158,13 @@ def jdbc_exactly_once_sink(
             delivered = rs.next()
             rs.close()
             if delivered:
-                return  # replayed epoch — already promoted
+                # replayed epoch — already promoted. A crash between
+                # COMMIT and the post-promote DROP leaves the staging
+                # table behind; this is the only path that ever sees
+                # that state, so clean it up here.
+                if _table_exists(conn, staging):
+                    st.execute(f"DROP TABLE {staging}")
+                return
 
             # 1. Executor-parallel write into the per-epoch staging table.
             #    Overwrite: a replay that crashed mid-staging re-lands it.

@@ -11,16 +11,22 @@ at 100 TB of corpus it is the only state, it is bucketable by fp at
 rest, and the anti-join is a sort-merge that co-locates when both sides
 are bucketed.
 
-Delivery semantics: content-level idempotence FOR FREE — if an epoch is
-replayed after a crash that landed its fp delta, the replayed batch
-anti-joins against fingerprints that now include its own content and
-contributes zero novel rows. No epoch registry needed (contrast
-sinks/db.py, which needs one because SQL appends are not content-keyed).
+Delivery semantics: REPLAY-STABLE idempotence. Both tables are laid out
+as ``epoch=N`` subdirectories written with per-epoch OVERWRITE, and the
+anti-join reads the fp table EXCLUDING the replaying epoch's own
+directory — so a replayed epoch recomputes exactly the novel set it
+computed the first time (whatever subset of its two writes landed
+before the crash) and overwrites both directories to the same state.
+A plain two-append protocol has an unfixable crash window between the
+appends: fp-first loses documents on replay, corpus-first duplicates
+them. No epoch registry needed (contrast sinks/db.py, which needs one
+because SQL appends are not content-keyed).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from takuan_spark.operators.dedup import dedup_incremental
@@ -28,11 +34,19 @@ from takuan_spark.operators.dedup import dedup_incremental
 FP_SCHEMA = "fp string"
 
 
-def _read_fps(spark: SparkSession, fp_path: str) -> DataFrame:
+def _read_fps(
+    spark: SparkSession, fp_path: str, *, exclude_epoch: int | None = None
+) -> DataFrame:
+    """The fingerprint table, minus ``exclude_epoch``'s own delta — the
+    exclusion is what makes a replayed epoch's computation identical to
+    its first run (its landed delta must not mask its own content)."""
     try:
-        return spark.read.schema(FP_SCHEMA).parquet(fp_path)
+        fps = spark.read.parquet(fp_path)
     except Exception:  # first batch: no fp table yet
         return spark.createDataFrame([], FP_SCHEMA)
+    if exclude_epoch is not None and "epoch" in fps.columns:
+        fps = fps.where(F.col("epoch") != exclude_epoch)
+    return fps.select("fp")
 
 
 def dedup_batch_sink(
@@ -47,16 +61,27 @@ def dedup_batch_sink(
     Exposed separately so batch backfills can reuse it."""
 
     def _sink(batch: DataFrame, epoch_id: int) -> None:
-        seen = _read_fps(spark, fp_path)
-        novel, new_fps = dedup_incremental(
+        from takuan_spark.operators.dedup import fingerprint
+
+        seen = _read_fps(spark, fp_path, exclude_epoch=int(epoch_id))
+        novel, _ = dedup_incremental(
             batch, seen, text_col=text_col, id_col=id_col
         )
-        # Persist: novel feeds two writes; without it the batch
-        # self-dedup + anti-join would execute twice.
+        # Persist novel, then derive the fp delta FROM the persisted
+        # frame: the tuple's own new_fps is a sibling plan that would
+        # miss the cache (plan-matched) and re-run the dedup upstream.
         novel = novel.persist()
+        new_fps = novel.select(fingerprint(F.col(text_col)).alias("fp"))
         try:
-            novel.write.mode("append").parquet(corpus_path)
-            new_fps.write.mode("append").parquet(fp_path)
+            # per-epoch OVERWRITE into epoch-keyed directories: replays
+            # rewrite the same dirs to the same content instead of
+            # appending duplicates (or, fp-first, losing documents)
+            novel.write.mode("overwrite").parquet(
+                f"{corpus_path}/epoch={int(epoch_id)}"
+            )
+            new_fps.write.mode("overwrite").parquet(
+                f"{fp_path}/epoch={int(epoch_id)}"
+            )
         finally:
             novel.unpersist()
 
