@@ -110,6 +110,8 @@ PRIORITY: list[str] = [
     # round-2-early relational queries that never made the r1 window
     "q17_small_quantity_revenue", "q18_large_orders",
     "q22_idle_rich_customers", "q_percentiles", "q_histogram",
+    # null-safe equality join semantics
+    "q_null_safe_join",
     # queries that ALREADY have a green r1 driver row come last, so the
     # driver's row window (50 in r1) is spent entirely on rows that
     # don't exist yet; tfidf changed this round (in-plan doc count) but

@@ -1655,3 +1655,41 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey")
     )
     return cust.exceptAll(supp).orderBy("nationkey")
+
+
+@query(
+    "q_null_safe_join",
+    """
+    WITH c AS (
+        SELECT c_custkey, NULLIF(c_nationkey, 0) AS nk FROM customer
+        WHERE c_custkey <= 200
+    ),
+    s AS (
+        SELECT s_suppkey, NULLIF(s_nationkey, 0) AS nk FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey, c.nk AS nationkey
+    FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+    ORDER BY c_custkey, s_suppkey
+    """,
+    "Null-safe equality join (<=> / IS NOT DISTINCT FROM): nation key 0 "
+    "is NULLIF'd away on both sides, and the null-safe predicate "
+    "matches NULL to NULL — rows an ordinary equi-join silently drops. "
+    "Spark plans <=> as a hash join on a null-safe key, not a "
+    "nested-loop filter.",
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 200)
+        .select(
+            "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nk")
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.nullif(F.col("s_nationkey"), F.lit(0)).alias("snk")
+    )
+    return (
+        cust.join(supp, cust.nk.eqNullSafe(supp.snk))
+        .select("c_custkey", "s_suppkey", F.col("nk").alias("nationkey"))
+        .orderBy("c_custkey", "s_suppkey")
+    )
