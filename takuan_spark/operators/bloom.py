@@ -40,7 +40,7 @@ def bloom_build(
     ids occupied by the key set under ``k`` hash functions. Bounded by
     ``mbits`` whatever the key count — that bound is what makes it
     broadcastable when the dim is too big to broadcast raw."""
-    buckets = keys.select(
+    buckets = keys.where(F.col(key_col).isNotNull()).select(
         F.explode(
             F.array(*[_bucket(F.col(key_col), j, mbits) for j in range(k)])
         ).alias("b")
@@ -59,11 +59,19 @@ def bloom_prefilter(
     """Fact rows whose key MIGHT be in the filter (all ``k`` buckets
     occupied). The one-row bloom frame is broadcast; the membership
     predicate is codegen'd array lookups, evaluated before any shuffle
-    of the fact table."""
-    cond = None
+    of the fact table.
+
+    NULL keys are dropped on both sides (equi-join semantics: NULL
+    never matches). Without the explicit ``isNotNull`` Spark's
+    ``concat_ws`` would skip the null and hash the bare ``"j:"``
+    prefix, while the oracle's ``||`` null-propagates and always
+    rejects — the explicit filter pins the two engines to the same
+    pass set for nullable keys."""
+    cond: Column = F.col(key_col).isNotNull()
     for j in range(k):
-        c = F.array_contains(F.col("bloom"), _bucket(F.col(key_col), j, mbits))
-        cond = c if cond is None else (cond & c)
+        cond = cond & F.array_contains(
+            F.col("bloom"), _bucket(F.col(key_col), j, mbits)
+        )
     return fact.crossJoin(F.broadcast(bloom)).where(cond).drop("bloom")
 
 

@@ -76,7 +76,10 @@ def kmv_distinct(
                 pd.concat(frames, ignore_index=True)
                 .drop_duplicates()
                 .sort_values("h", kind="mergesort")
-                .groupby(groups, sort=False)
+                # dropna=False: pandas' default silently discards NULL
+                # group keys, which Spark's merge groupBy (and the
+                # DuckDB oracle) keep as a group of their own.
+                .groupby(groups, sort=False, dropna=False)
                 .head(k)
             )
         if state is None or state.empty:
@@ -92,7 +95,7 @@ def kmv_distinct(
             return
         out = (
             state.sort_values("h", kind="mergesort")
-            .groupby(groups, as_index=False, sort=False)
+            .groupby(groups, as_index=False, sort=False, dropna=False)
             .agg(ks=("h", lambda s: s.tolist()))
         )
         yield out

@@ -26,7 +26,7 @@ LANG_STOPWORDS = {
 
 
 def words(col: Column | str) -> Column:
-    """Whitespace tokenization; empty strings removed (split on an
+    r"""Whitespace tokenization; empty strings removed (split on an
     all-space string yields ['']).
 
     Dialect note: Java's ``\s`` (used here) includes vertical tab

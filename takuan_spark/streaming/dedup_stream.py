@@ -21,6 +21,14 @@ A plain two-append protocol has an unfixable crash window between the
 appends: fp-first loses documents on replay, corpus-first duplicates
 them. No epoch registry needed (contrast sinks/db.py, which needs one
 because SQL appends are not content-keyed).
+
+LAYOUT NOTE (round-2 break): before the epoch protocol both tables
+were flat append directories. The two layouts cannot coexist under one
+root — Spark's partition discovery rejects a mix of bare part files
+and ``epoch=N`` dirs — so point the sink at a fresh root (or one-shot
+rewrite legacy parts into an ``epoch=-1`` dir). Corpus consumers that
+predate the break should read through :func:`read_corpus`, which hides
+the ``epoch`` partition column and returns the original schema.
 """
 
 from __future__ import annotations
@@ -42,11 +50,25 @@ def _read_fps(
     its first run (its landed delta must not mask its own content)."""
     try:
         fps = spark.read.parquet(fp_path)
-    except Exception:  # first batch: no fp table yet
+    except Exception as exc:  # first batch: no fp table yet
+        if "conflicting directory structure" in str(exc).lower():
+            raise ValueError(
+                f"{fp_path} mixes legacy flat part files with epoch=N "
+                "dirs; migrate legacy parts into an epoch=-1 subdir or "
+                "start a fresh root (see module docstring)"
+            ) from exc
         return spark.createDataFrame([], FP_SCHEMA)
     if exclude_epoch is not None and "epoch" in fps.columns:
         fps = fps.where(F.col("epoch") != exclude_epoch)
     return fps.select("fp")
+
+
+def read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
+    """The deduplicated corpus in its pre-epoch schema: the ``epoch``
+    bookkeeping partition column is an implementation detail of the
+    replay protocol, not part of the corpus."""
+    df = spark.read.parquet(corpus_path)
+    return df.drop("epoch") if "epoch" in df.columns else df
 
 
 def dedup_batch_sink(

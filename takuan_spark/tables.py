@@ -57,12 +57,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type == "timestamp":
             # NOT a bare cast: TIMESTAMP -> TIMESTAMP_NTZ casts through
             # the SESSION timezone, so a non-UTC consuming session would
-            # shift every wall clock away from what DuckDB reads. Route
-            # the instant to its UTC wall clock explicitly instead.
+            # shift every wall clock away from what DuckDB reads. Cast
+            # first (one offset lookup, at the instant itself), then
+            # rebase that wall clock session-tz -> UTC; chaining
+            # to_utc_timestamp + cast would look up the offset twice at
+            # different instants and mis-shift near DST transitions.
             return df.withColumn(
                 "ts",
-                F.to_utc_timestamp(F.col("ts"), F.expr("current_timezone()"))
-                .cast("timestamp_ntz"),
+                F.convert_timezone(
+                    F.expr("current_timezone()"),
+                    F.lit("UTC"),
+                    F.col("ts").cast("timestamp_ntz"),
+                ),
             )
         return df  # already timestamp_ntz
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
