@@ -406,10 +406,31 @@ def simhash_pairs(
 
 # ------------------------------------------------------------- clusters
 
+#: Target edge rows per CC partition: an (src, dst) edge is two longs
+#: (~25 bytes cached), so 2M edges ≈ 50 MB — comfortably in-memory per
+#: task, large enough that small graphs don't fan out.
+CC_EDGES_PER_PARTITION = 2_000_000
+#: Floor keeps tiny bench graphs at a handful of tasks per round;
+#: ceiling is a runaway guard (32k partitions ≈ 65B edges).
+CC_MIN_PARTITIONS = 8
+CC_MAX_PARTITIONS = 32_768
+
+
+def cc_partitions(n_edges: int) -> int:
+    """Data-derived partition count for the CC iteration frames:
+    ``n_edges / CC_EDGES_PER_PARTITION`` clamped to
+    [CC_MIN_PARTITIONS, CC_MAX_PARTITIONS]. At bench scale this is the
+    old fixed 8; at a billions-of-edges pair graph it scales the
+    per-round join to thousands of tasks instead of capping at 8."""
+    derived = -(-n_edges // CC_EDGES_PER_PARTITION)  # ceil div
+    return max(CC_MIN_PARTITIONS, min(CC_MAX_PARTITIONS, derived))
+
+
 def dedup_clusters(
     pairs: DataFrame,
     *,
     max_iter: int = 20,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: (doc_id,
     cluster_id) where cluster_id is the minimum doc id reachable through
@@ -430,25 +451,35 @@ def dedup_clusters(
     round. If ``max_iter`` is exhausted while labels are still changing
     the result may contain split clusters — a warning is logged. Input:
     (id_a, id_b [, ...]) with id_a < id_b.
+
+    ``partitions`` sizes every iteration frame (edges, per-round label
+    frames). Default None derives it from the materialized edge count
+    via :func:`cc_partitions` — the floor (8) keeps bench-scale graphs
+    at a handful of tasks per round, while a billions-of-edges graph
+    gets edges/2M partitions instead of an arbitrary pin.
     """
-    edges = (
+    edges_raw = materialize(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
     )
-    # The iteration frames are (node, label) pairs — tiny relative to the
-    # corpus (only near-dup docs appear). Pin them to a few partitions so
-    # each round schedules a handful of tasks instead of a full
-    # shuffle-partition fan-out; at genuinely large pair graphs AQE's
-    # post-shuffle coalescing keeps later rounds sized to the data.
-    edges = materialize(edges.repartition(8, "dst"))
+    if partitions is None:
+        # the count forces edges_raw's cache, so the (possibly
+        # expensive) pair-generation upstream runs exactly once; the
+        # repartition below then reads from cache.
+        partitions = cc_partitions(edges_raw.count())
+    # The iteration frames are (node, label) pairs — sized to the
+    # near-dup candidate set, not the corpus. Partition them to the
+    # data-derived count so each round schedules proportional tasks
+    # instead of a full shuffle-partition fan-out (or a fixed pin).
+    edges = materialize(edges_raw.repartition(partitions, "dst"))
     labels = materialize(
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("id"), F.col("src").alias("label"))
-        .coalesce(8)
+        .coalesce(partitions)
     )
 
     def _label_sum(frame: DataFrame) -> int:
@@ -461,7 +492,8 @@ def dedup_clusters(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).head()["s"]
 
-    prev_sum = _label_sum(labels)
+    prev_sum = _label_sum(labels)  # forces edges + labels caches
+    edges_raw.unpersist()  # superseded by the repartitioned cache
     changed = 0
     for _ in range(max_iter):
         neighbor_min = (
@@ -478,12 +510,12 @@ def dedup_clusters(
         lookup = labels.select(
             F.col("id").alias("_lid"), F.col("label").alias("_llabel")
         )
-        # coalesce before caching: the label frame is tiny (near-dup
-        # nodes only) and persist() materializes every partition as its
-        # own task — 32 near-empty cache tasks per round is pure
-        # scheduling overhead. AQE can't help here because caching pins
-        # the pre-coalesce layout. Harmless at scale: 8 partitions of
-        # labels is still only the candidate-node set, not the corpus.
+        # coalesce before caching: persist() materializes every
+        # partition as its own task, so without it each round pays a
+        # full shuffle-partition fan-out of near-empty cache tasks.
+        # AQE can't help here because caching pins the pre-coalesce
+        # layout. The count tracks the edge-derived `partitions`, so
+        # label parallelism scales with the graph too.
         new_labels = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .join(lookup, labels["label"] == lookup["_lid"], "left")
@@ -495,7 +527,7 @@ def dedup_clusters(
                     F.coalesce(F.col("_llabel"), F.col("label")),
                 ).alias("label"),
             )
-            .coalesce(8)
+            .coalesce(partitions)
             .persist()
         )
         new_sum = _label_sum(new_labels)

@@ -399,6 +399,28 @@ def test_dedup_clusters_connected_components(spark):
     }
 
 
+def test_dedup_clusters_partition_sizing(spark):
+    """CC parallelism is data-derived, not pinned: tiny graphs stay at
+    the floor, big edge counts scale up, the ceiling guards runaways,
+    and an explicit `partitions` is honored in the result frame."""
+    assert dedup.cc_partitions(0) == dedup.CC_MIN_PARTITIONS
+    assert dedup.cc_partitions(10_000) == dedup.CC_MIN_PARTITIONS
+    assert (
+        dedup.cc_partitions(100 * dedup.CC_EDGES_PER_PARTITION) == 100
+    )
+    assert dedup.cc_partitions(10**15) == dedup.CC_MAX_PARTITIONS
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = dedup.dedup_clusters(pairs, partitions=2)
+    # coalesce caps at the upstream shuffle width, so assert the cap
+    # from below (2 < the fixture's 4 shuffle partitions -> exact).
+    assert out.rdd.getNumPartitions() == 2
+    assert {
+        r["doc_id"]: r["cluster_id"] for r in out.collect()
+    } == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 def test_pq_encode_shape_and_determinism(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     cbs = similarity.pq_codebooks(64, m=8, ksub=16)
