@@ -168,3 +168,55 @@ def brute_force_alerts(
             timeoutConf=timeout_conf,
         )
     )
+
+
+def brute_force_alerts_batch(
+    events: DataFrame,
+    *,
+    address_col: str = "address",
+    time_col: str = "created_at",
+    threshold: int = 5,
+    window_secs: int = 60,
+) -> DataFrame:
+    """Batch analog of :func:`brute_force_alerts` with cooldown
+    disabled: one output row per event whose trailing
+    ``(t - window_secs, t]`` count at its address reaches ``threshold``
+    — exactly the alert set the streaming detector emits with
+    ``cooldown_secs=0`` over second-distinct event times (the detector
+    tracks whole seconds; same-second ties are peers here but
+    sequential there).
+
+    This is the SQL-expressible core of the stateful operator — a
+    RANGE-frame window over per-address epoch seconds, so the batch
+    form shuffles once on the address key and keeps window state
+    bounded by the in-window event rate, mirroring the state-store
+    bound of the streaming form. Output columns are epoch seconds
+    (bigint) for engine-portable comparison.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    sec = F.timestamp_diff(
+        "SECOND",
+        epoch,
+        F.date_trunc("second", F.col(time_col).cast("timestamp_ntz")),
+    )
+    base = events.select(
+        F.col(address_col).alias("address"), sec.alias("sec")
+    )
+    win = (
+        Window.partitionBy("address")
+        .orderBy("sec")
+        .rangeBetween(-(window_secs - 1), Window.currentRow)
+    )
+    return (
+        base.select(
+            "address",
+            F.col("sec").alias("window_end_sec"),
+            F.count("*").over(win).alias("n_events"),
+            F.min("sec").over(win).alias("window_start_sec"),
+        )
+        .where(F.col("n_events") >= threshold)
+        .select("address", "n_events", "window_start_sec", "window_end_sec")
+    )

@@ -289,3 +289,51 @@ def test_stream_stream_interval_join(spark, stream_env):
     assert got == [
         ("9.9.9.9", "2026-08-13 06:03:00", "2026-08-13 06:00:00")
     ]
+
+
+def test_streaming_detector_matches_batch_analog(spark, stream_env):
+    """The applyInPandasWithState detector with cooldown disabled must
+    emit exactly the alert set of its SQL batch analog
+    (brute_force_alerts_batch) — the equivalence the q_stateful_alerts
+    oracle row pins. Event times are second-distinct per address, the
+    regime where the two formulations agree exactly."""
+    from takuan_spark.streaming.stateful import brute_force_alerts_batch
+
+    rows = []
+    # bursty attacker: 8 events 7s apart (alerts from the 3rd on),
+    # slow scanner: 4 events 400s apart (never 3 inside 60s),
+    # pair attacker: exactly 2 in-window events (below threshold)
+    for i in range(8):
+        rows.append(("9.9.9.9", f"2026-08-13 06:00:{i * 7:02d}", "ssh", "r"))
+    for i in range(4):
+        rows.append(("8.8.8.8", f"2026-08-13 06:{(i * 400) // 60:02d}:{(i * 400) % 60:02d}", "ssh", "r"))
+    rows.append(("7.7.7.7", "2026-08-13 06:00:10", "ssh", "r"))
+    rows.append(("7.7.7.7", "2026-08-13 06:00:50", "ssh", "r"))
+    _write_events_chunk(stream_env["src"] / "c1.parquet", rows)
+    _run_stream(
+        spark,
+        stream_env,
+        lambda s: brute_force_alerts(
+            s, threshold=3, window_secs=60, cooldown_secs=0, idle_timeout_secs=None
+        ),
+    )
+    got_stream = sorted(
+        (
+            a["address"],
+            a["n_events"],
+            int(a["window_start"].timestamp()),
+            int(a["window_end"].timestamp()),
+        )
+        for a in spark.read.parquet(stream_env["out"]).collect()
+    )
+    batch_df = spark.read.schema(
+        "address string, created_at timestamp, sensor string, rule string"
+    ).parquet(str(stream_env["src"]))
+    got_batch = sorted(
+        (r["address"], r["n_events"], r["window_start_sec"], r["window_end_sec"])
+        for r in brute_force_alerts_batch(
+            batch_df, threshold=3, window_secs=60
+        ).collect()
+    )
+    assert got_stream == got_batch
+    assert len(got_stream) == 6  # 8-event burst alerts from its 3rd event
