@@ -254,3 +254,109 @@ def test_kmv_exchange_carries_sketches_not_values(spark, sf_dir):
     # in explain output, deeper operators appear later; the map stage
     # must be deeper (later) than the aggregate exchange it feeds
     assert pos_map > pos_exchange
+
+
+def _cell_files(root: str, part: str) -> list[str]:
+    import glob
+    import os
+
+    return glob.glob(os.path.join(root, part, "*.parquet"))
+
+
+def test_ivf_probe_runtime_prunes_unprobed_cells(spark, sf_dir, tmp_path):
+    """Partition pruning must hold at RUNTIME, not just in plan text:
+    after the probe plan snapshots its file index, the files of every
+    non-probed cell are deleted — a pruned scan never opens them and
+    succeeds, while an unpruned scan would die on FileNotFound. A
+    control deletion of a probed cell proves the test can fail."""
+    import os
+
+    from takuan_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    path = str(tmp_path / "ivf")
+    cents = similarity.ivf_build(emb.where(F.col("vec_id") != 0), path, nlist=16)
+    probes = set(similarity.probe_cells(qvec, cents, nprobe=4))
+
+    probe_df = similarity.ivf_probe(spark, path, qvec, k=10, nlist=16, nprobe=4)
+    for cell in set(range(16)) - probes:
+        for f in _cell_files(path, f"cell={cell}"):
+            os.remove(f)
+    assert len(probe_df.collect()) == 10  # scan touched only probed cells
+
+    # sensitivity control: removing a PROBED cell's files must break it
+    probe_df2 = similarity.ivf_probe(spark, path, qvec, k=10, nlist=16, nprobe=4)
+    victim = sorted(probes)[0]
+    for f in _cell_files(path, f"cell={victim}"):
+        os.remove(f)
+    with pytest.raises(Exception, match="(?i)file|exist|path"):
+        probe_df2.collect()
+
+
+def test_lsh_probe_runtime_prunes_outside_ball(spark, sf_dir, tmp_path):
+    """Same runtime gate for the LSH index: every (tbl, sigp) bucket
+    directory OUTSIDE the query's Hamming-ball prefixes is deleted after
+    the probe plan lists files; the probe must still run."""
+    import glob
+    import os
+    import re as _re
+
+    from takuan_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    path = str(tmp_path / "lsh")
+    similarity.lsh_index_build(
+        emb.where(F.col("vec_id") != 0), path, nbits=8, tables=4
+    )
+    probe_df = similarity.lsh_index_probe(
+        spark, path, qvec, k=10, nbits=8, tables=4, hamming_radius=1
+    )
+    expected = probe_df.collect()
+
+    # the kept (tbl, sigp) set: each table's ball signature prefixes
+    keep: set[tuple[int, int]] = set()
+    for tbl in range(4):
+        planes = similarity.random_hyperplanes(len(qvec), 8, seed=42 + tbl)
+        sig = sum(
+            (1 if sum(a * b for a, b in zip(qvec, p)) > 0 else 0) << i
+            for i, p in enumerate(planes)
+        )
+        for s in similarity.hamming_ball(sig, nbits=8, radius=1):
+            keep.add((tbl, s >> (8 - similarity.LSH_PREFIX_BITS)))
+    removed = 0
+    for d in glob.glob(os.path.join(path, "tbl=*", "sigp=*")):
+        m = _re.search(r"tbl=(\d+)/sigp=(\d+)", d)
+        if (int(m.group(1)), int(m.group(2))) not in keep:
+            for f in glob.glob(os.path.join(d, "*.parquet")):
+                os.remove(f)
+                removed += 1
+    assert removed > 0  # the ball is a strict subset of the index
+    probe_df2 = similarity.lsh_index_probe(
+        spark, path, qvec, k=10, nbits=8, tables=4, hamming_radius=1
+    )
+    assert [tuple(r) for r in probe_df2.collect()] == [tuple(r) for r in expected]
+
+
+def test_ivfpq_probe_runtime_prunes_unprobed_cells(spark, sf_dir, tmp_path):
+    import os
+
+    from takuan_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    path = str(tmp_path / "ivfpq")
+    similarity.ivfpq_build(emb.where(F.col("vec_id") != 0), path, nlist=16)
+    probe_df = similarity.ivfpq_probe(spark, path, qvec, k=10, nlist=16, nprobe=4)
+    plan = plan_of(probe_df)
+    probed = {
+        int(c)
+        for c in re.search(
+            r"PartitionFilters: \[cell#\d+ IN \(([\d,]+)\)\]", plan
+        ).group(1).split(",")
+    }
+    for cell in set(range(16)) - probed:
+        for f in _cell_files(path, f"cell={cell}"):
+            os.remove(f)
+    assert len(probe_df.collect()) == 10
