@@ -81,3 +81,55 @@ def test_exactly_once_streaming_end_to_end(spark, url, tmp_path):
         driver="org.apache.derby.jdbc.EmbeddedDriver",
     ).load()
     assert back.count() == 5
+
+
+def test_exactly_once_survives_kill_and_resume(spark, url, tmp_path):
+    """Restart-replay gate for O17: a run is killed mid-epoch AFTER the
+    sink promoted epoch 0 into Derby but BEFORE Spark wrote the epoch's
+    commit marker — the exact crash window the staging+guard protocol
+    exists for. The crash state is constructed directly (epoch 0
+    delivered through the sink, checkpoint holding no commit for it);
+    the restarted query then replays epoch 0 through foreachBatch and
+    the guard must skip the promote. A second run delivers new data as
+    epoch 1. Derby must hold each row exactly once.
+
+    (The crash cannot be simulated by deleting commits/0 from a
+    finished checkpoint: Spark 4's commit-log tamper check aborts with
+    'multiple streaming queries are concurrently using' instead of
+    replaying.)"""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    (src / "a.jsonl").write_text(
+        "\n".join('{"id": %d}' % i for i in range(5))
+    )
+    sink = jdbc_exactly_once_sink(url, "k_events")
+
+    # the killed run: epoch 0 promoted, no commit marker ever written
+    sink(spark.read.schema("id long").json(str(src / "a.jsonl")), 0)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id long")
+            .json(str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # restart: replays the same data as epoch 0 -> guard must skip
+    run_once()
+    # then normal progress: new file arrives, delivered as epoch 1
+    (src / "b.jsonl").write_text(
+        "\n".join('{"id": %d}' % i for i in range(100, 103))
+    )
+    run_once()
+
+    back = spark.read.format("jdbc").options(
+        url=url, dbtable="k_events",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    ).load()
+    rows = sorted(r["id"] for r in back.collect())
+    assert rows == [0, 1, 2, 3, 4, 100, 101, 102]
