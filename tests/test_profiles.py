@@ -16,7 +16,12 @@ try:  # transformWithState's control channel needs a working protobuf
 except ImportError:  # pragma: no cover - environment-dependent
     _HAS_PROTOBUF = False
 
-pytestmark = pytest.mark.skipif(
+# Applied per-test (not module-wide): only the tests that run an
+# actual transformWithState STREAM need protobuf — the processor's
+# state-transition semantics are covered unconditionally further down,
+# so a protobuf-less environment still verifies the operator's logic
+# and the skip is scoped to exactly the wire-protocol dependency.
+needs_protobuf = pytest.mark.skipif(
     not _HAS_PROTOBUF,
     reason="transformWithStateInPandas requires google.protobuf, "
     "which this environment lacks (see streaming/profiles.py docstring)",
@@ -62,6 +67,7 @@ def _drain(spark, env):
     q.awaitTermination(180)
 
 
+@needs_protobuf
 def test_profiles_accumulate_across_batches(spark, stream_env):
     _write_chunk(
         stream_env["src"] / "c1.parquet",
@@ -101,5 +107,102 @@ def test_profiles_accumulate_across_batches(spark, stream_env):
         pd.Timestamp("2026-08-13 06:00:00").timestamp()
     )
     assert latest["last_seen"] == int(
+        pd.Timestamp("2026-08-13 06:05:00").timestamp()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Processor-semantics tests that run WITHOUT protobuf: the streaming
+# tests above need transformWithState's protobuf control channel, but
+# the state transitions themselves are plain Python — a fake handle
+# exercises accumulation, counter encoding, and first/last-seen carry
+# in every environment, so this file always verifies the operator's
+# semantics even where the wire protocol cannot run.
+# ---------------------------------------------------------------------------
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeMapState:
+    def __init__(self):
+        self._m = {}
+
+    def containsKey(self, k):
+        return k in self._m
+
+    def getValue(self, k):
+        return self._m[k]
+
+    def updateValue(self, k, v):
+        self._m[k] = v
+
+    def keys(self):
+        return list(self._m.keys())
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def getMapState(self, name, kschema, vschema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeMapState())
+
+
+def _batch(rows):
+    pdf = pd.DataFrame(rows, columns=["address", "created_at", "rule"])
+    pdf["created_at"] = pd.to_datetime(pdf["created_at"])
+    return pdf
+
+
+def test_processor_semantics_without_protobuf():
+    from takuan_spark.streaming.profiles import AddressProfileProcessor
+
+    proc = AddressProfileProcessor()
+    proc.init(_FakeHandle())
+    out1 = list(
+        proc.handleInputRows(
+            ("1.1.1.1",),
+            iter([_batch([
+                ("1.1.1.1", "2026-08-13 06:00:00", "auth-failure"),
+                ("1.1.1.1", "2026-08-13 06:00:10", "auth-failure"),
+                ("1.1.1.1", "2026-08-13 06:00:20", "user-enumeration"),
+            ])]),
+            None,
+        )
+    )[0].iloc[0]
+    assert out1["n_events"] == 3
+    assert out1["counters"] == "auth-failure:2|user-enumeration:1"
+
+    # second micro-batch: totals accumulate, first_seen sticks
+    out2 = list(
+        proc.handleInputRows(
+            ("1.1.1.1",),
+            iter([_batch([
+                ("1.1.1.1", "2026-08-13 06:05:00", "user-enumeration"),
+            ])]),
+            None,
+        )
+    )[0].iloc[0]
+    assert out2["n_events"] == 4
+    assert out2["counters"] == "auth-failure:2|user-enumeration:2"
+    assert out2["first_seen"] == int(
+        pd.Timestamp("2026-08-13 06:00:00").timestamp()
+    )
+    assert out2["last_seen"] == int(
         pd.Timestamp("2026-08-13 06:05:00").timestamp()
     )
