@@ -28,7 +28,7 @@ stay on Spark-native xxhash64.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from takuan_spark.operators.hashing import MERSENNE31, affine, affine_params, md5_int
@@ -163,6 +163,91 @@ def jaccard_pairs(
         .join(cb, "id_b")
         .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def positional_shingles(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Every word ``n``-gram with its start offset: (id, pos, h) where
+    ``pos`` is the 0-based word index and ``h`` = first 16 hex chars of
+    md5(shingle) — an engine-portable span identity (NOT distinct: the
+    same n-gram at two positions yields two rows, positions matter
+    here). Built with array ops + posexplode, no UDF."""
+    w = words(F.col(text_col))
+    idx = F.when(F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+    return _spread(df).select(
+        F.col(id_col), F.posexplode(shingles).alias("pos", "sh")
+    ).select(id_col, "pos", F.substring(F.md5("sh"), 1, 16).alias("h"))
+
+
+def duplicated_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal duplicated substring spans per document — the
+    substring-level exact dedup of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499),
+    word-granular: find every word ``n``-gram occurring in >=
+    ``min_docs`` distinct documents, then merge overlapping /
+    contiguous duplicated n-grams within each document into maximal
+    spans (the suffix-array step of the paper, re-expressed as an
+    inverted-index join + a gaps-and-islands window — the
+    Spark-native shape).
+
+    Output: (doc_id, span_start, span_end, n_grams, max_dup_docs) with
+    word offsets inclusive; a downstream cleaner cuts [span_start,
+    span_end] out of the document.
+
+    Scale: the shuffle carries (hash, id, pos) triples of the
+    *duplicated* n-grams only (the >= min_docs filter runs map-side
+    after one count aggregate); the island merge is a per-document
+    window — parallel across documents, O(1) state per row. Nothing is
+    all-pairs and nothing is driver-side.
+    """
+    sh = positional_shingles(df, text_col=text_col, id_col=id_col, n=n)
+    # inverted index: how many distinct docs contain each n-gram
+    nd = (
+        sh.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+    )
+    hits = sh.join(nd, "h").select(id_col, "pos", "nd")
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    # new island when this n-gram does not overlap/touch the previous
+    # one: pos > prev_pos + n (prev span covers [prev, prev + n - 1])
+    brk = (
+        F.when(
+            F.lag("pos").over(wdoc).isNull()
+            | (F.col("pos") > F.lag("pos").over(wdoc) + n),
+            1,
+        )
+        .otherwise(0)
+    )
+    islands = hits.withColumn(
+        "island", F.sum(brk).over(wdoc.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + n - 1).cast("int").alias("span_end"),
+            F.count("*").alias("n_grams"),
+            F.max("nd").alias("max_dup_docs"),
+        )
+        .drop("island")
+        .orderBy(id_col, "span_start")
     )
 
 

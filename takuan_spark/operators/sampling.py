@@ -106,6 +106,49 @@ def sample_to_mix(
     ).drop("thr")
 
 
+def shard_assign(
+    df: DataFrame,
+    *,
+    key_col: str,
+    n_shards: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic training-order sharding: assign every row a
+    ``shard`` and a ``pos`` within that shard, both pure functions of
+    (seed, key) — the "global shuffle" step that fixes the example
+    order a training run consumes (ref has no analog; this is the
+    north-star corpus-construction surface, SURVEY.md §2.2).
+
+    Design for 100 TB: a naive global shuffle is a single
+    ``row_number()`` over a full sort — one task, no parallelism.
+    Instead the md5 bucket hash (same family as the samplers, so an
+    external SQL engine re-derives it) does double duty:
+
+    - ``shard = hash % n_shards`` — balanced in expectation, no
+      shuffle at all for the assignment itself;
+    - ``pos`` = rank of the row's hash *within its shard* (tiebroken
+      by key) — a per-shard window, so the sort parallelizes across
+      ``n_shards`` independent partitions and each task sorts ~1/n of
+      the corpus. Because the hash is uniform, reading shard files in
+      pos order IS a uniform random permutation of the corpus.
+
+    Rows with equal hash order by key, so output is total-ordered and
+    rerun-stable. Adding new data never reorders existing (shard, pos)
+    prefixes *within* a hash value — membership and relative order are
+    content-determined, not arrival-determined.
+    """
+    from pyspark.sql import Window
+
+    h = _bucket(key_col, seed)
+    out = df.withColumn("_h", h).withColumn(
+        "shard", (F.col("_h") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(key_col))
+    return out.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("bigint")
+    ).drop("_h")
+
+
 def weighted_systematic_sample(
     df: DataFrame,
     *,

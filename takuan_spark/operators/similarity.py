@@ -140,9 +140,16 @@ def cosine_pairs(
     id_col: str = "vec_id",
     num_blocks: int | None = None,
     approx_count: int | None = None,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine near-duplicates: (id_a, id_b, sim) with
     sim >= threshold and id_a < id_b.
+
+    ``bucket_col`` restricts pairing to rows sharing that column's value
+    (e.g. an IVF cell for semantic dedup, an LSH bucket for candidate
+    verification): the group key becomes (bucket, bi, bj), so the
+    quadratic work drops from n^2 to sum of per-bucket sizes squared and
+    every bucket's block-pairs score independently in parallel.
 
     Sizing: pass ``num_blocks`` directly, or ``approx_count`` (a catalog
     row-count estimate / approx_count_distinct) to derive it — at 100 TB
@@ -172,7 +179,9 @@ def cosine_pairs(
         # ~2 block-pair tasks per core, but never blocks > 4096 rows
         # (the dense nb x nb score matrix must fit an Arrow batch).
         num_blocks = max(int(math.ceil(math.sqrt(4.0 * par))), -(-n // 4096), 1)
+    bucket_cols = [bucket_col] if bucket_col is not None else []
     base = spread(embeddings).select(
+        *bucket_cols,
         F.col(id_col).alias("id").cast("long"),
         normalized(F.col(vec_col)).alias("nv"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int").alias("blk"),
@@ -182,14 +191,14 @@ def cosine_pairs(
         "bi int, bj int",
     )
     a_side = base.join(F.broadcast(bp), base["blk"] == bp["bi"]).select(
-        "bi", "bj", F.lit(0).alias("role"), "id", "nv"
+        *bucket_cols, "bi", "bj", F.lit(0).alias("role"), "id", "nv"
     )
     b_side = base.join(F.broadcast(bp), base["blk"] == bp["bj"]).select(
-        "bi", "bj", F.lit(1).alias("role"), "id", "nv"
+        *bucket_cols, "bi", "bj", F.lit(1).alias("role"), "id", "nv"
     )
 
     def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        bi, bj = key
+        bi, bj = key[-2], key[-1]
         a = pdf[pdf["role"] == 0]
         b = pdf[pdf["role"] == 1]
         empty = pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
@@ -217,7 +226,7 @@ def cosine_pairs(
 
     pairs = (
         a_side.unionByName(b_side)
-        .groupBy("bi", "bj")
+        .groupBy(*bucket_cols, "bi", "bj")
         .applyInPandas(score, schema="id_a long, id_b long, sim double")
     )
     return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))

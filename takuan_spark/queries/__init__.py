@@ -77,6 +77,8 @@ PRIORITY: list[str] = [
     "q_udtf_tokenize", "q_window_range_frame",
     # -- 2. new this round --------------------------------------------
     "q_stateful_alerts", "q_stateful_profile",
+    "ns_semdedup", "ns_substring_dedup", "ns_bm25_search",
+    "ns_shard_assign",
     # -- 3. changed this round ----------------------------------------
     "ns_dedup_clusters",  # data-derived CC partitioning
     # -- 4. backfill: r1-green, unchecked since r1 --------------------
@@ -162,6 +164,7 @@ def _load() -> None:
         sketches,
         stateful_analog,
         takuan,
+        training,
         udtf_surface,
         timeseries,
     )

@@ -1,0 +1,250 @@
+"""Training-corpus construction queries (round-3 north-star additions,
+SURVEY.md §2.2): semantic dedup, substring-span dedup, BM25 retrieval,
+and deterministic shard assignment.
+
+Same contract as every other registry module: each query is a Spark
+builder paired with DuckDB oracle SQL that re-derives the identical
+result from the same parquet tables — md5-derived hashes and
+literal-embedded centroids keep the sketchy parts engine-portable, and
+double arithmetic is rounded to 6 decimals before any comparison /
+output (the established guard: the engines' ~1e-15 summation-order
+differences cannot flip a decision).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from takuan_spark.operators import dedup, retrieval, similarity
+from takuan_spark.operators.sampling import shard_assign
+from takuan_spark.operators.semdedup import semdedup_victims
+from takuan_spark.queries import query
+from takuan_spark.queries.northstar import _EMB_DIM, _sql_list
+from takuan_spark.tables import load_table
+
+# ---------------------------------------------------------------- semdedup
+
+_SEM_T = 0.4  # same "near" threshold the exact all-pairs query calibrated
+_SEM_NLIST = 16
+_SEM_SEED = 777
+
+
+def _semdedup_sql() -> str:
+    cents = similarity.fixed_centroids(_EMB_DIM, nlist=_SEM_NLIST, seed=_SEM_SEED)
+    cent_rows = ", ".join(
+        f"({j}, CAST({_sql_list(c)} AS DOUBLE[]))" for j, c in enumerate(cents)
+    )
+    return f"""
+    WITH cents(cell, cv) AS (SELECT * FROM (VALUES {cent_rows}) v(cell, cv)),
+    n1 AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    dots AS (
+        SELECT n1.vec_id, c.cell,
+               list_dot_product(CAST(n1.embedding AS DOUBLE[]), c.cv) AS d,
+               n1.nrm
+        FROM n1 CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, cell, ROUND(d / nrm, 6) AS c_sim FROM (
+            SELECT vec_id, cell, d, nrm,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ROUND(d, 6) DESC, cell) AS rn
+            FROM dots
+        ) WHERE rn = 1
+    ),
+    nv AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS nv
+        FROM n1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, aa.cell,
+               aa.c_sim AS ca, bb.c_sim AS cb,
+               list_sum(list_transform(list_zip(a.nv, b.nv),
+                        p -> p[1] * p[2])) AS sim
+        FROM nv a
+        JOIN assign aa ON aa.vec_id = a.vec_id
+        JOIN nv b ON a.vec_id < b.vec_id
+        JOIN assign bb ON bb.vec_id = b.vec_id AND bb.cell = aa.cell
+    ),
+    victims AS (
+        SELECT CASE WHEN ca > cb THEN id_a ELSE id_b END AS vec_id,
+               cell,
+               CASE WHEN ca > cb THEN ca ELSE cb END AS c_sim
+        FROM pairs WHERE sim >= {_SEM_T}
+    )
+    SELECT vec_id, cell, c_sim, CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM victims GROUP BY vec_id, cell, c_sim
+    ORDER BY vec_id
+    """
+
+
+@query(
+    "ns_semdedup",
+    _semdedup_sql(),
+    "SemDeDup (arXiv:2303.09540): cluster embeddings with the fixed IVF "
+    "quantizer, compare pairs only within a cell, and drop the MORE "
+    "prototypical member (higher centroid cosine) of every >=0.4 pair. "
+    "Quadratic work is per-cell (bucketed block-pair GEMM), never "
+    "corpus-wide; the oracle re-derives cells from the same centroid "
+    "literals.",
+)
+def ns_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_victims(
+        emb, threshold=_SEM_T, nlist=_SEM_NLIST, dim=_EMB_DIM, seed=_SEM_SEED
+    )
+
+
+# ------------------------------------------------------- substring dedup
+
+_SPAN_N = 8
+
+
+@query(
+    "ns_substring_dedup",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, i - 1 AS pos,
+               substr(md5(array_to_string(
+                   list_slice(t, i, i + {_SPAN_N - 1}), ' ')), 1, 16) AS h
+        FROM toks,
+             UNNEST(generate_series(1, greatest(len(t) - {_SPAN_N - 1}, 0)))
+             AS g(i)
+    ),
+    nd AS (
+        SELECT h, COUNT(DISTINCT doc_id) AS nd
+        FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT s.doc_id, s.pos, nd.nd FROM sh s JOIN nd USING (h)),
+    lagged AS (
+        SELECT doc_id, pos, nd,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits
+    ),
+    isl AS (
+        SELECT doc_id, pos, nd,
+               SUM(CASE WHEN prev IS NULL OR pos > prev + {_SPAN_N}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM lagged
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS INT) AS span_start,
+           CAST(MAX(pos) + {_SPAN_N - 1} AS INT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(MAX(nd) AS BIGINT) AS max_dup_docs
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """,
+    "Substring-level exact dedup (arXiv:2107.06499, word-granular): "
+    "8-gram inverted index -> n-grams in >=2 docs -> per-doc "
+    "gaps-and-islands merge into maximal duplicated spans. The shuffle "
+    "carries only duplicated-gram (hash, doc, pos) triples; the merge "
+    "is a per-document window.",
+)
+def ns_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(docs, n=_SPAN_N, min_docs=2)
+
+
+# ------------------------------------------------------------------ BM25
+
+_BM25_TERMS = ["hash", "spark", "vector"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "ns_bm25_search",
+    f"""
+    WITH base AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS t
+        FROM documents
+    ),
+    lens AS (SELECT doc_id, len(t) AS dl FROM base),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM lens
+    ),
+    tf AS (
+        SELECT doc_id, lower(w) AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM base, UNNEST(t) AS u(w)
+        WHERE lower(w) IN ({", ".join(repr(t) for t in sorted(_BM25_TERMS))})
+        GROUP BY doc_id, lower(w)
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                   ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * tf.tf * ({_BM25_K1} + 1.0)
+                   / (tf.tf + {_BM25_K1}
+                      * (1.0 - {_BM25_B} + {_BM25_B} * l.dl / s.avgdl))
+               ), 6) AS score
+        FROM tf
+        JOIN dfreq d USING (term)
+        JOIN lens l USING (doc_id), stats s
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+    "BM25 top-10 keyword retrieval (k1=1.2, b=0.75, smoothed idf): "
+    "inverted-index selection BEFORE any shuffle (only the query "
+    "terms' posting lists move), no-explode doc lengths, one-row "
+    "broadcast corpus stats, TakeOrderedAndProject top-k.",
+)
+def ns_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(
+        docs, _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+# --------------------------------------------------------- shard assign
+
+_N_SHARDS = 8
+
+
+@query(
+    "ns_shard_assign",
+    f"""
+    WITH h AS (
+        SELECT doc_id, source,
+               CAST(concat('0x', substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % 10000 AS b
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(b % {_N_SHARDS} AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY b % {_N_SHARDS}
+                ORDER BY b, doc_id) - 1 AS BIGINT) AS pos
+    FROM h
+    ORDER BY shard, pos
+    """,
+    "Deterministic training-order sharding: md5-hash shard assignment "
+    "(no shuffle) + per-shard hash-order position (parallel windows, "
+    "never a global row_number) — reading shards in pos order is a "
+    "uniform, rerun-stable permutation of the corpus.",
+)
+def ns_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        shard_assign(docs, key_col="doc_id", n_shards=_N_SHARDS, seed=42)
+        .select("doc_id", "source", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
