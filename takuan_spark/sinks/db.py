@@ -10,15 +10,25 @@ replayed with the same ``epoch_id``), so a sink that records delivered
 exactly-once end-to-end — the reference's ``reported_at`` protocol as a
 two-line transactional guard.
 
-This module lands batches in **DuckDB** (in-process, transactional, SQL)
-via Arrow. The DuckDB write necessarily funnels through the driver
-(single-writer embedded DB); the executor-parallel form of the same
-protocol over real JDBC (staging table + transactional promote, tested
-against embedded Derby) is ``sinks/jdbc.py:jdbc_exactly_once_sink``.
+Two DuckDB forms:
+
+- :func:`duckdb_exactly_once_sink` — Arrow transfer through the driver
+  (``batch.toPandas()``). Compact, right for small report batches; the
+  data volume a driver can funnel is the ceiling.
+- :func:`duckdb_staged_sink` — the batch is written to parquet by the
+  EXECUTORS (distributed, full cluster parallelism), and the database
+  ingests the staged files itself (``read_parquet``) inside the same
+  guarded transaction. The driver never touches row data — only the
+  epoch bookkeeping — so batch size is bounded by the cluster, not the
+  driver. This is the scale shape; the same staging idea over real JDBC
+  (staging table + transactional promote, tested against embedded
+  Derby) is ``sinks/jdbc.py:jdbc_exactly_once_sink``.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -70,6 +80,75 @@ def duckdb_exactly_once_sink(
                 f"INSERT INTO {EPOCH_TABLE} VALUES (?, ?)", [table, epoch_id]
             )
             con.execute("COMMIT")
+        finally:
+            con.close()
+
+    return _sink
+
+
+def duckdb_staged_sink(
+    db_path: str, table: str, stage_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink with a distributed staging step: executors
+    write the batch as parquet under ``stage_dir/epoch=<id>/``, then one
+    transaction ingests the staged directory via DuckDB ``read_parquet``
+    and registers the epoch. Exactly-once under replay:
+
+    - replayed epoch already registered → skip before any work;
+    - replayed epoch NOT registered (crash before commit) → the parquet
+      overwrite re-stages deterministically and the single transaction
+      ingests once;
+    - crash mid-ingest → transaction rolls back, stage dir remains for
+      the replay to overwrite.
+
+    The staged directory is removed after a successful commit (it is a
+    spool, not a table). Row data never crosses the driver: the write
+    is a cluster-parallel parquet job and the ingest is DB-side I/O.
+    """
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        import duckdb
+
+        con = duckdb.connect(db_path)
+        try:
+            con.execute(
+                f"CREATE TABLE IF NOT EXISTS {EPOCH_TABLE} "
+                "(tbl VARCHAR, epoch_id BIGINT)"
+            )
+            seen = con.execute(
+                f"SELECT 1 FROM {EPOCH_TABLE} WHERE tbl = ? AND epoch_id = ?",
+                [table, epoch_id],
+            ).fetchone()
+            if seen:
+                return
+            epoch_dir = os.path.join(stage_dir, f"epoch={epoch_id}")
+            # distributed stage (overwrite: a half-written replay spool
+            # from a previous crash is replaced wholesale)
+            batch.write.mode("overwrite").parquet(epoch_dir)
+            glob = os.path.join(epoch_dir, "*.parquet")
+            con.execute("BEGIN")
+            # guard re-check inside the transaction (two concurrent
+            # replays: second one loses on the epoch insert conflict
+            # or sees the row here)
+            seen = con.execute(
+                f"SELECT 1 FROM {EPOCH_TABLE} WHERE tbl = ? AND epoch_id = ?",
+                [table, epoch_id],
+            ).fetchone()
+            if seen:
+                con.execute("ROLLBACK")
+                return
+            con.execute(
+                f"CREATE TABLE IF NOT EXISTS {table} AS "
+                f"SELECT * FROM read_parquet('{glob}') WHERE 1 = 0"
+            )
+            con.execute(
+                f"INSERT INTO {table} SELECT * FROM read_parquet('{glob}')"
+            )
+            con.execute(
+                f"INSERT INTO {EPOCH_TABLE} VALUES (?, ?)", [table, epoch_id]
+            )
+            con.execute("COMMIT")
+            shutil.rmtree(epoch_dir, ignore_errors=True)
         finally:
             con.close()
 
