@@ -166,6 +166,76 @@ def jaccard_pairs(
     )
 
 
+def near_dominated_ids(
+    pairs: DataFrame,
+) -> DataFrame:
+    """One-pass near-dup removal policy: from (id_a < id_b) pairs, drop
+    every id that appears as the GREATER member of any pair ("keep the
+    smallest partner"). On chains a-b-c this keeps exactly the cluster
+    minimum like connected components would; on general graphs it can
+    drop slightly more than CC-keep-min (any node with a smaller
+    neighbour goes) — the trade the single-pass policy makes to avoid
+    the iterative CC entirely. Use :func:`dedup_clusters` when exact
+    cluster semantics are required."""
+    return pairs.select(F.col("id_b").alias("doc_id")).distinct()
+
+
+def corpus_dedup_summary(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end dedup pipeline report: exact dedup (min-id per
+    fingerprint) → n-gram Jaccard near-dup removal (dominated-id
+    policy) → per-source corpus accounting.
+
+    Output per source: (source, kept_docs, kept_chars, exact_dropped,
+    near_dropped). The whole pipeline is one DAG — fingerprints shuffle
+    as 32-byte keys, the near-dup discovery is the inverted-index join,
+    and every count is a partial-aggregated groupBy; nothing iterates
+    and nothing touches the driver.
+    """
+    kept_exact = materialize(
+        dedup_exact(docs, text_col=text_col, id_col=id_col)
+    )
+    pairs = jaccard_pairs(
+        kept_exact, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+    )
+    near = materialize(near_dominated_ids(pairs))
+    kept = kept_exact.join(near, id_col, "left_anti")
+    tot = docs.groupBy("source").agg(F.count("*").alias("total"))
+    ae = kept_exact.groupBy("source").agg(F.count("*").alias("after_exact"))
+    nd = (
+        kept_exact.join(near, id_col)
+        .groupBy("source")
+        .agg(F.count("*").alias("near_dropped"))
+    )
+    ks = kept.groupBy("source").agg(
+        F.count("*").alias("kept_docs"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+    return (
+        tot.join(ae, "source")
+        .join(ks, "source", "left")
+        .join(nd, "source", "left")
+        .select(
+            "source",
+            F.coalesce("kept_docs", F.lit(0)).cast("bigint").alias("kept_docs"),
+            F.coalesce("kept_chars", F.lit(0)).cast("bigint").alias("kept_chars"),
+            (F.col("total") - F.col("after_exact"))
+            .cast("bigint")
+            .alias("exact_dropped"),
+            F.coalesce("near_dropped", F.lit(0))
+            .cast("bigint")
+            .alias("near_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
 def positional_shingles(
     df: DataFrame,
     *,

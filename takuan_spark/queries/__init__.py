@@ -78,7 +78,7 @@ PRIORITY: list[str] = [
     # -- 2. new this round --------------------------------------------
     "q_stateful_alerts", "q_stateful_profile",
     "ns_semdedup", "ns_substring_dedup", "ns_bm25_search",
-    "ns_shard_assign",
+    "ns_shard_assign", "ns_dedup_pipeline",
     # -- 3. changed this round ----------------------------------------
     "ns_dedup_clusters",  # data-derived CC partitioning
     # -- 4. backfill: r1-green, unchecked since r1 --------------------

@@ -215,6 +215,75 @@ def ns_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------- dedup pipeline
+
+
+@query(
+    "ns_dedup_pipeline",
+    """
+    WITH fp AS (
+        SELECT doc_id, source, n_chars, text,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    keep_e AS (SELECT fp, MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+    kept_exact AS (SELECT f.* FROM fp f JOIN keep_e k ON f.doc_id = k.doc_id),
+    toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM kept_exact
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    near AS (
+        SELECT DISTINCT id_b AS doc_id FROM inter
+        JOIN cnt ca ON id_a = ca.doc_id
+        JOIN cnt cb ON id_b = cb.doc_id
+        WHERE i * 1.0 / (ca.n_sh + cb.n_sh - i) >= 0.8
+    ),
+    kept AS (
+        SELECT * FROM kept_exact
+        WHERE doc_id NOT IN (SELECT doc_id FROM near)
+    ),
+    tot AS (SELECT source, COUNT(*) AS total FROM documents GROUP BY source),
+    ae AS (SELECT source, COUNT(*) AS after_exact FROM kept_exact GROUP BY source),
+    nd AS (
+        SELECT ke.source, COUNT(*) AS near_dropped
+        FROM kept_exact ke JOIN near USING (doc_id) GROUP BY ke.source
+    ),
+    ks AS (
+        SELECT source, COUNT(*) AS kept_docs, SUM(n_chars) AS kept_chars
+        FROM kept GROUP BY source
+    )
+    SELECT t.source,
+           CAST(COALESCE(ks.kept_docs, 0) AS BIGINT) AS kept_docs,
+           CAST(COALESCE(ks.kept_chars, 0) AS BIGINT) AS kept_chars,
+           CAST(t.total - ae.after_exact AS BIGINT) AS exact_dropped,
+           CAST(COALESCE(nd.near_dropped, 0) AS BIGINT) AS near_dropped
+    FROM tot t
+    JOIN ae USING (source)
+    LEFT JOIN ks USING (source)
+    LEFT JOIN nd USING (source)
+    ORDER BY t.source
+    """,
+    "End-to-end dedup pipeline report: exact fingerprint dedup -> "
+    "3-gram Jaccard near-dup removal (dominated-id single-pass "
+    "policy) -> per-source kept/dropped accounting. One DAG: 32-byte "
+    "fingerprint shuffles, inverted-index near-dup discovery, "
+    "partial-aggregated counts; no iteration, no driver data.",
+)
+def ns_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.corpus_dedup_summary(docs, n=3, threshold=0.8)
+
+
 # --------------------------------------------------------- shard assign
 
 _N_SHARDS = 8

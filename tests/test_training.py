@@ -111,6 +111,41 @@ def test_duplicated_spans_unique_corpus_is_empty(spark):
     assert dedup.duplicated_spans(docs, n=8).count() == 0
 
 
+# -------------------------------------------------------- dedup pipeline
+
+def test_corpus_dedup_summary_accounts_every_drop(spark):
+    """3 exact copies + 1 near-dup + 1 unique in one source: exact pass
+    drops 2, near pass drops the near-dup, accounting adds up."""
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = " ".join(f"tok{i}" for i in range(29)) + " changed"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="s1", text=base, n_chars=len(base)),
+            Row(doc_id=2, source="s1", text=base, n_chars=len(base)),
+            Row(doc_id=3, source="s1", text=" ".join(base.split()), n_chars=len(base)),
+            Row(doc_id=4, source="s1", text=near, n_chars=len(near)),
+            Row(doc_id=5, source="s2", text="totally different words here "
+                                            "nothing shared with others at all",
+                n_chars=10),
+        ]
+    )
+    out = {r["source"]: r for r in dedup.corpus_dedup_summary(docs).collect()}
+    s1 = out["s1"]
+    assert s1["exact_dropped"] == 2          # docs 2 and 3 (same fingerprint)
+    assert s1["near_dropped"] == 1           # doc 4 dominated by doc 1
+    assert s1["kept_docs"] == 1 and s1["kept_chars"] == len(base)
+    s2 = out["s2"]
+    assert (s2["kept_docs"], s2["exact_dropped"], s2["near_dropped"]) == (1, 0, 0)
+
+
+def test_near_dominated_keeps_chain_minimum(spark):
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3)]
+    )
+    dropped = {r["doc_id"] for r in dedup.near_dominated_ids(pairs).collect()}
+    assert dropped == {2, 3}  # chain 1-2-3 keeps exactly the minimum
+
+
 # ----------------------------------------------------------------- BM25
 
 def _bm25_ref(docs: dict[int, str], terms: list[str], k1=1.2, b=0.75):
