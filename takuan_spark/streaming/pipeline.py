@@ -49,16 +49,39 @@ def compile_stream(
     paths: dict[str, str] | None = None,
     geo_dim: DataFrame | None = None,
     max_files_per_trigger: int | None = None,
+    tail_files: bool = False,
 ) -> DataFrame:
     """Streaming events DataFrame: union of all enabled sensors with the
-    error-quarantine column (``_parse_error``) retained."""
+    error-quarantine column (``_parse_error``) retained.
+
+    ``tail_files=False`` (default): each sensor path is a chunk
+    DIRECTORY consumed by the built-in file source — the scale path
+    (parallel scans, many files). ``tail_files=True``: each path is ONE
+    live log file consumed by the byte-offset ``filetail`` source
+    (``sources/tail_source.py``) — the reference sensor's exact
+    single-file semantics including truncation reset (O1/O2/O3).
+    """
+    if tail_files:
+        from takuan_spark.sources.tail_source import register_filetail
+
+        register_filetail(spark)
     parts = []
     for sensor in config.enabled_sensors():
         path = (paths or {}).get(sensor.name, sensor.filename)
-        reader = spark.readStream
-        if max_files_per_trigger is not None:
-            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-        lines = reader.text(path)
+        if tail_files:
+            lines = (
+                spark.readStream.format("filetail")
+                .option("path", path)
+                .load()
+                .select("value")
+            )
+        else:
+            reader = spark.readStream
+            if max_files_per_trigger is not None:
+                reader = reader.option(
+                    "maxFilesPerTrigger", max_files_per_trigger
+                )
+            lines = reader.text(path)
         parts.append(
             compile_sensor(
                 lines,
@@ -120,12 +143,17 @@ def start_pipeline(
     geo_dim: DataFrame | None = None,
     available_now: bool = False,
     post_hook: Callable[[DataFrame, int], None] | None = None,
+    tail_files: bool = False,
 ) -> StreamingQuery:
     """Start the service. ``available_now=True`` drains the current
     backlog and stops (tests, catch-up runs); otherwise the trigger is
     the config's flush period, exactly the reference's DB-flush ticker.
+    ``tail_files=True`` tails single live log files byte-by-byte
+    (see :func:`compile_stream`).
     """
-    events = compile_stream(spark, config, paths=paths, geo_dim=geo_dim)
+    events = compile_stream(
+        spark, config, paths=paths, geo_dim=geo_dim, tail_files=tail_files
+    )
     writer = events.writeStream.foreachBatch(
         split_sink(events_path, quarantine_path, post_hook=post_hook)
     ).option("checkpointLocation", checkpoint_path)
