@@ -132,6 +132,13 @@ def shard_assign(
       the corpus. Because the hash is uniform, reading shard files in
       pos order IS a uniform random permutation of the corpus.
 
+    The ordering hash here is 60-bit (15 md5 hex chars), NOT the 10k
+    sampler bucket: with only 10^4 distinct order keys a billion-doc
+    corpus would collide ~10^5 rows per key and the key tiebreak would
+    make the "permutation" largely id-ordered clumps. 60 bits keeps
+    collisions negligible at any realistic corpus size (and still fits
+    BIGINT exactly in every engine the oracle runs on).
+
     Rows with equal hash order by key, so output is total-ordered and
     rerun-stable. Adding new data never reorders existing (shard, pos)
     prefixes *within* a hash value — membership and relative order are
@@ -139,7 +146,15 @@ def shard_assign(
     """
     from pyspark.sql import Window
 
-    h = _bucket(key_col, seed)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
     out = df.withColumn("_h", h).withColumn(
         "shard", (F.col("_h") % n_shards).cast("int")
     )

@@ -295,7 +295,7 @@ _N_SHARDS = 8
     WITH h AS (
         SELECT doc_id, source,
                CAST(concat('0x', substr(md5('42:' || CAST(doc_id AS VARCHAR)),
-                                        1, 8)) AS BIGINT) % 10000 AS b
+                                        1, 15)) AS BIGINT) AS b
         FROM documents
     )
     SELECT doc_id, source,
@@ -305,7 +305,7 @@ _N_SHARDS = 8
     FROM h
     ORDER BY shard, pos
     """,
-    "Deterministic training-order sharding: md5-hash shard assignment "
+    "Deterministic training-order sharding: 60-bit md5 shard assignment "
     "(no shuffle) + per-shard hash-order position (parallel windows, "
     "never a global row_number) — reading shards in pos order is a "
     "uniform, rerun-stable permutation of the corpus.",
