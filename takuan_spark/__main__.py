@@ -150,6 +150,13 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="one-shot geo re-enrichment over the events table, then exit",
     )
+    ap.add_argument(
+        "--tail",
+        action="store_true",
+        help="treat each sensor filename as ONE live log file and tail "
+        "it byte-by-byte (the reference sensor's exact mode; default "
+        "treats paths as chunk directories)",
+    )
     ap.add_argument("--master", default="local[*]")
     ap.add_argument(
         "--timeout-secs",
@@ -205,6 +212,7 @@ def main(argv: list[str] | None = None) -> int:
         geo_dim=geo_dim,
         available_now=args.batch,
         post_hook=hook,
+        tail_files=args.tail,
     )
     if args.batch:
         query.awaitTermination()

@@ -152,3 +152,26 @@ def test_cli_geo_batch_mode(spark, cli_env, capsys):
     }
     assert cc["203.0.113.7"] == "CN"  # refreshed by the lookup
     assert cc["198.51.100.23"] is None  # no dim row -> left as-is
+
+
+def test_cli_tail_mode_end_to_end(spark, cli_env, tmp_path, capsys):
+    """--tail consumes each sensor filename as ONE live log file via the
+    byte-offset filetail source; --batch drains and exits."""
+    log = tmp_path / "single-auth.log"
+    log.write_text("\n".join(AUTH_LINES) + "\n")
+    cfg = tmp_path / "tail.yml"
+    cfg.write_text(CONFIG_TMPL.format(ssh_dir=log))
+    rc = main(
+        [
+            "--config", str(cfg),
+            "--out", cli_env["out"],
+            "--batch",
+            "--tail",
+        ]
+    )
+    assert rc == 0
+    events = spark.read.parquet(f"{cli_env['out']}/events")
+    assert events.count() == 3  # same three rule-matched lines as chunk mode
+    assert {r["address"] for r in events.select("address").collect()} == {
+        "203.0.113.7", "198.51.100.23",
+    }
