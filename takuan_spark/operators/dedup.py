@@ -95,6 +95,17 @@ def dedup_incremental(
 
 # ------------------------------------------------------------- shingles
 
+def ngram_array(text_col: Column, n: int) -> Column:
+    """Array of word ``n``-grams in order (one per start offset), via
+    array ops only — no UDF. ``sequence(0, k)`` counts *down* when
+    k < 0, so short documents get an explicit empty index array."""
+    w = words(text_col)
+    idx = F.when(F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+
+
 def shingle_df(
     df: DataFrame,
     *,
@@ -102,22 +113,13 @@ def shingle_df(
     id_col: str = "doc_id",
     n: int = 3,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
-
-    Built with array ops (transform over a split — no UDF), exploded to
-    one row per distinct shingle.
-    """
-    w = words(F.col(text_col))
-    # sequence(0, k) counts *down* when k < 0, so guard short documents
-    # with an explicit empty index array.
-    idx = F.when(F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    shingles = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n))
-    )
+    """Distinct word n-gram shingles per document: (id, shingle),
+    exploded to one row per distinct shingle."""
     return _spread(df).select(
-        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
+        F.col(id_col),
+        F.explode(F.array_distinct(ngram_array(F.col(text_col), n))).alias(
+            "shingle"
+        ),
     )
 
 
@@ -217,15 +219,18 @@ def corpus_dedup_summary(
         F.count("*").alias("kept_docs"),
         F.sum("n_chars").cast("bigint").alias("kept_chars"),
     )
+    # LEFT joins off the full per-source totals: a source whose every
+    # document was deduped away (all its content seen under lower ids
+    # elsewhere) still gets its accounting row — kept 0, dropped all.
     return (
-        tot.join(ae, "source")
+        tot.join(ae, "source", "left")
         .join(ks, "source", "left")
         .join(nd, "source", "left")
         .select(
             "source",
             F.coalesce("kept_docs", F.lit(0)).cast("bigint").alias("kept_docs"),
             F.coalesce("kept_chars", F.lit(0)).cast("bigint").alias("kept_chars"),
-            (F.col("total") - F.col("after_exact"))
+            (F.col("total") - F.coalesce("after_exact", F.lit(0)))
             .cast("bigint")
             .alias("exact_dropped"),
             F.coalesce("near_dropped", F.lit(0))
@@ -248,13 +253,9 @@ def positional_shingles(
     md5(shingle) — an engine-portable span identity (NOT distinct: the
     same n-gram at two positions yields two rows, positions matter
     here). Built with array ops + posexplode, no UDF."""
-    w = words(F.col(text_col))
-    idx = F.when(F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
     return _spread(df).select(
-        F.col(id_col), F.posexplode(shingles).alias("pos", "sh")
+        F.col(id_col),
+        F.posexplode(ngram_array(F.col(text_col), n)).alias("pos", "sh"),
     ).select(id_col, "pos", F.substring(F.md5("sh"), 1, 16).alias("h"))
 
 

@@ -146,15 +146,12 @@ def shard_assign(
     """
     from pyspark.sql import Window
 
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    from takuan_spark.operators.hashing import md5_int
+
+    h = md5_int(
+        F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")),
+        hex_chars=15,
+    )
     out = df.withColumn("_h", h).withColumn(
         "shard", (F.col("_h") % n_shards).cast("int")
     )

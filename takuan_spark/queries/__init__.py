@@ -95,8 +95,9 @@ PRIORITY: list[str] = [
     "ns_winnow_fingerprint", "ns_fingerprint", "ns_similarity_topk",
     "ns_knn_join",
     # relational r1 greens
-    "q_scalar_subquery", "q_correlated_subquery", "q_array_functions",
-    # ---------------- driver cap (~50) lands here --------------------
+    "q_scalar_subquery", "q_correlated_subquery",
+    # ---------------- driver cap (50) lands here ---------------------
+    "q_array_functions",
     "q_full_outer_join", "q_ip_range_join", "q_ip_range_join_bucketed",
     "q1_pricing_summary",
     "q3_shipping_priority", "q5_local_supplier_volume",

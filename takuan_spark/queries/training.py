@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from takuan_spark.operators import dedup, retrieval, similarity
+from takuan_spark.operators.hashing import sql_md5_int
 from takuan_spark.operators.sampling import shard_assign
 from takuan_spark.operators.semdedup import semdedup_victims
 from takuan_spark.queries import query
@@ -265,10 +266,10 @@ def ns_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.source,
            CAST(COALESCE(ks.kept_docs, 0) AS BIGINT) AS kept_docs,
            CAST(COALESCE(ks.kept_chars, 0) AS BIGINT) AS kept_chars,
-           CAST(t.total - ae.after_exact AS BIGINT) AS exact_dropped,
+           CAST(t.total - COALESCE(ae.after_exact, 0) AS BIGINT) AS exact_dropped,
            CAST(COALESCE(nd.near_dropped, 0) AS BIGINT) AS near_dropped
     FROM tot t
-    JOIN ae USING (source)
+    LEFT JOIN ae USING (source)
     LEFT JOIN ks USING (source)
     LEFT JOIN nd USING (source)
     ORDER BY t.source
@@ -294,8 +295,7 @@ _N_SHARDS = 8
     f"""
     WITH h AS (
         SELECT doc_id, source,
-               CAST(concat('0x', substr(md5('42:' || CAST(doc_id AS VARCHAR)),
-                                        1, 15)) AS BIGINT) AS b
+               {sql_md5_int("'42:' || CAST(doc_id AS VARCHAR)", hex_chars=15)} AS b
         FROM documents
     )
     SELECT doc_id, source,

@@ -109,6 +109,7 @@ def duckdb_staged_sink(
     def _sink(batch: DataFrame, epoch_id: int) -> None:
         import duckdb
 
+        epoch_dir = os.path.join(stage_dir, f"epoch={epoch_id}")
         con = duckdb.connect(db_path)
         try:
             con.execute(
@@ -120,8 +121,10 @@ def duckdb_staged_sink(
                 [table, epoch_id],
             ).fetchone()
             if seen:
+                # epoch already delivered: also reap a spool left behind
+                # by a crash between COMMIT and the post-commit cleanup
+                shutil.rmtree(epoch_dir, ignore_errors=True)
                 return
-            epoch_dir = os.path.join(stage_dir, f"epoch={epoch_id}")
             # distributed stage (overwrite: a half-written replay spool
             # from a previous crash is replaced wholesale)
             batch.write.mode("overwrite").parquet(epoch_dir)
@@ -136,6 +139,7 @@ def duckdb_staged_sink(
             ).fetchone()
             if seen:
                 con.execute("ROLLBACK")
+                shutil.rmtree(epoch_dir, ignore_errors=True)
                 return
             con.execute(
                 f"CREATE TABLE IF NOT EXISTS {table} AS "

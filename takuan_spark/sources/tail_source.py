@@ -49,11 +49,44 @@ class _TailStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, path: str):
         self.path = path
 
+    HEAD_ID_BYTES = 64
+
+    def _head_id(self, length: int | None = None) -> tuple[int, str]:
+        """Content identity for rotation detection: md5 of the file's
+        first min(size, 64) bytes (or exactly ``length`` bytes when
+        re-checking a stored identity). Append-only writes never change
+        an already-hashed prefix, so the identity is stable across
+        appends but flips on rotate-and-recreate — unlike inode
+        numbers, which filesystems recycle immediately."""
+        import hashlib
+
+        try:
+            with open(self.path, "rb") as fh:
+                head = fh.read(
+                    self.HEAD_ID_BYTES if length is None else length
+                )
+        except OSError:
+            return 0, ""
+        if length is not None and len(head) < length:
+            return len(head), ""  # file shorter than the stored prefix
+        return len(head), hashlib.md5(head).hexdigest()
+
+    def _same_file(self, off: dict) -> bool:
+        """Does the file on disk still begin with the prefix recorded in
+        offset ``off``? hl == 0 means no identity recorded (empty file
+        at offset time) — treat as same."""
+        hl = int(off.get("hl", 0))
+        if hl == 0:
+            return True
+        cur_len, cur_hash = self._head_id(hl)
+        return cur_len == hl and cur_hash == off.get("hh", "")
+
     def initialOffset(self) -> dict:
         # start at byte 0: a fresh query drains the existing file first
         # (the reference resumes from its DB state; Spark's checkpoint
         # plays that role — initialOffset only applies to new queries)
-        return {"pos": 0}
+        hl, hh = self._head_id()
+        return {"pos": 0, "hl": hl, "hh": hh}
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         pos = int(start["pos"])
@@ -61,10 +94,18 @@ class _TailStreamReader(SimpleDataSourceStreamReader):
             size = os.path.getsize(self.path)
         except OSError:
             return iter([]), start  # file missing: no progress, retry later
-        if size < pos:
-            pos = 0  # truncation/rotation: start over (O2)
+        # O2 reset, two rotation styles: truncation-in-place (size fell
+        # below the offset — the reference's own rule) and
+        # rotate-and-recreate (head checksum changed; catches the case
+        # where the NEW file is already larger than the old offset,
+        # which a size check alone would misread as a plain append)
+        if size < pos or not self._same_file(start):
+            pos = 0
+        hl, hh = self._head_id()
         if size == pos:
-            return iter([]), start if pos == int(start["pos"]) else {"pos": pos}
+            if pos == int(start["pos"]) and hh == start.get("hh", hh):
+                return iter([]), start
+            return iter([]), {"pos": pos, "hl": hl, "hh": hh}
         with open(self.path, "rb") as fh:
             fh.seek(pos)
             chunk = fh.read(size - pos)
@@ -72,7 +113,7 @@ class _TailStreamReader(SimpleDataSourceStreamReader):
         # unconsumed until its newline arrives
         last_nl = chunk.rfind(b"\n")
         if last_nl < 0:
-            return iter([]), {"pos": pos}
+            return iter([]), {"pos": pos, "hl": hl, "hh": hh}
         complete = chunk[: last_nl + 1]
         rows = []
         line_pos = pos
@@ -81,19 +122,24 @@ class _TailStreamReader(SimpleDataSourceStreamReader):
                 (raw.decode("utf-8", errors="replace").rstrip("\r"), line_pos)
             )
             line_pos += len(raw) + 1
-        return iter(rows), {"pos": pos + last_nl + 1}
+        return iter(rows), {"pos": pos + last_nl + 1, "hl": hl, "hh": hh}
 
     def readBetweenOffsets(
         self, start: dict, end: dict
     ) -> Iterator[tuple]:
         # deterministic replay of a committed range (failure recovery):
         # offsets are byte positions, so the range re-reads exactly the
-        # same bytes — unless a truncation happened in between, in which
-        # case the committed data is gone and the replay is empty.
+        # same bytes — unless the file rotated or truncated in between,
+        # in which case the committed bytes are gone and the replay MUST
+        # be empty rather than garbage from the new file's content.
         pos, endpos = int(start["pos"]), int(end["pos"])
         if endpos <= pos:
             return iter([])
+        if not self._same_file(end):
+            return iter([])  # rotated: a different file now lives here
         try:
+            if os.path.getsize(self.path) < endpos:
+                return iter([])  # truncated below the committed range
             with open(self.path, "rb") as fh:
                 fh.seek(pos)
                 chunk = fh.read(endpos - pos)

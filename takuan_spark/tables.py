@@ -55,19 +55,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 ),
             )
         if ts_type == "timestamp":
-            # NOT a bare cast: TIMESTAMP -> TIMESTAMP_NTZ casts through
-            # the SESSION timezone, so a non-UTC consuming session would
-            # shift every wall clock away from what DuckDB reads. Cast
-            # first (one offset lookup, at the instant itself), then
-            # rebase that wall clock session-tz -> UTC; chaining
-            # to_utc_timestamp + cast would look up the offset twice at
-            # different instants and mis-shift near DST transitions.
+            # NOT a bare cast (goes through the SESSION timezone) and
+            # NOT cast+convert_timezone (the cast to NTZ collapses the
+            # DST fall-back repeated hour before the rebase can see the
+            # offset, shifting those instants by -1h). unix_micros is an
+            # instant -> integer map with no timezone table anywhere, so
+            # epoch arithmetic onto an NTZ base reproduces the UTC wall
+            # clock exactly for every instant in any session timezone —
+            # the same derivation the nanos branch above uses.
             return df.withColumn(
                 "ts",
-                F.convert_timezone(
-                    F.expr("current_timezone()"),
-                    F.lit("UTC"),
-                    F.col("ts").cast("timestamp_ntz"),
+                F.timestamp_add(
+                    "MICROSECOND",
+                    F.unix_micros(F.col("ts")),
+                    F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
                 ),
             )
         return df  # already timestamp_ntz

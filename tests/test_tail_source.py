@@ -93,6 +93,35 @@ def test_tail_truncation_resets_to_zero(spark, tailed):
         q.stop()
 
 
+def test_tail_rotation_to_larger_file_resets(spark, tailed):
+    """Rotate-and-recreate where the NEW file is already larger than the
+    old offset: a size check alone would misread this as an append and
+    emit from mid-file; the inode identity in the offset catches it."""
+    name = f"tail_{uuid.uuid4().hex[:8]}"
+    with open(tailed["log"], "w") as fh:
+        fh.write("aa\nbb\n")  # offset will be 6
+    q = _start(spark, tailed, name)
+    try:
+        q.processAllAvailable()
+        # rotate: unlink + recreate (new inode), new content LONGER
+        # than the committed offset
+        import os
+
+        os.unlink(tailed["log"])
+        with open(tailed["log"], "w") as fh:
+            fh.write("fresh line one\nfresh line two\n")
+        q.processAllAvailable()
+        rows = spark.sql(
+            f"SELECT value, byte_offset FROM {name} ORDER BY byte_offset"
+        ).collect()
+        vals = [(r["value"], r["byte_offset"]) for r in rows]
+        assert ("fresh line one", 0) in vals  # reset to byte 0, not mid-file
+        assert ("fresh line two", 15) in vals
+        assert len(vals) == 4
+    finally:
+        q.stop()
+
+
 def test_tail_resumes_from_checkpoint_without_duplicates(spark, tailed, tmp_path):
     """Restart against the same checkpoint reads only new bytes (O3) —
     the memory sink cannot recover, so this uses the parquet sink."""

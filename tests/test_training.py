@@ -138,6 +138,24 @@ def test_corpus_dedup_summary_accounts_every_drop(spark):
     assert (s2["kept_docs"], s2["exact_dropped"], s2["near_dropped"]) == (1, 0, 0)
 
 
+def test_corpus_dedup_summary_keeps_fully_deduped_source(spark):
+    """A source whose EVERY document duplicates lower-id content still
+    appears in the accounting — kept 0, all dropped."""
+    base = " ".join(f"w{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="orig", text=base, n_chars=len(base)),
+            Row(doc_id=2, source="mirror", text=base, n_chars=len(base)),
+            Row(doc_id=3, source="mirror", text=base, n_chars=len(base)),
+        ]
+    )
+    out = {r["source"]: r for r in dedup.corpus_dedup_summary(docs).collect()}
+    assert set(out) == {"orig", "mirror"}
+    m = out["mirror"]
+    assert (m["kept_docs"], m["kept_chars"]) == (0, 0)
+    assert m["exact_dropped"] == 2 and m["near_dropped"] == 0
+
+
 def test_near_dominated_keeps_chain_minimum(spark):
     pairs = spark.createDataFrame(
         [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3)]
