@@ -311,3 +311,88 @@ def test_kmv_exact_when_under_k_any_partitioning(spark, toks, n_parts):
         df, group_cols=["source"], value_col="tok", k=4096
     ).collect()[0]
     assert out["est_distinct"] == len(set(toks))
+
+
+# ------------------------------------------------------ duplicated spans
+
+def _spans_reference(corpus: dict[int, list[str]], n: int) -> set[tuple]:
+    """Brute-force python re-implementation of duplicated_spans: n-gram
+    occurrence map -> grams in >=2 docs -> per-doc island merge (a new
+    island starts when a hit does not overlap/touch the previous one,
+    i.e. pos > prev + n)."""
+    grams: dict[tuple, set[int]] = {}
+    for d, toks in corpus.items():
+        for i in range(len(toks) - n + 1):
+            grams.setdefault(tuple(toks[i : i + n]), set()).add(d)
+    out = set()
+    for d, toks in corpus.items():
+        hits = [
+            (i, len(grams[tuple(toks[i : i + n])]))
+            for i in range(len(toks) - n + 1)
+            if len(grams[tuple(toks[i : i + n])]) >= 2
+        ]
+        island: list[tuple[int, int]] = []
+
+        def flush():
+            if island:
+                out.add(
+                    (
+                        d,
+                        island[0][0],
+                        island[-1][0] + n - 1,
+                        len(island),
+                        max(x for _, x in island),
+                    )
+                )
+
+        for i, nd in hits:
+            if island and i > island[-1][0] + n:
+                flush()
+                island = []
+            island.append((i, nd))
+        flush()
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=24),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_collect_span_cases(docs_tokens):
+    """Hypothesis generates corpora into a pool; the single-Spark-job
+    test below consumes it (per-example Spark jobs are prohibitive)."""
+    _SPAN_CASES.append(docs_tokens)
+
+
+_SPAN_CASES: list[list[list[str]]] = []
+
+
+def test_duplicated_spans_matches_reference_over_pool(spark):
+    from pyspark.sql import Row
+
+    from takuan_spark.operators.dedup import duplicated_spans
+
+    n = 3
+    cases = [c for c in _SPAN_CASES if any(c)][:12] or [
+        [["a", "b", "c", "a", "b", "c"], ["x", "a", "b", "c", "a", "b", "c"]]
+    ]
+    for docs_tokens in cases:
+        corpus = {i: toks for i, toks in enumerate(docs_tokens)}
+        sdf = spark.createDataFrame(
+            [Row(doc_id=d, text=" ".join(t)) for d, t in corpus.items()]
+        )
+        got = {
+            (
+                r["doc_id"],
+                r["span_start"],
+                r["span_end"],
+                r["n_grams"],
+                r["max_dup_docs"],
+            )
+            for r in duplicated_spans(sdf, n=n).collect()
+        }
+        assert got == _spans_reference(corpus, n), (corpus, got)
