@@ -130,6 +130,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (a < b, j >= threshold).
 
@@ -140,14 +141,33 @@ def jaccard_pairs(
     Shuffle-width note: shingles are hashed to int64 before the
     self-join, so the exchange carries 8-byte keys instead of shingle
     strings (collision odds at corpus scale ~2^-40s; counts unchanged).
+
+    ``max_df`` is the stop-shingle guard for corpus scale: a shingle
+    appearing in d documents contributes d^2/2 join rows, so one
+    boilerplate n-gram shared by a million documents would alone emit
+    5e11 candidate pairs into the shuffle. Setting ``max_df`` drops
+    shingles with document frequency above it from the index entirely
+    (counts AND join — the metric becomes exact Jaccard over the
+    sub-``max_df`` shingle vocabulary, still engine-portable). Frequent
+    shingles carry almost no near-duplicate signal — two documents that
+    are 80% identical share plenty of rare shingles — so the pruning
+    loses ~nothing while bounding the worst join bucket at max_df^2/2.
+    Default None preserves the exact full-vocabulary metric.
     """
     # three consumers (a-side, b-side, per-doc counts) and no exchange
     # reuse across branches: materialize the hashed shingle index once.
-    sh = materialize(
-        shingle_df(df, text_col=text_col, id_col=id_col, n=n).select(
-            id_col, F.xxhash64("shingle").alias("shingle")
-        )
+    sh = shingle_df(df, text_col=text_col, id_col=id_col, n=n).select(
+        id_col, F.xxhash64("shingle").alias("shingle")
     )
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sh = materialize(sh)
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -164,6 +164,29 @@ def test_near_dominated_keeps_chain_minimum(spark):
     assert dropped == {2, 3}  # chain 1-2-3 keeps exactly the minimum
 
 
+# ----------------------------------------------------- stop-shingle guard
+
+def test_jaccard_max_df_drops_boilerplate_only(spark):
+    """A boilerplate shingle shared by EVERY doc is excluded by max_df;
+    genuinely near-duplicate pairs still surface, and unrelated docs
+    sharing only the boilerplate do not pair at all."""
+    boiler = "copyright acme corp"
+    a = boiler + " alpha beta gamma delta epsilon zeta"
+    b = boiler + " alpha beta gamma delta epsilon eta"
+    c = boiler + " totally different content here now then"
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=a), Row(doc_id=2, text=b), Row(doc_id=3, text=c)]
+    )
+    pairs = dedup.jaccard_pairs(
+        docs, n=3, threshold=0.5, max_df=2
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    # without the guard the boilerplate shingle still cannot push
+    # unrelated docs over 0.5, but it DOES enter every join bucket
+    unguarded = dedup.jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in unguarded] == [(1, 2)]
+
+
 # ----------------------------------------------------------------- BM25
 
 def _bm25_ref(docs: dict[int, str], terms: list[str], k1=1.2, b=0.75):
