@@ -37,16 +37,18 @@ from takuan_spark.operators.hashing import md5_int, sql_md5_int
 KMV_DOMAIN = 1 << 60
 
 
-def kmv_distinct(
+def kmv_sketches(
     exploded: DataFrame,
     *,
     group_cols: Sequence[str],
     value_col: str,
     k: int = 64,
 ) -> DataFrame:
-    """KMV distinct-count sketch per group: (group..., est_distinct,
-    n_kept) where ``est_distinct = floor((k-1) * 2^60 / h_k)`` when the
-    group saw >= k distinct hashes, else the exact kept count.
+    """The raw KMV state per group: (group..., ks array<bigint>) — the
+    k smallest distinct hashes. This IS the mergeable sketch: union any
+    number of these frames (epochs, shards, days) and re-merge with
+    :func:`kmv_merge`; the result equals the sketch of the combined
+    data. :func:`kmv_distinct` = this + :func:`kmv_estimate`.
 
     Two-phase, state bounded by k everywhere:
 
@@ -105,22 +107,55 @@ def kmv_distinct(
         + ["ks array<bigint>"]
     )
     partials = hashed.mapInPandas(_partial, schema)
-    merged = partials.groupBy(*groups).agg(
+    return kmv_merge(partials, group_cols=groups, k=k)
+
+
+def kmv_merge(
+    sketches: DataFrame, *, group_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Merge sketch rows (group..., ks) that may repeat a group (one row
+    per partition/epoch/shard): flatten, dedup, sort, keep k. The merge
+    is associative and order-independent — the k smallest distinct
+    hashes of a union do not depend on how the union was grouped."""
+    return sketches.groupBy(*list(group_cols)).agg(
         F.slice(
             F.sort_array(F.array_distinct(F.flatten(F.collect_list("ks")))),
             1,
             k,
         ).alias("ks")
     )
+
+
+def kmv_estimate(
+    sketches: DataFrame, *, group_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Estimator over merged sketch state: ``floor((k-1) * 2^60 / h_k)``
+    past saturation, exact kept count below it."""
     n_kept = F.size("ks")
     h_k = F.element_at("ks", k)
     est = F.floor((F.lit(float(k - 1)) * F.lit(float(KMV_DOMAIN))) / h_k)
-    return merged.select(
-        *groups,
+    return sketches.select(
+        *list(group_cols),
         F.when(n_kept >= k, est).otherwise(n_kept.cast("bigint")).alias(
             "est_distinct"
         ),
         n_kept.cast("int").alias("n_kept"),
+    )
+
+
+def kmv_distinct(
+    exploded: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV distinct-count estimate per group: (group..., est_distinct,
+    n_kept) — sketch + estimate in one call."""
+    return kmv_estimate(
+        kmv_sketches(exploded, group_cols=group_cols, value_col=value_col, k=k),
+        group_cols=group_cols,
+        k=k,
     )
 
 

@@ -1,0 +1,85 @@
+"""Streaming KMV maintenance: merged-at-read estimates equal the batch
+sketch over all ingested data; replays do not move the estimate."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from takuan_spark.operators.sketches import kmv_distinct
+from takuan_spark.streaming.sketch_stream import (
+    kmv_sketch_sink,
+    kmv_stream_estimate,
+    start_kmv_sketch_stream,
+)
+
+K = 16
+
+
+def _batch(start, n):
+    rows = [
+        {"source": f"s{i % 3}", "tok": f"tok{start + i}"} for i in range(n)
+    ]
+    # overlap: every batch repeats some tokens so distinct != count
+    rows += [{"source": f"s{i % 3}", "tok": f"tok{i}"} for i in range(10)]
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture()
+def env(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    return {
+        "src": src,
+        "table": str(tmp_path / "sketches"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def _drain(spark, env):
+    stream = spark.readStream.schema("source string, tok string").parquet(
+        str(env["src"])
+    )
+    q = start_kmv_sketch_stream(
+        stream, env["table"], env["ckpt"],
+        group_cols=["source"], value_col="tok", k=K,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_estimate_equals_batch_sketch(spark, env):
+    _batch(0, 40).to_parquet(env["src"] / "b1.parquet")
+    _drain(spark, env)
+    _batch(200, 40).to_parquet(env["src"] / "b2.parquet")
+    _drain(spark, env)
+    got = {
+        r["source"]: (r["est_distinct"], r["n_kept"])
+        for r in kmv_stream_estimate(
+            spark, env["table"], group_cols=["source"], k=K
+        ).collect()
+    }
+    want = {
+        r["source"]: (r["est_distinct"], r["n_kept"])
+        for r in kmv_distinct(
+            spark.read.parquet(str(env["src"])),
+            group_cols=["source"], value_col="tok", k=K,
+        ).collect()
+    }
+    assert got == want  # merge-at-read == one-shot batch sketch
+
+
+def test_replayed_epoch_does_not_move_the_estimate(spark, env):
+    batch = spark.createDataFrame(_batch(0, 30))
+    sink = kmv_sketch_sink(
+        env["table"], group_cols=["source"], value_col="tok", k=K
+    )
+    sink(batch, 0)
+    first = kmv_stream_estimate(
+        spark, env["table"], group_cols=["source"], k=K
+    ).collect()
+    sink(batch, 0)  # replay same epoch
+    second = kmv_stream_estimate(
+        spark, env["table"], group_cols=["source"], k=K
+    ).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
