@@ -78,7 +78,7 @@ PRIORITY: list[str] = [
     # -- 2. new this round --------------------------------------------
     "q_stateful_alerts", "q_stateful_profile",
     "ns_semdedup", "ns_substring_dedup", "ns_bm25_search",
-    "ns_shard_assign", "ns_dedup_pipeline",
+    "ns_shard_assign", "ns_dedup_pipeline", "q_interval_overlap_join",
     # -- 3. changed this round ----------------------------------------
     "ns_dedup_clusters",  # data-derived CC partitioning
     # -- 4. backfill: r1-green, unchecked since r1 --------------------
@@ -95,9 +95,9 @@ PRIORITY: list[str] = [
     "ns_winnow_fingerprint", "ns_fingerprint", "ns_similarity_topk",
     "ns_knn_join",
     # relational r1 greens
-    "q_scalar_subquery", "q_correlated_subquery",
+    "q_scalar_subquery",
     # ---------------- driver cap (50) lands here ---------------------
-    "q_array_functions",
+    "q_correlated_subquery", "q_array_functions",
     "q_full_outer_join", "q_ip_range_join", "q_ip_range_join_bucketed",
     "q1_pricing_summary",
     "q3_shipping_priority", "q5_local_supplier_volume",

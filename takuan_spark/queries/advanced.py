@@ -682,3 +682,81 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("n_last_hour"),
         F.round(F.sum("value").over(w), 2).alias("value_last_hour"),
     ).orderBy("event_id")
+
+
+_SESSIONS_CTE = f"""
+    seq2 AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM seq2
+    ),
+    iv AS (
+        SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+        FROM sess GROUP BY user_id, session_id
+    )"""
+
+
+@query(
+    "q_interval_overlap_join",
+    f"""
+    WITH {_SESSIONS_CTE},
+    a AS (SELECT * FROM iv WHERE user_id % 2 = 0),
+    b AS (SELECT * FROM iv WHERE user_id % 2 = 1),
+    cnt AS (
+        SELECT a.user_id, a.s_start, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM a JOIN b ON a.s_start <= b.s_end AND b.s_start <= a.s_end
+        GROUP BY a.user_id, a.s_start
+    )
+    SELECT a.user_id,
+           strftime(a.s_start, '{_TS_FMT_DDB}') AS session_start,
+           strftime(a.s_end, '{_TS_FMT_DDB}') AS session_end,
+           COALESCE(cnt.n_overlap, 0) AS n_overlap
+    FROM a LEFT JOIN cnt ON a.user_id = cnt.user_id AND a.s_start = cnt.s_start
+    ORDER BY a.user_id, session_start
+    """,
+    "Interval-overlap join (concurrency analysis): even-user sessions "
+    "vs odd-user sessions, counting overlapping-in-time pairs. Spark "
+    "side uses the bucketed expansion (explode to epoch-grid buckets, "
+    "equi-join, exact predicate, dedup) — hash-partitionable at any "
+    "scale where the naive range cross-join is not; the oracle is the "
+    "direct range join, proving the expansion exact.",
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.intervals import overlap_counts
+
+    ev = _t(spark, sf_dir, "events")
+    iv = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+        .drop("sw")
+    )
+    a = iv.where(F.col("user_id") % 2 == 0)
+    b = iv.where(F.col("user_id") % 2 == 1).select(
+        F.col("user_id").alias("b_user"),
+        F.col("s_start").alias("b_start"),
+        F.col("s_end").alias("b_end"),
+    )
+    out = overlap_counts(
+        a,
+        b,
+        a_keys=["user_id", "s_start"],
+        b_keys=["b_user", "b_start"],
+        a_start="s_start",
+        a_end="s_end",
+        bucket_secs=3600,
+    )
+    return out.select(
+        "user_id",
+        F.date_format("s_start", _TS_FMT_SPARK).alias("session_start"),
+        F.date_format("s_end", _TS_FMT_SPARK).alias("session_end"),
+        "n_overlap",
+    ).orderBy("user_id", "session_start")

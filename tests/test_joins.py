@@ -102,3 +102,41 @@ def test_asof_nearest_tie_goes_backward_and_tolerance_drops(spark):
     }
     assert out[1] == (1.0,)  # equal distance -> backward wins
     assert out[2] == (None,)  # nearest match is 5h59m away -> tolerance
+
+
+def test_interval_overlap_counts_bucket_boundaries(spark):
+    """Bucketed interval join: pairs straddling a bucket boundary are
+    found (overlap implies a shared bucket of the common instant), long
+    intervals count once despite many shared buckets, and
+    non-overlapping A rows appear with n_overlap = 0."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from takuan_spark.operators.intervals import overlap_counts
+
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    a = spark.createDataFrame(
+        [
+            Row(aid=1, s=T(10, 59), e=T(11, 1)),   # straddles 10->11
+            Row(aid=2, s=T(3), e=T(9)),            # long: 7 buckets
+            Row(aid=3, s=T(20), e=T(21)),          # overlaps nothing
+        ]
+    )
+    b = spark.createDataFrame(
+        [
+            Row(bid=1, bs=T(11, 0), be=T(11, 30)),
+            Row(bid=2, bs=T(4), be=T(8)),          # inside aid=2
+            Row(bid=3, bs=T(1), be=T(5)),          # overlaps aid=2 too
+        ]
+    )
+    out = {
+        r["aid"]: r["n_overlap"]
+        for r in overlap_counts(
+            a, b,
+            a_keys=["aid"], b_keys=["bid"],
+            a_start="s", a_end="e", b_start="bs", b_end="be",
+            bucket_secs=3600,
+        ).collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 0}
