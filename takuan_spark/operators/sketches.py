@@ -225,6 +225,20 @@ def cms_counters(
     )
 
 
+def cms_merge(
+    counters: DataFrame, *, group_cols: Sequence[str]
+) -> DataFrame:
+    """Merge counter grids that may repeat a (group, row, bucket) cell
+    (one grid per epoch/shard): element-wise sum. CMS is a linear
+    sketch — the grid of a union is the sum of the grids — so the merge
+    is one partial-aggregated groupBy over depth x width x groups rows.
+    """
+    return (
+        counters.groupBy(*list(group_cols), "row", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+
+
 def cms_estimate(
     counters: DataFrame,
     probes: DataFrame,

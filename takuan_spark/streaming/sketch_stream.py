@@ -19,6 +19,8 @@ store sketches, not counters, for streaming distincts.
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
@@ -92,4 +94,123 @@ def kmv_stream_estimate(
         sketches.kmv_merge(sk, group_cols=groups, k=k),
         group_cols=groups,
         k=k,
+    )
+
+
+def _swap_in(table_path: str, staged: str) -> None:
+    """Directory-rename swap: stage -> live with the old table kept
+    until the new one is in place. Same-filesystem renames are atomic
+    on POSIX; a crash between the two renames leaves `.old` beside an
+    empty live path — recoverable by hand, never silently wrong."""
+    old = table_path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(table_path, old)
+    os.rename(staged, table_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def compact_kmv_epochs(
+    spark, table_path: str, *, group_cols: Sequence[str], k: int = 64
+) -> None:
+    """Fold all epochs into one (epoch=0). File listing and read-side
+    merge cost grow with epoch count on a long-running stream; the
+    merge is associative so compaction never changes any estimate.
+    SINGLE-WRITER op: run while the maintainer stream is stopped (the
+    epoch writer and the swap race otherwise)."""
+    groups = list(group_cols)
+    merged = sketches.kmv_merge(
+        spark.read.parquet(table_path).drop("epoch"), group_cols=groups, k=k
+    ).withColumn("epoch", F.lit(0))
+    staged = table_path + ".compacting"
+    shutil.rmtree(staged, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy("epoch").parquet(staged)
+    _swap_in(table_path, staged)
+
+
+def compact_cms_epochs(
+    spark, table_path: str, *, group_cols: Sequence[str]
+) -> None:
+    """CMS twin of :func:`compact_kmv_epochs`: sum the epoch grids into
+    one. Same single-writer contract."""
+    groups = list(group_cols)
+    merged = sketches.cms_merge(
+        spark.read.parquet(table_path).drop("epoch"), group_cols=groups
+    ).withColumn("epoch", F.lit(0))
+    staged = table_path + ".compacting"
+    shutil.rmtree(staged, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy("epoch").parquet(staged)
+    _swap_in(table_path, staged)
+
+
+def cms_sketch_sink(
+    table_path: str,
+    *,
+    group_cols: Sequence[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink for count-min grids: each epoch lands its
+    batch's (group, row, bucket, c) counters; CMS is linear, so the
+    union's grid is the SUM of epoch grids at read time."""
+    groups = list(group_cols)
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        grid = sketches.cms_counters(
+            batch, group_cols=groups, value_col=value_col,
+            depth=depth, width=width,
+        ).withColumn("epoch", F.lit(epoch_id))
+        (
+            grid.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(table_path)
+        )
+
+    return _sink
+
+
+def start_cms_sketch_stream(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    *,
+    group_cols: Sequence[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    available_now: bool = False,
+    trigger_secs: int = 10,
+):
+    writer = stream.writeStream.foreachBatch(
+        cms_sketch_sink(
+            table_path, group_cols=group_cols, value_col=value_col,
+            depth=depth, width=width,
+        )
+    ).option("checkpointLocation", checkpoint_path)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+    return writer.start()
+
+
+def cms_stream_estimate(
+    spark,
+    table_path: str,
+    probes: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    probe_col: str = "term",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Frequency estimates over everything ingested: sum the epoch
+    grids (cms_merge), then the standard min-over-rows point estimate."""
+    groups = list(group_cols)
+    grids = spark.read.parquet(table_path).drop("epoch")
+    merged = sketches.cms_merge(grids, group_cols=groups)
+    return sketches.cms_estimate(
+        merged, probes, group_cols=groups, probe_col=probe_col,
+        depth=depth, width=width,
     )

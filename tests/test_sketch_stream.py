@@ -83,3 +83,74 @@ def test_replayed_epoch_does_not_move_the_estimate(spark, env):
         spark, env["table"], group_cols=["source"], k=K
     ).collect()
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_cms_stream_estimate_equals_batch_grid(spark, env):
+    from takuan_spark.operators.sketches import cms_counters, cms_estimate
+    from takuan_spark.streaming.sketch_stream import (
+        cms_stream_estimate,
+        start_cms_sketch_stream,
+    )
+
+    _batch(0, 40).to_parquet(env["src"] / "b1.parquet")
+    stream = spark.readStream.schema("source string, tok string").parquet(
+        str(env["src"])
+    )
+    q = start_cms_sketch_stream(
+        stream, env["table"], env["ckpt"],
+        group_cols=["source"], value_col="tok",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    _batch(200, 40).to_parquet(env["src"] / "b2.parquet")
+    q = start_cms_sketch_stream(
+        stream, env["table"], env["ckpt"],
+        group_cols=["source"], value_col="tok",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    probes = spark.createDataFrame(
+        [("tok0",), ("tok5",), ("never-seen",)], ["term"]
+    )
+    got = sorted(
+        map(tuple, cms_stream_estimate(
+            spark, env["table"], probes, group_cols=["source"]
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, cms_estimate(
+            cms_counters(
+                spark.read.parquet(str(env["src"])),
+                group_cols=["source"], value_col="tok",
+            ),
+            probes, group_cols=["source"],
+        ).collect())
+    )
+    assert got == want
+    # absent terms estimate 0 through the streamed grids too
+    assert all(t[2] == 0 for t in got if t[1] == "never-seen")
+
+
+def test_compaction_folds_epochs_without_changing_estimates(spark, env):
+    from takuan_spark.streaming.sketch_stream import (
+        compact_kmv_epochs,
+        kmv_sketch_sink,
+    )
+    import os
+
+    sink = kmv_sketch_sink(
+        env["table"], group_cols=["source"], value_col="tok", k=K
+    )
+    sink(spark.createDataFrame(_batch(0, 30)), 0)
+    sink(spark.createDataFrame(_batch(100, 30)), 1)
+    sink(spark.createDataFrame(_batch(300, 30)), 2)
+    before = sorted(map(tuple, kmv_stream_estimate(
+        spark, env["table"], group_cols=["source"], k=K
+    ).collect()))
+    compact_kmv_epochs(spark, env["table"], group_cols=["source"], k=K)
+    epochs = [d for d in os.listdir(env["table"]) if d.startswith("epoch=")]
+    assert epochs == ["epoch=0"]
+    after = sorted(map(tuple, kmv_stream_estimate(
+        spark, env["table"], group_cols=["source"], k=K
+    ).collect()))
+    assert before == after
