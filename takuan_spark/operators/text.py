@@ -8,6 +8,8 @@ and the only shuffles are the final small aggregations.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -121,6 +123,27 @@ PII_PATTERNS: list[tuple[str, str]] = [
     (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     (r"\+\d{7,15}\b", "<PHONE>"),
 ]
+
+
+def nfc_normalize(col: Column | str) -> Column:
+    """Unicode NFC normalization (composed canonical form) — the
+    curation step that makes byte-level dedup see 'café' (e + combining
+    acute) and 'café' (precomposed) as the same document. Spark has no
+    built-in normalizer, so this is an Arrow-batched pandas UDF over
+    Python's unicodedata (the same tables DuckDB's nfc_normalize uses,
+    which is what keeps the oracle bit-identical). ASCII-only corpora
+    pass through unchanged at Arrow batch speed."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc(F.col(col) if isinstance(col, str) else col)
 
 
 def pii_counts(col: Column | str) -> Column:

@@ -79,6 +79,7 @@ PRIORITY: list[str] = [
     "q_stateful_alerts", "q_stateful_profile",
     "ns_semdedup", "ns_substring_dedup", "ns_bm25_search",
     "ns_shard_assign", "ns_dedup_pipeline", "q_interval_overlap_join",
+    "ns_unicode_normalize",
     # -- 3. changed this round ----------------------------------------
     "ns_dedup_clusters",  # data-derived CC partitioning
     # -- 4. backfill: r1-green, unchecked since r1 --------------------
@@ -94,9 +95,9 @@ PRIORITY: list[str] = [
     "ns_quality_score", "ns_stratified_sample", "ns_tfidf_topterms",
     "ns_winnow_fingerprint", "ns_fingerprint", "ns_similarity_topk",
     "ns_knn_join",
+    # ---------------- driver cap (50) lands here ---------------------
     # relational r1 greens
     "q_scalar_subquery",
-    # ---------------- driver cap (50) lands here ---------------------
     "q_correlated_subquery", "q_array_functions",
     "q_full_outer_join", "q_ip_range_join", "q_ip_range_join_bucketed",
     "q1_pricing_summary",

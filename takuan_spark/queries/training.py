@@ -285,6 +285,48 @@ def ns_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.corpus_dedup_summary(docs, n=3, threshold=0.8)
 
 
+# -------------------------------------------------- unicode normalization
+
+
+@query(
+    "ns_unicode_normalize",
+    """
+    WITH decorated AS (
+        SELECT doc_id, text || ' cafe' || chr(769) AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS INT) AS raw_len,
+           CAST(length(nfc_normalize(raw)) AS INT) AS norm_len,
+           md5(nfc_normalize(raw)) AS norm_md5
+    FROM decorated
+    ORDER BY doc_id
+    """,
+    "Unicode NFC normalization gate: every document gets a decomposed "
+    "suffix (e + combining acute) planted, then normalizes to the "
+    "composed form — norm_len shrinks by exactly the combining marks "
+    "and the md5 proves byte-identical composition across engines "
+    "(Arrow pandas UDF over unicodedata vs DuckDB nfc_normalize). The "
+    "curation step that makes byte-level dedup canonical-form-blind.",
+)
+def ns_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.text import nfc_normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    # explicitly DECOMPOSED suffix (e + U+0301), matching the oracle's
+    # chr(769) — a source-file composed e-acute would not exercise NFC
+    raw = F.concat(F.col("text"), F.lit(" cafe\u0301"))
+    return (
+        docs.select(
+            "doc_id",
+            F.length(raw).cast("int").alias("raw_len"),
+            F.length(nfc_normalize(raw)).cast("int").alias("norm_len"),
+            F.md5(nfc_normalize(raw)).alias("norm_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------- shard assign
 
 _N_SHARDS = 8

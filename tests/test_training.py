@@ -278,3 +278,29 @@ def test_shard_assign_membership_stable_under_growth(spark):
         for r in shard_assign(big, key_col="doc_id", n_shards=4).collect()
     }
     assert all(b[d] == s for d, s in a.items())
+
+
+# ------------------------------------------------- unicode normalization
+
+def test_nfc_normalize_composes_and_is_idempotent(spark):
+    from takuan_spark.operators.text import nfc_normalize
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="café"),        # decomposed
+            Row(doc_id=2, text="café"),          # precomposed
+            Row(doc_id=3, text="plain ascii"),
+            Row(doc_id=4, text=None),
+        ]
+    )
+    out = {
+        r["doc_id"]: (r["n"], r["ln"])
+        for r in docs.select(
+            "doc_id",
+            nfc_normalize(F.col("text")).alias("n"),
+            F.length(nfc_normalize(F.col("text"))).alias("ln"),
+        ).collect()
+    }
+    assert out[1] == out[2] == ("café", 4)  # both canonicalize
+    assert out[3] == ("plain ascii", 11)
+    assert out[4] == (None, None)
