@@ -85,6 +85,29 @@ def start_ivf_index_stream(
     return writer.start()
 
 
+def compact_ivf_epochs(spark, index_path: str) -> None:
+    """Fold all epochs into one (epoch=0): a long-running maintainer
+    accumulates one directory tree per micro-batch, and file-listing
+    cost grows with epoch count even though probes prune cells.
+    Assignment is content-determined, so compaction is a pure re-layout
+    — probes return identical results. SINGLE-WRITER op: run while the
+    maintainer stream is stopped."""
+    import shutil
+
+    from takuan_spark.streaming.sketch_stream import _swap_in
+
+    data = f"{index_path}/data"
+    merged = (
+        spark.read.parquet(data)
+        .drop("epoch")
+        .withColumn("epoch", F.lit(0))
+    )
+    staged = data + ".compacting"
+    shutil.rmtree(staged, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy("epoch", "cell").parquet(staged)
+    _swap_in(data, staged)
+
+
 def ivf_stream_probe(
     spark,
     index_path: str,

@@ -114,3 +114,33 @@ def test_replayed_epoch_overwrites_not_duplicates(spark, env):
     sink(batch, 0)  # replay
     n2 = spark.read.parquet(env["index"] + "/data").count()
     assert n1 == n2 == 25
+
+
+def test_compaction_preserves_probe_results(spark, env):
+    import os
+
+    from takuan_spark.streaming.ann_stream import compact_ivf_epochs
+
+    rng = np.random.default_rng(11)
+    sink = ivf_index_sink(env["index"], dim=DIM, nlist=4)
+    sink(spark.createDataFrame(_vecs(rng, 30, 0)), 0)
+    sink(spark.createDataFrame(_vecs(rng, 30, 100)), 1)
+    qvec = [1.0] + [0.0] * (DIM - 1)
+    before = [
+        tuple(r)
+        for r in ivf_stream_probe(
+            spark, env["index"], qvec, k=5, nlist=4, nprobe=4
+        ).collect()
+    ]
+    compact_ivf_epochs(spark, env["index"])
+    epochs = [
+        d for d in os.listdir(env["index"] + "/data") if d.startswith("epoch=")
+    ]
+    assert epochs == ["epoch=0"]
+    after = [
+        tuple(r)
+        for r in ivf_stream_probe(
+            spark, env["index"], qvec, k=5, nlist=4, nprobe=4
+        ).collect()
+    ]
+    assert before == after
