@@ -76,6 +76,39 @@ def fake_decoder(payload: bytes) -> list[float]:
     return [h[i] / 255.0 for i in range(FEATURE_DIM)]
 
 
+def wav_decoder(payload: bytes) -> list[float]:
+    """REAL audio decode — PCM WAV needs only the stdlib ``wave``
+    module plus numpy, so this path is fully implemented (the
+    ``default_decoder`` stub remains only for codecs that genuinely
+    need external libraries). Features: FEATURE_DIM RMS energies over
+    equal-width time windows, full-scale-normalized to [0, 1] — the
+    classic energy envelope an audio-dedup/quality gate keys on.
+    Multi-channel audio is mixed down; 8/16/32-bit PCM supported.
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload)) as w:
+        width = w.getsampwidth()
+        channels = w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None:
+        raise ValueError(f"unsupported PCM sample width: {width}")
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if width == 1:
+        x = x - 128.0  # 8-bit WAV is unsigned
+    if channels > 1:
+        x = x[: len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
+    full = 128.0 if width == 1 else float(2 ** (8 * width - 1))
+    segs = np.array_split(x, FEATURE_DIM)
+    return [
+        float(np.sqrt((s**2).mean()) / full) if s.size else 0.0 for s in segs
+    ]
+
+
 def extract_features(
     media: DataFrame,
     *,

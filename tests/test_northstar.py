@@ -497,3 +497,68 @@ def test_ivfpq_probe_surfaces_exact_duplicate(spark, sf_dir, tmp_path):
     by_id = {r["vec_id"]: r["adist"] for r in top}
     assert dup_id in by_id
     assert by_id[dup_id] == min(r["adist"] for r in top)
+
+
+def test_wav_decoder_extracts_real_energy_envelope(spark):
+    """The PCM WAV path is a REAL decode (stdlib wave + numpy): a file
+    that is silence in the first half and a full-scale square wave in
+    the second must show low RMS in the early feature windows and high
+    RMS in the late ones — through the full mapInPandas pipeline."""
+    import io
+    import struct
+    import wave
+
+    from pyspark.sql import Row
+
+    def make_wav(n=1600):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            half = n // 2
+            samples = [0] * half + [
+                20000 if i % 2 == 0 else -20000 for i in range(n - half)
+            ]
+            w.writeframes(struct.pack(f"<{n}h", *samples))
+        return buf.getvalue()
+
+    media = spark.createDataFrame(
+        [Row(media_id=1, payload=bytearray(make_wav()))]
+    )
+    feats = (
+        multimodal.extract_features(media, decoder=multimodal.wav_decoder)
+        .head()["features"]
+    )
+    assert len(feats) == multimodal.FEATURE_DIM
+    first_half = feats[: multimodal.FEATURE_DIM // 2]
+    second_half = feats[multimodal.FEATURE_DIM // 2 :]
+    assert all(f < 0.01 for f in first_half)       # silence
+    assert all(f > 0.5 for f in second_half)       # full-scale square
+    # deterministic: same payload, same features
+    feats2 = (
+        multimodal.extract_features(media, decoder=multimodal.wav_decoder)
+        .head()["features"]
+    )
+    assert feats == feats2
+
+
+def test_wav_decoder_mixes_stereo_and_rejects_bad_width(spark):
+    import io
+    import struct
+    import wave
+
+    import pytest as _pytest
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        # L = +1000, R = -1000 -> mixdown exactly 0 everywhere
+        frames = struct.pack("<64h", *([1000, -1000] * 32))
+        w.writeframes(frames)
+    feats = multimodal.wav_decoder(buf.getvalue())
+    assert all(f == 0.0 for f in feats)
+    with _pytest.raises(Exception):
+        multimodal.wav_decoder(b"not a wav at all")
