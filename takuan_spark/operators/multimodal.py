@@ -109,6 +109,54 @@ def wav_decoder(payload: bytes) -> list[float]:
     ]
 
 
+def bmp_decoder(payload: bytes) -> list[float]:
+    """REAL image decode — uncompressed 24/32-bit BMP is a fixed header
+    plus raw pixel rows, parseable with struct + numpy alone. Features:
+    mean luminance over a 4x4 spatial grid (16 = FEATURE_DIM cells),
+    [0, 1] — the thumbnail-energy signature image-dedup keys on.
+    Handles bottom-up and top-down row order and 4-byte row padding.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError("BMP core-header variant not supported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"only uncompressed 24/32-bit BMP (got {bpp}bpp)")
+    top_down = height < 0
+    height = abs(height)
+    bytes_pp = bpp // 8
+    row_stride = (width * bytes_pp + 3) & ~3
+    rows = []
+    for r in range(height):
+        off = pixel_off + r * row_stride
+        row = np.frombuffer(
+            payload, dtype=np.uint8, count=width * bytes_pp, offset=off
+        ).reshape(width, bytes_pp)
+        rows.append(row[:, :3])  # BGR(A) -> BGR
+    img = np.stack(rows)  # (H, W, 3), file row order
+    if not top_down:
+        img = img[::-1]  # bottom-up storage -> natural top-down
+    # ITU-R BT.601 luminance from B, G, R channels
+    lum = (
+        0.114 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.299 * img[:, :, 2]
+    ) / 255.0
+    g = 4  # 4x4 grid = FEATURE_DIM cells
+    return [
+        float(np.mean(cell)) if cell.size else 0.0
+        for hrow in np.array_split(lum, g, axis=0)
+        for cell in np.array_split(hrow, g, axis=1)
+    ]
+
+
 def extract_features(
     media: DataFrame,
     *,

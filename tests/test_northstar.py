@@ -562,3 +562,50 @@ def test_wav_decoder_mixes_stereo_and_rejects_bad_width(spark):
     assert all(f == 0.0 for f in feats)
     with _pytest.raises(Exception):
         multimodal.wav_decoder(b"not a wav at all")
+
+
+def test_bmp_decoder_reads_real_pixels(spark):
+    """24-bit BMP decode is real: an image that is black on the left
+    half and white on the right must produce a luminance grid with 0.0
+    in the left columns and 1.0 in the right — through mapInPandas."""
+    import struct
+
+    from pyspark.sql import Row
+
+    def make_bmp(w=8, h=8):
+        row_stride = (w * 3 + 3) & ~3
+        pixel_bytes = row_stride * h
+        header = struct.pack(
+            "<2sIHHI", b"BM", 14 + 40 + pixel_bytes, 0, 0, 14 + 40
+        )
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0
+        )
+        rows = b""
+        for _ in range(h):
+            row = b""
+            for x in range(w):
+                v = 0 if x < w // 2 else 255
+                row += bytes([v, v, v])  # BGR
+            rows += row + b"\x00" * (row_stride - len(row))
+        return header + info + rows
+
+    media = spark.createDataFrame(
+        [Row(media_id=1, payload=bytearray(make_bmp()))]
+    )
+    feats = (
+        multimodal.extract_features(media, decoder=multimodal.bmp_decoder)
+        .head()["features"]
+    )
+    assert len(feats) == multimodal.FEATURE_DIM
+    grid = [feats[i * 4 : (i + 1) * 4] for i in range(4)]
+    for row in grid:
+        assert row[0] < 0.01 and row[1] < 0.01      # left: black
+        assert row[2] > 0.99 and row[3] > 0.99      # right: white
+
+
+def test_bmp_decoder_rejects_non_bmp():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.bmp_decoder(b"PNG-ish garbage")
