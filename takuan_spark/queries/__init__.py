@@ -79,7 +79,7 @@ PRIORITY: list[str] = [
     "q_stateful_alerts", "q_stateful_profile",
     "ns_semdedup", "ns_substring_dedup", "ns_bm25_search",
     "ns_shard_assign", "ns_dedup_pipeline", "q_interval_overlap_join",
-    "ns_unicode_normalize",
+    "ns_unicode_normalize", "ns_dup_size_histogram",
     # -- 3. changed this round ----------------------------------------
     "ns_dedup_clusters",  # data-derived CC partitioning
     # -- 4. backfill: r1-green, unchecked since r1 --------------------
@@ -94,8 +94,8 @@ PRIORITY: list[str] = [
     "ns_embedding_neardup", "ns_text_stats", "ns_lang_id",
     "ns_quality_score", "ns_stratified_sample", "ns_tfidf_topterms",
     "ns_winnow_fingerprint", "ns_fingerprint", "ns_similarity_topk",
-    "ns_knn_join",
     # ---------------- driver cap (50) lands here ---------------------
+    "ns_knn_join",
     # relational r1 greens
     "q_scalar_subquery",
     "q_correlated_subquery", "q_array_functions",

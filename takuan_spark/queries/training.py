@@ -285,6 +285,49 @@ def ns_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.corpus_dedup_summary(docs, n=3, threshold=0.8)
 
 
+@query(
+    "ns_dup_size_histogram",
+    """
+    WITH fp AS (
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+               COUNT(*) AS sz
+        FROM documents GROUP BY fp
+    )
+    SELECT CAST(sz AS INT) AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM fp GROUP BY sz ORDER BY group_size
+    """,
+    "Duplicate-group size distribution — the dedup health diagnostic "
+    "(how much of the corpus sits in how-big duplicate groups). Two "
+    "chained aggregations over 32-byte fingerprints; output is as many "
+    "rows as distinct group sizes, so the full corpus reduces to a "
+    "handful of rows at any scale.",
+)
+def ns_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = (
+        docs.select(fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("sz"))
+    )
+    return (
+        sizes.groupBy("sz")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("sz").alias("n_docs"),
+        )
+        .select(
+            F.col("sz").cast("int").alias("group_size"),
+            F.col("n_groups").cast("bigint").alias("n_groups"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("group_size")
+    )
+
+
 # -------------------------------------------------- unicode normalization
 
 
