@@ -154,10 +154,14 @@ def jaccard_pairs(
     loses ~nothing while bounding the worst join bucket at max_df^2/2.
     Default None preserves the exact full-vocabulary metric.
     """
-    # three consumers (a-side, b-side, per-doc counts) and no exchange
-    # reuse across branches: materialize the hashed shingle index once.
-    sh = shingle_df(df, text_col=text_col, id_col=id_col, n=n).select(
-        id_col, F.xxhash64("shingle").alias("shingle")
+    # multiple consumers (a-side, b-side, per-doc counts — plus the df
+    # aggregation when max_df is set) and no exchange reuse across
+    # branches: materialize the hashed shingle index BEFORE deriving
+    # anything from it, so the tokenize+explode runs exactly once.
+    sh = materialize(
+        shingle_df(df, text_col=text_col, id_col=id_col, n=n).select(
+            id_col, F.xxhash64("shingle").alias("shingle")
+        )
     )
     if max_df is not None:
         rare = (
@@ -166,8 +170,8 @@ def jaccard_pairs(
             .where(F.col("_df") <= max_df)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle")
-    sh = materialize(sh)
+        # the filtered index again feeds three consumers
+        sh = materialize(sh.join(rare, "shingle"))
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

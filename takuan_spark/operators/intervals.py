@@ -49,7 +49,21 @@ def overlap_pairs(
     """Distinct overlapping (A, B) interval pairs via the bucketed
     equi-join. ``a_keys``/``b_keys`` identify an interval on each side
     (dedup keys for multi-bucket collisions). Output carries all four
-    endpoint columns plus both key sets."""
+    endpoint columns plus both key sets.
+
+    The two sides must use DISJOINT column names (rename the b side
+    before calling, as the ``b_*`` defaults suggest) — validated here
+    because the alternative is an ambiguous-reference failure deep in
+    the join."""
+    shared = set(a.columns) & set(b.columns)
+    if shared:
+        raise ValueError(
+            f"overlap join requires disjoint column names; shared: "
+            f"{sorted(shared)} — rename one side (e.g. prefix b_)"
+        )
+    for side in (a, b):
+        if "_bk" in side.columns:
+            raise ValueError("'_bk' is reserved by the bucketed overlap join")
     ab = _bucketed(a, a_start, a_end, bucket_secs)
     bb = _bucketed(b, b_start, b_end, bucket_secs)
     overlap = (F.col(a_start) <= F.col(b_end)) & (
@@ -77,7 +91,14 @@ def overlap_counts(
 ) -> DataFrame:
     """Per-A-interval overlap count, INCLUDING zero rows (left-join
     semantics): (a_keys..., a_start, a_end, n_overlap). The count
-    aggregation keeps output size |A| however dense the overlaps."""
+    aggregation keeps output size |A| however dense the overlaps.
+
+    A feeds two plan branches (the bucketed join and the final
+    zero-preserving left join); it is materialized here so the caller's
+    upstream work — often a full sessionization — runs once."""
+    from takuan_spark.operators.skew import materialize
+
+    a = materialize(a)
     pairs = overlap_pairs(
         a,
         b,

@@ -163,13 +163,24 @@ def extract_features(
     decoder: Decoder = default_decoder,
     payload_col: str = "payload",
     id_col: str = "media_id",
+    on_error: str = "null",
 ) -> DataFrame:
     """media table → (media_id, features array<float>) via mapInPandas.
 
     Arrow delivers the binary column in batches; the decoder runs once
     per payload inside the batch loop. Output schema is fixed, so the
     result feeds straight into the similarity/dedup operators.
+
+    ``on_error="null"`` (default) quarantines per record: a corrupt
+    blob yields ``features = NULL`` instead of aborting the job — at
+    media-corpus scale one truncated file must never kill a full scan
+    (the same error-side-channel philosophy as the parse pipeline's
+    ``_parse_error``). ``on_error="raise"`` propagates, for callers
+    that want corruption to be loud. ``NotImplementedError`` always
+    propagates — a missing codec is a configuration bug, not bad data.
     """
+    if on_error not in ("null", "raise"):
+        raise ValueError(f"on_error must be 'null' or 'raise', got {on_error!r}")
     out_schema = StructType(
         [
             StructField(id_col, LongType(), False),
@@ -177,12 +188,21 @@ def extract_features(
         ]
     )
 
+    def _one(p) -> list[float] | None:
+        if p is None:
+            return None
+        try:
+            return decoder(bytes(p))
+        except NotImplementedError:
+            raise
+        except Exception:
+            if on_error == "raise":
+                raise
+            return None
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                decoder(bytes(p)) if p is not None else None
-                for p in pdf[payload_col]
-            ]
+            feats = [_one(p) for p in pdf[payload_col]]
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return media.select(id_col, payload_col).mapInPandas(_decode, schema=out_schema)

@@ -64,10 +64,8 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_session_window",
-    f"""
-    WITH seq AS (
+_SESSIONS_CTE = f"""
+    seq2 AS (
         SELECT user_id, ts,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                          > INTERVAL 30 MINUTE
@@ -75,17 +73,27 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END AS new_session
         FROM events
     ),
-    sessions AS (
+    sess AS (
         SELECT user_id, ts,
                SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
                    ROWS UNBOUNDED PRECEDING) AS session_id
-        FROM seq
-    )
+        FROM seq2
+    ),
+    iv AS (
+        SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    )"""
+
+
+@query(
+    "q_session_window",
+    f"""
+    WITH {_SESSIONS_CTE}
     SELECT user_id,
-           strftime(MIN(ts), '{_TS_FMT_DDB}') AS session_start,
-           COUNT(*) AS n_events
-    FROM sessions
-    GROUP BY user_id, session_id
+           strftime(s_start, '{_TS_FMT_DDB}') AS session_start,
+           n_events
+    FROM iv
     ORDER BY user_id, session_start
     """,
     "Session windows (30 min gap) per user: Spark's session_window "
@@ -682,27 +690,6 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("n_last_hour"),
         F.round(F.sum("value").over(w), 2).alias("value_last_hour"),
     ).orderBy("event_id")
-
-
-_SESSIONS_CTE = f"""
-    seq2 AS (
-        SELECT user_id, ts,
-               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         > INTERVAL 30 MINUTE
-                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-    ),
-    sess AS (
-        SELECT user_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                   ROWS UNBOUNDED PRECEDING) AS session_id
-        FROM seq2
-    ),
-    iv AS (
-        SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end
-        FROM sess GROUP BY user_id, session_id
-    )"""
 
 
 @query(

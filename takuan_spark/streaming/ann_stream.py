@@ -85,26 +85,52 @@ def start_ivf_index_stream(
     return writer.start()
 
 
-def compact_ivf_epochs(spark, index_path: str) -> None:
-    """Fold all epochs into one (epoch=0): a long-running maintainer
-    accumulates one directory tree per micro-batch, and file-listing
-    cost grows with epoch count even though probes prune cells.
-    Assignment is content-determined, so compaction is a pure re-layout
-    — probes return identical results. SINGLE-WRITER op: run while the
-    maintainer stream is stopped."""
+def compact_ivf_epochs(
+    spark, index_path: str, *, checkpoint_path: str | None = None
+) -> None:
+    """Fold committed epochs into one (epoch=0): a long-running
+    maintainer accumulates one directory tree per micro-batch, and
+    file-listing cost grows with epoch count even though probes prune
+    cells. Assignment is content-determined, so compaction is a pure
+    re-layout — probes return identical results. Pass the stream's
+    ``checkpoint_path`` so an uncommitted trailing epoch is NOT folded
+    (its replay would land the same vectors a second time beside the
+    folded copy). SINGLE-WRITER op: run while the maintainer stream is
+    stopped."""
+    import os
     import shutil
 
-    from takuan_spark.streaming.sketch_stream import _swap_in
+    from takuan_spark.streaming.sketch_stream import (
+        _swap_in,
+        last_committed_epoch,
+    )
 
     data = f"{index_path}/data"
-    merged = (
-        spark.read.parquet(data)
-        .drop("epoch")
-        .withColumn("epoch", F.lit(0))
+    df = spark.read.parquet(data)
+    horizon = (
+        last_committed_epoch(checkpoint_path)
+        if checkpoint_path is not None
+        else None
     )
+    if horizon is not None:
+        foldable = df.where(F.col("epoch") <= horizon)
+        keep_ids = sorted(
+            r["epoch"]
+            for r in df.select("epoch").distinct().collect()
+            if r["epoch"] > horizon
+        )
+    else:
+        foldable = df
+        keep_ids = []
+    merged = foldable.drop("epoch").withColumn("epoch", F.lit(0))
     staged = data + ".compacting"
     shutil.rmtree(staged, ignore_errors=True)
     merged.write.mode("overwrite").partitionBy("epoch", "cell").parquet(staged)
+    for eid in keep_ids:
+        shutil.copytree(
+            os.path.join(data, f"epoch={eid}"),
+            os.path.join(staged, f"epoch={eid}"),
+        )
     _swap_in(data, staged)
 
 

@@ -29,6 +29,32 @@ from pyspark.sql import functions as F
 from takuan_spark.operators import sketches
 
 
+_KMV_MARKER = "_KMV.json"
+
+
+def _check_kmv_marker(table_path: str, k: int, *, write: bool) -> None:
+    """The sketch parameter k is part of the table's identity: merging
+    or estimating with a LARGER k than the sketches hold silently
+    returns the saturation count as an 'exact' answer (n_kept < k takes
+    the exact branch). The sink stamps k into a marker; readers and
+    later sinks must match it."""
+    import json
+
+    marker = os.path.join(table_path, _KMV_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            stored = json.load(fh)["k"]
+        if stored != k:
+            raise ValueError(
+                f"KMV sketch table {table_path} was built with k={stored}; "
+                f"refusing k={k} (a larger k would silently underestimate)"
+            )
+    elif write:
+        os.makedirs(table_path, exist_ok=True)
+        with open(marker, "w") as fh:
+            json.dump({"k": k}, fh)
+
+
 def kmv_sketch_sink(
     table_path: str,
     *,
@@ -41,6 +67,7 @@ def kmv_sketch_sink(
     groups = list(group_cols)
 
     def _sink(batch: DataFrame, epoch_id: int) -> None:
+        _check_kmv_marker(table_path, k, write=True)
         sk = sketches.kmv_sketches(
             batch, group_cols=groups, value_col=value_col, k=k
         ).withColumn("epoch", F.lit(epoch_id))
@@ -87,8 +114,10 @@ def kmv_stream_estimate(
 ) -> DataFrame:
     """Current distinct-count estimates: fold every epoch's sketches.
     Input size is (groups x epochs x k) hashes — reading the sketch
-    table never touches the raw stream data."""
+    table never touches the raw stream data. Raises if ``k`` does not
+    match the k the table was built with (marker-validated)."""
     groups = list(group_cols)
+    _check_kmv_marker(table_path, k, write=False)
     sk = spark.read.parquet(table_path).drop("epoch")
     return sketches.kmv_estimate(
         sketches.kmv_merge(sk, group_cols=groups, k=k),
@@ -109,37 +138,104 @@ def _swap_in(table_path: str, staged: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
-def compact_kmv_epochs(
-    spark, table_path: str, *, group_cols: Sequence[str], k: int = 64
+def last_committed_epoch(checkpoint_path: str) -> int | None:
+    """Highest epoch id the streaming checkpoint has COMMITTED (the
+    ``commits/`` directory holds one numeric file per fully-delivered
+    micro-batch). Epochs <= this will never be replayed; the epoch
+    AFTER it may be (foreachBatch ran, commit didn't land)."""
+    commits = os.path.join(checkpoint_path, "commits")
+    try:
+        ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
+    except OSError:
+        return None
+    return max(ids) if ids else None
+
+
+def _compact(
+    spark, table_path: str, merge, *, checkpoint_path: str | None
 ) -> None:
-    """Fold all epochs into one (epoch=0). File listing and read-side
-    merge cost grow with epoch count on a long-running stream; the
-    merge is associative so compaction never changes any estimate.
-    SINGLE-WRITER op: run while the maintainer stream is stopped (the
-    epoch writer and the swap race otherwise)."""
-    groups = list(group_cols)
-    merged = sketches.kmv_merge(
-        spark.read.parquet(table_path).drop("epoch"), group_cols=groups, k=k
-    ).withColumn("epoch", F.lit(0))
+    """Shared compaction core: fold COMMITTED epochs into epoch=0,
+    leaving any possibly-replayable epoch partition untouched. Folding
+    an uncommitted epoch would double-count it — the restarted stream
+    replays it as a fresh epoch partition AFTER its data was already
+    merged into epoch=0. With a ``checkpoint_path`` the committed
+    horizon comes from the checkpoint's commits/ listing; without one
+    the caller asserts a cleanly-stopped stream (every epoch on disk is
+    committed) and everything folds. SINGLE-WRITER op either way: run
+    while the maintainer stream is stopped."""
+    df = spark.read.parquet(table_path)
+    horizon = (
+        last_committed_epoch(checkpoint_path)
+        if checkpoint_path is not None
+        else None
+    )
+    if horizon is not None:
+        foldable = df.where(F.col("epoch") <= horizon)
+        keep_ids = sorted(
+            r["epoch"]
+            for r in df.select("epoch").distinct().collect()
+            if r["epoch"] > horizon
+        )
+    else:
+        foldable = df
+        keep_ids = []
+    merged = merge(foldable.drop("epoch")).withColumn("epoch", F.lit(0))
     staged = table_path + ".compacting"
     shutil.rmtree(staged, ignore_errors=True)
     merged.write.mode("overwrite").partitionBy("epoch").parquet(staged)
+    for eid in keep_ids:  # possibly-replayable epochs survive as-is
+        shutil.copytree(
+            os.path.join(table_path, f"epoch={eid}"),
+            os.path.join(staged, f"epoch={eid}"),
+        )
+    marker = os.path.join(table_path, _KMV_MARKER)
+    if os.path.exists(marker):  # table identity survives the re-layout
+        shutil.copy2(marker, os.path.join(staged, _KMV_MARKER))
     _swap_in(table_path, staged)
+
+
+def compact_kmv_epochs(
+    spark,
+    table_path: str,
+    *,
+    group_cols: Sequence[str],
+    k: int = 64,
+    checkpoint_path: str | None = None,
+) -> None:
+    """Fold committed epochs into one (epoch=0). File listing and
+    read-side merge cost grow with epoch count on a long-running
+    stream; the merge is associative so compaction never changes any
+    estimate. Pass the stream's ``checkpoint_path`` so an uncommitted
+    (replayable) trailing epoch is left in place — see :func:`_compact`
+    (KMV's hash-dedup merge is double-count-immune anyway, but the
+    layout contract stays uniform with the CMS/report tables)."""
+    groups = list(group_cols)
+    _compact(
+        spark,
+        table_path,
+        lambda df: sketches.kmv_merge(df, group_cols=groups, k=k),
+        checkpoint_path=checkpoint_path,
+    )
 
 
 def compact_cms_epochs(
-    spark, table_path: str, *, group_cols: Sequence[str]
+    spark,
+    table_path: str,
+    *,
+    group_cols: Sequence[str],
+    checkpoint_path: str | None = None,
 ) -> None:
-    """CMS twin of :func:`compact_kmv_epochs`: sum the epoch grids into
-    one. Same single-writer contract."""
+    """CMS twin of :func:`compact_kmv_epochs`: sum the epoch grids.
+    CMS counts are NOT dedup-protected, so the committed-horizon guard
+    matters here — always pass ``checkpoint_path`` unless the stream
+    stopped cleanly."""
     groups = list(group_cols)
-    merged = sketches.cms_merge(
-        spark.read.parquet(table_path).drop("epoch"), group_cols=groups
-    ).withColumn("epoch", F.lit(0))
-    staged = table_path + ".compacting"
-    shutil.rmtree(staged, ignore_errors=True)
-    merged.write.mode("overwrite").partitionBy("epoch").parquet(staged)
-    _swap_in(table_path, staged)
+    _compact(
+        spark,
+        table_path,
+        lambda df: sketches.cms_merge(df, group_cols=groups),
+        checkpoint_path=checkpoint_path,
+    )
 
 
 def cms_sketch_sink(

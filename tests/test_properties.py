@@ -354,33 +354,35 @@ def _spans_reference(corpus: dict[int, list[str]], n: int) -> set[tuple]:
     return out
 
 
-@settings(max_examples=40, deadline=None)
-@given(
-    st.lists(
-        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=24),
-        min_size=2,
-        max_size=6,
+def _gen_span_cases(n_cases: int = 20) -> list[list[list[str]]]:
+    """Deterministic small-vocabulary corpora (heavy n-gram collisions)
+    — seeded random, so the case set is identical in every process and
+    test order (a hypothesis-fills-a-module-pool pattern silently
+    degrades under xdist / -k selection)."""
+    import random
+
+    rng = random.Random(20260814)
+    cases = []
+    for _ in range(n_cases):
+        docs = [
+            [rng.choice("abcd") for _ in range(rng.randint(0, 24))]
+            for _ in range(rng.randint(2, 6))
+        ]
+        cases.append(docs)
+    # planted guaranteed-duplicate case
+    cases.append(
+        [["a", "b", "c", "a", "b", "c"], ["x", "a", "b", "c", "a", "b", "c"]]
     )
-)
-def test_collect_span_cases(docs_tokens):
-    """Hypothesis generates corpora into a pool; the single-Spark-job
-    test below consumes it (per-example Spark jobs are prohibitive)."""
-    _SPAN_CASES.append(docs_tokens)
+    return cases
 
 
-_SPAN_CASES: list[list[list[str]]] = []
-
-
-def test_duplicated_spans_matches_reference_over_pool(spark):
+def test_duplicated_spans_matches_reference(spark):
     from pyspark.sql import Row
 
     from takuan_spark.operators.dedup import duplicated_spans
 
     n = 3
-    cases = [c for c in _SPAN_CASES if any(c)][:12] or [
-        [["a", "b", "c", "a", "b", "c"], ["x", "a", "b", "c", "a", "b", "c"]]
-    ]
-    for docs_tokens in cases:
+    for docs_tokens in _gen_span_cases():
         corpus = {i: toks for i, toks in enumerate(docs_tokens)}
         sdf = spark.createDataFrame(
             [Row(doc_id=d, text=" ".join(t)) for d, t in corpus.items()]

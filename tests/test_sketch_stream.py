@@ -154,3 +154,49 @@ def test_compaction_folds_epochs_without_changing_estimates(spark, env):
         spark, env["table"], group_cols=["source"], k=K
     ).collect()))
     assert before == after
+
+
+def test_compaction_spares_uncommitted_epoch_from_double_count(spark, env, tmp_path):
+    """The kill-after-sink-before-commit window: epoch 2's parquet
+    landed but the checkpoint never committed it. Compacting with the
+    checkpoint's committed horizon must NOT fold epoch 2 — the
+    restarted stream replays it, and folding first would double-count
+    the batch in the CMS sums."""
+    import os
+
+    from takuan_spark.operators.sketches import cms_counters, cms_estimate
+    from takuan_spark.streaming.sketch_stream import (
+        cms_sketch_sink,
+        cms_stream_estimate,
+        compact_cms_epochs,
+    )
+
+    sink = cms_sketch_sink(env["table"], group_cols=["source"], value_col="tok")
+    b0, b1, b2 = (spark.createDataFrame(_batch(i * 100, 25)) for i in range(3))
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b2, 2)  # written but NOT committed (crash window)
+    ckpt = tmp_path / "ck"
+    (ckpt / "commits").mkdir(parents=True)
+    (ckpt / "commits" / "0").write_text("{}")
+    (ckpt / "commits" / "1").write_text("{}")
+    compact_cms_epochs(
+        spark, env["table"], group_cols=["source"], checkpoint_path=str(ckpt)
+    )
+    epochs = sorted(
+        d for d in os.listdir(env["table"]) if d.startswith("epoch=")
+    )
+    assert epochs == ["epoch=0", "epoch=2"]  # uncommitted epoch survives
+    sink(b2, 2)  # the replay after restart (dynamic overwrite)
+    probes = spark.createDataFrame([("tok0",), ("tok101",)], ["term"])
+    got = sorted(map(tuple, cms_stream_estimate(
+        spark, env["table"], probes, group_cols=["source"]
+    ).collect()))
+    want = sorted(map(tuple, cms_estimate(
+        cms_counters(
+            b0.unionByName(b1).unionByName(b2),
+            group_cols=["source"], value_col="tok",
+        ),
+        probes, group_cols=["source"],
+    ).collect()))
+    assert got == want  # exactly-once counts survived compact + replay
