@@ -216,6 +216,79 @@ def ns_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_BATCH = [
+    (0, ["spark", "hash"]),
+    (1, ["vector", "window"]),
+    (2, ["merge", "filter", "stream"]),
+]
+
+
+def _bm25_batch_sql() -> str:
+    qrows = ", ".join(
+        f"({qid}, {t!r})" for qid, terms in _BM25_BATCH for t in terms
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS t
+        FROM documents
+    ),
+    lens AS (SELECT doc_id, len(t) AS dl FROM base),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM lens
+    ),
+    qt(q_id, term) AS (SELECT * FROM (VALUES {qrows}) v(q_id, term)),
+    vocab AS (SELECT DISTINCT term FROM qt),
+    tf AS (
+        SELECT doc_id, lower(w) AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM base, UNNEST(t) AS u(w)
+        WHERE lower(w) IN (SELECT term FROM vocab)
+        GROUP BY doc_id, lower(w)
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT qt.q_id, tf.doc_id,
+               ROUND(SUM(
+                   ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
+               ), 6) AS score
+        FROM qt
+        JOIN tf USING (term)
+        JOIN dfreq d USING (term)
+        JOIN lens l USING (doc_id), stats s
+        GROUP BY qt.q_id, tf.doc_id
+    )
+    SELECT CAST(q_id AS INT) AS q_id, doc_id, score, rnk FROM (
+        SELECT q_id, doc_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, doc_id) AS INT) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    ORDER BY q_id, rnk
+    """
+
+
+@query(
+    "ns_bm25_batch",
+    _bm25_batch_sql(),
+    "Batch BM25 retrieval: top-5 docs for each of 3 queries in ONE "
+    "plan — the query set explodes to (q_id, term) and rides a single "
+    "inverted-index join against the corpus posting lists (one corpus "
+    "scan for the whole batch); per-query top-k is a partitioned "
+    "window, never a global sort.",
+)
+def ns_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(qid, terms) for qid, terms in _BM25_BATCH],
+        "q_id int, terms array<string>",
+    )
+    return retrieval.bm25_batch_topk(
+        docs, queries, k=5, k1=_BM25_K1, b=_BM25_B
+    )
+
+
 # -------------------------------------------------------- dedup pipeline
 
 

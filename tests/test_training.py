@@ -304,3 +304,33 @@ def test_nfc_normalize_composes_and_is_idempotent(spark):
     assert out[1] == out[2] == ("café", 4)  # both canonicalize
     assert out[3] == ("plain ascii", 11)
     assert out[4] == (None, None)
+
+
+def test_bm25_batch_agrees_with_single_query_scores(spark):
+    """Each query's scores in the batch must equal running bm25_topk
+    for that query alone (the inverted-index sharing is a pure
+    execution optimization, not a semantics change)."""
+    docs = {
+        1: "spark spark filler filler",
+        2: "spark hash filler hash",
+        3: "vector hash hash vector window",
+        4: "window window vector filler pad pad",
+    }
+    sdf = spark.createDataFrame(
+        [Row(doc_id=d, text=t) for d, t in docs.items()]
+    )
+    batches = {0: ["spark", "hash"], 1: ["vector", "window"]}
+    qdf = spark.createDataFrame(
+        [(qid, terms) for qid, terms in batches.items()],
+        "q_id int, terms array<string>",
+    )
+    got = {
+        (r["q_id"], r["doc_id"]): r["score"]
+        for r in retrieval.bm25_batch_topk(sdf, qdf, k=10).collect()
+    }
+    for qid, terms in batches.items():
+        single = {
+            r["doc_id"]: r["score"]
+            for r in retrieval.bm25_topk(sdf, terms, k=10).collect()
+        }
+        assert {d: s for (q, d), s in got.items() if q == qid} == single
