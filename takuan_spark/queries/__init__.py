@@ -80,6 +80,7 @@ PRIORITY: list[str] = [
     "ns_semdedup", "ns_substring_dedup", "ns_bm25_search",
     "ns_shard_assign", "ns_dedup_pipeline", "q_interval_overlap_join",
     "ns_unicode_normalize", "ns_dup_size_histogram", "ns_bm25_batch",
+    "q_sliding_distinct",
     # -- 3. changed this round ----------------------------------------
     "ns_dedup_clusters",  # data-derived CC partitioning
     # -- 4. backfill: r1-green, unchecked since r1 --------------------
@@ -93,9 +94,9 @@ PRIORITY: list[str] = [
     "ns_dedup_exact", "ns_dedup_incremental", "ns_jaccard_neardup",
     "ns_embedding_neardup", "ns_text_stats", "ns_lang_id",
     "ns_quality_score", "ns_stratified_sample", "ns_tfidf_topterms",
-    "ns_winnow_fingerprint", "ns_fingerprint",
+    "ns_winnow_fingerprint",
     # ---------------- driver cap (50) lands here ---------------------
-    "ns_similarity_topk", "ns_knn_join",
+    "ns_fingerprint", "ns_similarity_topk", "ns_knn_join",
     # relational r1 greens
     "q_scalar_subquery",
     "q_correlated_subquery", "q_array_functions",

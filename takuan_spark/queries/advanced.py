@@ -747,3 +747,38 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("s_end", _TS_FMT_SPARK).alias("session_end"),
         "n_overlap",
     ).orderBy("user_id", "session_start")
+
+
+@query(
+    "q_sliding_distinct",
+    f"""
+    WITH expanded AS (
+        SELECT unnest([date_trunc('hour', ts),
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+               user_id
+        FROM events
+    )
+    SELECT strftime(ws, '{_TS_FMT_DDB}') AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM expanded
+    GROUP BY ws
+    ORDER BY window_start
+    """,
+    "Windowed COUNT DISTINCT (rolling active users, 2h window / 1h "
+    "slide): the exact form of the activity metric whose sketch form "
+    "is ns_kmv_distinct — the distinct agg plans partial+final with "
+    "(window, user) keys, so the shuffle carries one row per distinct "
+    "user per window, never raw events.",
+)
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(F.countDistinct("user_id").alias("distinct_users"))
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+            "distinct_users",
+        )
+        .orderBy("window_start")
+    )
