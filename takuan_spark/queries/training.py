@@ -1,6 +1,8 @@
 """Training-corpus construction queries (round-3 north-star additions,
-SURVEY.md §2.2): semantic dedup, substring-span dedup, BM25 retrieval,
-and deterministic shard assignment.
+SURVEY.md §2.2): semantic dedup, substring-span dedup, BM25 retrieval
+(single and batched), deterministic shard assignment, the end-to-end
+dedup accounting pipeline, Unicode NFC normalization, and the
+duplicate-group size histogram.
 
 Same contract as every other registry module: each query is a Spark
 builder paired with DuckDB oracle SQL that re-derives the identical
