@@ -196,6 +196,152 @@ def kmv_oracle_sql(
     """
 
 
+# --- HyperLogLog ------------------------------------------------------
+
+#: register count m = 2^6 (6 index bits off the 60-bit md5 hash).
+HLL_M = 64
+#: bits left for the rank after the register index: 60 - 6.
+HLL_W_BITS = 54
+#: alpha_m bias constant for m = 64 (Flajolet et al., AofA 2007).
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+#: numerator of the raw estimate with the 2^55 fixed-point scale folded
+#: in: alpha * m^2 * 2^55. One double literal shared by both engines, so
+#: the single float division at the end is bit-identical.
+_HLL_NUM = HLL_ALPHA * (HLL_M**2) * float(1 << 55)
+
+
+def _hll_rho(w) -> F.Column:
+    """rho(w) = leading-zero count of the 54-bit rank suffix + 1, as an
+    integer threshold chain — no float log2, so the register value is
+    bit-exact in any engine (first match wins, w >= 2^53 -> 1)."""
+    out = F.lit(HLL_W_BITS + 1)
+    for rho in range(HLL_W_BITS, 0, -1):
+        out = F.when(w >= F.lit(1 << (HLL_W_BITS - rho)), F.lit(rho)).otherwise(out)
+    return out
+
+
+def _hll_rho_sql(w_expr: str) -> str:
+    """DuckDB spelling of :func:`_hll_rho` (CASE is first-match-wins,
+    matching the Spark when-chain branch order)."""
+    branches = " ".join(
+        f"WHEN {w_expr} >= {1 << (HLL_W_BITS - rho)} THEN {rho}"
+        for rho in range(1, HLL_W_BITS + 1)
+    )
+    return f"(CASE {branches} ELSE {HLL_W_BITS + 1} END)"
+
+
+def hll_registers(
+    exploded: DataFrame, *, group_cols: Sequence[str], value_col: str
+) -> DataFrame:
+    """The raw HLL state per group: (group..., reg, r) with at most
+    ``HLL_M`` = 64 rows per group — ``reg`` = h mod 64, ``r`` = max rho
+    of the remaining 54 hash bits. Built by one partial+final hash
+    aggregation (map-side combine collapses every partition to <= 64
+    rows per group before the exchange), so state is fixed-size however
+    many distinct values flow through — the property KMV shares and an
+    exact distinct cannot have. NULL values are skipped on both engines
+    (a NULL hashes to no register)."""
+    groups = list(group_cols)
+    hashed = exploded.where(F.col(value_col).isNotNull()).select(
+        *groups, md5_int(F.col(value_col), hex_chars=15).alias("h")
+    )
+    return (
+        hashed.select(
+            *groups,
+            (F.col("h") % HLL_M).cast("int").alias("reg"),
+            _hll_rho(F.shiftright("h", 6)).alias("rho"),
+        )
+        .groupBy(*groups, "reg")
+        .agg(F.max("rho").cast("int").alias("r"))
+    )
+
+
+def hll_merge(registers: DataFrame, *, group_cols: Sequence[str]) -> DataFrame:
+    """Merge register frames that may repeat a (group, reg) cell (one
+    frame per epoch/shard/day): element-wise max. HLL registers are a
+    max-sketch — the register grid of a union is the cell-wise max of
+    the grids — so the merge is associative, order-independent and
+    partitioning-invariant."""
+    return (
+        registers.groupBy(*list(group_cols), "reg")
+        .agg(F.max("r").cast("int").alias("r"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, *, group_cols: Sequence[str]
+) -> DataFrame:
+    """Estimator over merged register state. The harmonic sum is kept in
+    EXACT integer fixed-point (each register contributes 2^(55-r), an
+    empty register 2^55; total < 2^62) so it is independent of Spark's
+    partial-aggregation order — double summation of 2^-r terms would
+    round differently per partitioning and break the oracle hash. The
+    only float ops are one shared-literal division and (below 2.5m with
+    empty registers) the linear-counting ln, rounded to 4dp in both
+    engines. No large-range correction: 60-bit hashes make collisions
+    negligible far past any corpus this runs on."""
+    groups = list(group_cols)
+    agg = registers.groupBy(*groups).agg(
+        F.count("*").cast("int").alias("n_regs"),
+        F.sum(
+            F.pow(F.lit(2.0), (F.lit(HLL_W_BITS + 1) - F.col("r")).cast("double"))
+            .cast("bigint")
+        ).alias("s"),
+    )
+    zeros = (F.lit(HLL_M) - F.col("n_regs")).cast("bigint")
+    total = F.col("s") + zeros * F.lit(1 << (HLL_W_BITS + 1))
+    raw = F.lit(_HLL_NUM) / total
+    linear = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros)
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(
+        *groups, F.round(est, 4).alias("est_distinct"), "n_regs"
+    )
+
+
+def hll_distinct(
+    exploded: DataFrame, *, group_cols: Sequence[str], value_col: str
+) -> DataFrame:
+    """HLL distinct-count estimate per group: (group..., est_distinct,
+    n_regs) — registers + estimate in one call."""
+    return hll_estimate(
+        hll_registers(exploded, group_cols=group_cols, value_col=value_col),
+        group_cols=group_cols,
+    )
+
+
+def hll_oracle_sql(
+    *, source_expr: str, group_col: str, value_col: str
+) -> str:
+    """DuckDB mirror of :func:`hll_distinct` over ``source_expr`` (a
+    relation producing (group, value) rows) — same md5-derived
+    registers, same integer fixed-point harmonic sum, same literals."""
+    raw = f"({_HLL_NUM!r} / (s + ({HLL_M} - n_regs) * {1 << (HLL_W_BITS + 1)}))"
+    return f"""
+    WITH hh AS (
+        SELECT {group_col}, {sql_md5_int(value_col, hex_chars=15)} AS h
+        FROM {source_expr} WHERE {value_col} IS NOT NULL
+    ),
+    regs AS (
+        SELECT {group_col}, CAST(h % {HLL_M} AS INT) AS reg,
+               CAST(MAX({_hll_rho_sql(f"(h // {HLL_M})")}) AS INT) AS r
+        FROM hh GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT {group_col}, CAST(COUNT(*) AS INT) AS n_regs,
+               CAST(SUM(CAST(power(2.0, {HLL_W_BITS + 1} - r) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM regs GROUP BY 1
+    )
+    SELECT {group_col},
+           ROUND(CASE WHEN {raw} <= {2.5 * HLL_M!r} AND n_regs < {HLL_M}
+                      THEN {float(HLL_M)!r}
+                           * ln({float(HLL_M)!r} / ({HLL_M} - n_regs))
+                      ELSE {raw} END, 4) AS est_distinct,
+           n_regs
+    FROM agg
+    """
+
+
 def cms_counters(
     exploded: DataFrame,
     *,

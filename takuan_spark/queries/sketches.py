@@ -58,6 +58,31 @@ def ns_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_hll_distinct",
+    f"""
+    WITH {_TOKS_CTE}
+    {sketches.hll_oracle_sql(source_expr="toks", group_col="source",
+                             value_col="tok").replace("WITH ", ", ", 1)}
+    ORDER BY source
+    """,
+    "HyperLogLog (m=64 registers, md5-derived 60-bit hashes) distinct-"
+    "token estimate per source — the fixed-size max-sketch: every "
+    "partition collapses to <= 64 (reg, max rho) rows per group before "
+    "the exchange, merges are cell-wise max (associative, partitioning-"
+    "invariant), and the harmonic sum stays in exact integer fixed-"
+    "point so the approximate answer is bit-reproducible by the "
+    "oracle's global formulation. Complements KMV: registers never "
+    "grow with k and the state is 64 ints however large the corpus.",
+)
+def ns_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(words(F.col("text"))).alias("tok"))
+    return sketches.hll_distinct(
+        toks, group_cols=["source"], value_col="tok"
+    ).orderBy("source")
+
+
+@query(
     "ns_cms_heavy_hitters",
     f"""
     WITH {_TOKS_CTE},

@@ -76,3 +76,72 @@ def test_cms_estimate_upper_bounds_and_zero_for_absent(spark):
     assert out["alpha"] == 40
     assert out["beta"] == 7
     assert out["never-seen"] == 0
+
+
+def test_hll_partition_invariant_and_merge(spark):
+    # The estimate must not depend on input partitioning (integer
+    # fixed-point harmonic sum), and merging two half-sketches must
+    # equal the sketch of the union (max-sketch associativity).
+    full = _toks(spark, 1)
+    outs = []
+    for n_parts in (1, 7):
+        out = (
+            sketches.hll_distinct(
+                _toks(spark, n_parts), group_cols=["source"], value_col="tok"
+            )
+            .orderBy("source")
+            .collect()
+        )
+        outs.append([tuple(r) for r in out])
+    assert outs[0] == outs[1]
+
+    half_a = full.where(F.col("tok") < "tok3")
+    half_b = full.where(~(F.col("tok") < "tok3"))
+    merged = sketches.hll_merge(
+        sketches.hll_registers(half_a, group_cols=["source"], value_col="tok")
+        .unionAll(
+            sketches.hll_registers(
+                half_b, group_cols=["source"], value_col="tok"
+            )
+        ),
+        group_cols=["source"],
+    )
+    via_merge = [
+        tuple(r)
+        for r in sketches.hll_estimate(merged, group_cols=["source"])
+        .orderBy("source")
+        .collect()
+    ]
+    assert via_merge == outs[0]
+
+
+def test_hll_estimate_accuracy(spark):
+    # m=64 -> ~13% std error; allow generous 3-sigma bands. Small side
+    # exercises linear counting, large side the raw estimator.
+    small = spark.createDataFrame(
+        [("s", f"v{i}") for i in range(30)], "source string, tok string"
+    )
+    est = sketches.hll_distinct(
+        small, group_cols=["source"], value_col="tok"
+    ).collect()[0]["est_distinct"]
+    assert 15 <= est <= 50
+
+    big = spark.createDataFrame(
+        [("s", f"item-{i}") for i in range(20000)],
+        "source string, tok string",
+    ).repartition(13)
+    est = sketches.hll_distinct(
+        big, group_cols=["source"], value_col="tok"
+    ).collect()[0]["est_distinct"]
+    assert 12000 < est < 30000
+
+
+def test_hll_skips_null_values(spark):
+    rows = [("s", "a"), ("s", None), ("s", "b")]
+    out = sketches.hll_distinct(
+        spark.createDataFrame(rows, "source string, tok string"),
+        group_cols=["source"],
+        value_col="tok",
+    ).collect()[0]
+    # NULL hashes to no register: 2 registers touched, linear count 2.
+    assert out["n_regs"] == 2
