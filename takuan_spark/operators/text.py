@@ -59,6 +59,55 @@ def stopword_hits(col: Column | str, stopwords: list[str]) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(pat), 0))
 
 
+def token_entropy(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token-distribution metrics — the lexical-diversity
+    quality signal a repetition/perplexity-proxy gate keys on:
+    ``n_tokens``, ``n_types`` (distinct tokens), ``ttr`` (type-token
+    ratio) and Shannon ``entropy`` in nats, both rounded to 4dp.
+
+    Scale shape: tokens are hashed to 60-bit md5 ints BEFORE the
+    (doc, token) count shuffle, so exchange keys are 8 bytes instead of
+    token strings; the (doc, hash) aggregation map-side combines, and
+    the per-doc reduce is over a doc's vocabulary (bounded), never the
+    token stream. Collisions at 2^60 are negligible — and identical in
+    the oracle, which applies the same hash. Entropy uses the
+    ``ln(n) - sum(c*ln c)/n`` form: one pass over the counts, no
+    per-row division by n before the aggregate. Documents with zero
+    tokens produce no output row (no token distribution to score) —
+    same on both engines."""
+    toks = docs.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("tok")
+    )
+    from takuan_spark.operators.hashing import md5_int
+
+    counts = (
+        toks.select(id_col, md5_int(F.col("tok"), hex_chars=15).alias("h"))
+        .groupBy(id_col, "h")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum(F.col("c") * F.log("c")).alias("_sc"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_types",
+            F.round(F.col("n_types") / F.col("n_tokens"), 4).alias("ttr"),
+            F.round(
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("_sc") / F.col("n_tokens"),
+                4,
+            ).alias("entropy"),
+        )
+    )
+
+
 def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
     sw = stopwords or LANG_STOPWORDS["en"]
     wc = word_count(col)

@@ -568,6 +568,43 @@ def ns_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_token_entropy",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ),
+    hh AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM toks
+    ),
+    cnt AS (SELECT doc_id, h, COUNT(*) AS c FROM hh GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 4)
+               AS ttr,
+           ROUND(ln(CAST(SUM(c) AS DOUBLE))
+                 - SUM(c * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE),
+                 4) AS entropy
+    FROM cnt GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    "Per-document lexical diversity: token count, type count, type-"
+    "token ratio and Shannon entropy (nats) of the token distribution "
+    "— the perplexity-proxy quality gate. Tokens hash to 60-bit md5 "
+    "ints before the count shuffle (8-byte exchange keys, never token "
+    "strings); the per-doc reduce is vocabulary-sized.",
+)
+def ns_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return text.token_entropy(docs).orderBy("doc_id")
+
+
+@query(
     "ns_stratified_sample",
     """
     SELECT doc_id, lang
