@@ -1,0 +1,203 @@
+"""Graph analytics over engine-derived edge lists (SURVEY.md §2.2).
+
+Training-corpus pipelines keep meeting graphs: the near-dup pair graph
+(whose connected components `operators/dedup.py` already collapses),
+item co-occurrence graphs, and link/citation graphs whose PageRank is a
+classic corpus-quality prior. This module adds the two standard
+non-CC primitives — triangle/clustering statistics and PageRank — as
+pure DataFrame compositions.
+
+Scale shapes:
+
+- **Edge discovery** (:func:`cooccurrence_edges`) self-joins on the
+  group key — both sides hash-partition on that one key, and per-group
+  expansion is bounded by group size (an order's line count, a doc's
+  shingle window), never corpus-quadratic. The pair aggregation
+  shuffles 16-byte (u, v) keys.
+- **Triangles** (:func:`triangle_stats`) use the degree-ordered
+  orientation (node-iterator++): every edge points from the lower
+  (degree, id) endpoint to the higher, so a wedge is enumerated exactly
+  once from its lowest-ranked corner and the per-node fan-out is
+  bounded by out-degree under orientation — O(m^1.5) worst case, far
+  below naive wedge counting on skewed graphs. All joins are
+  equi-joins on node ids; the closing-edge check is a semi-join.
+- **PageRank** (:func:`pagerank`) keeps rank state as a (node, pr)
+  frame co-partitioned with the edge list's src key; each iteration is
+  one join + one aggregation, materialized per round (the CC pointer-
+  jumping discipline, `operators/dedup.py`) so lineage stays flat. The
+  node count enters as a broadcast one-row aggregate — no driver-side
+  count.
+
+The reference has no graph surface (its aggregation stops at per-key
+counters, core/aggregator.go); this is north-star scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from takuan_spark.operators.skew import materialize
+
+#: rank key = degree * RANK_BASE + node id: one bigint totally ordering
+#: (degree, id) pairs. Valid while ids < RANK_BASE and degrees <
+#: 2^63 / RANK_BASE ~ 9.2e9 — both far beyond any realistic graph here.
+RANK_BASE = 1_000_000_000
+
+#: PageRank constants, embedded as the same literals in oracle SQL.
+DAMPING = 0.85
+RESET = 0.15
+
+
+def cooccurrence_edges(
+    items: DataFrame,
+    *,
+    group_col: str,
+    item_col: str,
+    min_count: int = 2,
+) -> DataFrame:
+    """Undirected co-occurrence edges (u < v, weight = number of groups
+    containing both) between items that share at least ``min_count``
+    groups. Distinct-per-group first, so multiplicity inside one group
+    (two lineitems of the same part in one order) does not inflate the
+    weight."""
+    occ = items.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("u")
+    ).distinct()
+    right = occ.select(F.col("g"), F.col("u").alias("v"))
+    return (
+        occ.join(right, "g")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= min_count)
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(node, d): undirected degree from a (u, v) edge list with u < v
+    and no duplicate edges."""
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+
+
+def _oriented(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Orient each edge from lower to higher (degree, id) rank:
+    (src, dst, kd) where kd is the dst's rank key."""
+    e = (
+        edges.select("u", "v")
+        .join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    ku = F.col("du") * RANK_BASE + F.col("u")
+    kv = F.col("dv") * RANK_BASE + F.col("v")
+    return e.select(
+        F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(ku < kv, kv).otherwise(ku).alias("kd"),
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """One-row global graph statistics: n_nodes, n_edges, n_wedges
+    (sum of d*(d-1)/2 — exact integer), n_triangles via degree-ordered
+    enumeration, and the global clustering coefficient
+    3 * triangles / wedges rounded to 6dp."""
+    # degree frame feeds the wedge aggregate AND both orientation
+    # joins; materialize so the edge aggregation runs once.
+    deg = materialize(degrees(edges))
+    o = materialize(_oriented(edges, deg))
+    a, b = o.alias("a"), o.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.src") == F.col("b.src")) & (F.col("a.kd") < F.col("b.kd")),
+    ).select(
+        F.col("a.src").alias("u"),
+        F.col("a.dst").alias("x"),
+        F.col("b.dst").alias("y"),
+    )
+    closing = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = wedges.join(closing, ["x", "y"], "left_semi")
+    node_stats = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.sum((F.col("d") * (F.col("d") - 1) / F.lit(2)).cast("long"))
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    edge_stats = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    tri_stats = tri.agg(F.count("*").cast("bigint").alias("n_triangles"))
+    return (
+        node_stats.crossJoin(F.broadcast(edge_stats))
+        .crossJoin(F.broadcast(tri_stats))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("clustering"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Weighted PageRank, a FIXED number of synchronous iterations from
+    the uniform start — deterministic, so the result is reproducible by
+    an oracle that chains the same number of CTE steps. Returns
+    (node, pr) with pr rounded to 6dp.
+
+    Dangling nodes (appearing only as destinations) keep receiving the
+    reset mass but redistribute nothing — the standard simplification;
+    with a fixed iteration count the result is still well-defined and
+    identical in both engines."""
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    nodes = materialize(
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_row = F.broadcast(nodes.agg(F.count("*").cast("double").alias("n")))
+    out_w = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    # contribution rate per edge is loop-invariant: w / out-strength.
+    rated = materialize(
+        e.join(out_w, "src").select(
+            "src", "dst", (F.col("w") / F.col("ow")).alias("rate")
+        )
+    )
+    pr = nodes.crossJoin(n_row).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(iters):
+        contrib = (
+            pr.join(rated, pr["node"] == rated["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("rate")).alias("c"))
+        )
+        pr = materialize(
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(n_row)
+            .select(
+                "node",
+                (
+                    F.lit(RESET) / F.col("n")
+                    + F.lit(DAMPING) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return pr.select("node", F.round("pr", 6).alias("pr"))

@@ -1,0 +1,150 @@
+"""Graph-analytics queries: triangle/clustering statistics over the
+part co-purchase graph, and PageRank over the event-type transition
+graph (the corpus-quality prior shape: heavy parallel edge aggregation
+feeding a small fixed-iteration rank loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from takuan_spark.operators import graph
+from takuan_spark.queries import query
+from takuan_spark.tables import load_table
+
+_EDGES_CTE = """
+    occ AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS u FROM lineitem),
+    e AS (
+        SELECT a.u AS u, b.u AS v
+        FROM occ a JOIN occ b ON a.g = b.g AND a.u < b.u
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+"""
+
+
+def _pagerank_sql(iters: int) -> str:
+    """Chained-CTE PageRank mirror: p0 is uniform, each p{i} applies one
+    synchronous update with the same 0.15/0.85 literals as the Spark
+    plan."""
+    steps = []
+    prev = "p0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    p{i} AS (
+        SELECT nodes.node,
+               {graph.RESET!r} / (SELECT n FROM nn)
+               + {graph.DAMPING!r} * COALESCE(c.s, 0) AS pr
+        FROM nodes LEFT JOIN (
+            SELECT r.dst AS node, SUM(p.pr * r.rate) AS s
+            FROM {prev} p JOIN rated r ON r.src = p.node
+            GROUP BY 1
+        ) c USING (node)
+    )""")
+        prev = f"p{i}"
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type AS et,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    e AS (
+        SELECT prev AS src, et AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+        FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    rated AS (
+        SELECT e.src, e.dst, e.w / o.ow AS rate
+        FROM e JOIN (SELECT src, SUM(w) AS ow FROM e GROUP BY 1) o
+          ON o.src = e.src
+    ),
+    p0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+    {",".join(steps).lstrip()}
+    SELECT node, ROUND(pr, 6) AS pr FROM {prev} ORDER BY node
+    """
+
+
+@query(
+    "q_graph_triangles",
+    f"""
+    WITH {_EDGES_CTE},
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        GROUP BY 1
+    ),
+    keyed AS (
+        SELECT e.u, e.v,
+               du.d * {graph.RANK_BASE} + e.u AS ku,
+               dv.d * {graph.RANK_BASE} + e.v AS kv
+        FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ),
+    o AS (
+        SELECT CASE WHEN ku < kv THEN u ELSE v END AS src,
+               CASE WHEN ku < kv THEN v ELSE u END AS dst,
+               greatest(ku, kv) AS kd
+        FROM keyed
+    ),
+    wdg AS (
+        SELECT o1.dst AS x, o2.dst AS y
+        FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.kd < o2.kd
+    ),
+    tri AS (
+        SELECT 1 AS one FROM wdg
+        WHERE EXISTS (SELECT 1 FROM o WHERE o.src = wdg.x AND o.dst = wdg.y)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(SUM(CAST(d * (d - 1) / 2 AS BIGINT)) AS BIGINT)
+            FROM deg) AS n_wedges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles,
+           ROUND((3.0 * (SELECT COUNT(*) FROM tri))
+                 / (SELECT SUM(d * (d - 1) / 2) FROM deg), 6) AS clustering
+    """,
+    "Triangle count + global clustering coefficient of the part "
+    "co-purchase graph (parts sharing >= 2 orders). Edge discovery "
+    "self-joins on the order key (co-partitioned, per-order expansion "
+    "bounded by order size); triangles use the degree-ordered "
+    "orientation so each wedge is enumerated once from its lowest-"
+    "ranked corner — the O(m^1.5) node-iterator++, not naive wedge "
+    "counting on hubs. Wedge count is an exact integer aggregate.",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(
+        li, group_col="l_orderkey", item_col="l_partkey", min_count=2
+    )
+    return graph.triangle_stats(edges)
+
+
+@query(
+    "q_graph_pagerank",
+    _pagerank_sql(iters=3),
+    "Weighted PageRank (3 fixed synchronous iterations, damping 0.85) "
+    "over the event-type transition graph: the heavy work — lag-window "
+    "sessionization and transition counting over the event stream — is "
+    "embarrassingly parallel per user; the rank loop then runs one "
+    "join + aggregation per iteration on the aggregated graph, "
+    "materialized per round so lineage stays flat (the CC discipline). "
+    "Node count enters as a broadcast one-row aggregate, never a "
+    "driver-side count.",
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    edges = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("src"), F.col("event_type").alias("dst")
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    return graph.pagerank(edges, iters=3).orderBy("node")

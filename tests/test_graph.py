@@ -1,0 +1,95 @@
+"""Unit tests for the graph operators: triangle statistics on known
+graphs and PageRank against a hand-computed fixed-point / NumPy power
+iteration. Oracle comparison for the registered queries lives in
+test_oracle.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from takuan_spark.operators import graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(u, v, 1.0) for u, v in pairs], "u long, v long, w double"
+    )
+
+
+def test_triangle_stats_complete_graph(spark):
+    # K4: 4 nodes, 6 edges, 12 wedges, 4 triangles, clustering 1.0.
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    row = graph.triangle_stats(_edges(spark, k4)).collect()[0]
+    assert (
+        row["n_nodes"],
+        row["n_edges"],
+        row["n_wedges"],
+        row["n_triangles"],
+        row["clustering"],
+    ) == (4, 6, 12, 4, 1.0)
+
+
+def test_triangle_stats_triangle_free(spark):
+    # 4-cycle: wedges but no triangles.
+    row = graph.triangle_stats(
+        _edges(spark, [(0, 1), (1, 2), (2, 3), (0, 3)])
+    ).collect()[0]
+    assert row["n_triangles"] == 0 and row["n_wedges"] == 4
+
+
+def test_triangle_orientation_handles_skewed_hub(spark):
+    # Star + one rim edge: the hub has degree 5 but under degree
+    # ordering every oriented edge points INTO it, so its fan-out in
+    # the wedge join is 0 — exactly one triangle found via the rim.
+    star = [(100, r) for r in range(5)] + [(0, 1)]
+    row = graph.triangle_stats(_edges(spark, star)).collect()[0]
+    assert row["n_triangles"] == 1
+
+
+def test_cooccurrence_edges_min_count_and_distinct(spark):
+    items = spark.createDataFrame(
+        [
+            (1, "a"), (1, "b"), (1, "b"),  # duplicate (1,b) ignored
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "c"),
+        ],
+        "g int, item string",
+    )
+    out = {
+        (r["u"], r["v"]): r["w"]
+        for r in graph.cooccurrence_edges(
+            items, group_col="g", item_col="item", min_count=2
+        ).collect()
+    }
+    assert out == {("a", "b"): 2}
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    # Directed 3-cycle: uniform rank is the exact fixed point, so any
+    # iteration count returns exactly 1/3 per node.
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)], "src long, dst long, w double"
+    )
+    out = graph.pagerank(e, iters=3).collect()
+    assert all(abs(r["pr"] - 1 / 3) < 1e-6 for r in out)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    pairs = [(0, 1, 2.0), (0, 2, 1.0), (1, 2, 1.0), (2, 0, 1.0), (3, 0, 4.0)]
+    e = spark.createDataFrame(pairs, "src long, dst long, w double")
+    out = {r["node"]: r["pr"] for r in graph.pagerank(e, iters=3).collect()}
+
+    n = 4
+    m = np.zeros((n, n))
+    outw = {}
+    for s, d, w in pairs:
+        outw[s] = outw.get(s, 0.0) + w
+    for s, d, w in pairs:
+        m[d, s] = w / outw[s]
+    pr = np.full(n, 1 / n)
+    for _ in range(3):
+        pr = 0.15 / n + 0.85 * (m @ pr)
+    for node, val in out.items():
+        assert abs(val - pr[node]) < 1e-6
