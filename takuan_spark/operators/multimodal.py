@@ -208,6 +208,97 @@ def extract_features(
     return media.select(id_col, payload_col).mapInPandas(_decode, schema=out_schema)
 
 
+def ahash(features_col, *, dim: int = FEATURE_DIM):
+    """Average-hash (aHash) over a decoded feature vector, as one
+    codegen'd expression returning a ``dim``-bit bigint fingerprint.
+
+    Features quantize to 8-bit levels q_i = round(255 * f_i) first, and
+    the mean comparison is INTEGER (bit i set iff dim * q_i > sum q) —
+    no float summation ever decides a bit, so the fingerprint is
+    bit-exact across engines and partitionings. For the sha256
+    fake-decoder the quantization inverts the byte/255 encoding
+    exactly; for real decoders it is ordinary 8-bit level rounding."""
+    q = F.transform(
+        features_col,
+        lambda x: F.round(x.cast("double") * 255).cast("bigint"),
+    )
+    total = F.aggregate(q, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    bits = F.zip_with(
+        q,
+        idx,
+        lambda qi, i: F.when(
+            F.lit(dim) * qi > total,
+            # 2^(dim-1-i) via double pow: exact for any dim <= 53 bits,
+            # and shiftleft cannot take a per-element shift amount.
+            F.pow(F.lit(2.0), (F.lit(dim - 1) - i).cast("double")).cast(
+                "bigint"
+            ),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda a, x: a + x)
+
+
+def phash_pairs(
+    hashed: DataFrame,
+    *,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    dim: int = FEATURE_DIM,
+    bands: int = 4,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Near-duplicate media pairs by fingerprint hamming distance, with
+    BANDED discovery: the ``dim``-bit hash splits into ``bands`` equal
+    bit-slices, candidates come from an equi-join on (band, slice) —
+    pigeonhole-complete for ``max_distance < bands`` — and only
+    candidates pay the exact ``bit_count(xor)`` check. Never all-pairs:
+    the shuffle keys are (band index, slice value) ints.
+
+    Output: (id_a, id_b, hamming), id_a < id_b, deduplicated across
+    bands."""
+    if max_distance >= bands:
+        raise ValueError(
+            "pigeonhole completeness needs max_distance < bands"
+        )
+    band_bits = dim // bands
+    mask = (1 << band_bits) - 1
+    slices = F.array(
+        *[
+            F.shiftright(F.col(hash_col), band * band_bits).bitwiseAND(
+                F.lit(mask)
+            )
+            for band in range(bands)
+        ]
+    )
+    sliced = hashed.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.posexplode(slices).alias("band", "slice"),
+    )
+    right = sliced.select(
+        F.col("id").alias("id_b"),
+        F.col("h").alias("h_b"),
+        F.col("band"),
+        F.col("slice"),
+    )
+    cand = (
+        sliced.join(right, ["band", "slice"])
+        .where(F.col("id") < F.col("id_b"))
+        .select(
+            F.col("id").alias("id_a"), "id_b", F.col("h").alias("h_a"), "h_b"
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+        .cast("int")
+        .alias("hamming"),
+    ).where(F.col("hamming") <= max_distance)
+
+
 def media_summary(media: DataFrame) -> DataFrame:
     """Metadata-only aggregate — never touches the payload column: byte
     sizes come from the stored ``payload_bytes`` metadata column, so

@@ -81,7 +81,7 @@ PRIORITY: list[str] = [
     "ns_shard_assign", "ns_dedup_pipeline", "q_interval_overlap_join",
     "ns_unicode_normalize", "ns_dup_size_histogram", "ns_bm25_batch",
     "q_sliding_distinct", "ns_hll_distinct", "ns_token_entropy",
-    "q_graph_triangles", "q_graph_pagerank",
+    "q_graph_triangles", "q_graph_pagerank", "mm_phash_neardup",
     # -- 3. changed this round ----------------------------------------
     "ns_dedup_clusters",  # data-derived CC partitioning
     # -- 4. backfill: r1-green, unchecked since r1 --------------------

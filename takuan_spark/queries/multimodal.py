@@ -68,6 +68,62 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_phash_neardup",
+    f"""
+    WITH {MEDIA_ORACLE_CTE},
+    hx AS (
+        SELECT media_id, sha256(decode(payload)) AS hx
+        FROM media WHERE kind = 'image'
+    ),
+    qb AS (
+        SELECT media_id, g.i AS i,
+               ((strpos('0123456789abcdef', substr(hx, 2*g.i-1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(hx, 2*g.i, 1)) - 1)) AS q
+        FROM hx, UNNEST(range(1, {multimodal.FEATURE_DIM + 1})) AS g(i)
+    ),
+    ph AS (
+        SELECT media_id,
+               CAST(SUM(CASE WHEN {multimodal.FEATURE_DIM} * q > s
+                             THEN CAST(power(2, {multimodal.FEATURE_DIM} - i)
+                                       AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS phash
+        FROM (SELECT media_id, i, q,
+                     SUM(q) OVER (PARTITION BY media_id) AS s FROM qb)
+        GROUP BY media_id
+    ),
+    sl AS (
+        SELECT media_id, phash, CAST(b.b AS INT) AS band,
+               (phash >> (CAST(b.b AS INT) * 4)) & 15 AS slice
+        FROM ph, UNNEST(range(0, 4)) AS b(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b,
+               a.phash AS ha, c.phash AS hb
+        FROM sl a JOIN sl c
+          ON a.band = c.band AND a.slice = c.slice
+         AND a.media_id < c.media_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+    ORDER BY id_a, id_b
+    """,
+    "Perceptual-hash image near-dup: decode (Arrow mapInPandas) -> "
+    "16-bit average hash whose bit decisions are INTEGER comparisons "
+    "(16*q_i > sum q — no float sum ever decides a bit) -> banded "
+    "hamming discovery (4 x 4-bit slices, pigeonhole-complete for "
+    "distance <= 2) -> exact bit_count(xor) on candidates only. The "
+    "shuffle carries (band, slice) ints, never payloads or features.",
+)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = load_media(spark, sf_dir).where(F.col("kind") == "image")
+    feats = multimodal.extract_features(media, decoder=multimodal.fake_decoder)
+    hashed = feats.select(
+        "media_id", multimodal.ahash(F.col("features")).alias("phash")
+    )
+    return multimodal.phash_pairs(hashed).orderBy("id_a", "id_b")
+
+
+@query(
     "mm_frame_sample",
     f"""
     WITH {MEDIA_ORACLE_CTE}

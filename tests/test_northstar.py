@@ -609,3 +609,38 @@ def test_bmp_decoder_rejects_non_bmp():
 
     with _pytest.raises(ValueError):
         multimodal.bmp_decoder(b"PNG-ish garbage")
+
+
+def test_ahash_integer_bit_decisions(spark):
+    # 16 features: first 4 clearly above the mean, rest below ->
+    # fingerprint = top-4 bits set. Bit decisions are integer-exact.
+    feats = [0.9] * 4 + [0.1] * 12
+    df = spark.createDataFrame(
+        [(1, feats)], "media_id long, features array<float>"
+    )
+    h = df.select(multimodal.ahash(F.col("features")).alias("h")).collect()[0]["h"]
+    assert h == 0b1111_0000_0000_0000
+
+
+def test_phash_pairs_banded_discovery(spark):
+    # a/b identical (hamming 0), c differs in 2 bits (<= max_distance,
+    # found via an untouched band), d differs everywhere (dropped).
+    rows = [
+        (1, 0b1111_0000_0000_0000),
+        (2, 0b1111_0000_0000_0000),
+        (3, 0b1111_0000_0000_0011),
+        (4, 0b0000_1111_1111_1111),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, phash long")
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.phash_pairs(df).collect()
+    }
+    assert out == {(1, 2): 0, (1, 3): 2, (2, 3): 2}
+
+
+def test_phash_pairs_pigeonhole_guard():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.phash_pairs(None, bands=2, max_distance=2)
