@@ -196,6 +196,95 @@ def kmv_oracle_sql(
     """
 
 
+# --- fixed-range histogram quantile sketch ----------------------------
+
+
+def histogram_sketch(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Fixed-width histogram sketch per group: (group..., bin, c) with
+    at most ``bins`` rows per group. Values clamp into the edge bins,
+    so the declared [lo, hi) range is a resolution choice, not a
+    correctness precondition. One partial+final hash aggregation —
+    bounded state per group however many rows flow through — and the
+    counts are a LINEAR sketch: grids from epochs/shards merge by
+    summing (group, bin) cells."""
+    width = (hi - lo) / bins
+    b = (
+        F.least(
+            F.greatest(
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+                F.lit(0),
+            ),
+            F.lit(bins - 1),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    return (
+        df.groupBy(*list(group_cols), b)
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Approximate quantiles from a histogram sketch by linear
+    interpolation inside the covering bin — the mergeable alternative
+    to a sort-based exact percentile (whose per-group state is the
+    whole group). Windows run over <= ``bins`` rows per group; the
+    probe list is a broadcast literal frame. Deterministic: bin counts
+    are integers, the rank target q*total and the interpolation are
+    single double expressions shared with the oracle. Output: one
+    (group..., q, est) row per probe."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    width = (hi - lo) / bins
+    w = Window.partitionBy(*groups).orderBy("bin")
+    wg = Window.partitionBy(*groups)
+    cum = hist.select(
+        *groups,
+        "bin",
+        "c",
+        F.sum("c").over(w).alias("cum"),
+        (F.sum("c").over(w) - F.col("c")).alias("cum0"),
+        F.sum("c").over(wg).alias("total"),
+    )
+    probes = hist.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    target = F.col("q") * F.col("total")
+    est = (
+        F.lit(lo)
+        + F.col("bin") * F.lit(width)
+        + F.lit(width) * (target - F.col("cum0")) / F.col("c")
+    )
+    # floor(x*1e4 + 0.5)/1e4 instead of round(): the interpolation can
+    # land EXACTLY on a half-way point (all inputs are integers and
+    # binary-exact literals), and engines break .5 ties differently —
+    # floor-based half-up is bit-identical everywhere.
+    est4 = F.floor(est * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+    return (
+        cum.crossJoin(F.broadcast(probes))
+        .where((target > F.col("cum0")) & (target <= F.col("cum")))
+        .select(*groups, "q", est4.alias("est"))
+    )
+
+
 # --- HyperLogLog ------------------------------------------------------
 
 #: register count m = 2^6 (6 index bits off the 60-bit md5 hash).

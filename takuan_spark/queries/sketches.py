@@ -57,6 +57,71 @@ def ns_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+#: histogram-sketch range for o_totalprice: a resolution choice (values
+#: outside clamp into the edge bins), embedded identically both sides.
+_HQ_LO, _HQ_HI, _HQ_BINS = 0.0, 600_000.0, 256
+_HQ_W = (_HQ_HI - _HQ_LO) / _HQ_BINS
+_HQ_QS = (0.5, 0.9, 0.99)
+
+
+@query(
+    "q_quantile_sketch",
+    f"""
+    WITH hist AS (
+        SELECT o_orderpriority,
+               CAST(least(greatest(floor((o_totalprice - {_HQ_LO!r})
+                                         / {_HQ_W!r}), 0),
+                          {_HQ_BINS - 1}) AS INT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT o_orderpriority, bin, c,
+               CAST(SUM(c) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY bin) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY bin) - c AS BIGINT) AS cum0,
+               CAST(SUM(c) OVER (PARTITION BY o_orderpriority)
+                    AS BIGINT) AS total
+        FROM hist
+    ),
+    probes AS (SELECT CAST(unnest([{", ".join(repr(q) for q in _HQ_QS)}])
+                           AS DOUBLE) AS q)
+    SELECT o_orderpriority, q,
+           floor(({_HQ_LO!r} + bin * {_HQ_W!r}
+                  + {_HQ_W!r} * (q * total - cum0) / c) * 10000.0 + 0.5)
+               / 10000.0 AS est
+    FROM cum, probes
+    WHERE q * total > cum0 AND q * total <= cum
+    ORDER BY o_orderpriority, q
+    """,
+    "Approximate p50/p90/p99 per order priority from a 256-bin "
+    "histogram sketch with in-bin linear interpolation — the mergeable "
+    "quantile path: one hash aggregation with <= 256 rows of state per "
+    "group (vs the exact percentile's whole-group sort state, "
+    "q_percentiles), windows over the tiny grid, probes broadcast. "
+    "Epoch/shard grids merge by summing cells.",
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    hist = sketches.histogram_sketch(
+        orders,
+        group_cols=["o_orderpriority"],
+        value_col="o_totalprice",
+        lo=_HQ_LO,
+        hi=_HQ_HI,
+        bins=_HQ_BINS,
+    )
+    return sketches.histogram_quantiles(
+        hist,
+        group_cols=["o_orderpriority"],
+        lo=_HQ_LO,
+        hi=_HQ_HI,
+        bins=_HQ_BINS,
+        qs=_HQ_QS,
+    ).orderBy("o_orderpriority", "q")
+
+
 @query(
     "ns_hll_distinct",
     f"""

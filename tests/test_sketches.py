@@ -145,3 +145,60 @@ def test_hll_skips_null_values(spark):
     ).collect()[0]
     # NULL hashes to no register: 2 registers touched, linear count 2.
     assert out["n_regs"] == 2
+
+
+def test_histogram_quantiles_interpolation(spark):
+    # Uniform 0..999 over [0, 1000) with 10 bins: p50 interpolates to
+    # 500 exactly (target 500 falls at the boundary of bin 5's span),
+    # p90 to 900.
+    df = spark.createDataFrame([(i * 1.0,) for i in range(1000)], "v double")
+    hist = sketches.histogram_sketch(
+        df.withColumn("g", F.lit("all")),
+        group_cols=["g"], value_col="v", lo=0.0, hi=1000.0, bins=10,
+    )
+    out = {
+        r["q"]: r["est"]
+        for r in sketches.histogram_quantiles(
+            hist, group_cols=["g"], lo=0.0, hi=1000.0, bins=10,
+            qs=(0.5, 0.9),
+        ).collect()
+    }
+    assert out == {0.5: 500.0, 0.9: 900.0}
+
+
+def test_histogram_sketch_clamps_out_of_range(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (50.0,), (1e9,)], "v double"
+    ).withColumn("g", F.lit("all"))
+    hist = {
+        r["bin"]: r["c"]
+        for r in sketches.histogram_sketch(
+            df, group_cols=["g"], value_col="v", lo=0.0, hi=100.0, bins=4
+        ).collect()
+    }
+    # -5 clamps into bin 0, 50 lands in bin 2 (width 25), 1e9 clamps
+    # into the last bin.
+    assert hist == {0: 1, 2: 1, 3: 1}
+
+
+def test_histogram_sketch_merges_linearly(spark):
+    # Sketch of a union == cell-wise sum of the halves' sketches.
+    rows = [(i, float(i % 97)) for i in range(500)]
+    df = spark.createDataFrame(rows, "i int, v double").withColumn(
+        "g", F.lit("a")
+    )
+    kw = dict(group_cols=["g"], value_col="v", lo=0.0, hi=100.0, bins=16)
+    whole = {
+        (r["g"], r["bin"]): r["c"]
+        for r in sketches.histogram_sketch(df, **kw).collect()
+    }
+    h1 = sketches.histogram_sketch(df.where(F.col("i") % 2 == 0), **kw)
+    h2 = sketches.histogram_sketch(df.where(F.col("i") % 2 == 1), **kw)
+    merged = {
+        (r["g"], r["bin"]): r["c"]
+        for r in h1.unionAll(h2)
+        .groupBy("g", "bin")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    assert merged == whole
