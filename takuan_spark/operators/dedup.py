@@ -192,6 +192,61 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directed shingle CONTAINMENT C(A, B) = |sh(A) ∩ sh(B)| / |sh(A)|
+    — the asymmetric near-dup test Jaccard misses: a short document
+    fully embedded in a long one has containment 1.0 but arbitrarily
+    low Jaccard. Output: (id, other, containment) rows with
+    C(id, other) >= threshold, BOTH directions evaluated from the one
+    undirected inverted-index intersection (same index, same shuffle
+    shape, and the same ``max_df`` stop-shingle guard as
+    :func:`jaccard_pairs`)."""
+    sh = materialize(
+        shingle_df(df, text_col=text_col, id_col=id_col, n=n).select(
+            id_col, F.xxhash64("shingle").alias("shingle")
+        )
+    )
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = materialize(sh.join(rare, "shingle"))
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    both = inter.join(ca, "id_a").join(cb, "id_b")
+    fwd = both.select(
+        F.col("id_a").alias("id"),
+        F.col("id_b").alias("other"),
+        F.round(F.col("inter") / F.col("n_a"), 6).alias("containment"),
+    )
+    rev = both.select(
+        F.col("id_b").alias("id"),
+        F.col("id_a").alias("other"),
+        F.round(F.col("inter") / F.col("n_b"), 6).alias("containment"),
+    )
+    return fwd.unionAll(rev).where(F.col("containment") >= threshold)
+
+
 def near_dominated_ids(
     pairs: DataFrame,
 ) -> DataFrame:

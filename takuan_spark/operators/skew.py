@@ -130,3 +130,48 @@ def salted_join(
     )
     out = salted_probe.join(replicated_build, on=[on, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def key_skew_profile(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    topk: int = 10,
+) -> DataFrame:
+    """One-row key-distribution diagnostic — the measurement that
+    decides whether a join/agg on these keys needs salting, AQE skew
+    handling, or nothing: key count, row total, max-key share, top-k
+    share, and normalized Shannon entropy of the key distribution
+    (1.0 = perfectly uniform, -> 0 = one key dominates).
+
+    Cost shape: one map-side-combined count per key, then scalar
+    aggregates over the (bounded) per-key count frame; the top-k runs
+    as TakeOrderedAndProject. Safe to run inline before a heavy join at
+    any scale."""
+    keys = list(key_cols)
+    counts = materialize(
+        df.groupBy(*keys).agg(F.count("*").alias("c"))
+    )
+    stats = counts.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("total"),
+        F.max("c").cast("bigint").alias("max_c"),
+        F.sum(F.col("c") * F.log("c")).alias("_sc"),
+    )
+    top = (
+        counts.orderBy(F.desc("c"), *keys)
+        .limit(topk)
+        .agg(F.sum("c").cast("bigint").alias("top_c"))
+    )
+    ent = (
+        F.log(F.col("total").cast("double")) - F.col("_sc") / F.col("total")
+    ) / F.log(F.col("n_keys").cast("double"))
+    return stats.crossJoin(F.broadcast(top)).select(
+        "n_keys",
+        "total",
+        F.round(F.col("max_c") / F.col("total"), 6).alias("max_share"),
+        F.round(F.col("top_c") / F.col("total"), 6).alias("topk_share"),
+        F.round(
+            F.when(F.col("n_keys") > 1, ent).otherwise(F.lit(1.0)), 6
+        ).alias("norm_entropy"),
+    )

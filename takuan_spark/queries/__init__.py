@@ -82,7 +82,8 @@ PRIORITY: list[str] = [
     "ns_unicode_normalize", "ns_dup_size_histogram", "ns_bm25_batch",
     "q_sliding_distinct", "ns_hll_distinct", "ns_token_entropy",
     "q_graph_triangles", "q_graph_pagerank", "mm_phash_neardup",
-    "q_quantile_sketch",
+    "q_quantile_sketch", "q_key_skew_profile", "q_rolling_median",
+    "ns_containment_neardup",
     # -- 3. changed this round ----------------------------------------
     "ns_dedup_clusters",  # data-derived CC partitioning
     # -- 4. backfill: r1-green, unchecked since r1 --------------------

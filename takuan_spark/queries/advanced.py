@@ -782,3 +782,74 @@ def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+@query(
+    "q_key_skew_profile",
+    """
+    WITH c AS (SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY 1),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(c) AS BIGINT) AS total,
+               CAST(MAX(c) AS BIGINT) AS max_c,
+               SUM(c * ln(CAST(c AS DOUBLE))) AS sc
+        FROM c
+    ),
+    t AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS top_c FROM (
+            SELECT c FROM c ORDER BY c DESC, o_custkey LIMIT 10)
+    )
+    SELECT n_keys, total,
+           ROUND(CAST(max_c AS DOUBLE) / total, 6) AS max_share,
+           ROUND(CAST(top_c AS DOUBLE) / total, 6) AS topk_share,
+           ROUND(CASE WHEN n_keys > 1
+                      THEN (ln(CAST(total AS DOUBLE)) - sc / total)
+                           / ln(CAST(n_keys AS DOUBLE))
+                      ELSE 1.0 END, 6) AS norm_entropy
+    FROM s, t
+    """,
+    "Key-skew diagnostic over orders.o_custkey: key count, max/top-10 "
+    "key share, and normalized key-distribution entropy — the inline "
+    "measurement that decides between plain shuffle, AQE skew "
+    "handling, and explicit salting before a heavy join/agg. One "
+    "map-side-combined count per key + scalar aggregates; top-k plans "
+    "as TakeOrderedAndProject.",
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.skew import key_skew_profile
+
+    orders = _t(spark, sf_dir, "orders")
+    return key_skew_profile(orders, key_cols=["o_custkey"], topk=10)
+
+
+@query(
+    "q_rolling_median",
+    """
+    SELECT event_id, event_type,
+           ROUND(quantile_cont(value, 0.5) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW), 4) AS med50
+    FROM events
+    WHERE user_id < 5
+    ORDER BY event_type, event_id
+    """,
+    "Exact rolling median (50-row frame) of event values per type — "
+    "the order-statistic window q_percentiles cannot express: state is "
+    "bounded by the FRAME (50 rows), not the partition, so the window "
+    "scales with frame size at any event volume; the unbounded-history "
+    "analog is the mergeable histogram sketch (q_quantile_sketch).",
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.percentile("value", F.lit(0.5)).over(w), 4).alias("med50"),
+    ).orderBy("event_type", "event_id")

@@ -281,6 +281,54 @@ def ns_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_containment_neardup",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairboth AS (
+        SELECT id_a, id_b, i, ca.n_sh AS n_a, cb.n_sh AS n_b
+        FROM inter
+        JOIN cnt ca ON id_a = ca.doc_id
+        JOIN cnt cb ON id_b = cb.doc_id
+    ),
+    directed AS (
+        SELECT id_a AS id, id_b AS other, ROUND(i * 1.0 / n_a, 6) AS containment
+        FROM pairboth
+        UNION ALL
+        SELECT id_b AS id, id_a AS other, ROUND(i * 1.0 / n_b, 6) AS containment
+        FROM pairboth
+    )
+    SELECT id, other, containment FROM directed
+    WHERE containment >= 0.5
+    ORDER BY id, other
+    """,
+    "Directed shingle containment |sh(A) ∩ sh(B)| / |sh(A)| — the "
+    "asymmetric near-dup test: a short document embedded in a long one "
+    "has containment 1.0 but arbitrarily low Jaccard, so this catches "
+    "doc-inside-doc duplication ns_jaccard_neardup structurally "
+    "cannot. Same inverted-index discovery (hashed shingles, stop-"
+    "shingle guard available), both directions scored from one "
+    "undirected intersection.",
+)
+def ns_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, n=3, threshold=0.5).orderBy(
+        "id", "other"
+    )
+
+
+@query(
     "ns_minhash_lsh_neardup",
     f"""
     WITH {_minhash_pairs_cte()}

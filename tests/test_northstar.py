@@ -644,3 +644,21 @@ def test_phash_pairs_pigeonhole_guard():
 
     with _pytest.raises(ValueError):
         multimodal.phash_pairs(None, bands=2, max_distance=2)
+
+
+def test_containment_catches_embedded_doc(spark):
+    # Short doc fully embedded in a long one: containment(short->long)
+    # = 1.0 while Jaccard stays below any dedup threshold.
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    cont = {
+        (r["id"], r["other"]): r["containment"]
+        for r in dedup.containment_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert cont[(1, 2)] == 1.0
+    assert (2, 1) not in cont  # reverse direction is far below 0.5
+    jac = dedup.jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    assert jac == []  # symmetric Jaccard misses the embedding entirely

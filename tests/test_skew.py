@@ -82,3 +82,22 @@ def test_materialize_preserves_rows(spark):
     assert sorted(r["id"] for r in m.collect()) == list(range(100))
     assert m.storageLevel.useMemory
     m.unpersist()
+
+
+def test_key_skew_profile_uniform_vs_hot(spark):
+    from takuan_spark.operators.skew import key_skew_profile
+
+    uniform = spark.createDataFrame(
+        [(i % 10,) for i in range(1000)], "k int"
+    )
+    row = key_skew_profile(uniform, key_cols=["k"], topk=3).collect()[0]
+    assert row["n_keys"] == 10 and row["total"] == 1000
+    assert row["max_share"] == 0.1 and row["topk_share"] == 0.3
+    assert row["norm_entropy"] == 1.0  # perfectly uniform
+
+    hot = spark.createDataFrame(
+        [(0,)] * 991 + [(i,) for i in range(1, 10)], "k int"
+    )
+    row = key_skew_profile(hot, key_cols=["k"], topk=3).collect()[0]
+    assert row["max_share"] == 0.991
+    assert row["norm_entropy"] < 0.05  # one key dominates
