@@ -1333,3 +1333,102 @@ def ns_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfpq_probe(
         spark, path, qvec, k=10, nlist=16, nprobe=4, m=8, ksub=16
     )
+
+
+@query(
+    "ns_length_outliers",
+    """
+    WITH m AS (SELECT quantile_cont(n_chars, 0.5) AS med FROM documents),
+    d AS (
+        SELECT doc_id, n_chars, abs(n_chars - m.med) AS dev
+        FROM documents, m
+    ),
+    mad AS (SELECT quantile_cont(dev, 0.5) AS mad FROM d)
+    SELECT doc_id, n_chars,
+           ROUND((n_chars - m.med) / (1.4826 * mad.mad), 4) AS robust_z
+    FROM documents, m, mad
+    ORDER BY abs(ROUND((n_chars - m.med) / (1.4826 * mad.mad), 4)) DESC,
+             doc_id
+    LIMIT 10
+    """,
+    "Robust z-score length outliers (median/MAD, the curation gate "
+    "that is not wrecked by the outliers it hunts — unlike mean/stddev "
+    "z-scores): top-10 most deviant documents. Median and MAD are two "
+    "scalar percentile aggregates broadcast back over the corpus; the "
+    "top-k plans as TakeOrderedAndProject.",
+)
+def ns_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    med = docs.agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("med")
+    )
+    dev = docs.crossJoin(F.broadcast(med)).withColumn(
+        "dev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad = dev.agg(F.percentile("dev", F.lit(0.5)).alias("mad"))
+    rz = F.round(
+        (F.col("n_chars") - F.col("med")) / (F.lit(1.4826) * F.col("mad")), 4
+    )
+    return (
+        docs.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select("doc_id", "n_chars", rz.alias("robust_z"))
+        .orderBy(F.abs(F.col("robust_z")).desc(), F.col("doc_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "ns_cluster_purity",
+    f"""
+    WITH {_ivf_cte()},
+    lab AS (
+        SELECT a.cell, e.label, COUNT(*) AS c
+        FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT cell, CAST(SUM(c) AS BIGINT) AS n FROM lab GROUP BY 1),
+    top AS (
+        SELECT cell, label AS majority_label, c FROM (
+            SELECT cell, label, c,
+                   ROW_NUMBER() OVER (PARTITION BY cell
+                                      ORDER BY c DESC, label) AS rn
+            FROM lab
+        ) WHERE rn = 1
+    )
+    SELECT t.cell, tot.n, t.majority_label,
+           ROUND(CAST(t.c AS DOUBLE) / tot.n, 6) AS purity
+    FROM top t JOIN tot ON tot.cell = t.cell
+    ORDER BY t.cell
+    """,
+    "Label purity per embedding cluster (the fixed IVF quantizer's "
+    "cells): majority label and its share — the diagnostic that tells "
+    "a curation pipeline whether embedding clusters are clean enough "
+    "to drive cluster-level decisions (SemDeDup cell sizing, cluster "
+    "sampling). Assignment is the same one-GEMM Arrow pass the ANN "
+    "family uses; the rest is two tiny hash aggregations.",
+)
+def ns_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    cents = similarity.fixed_centroids(_EMB_DIM, nlist=16, seed=777)
+    assigned = similarity.ivf_assign_fixed(emb, cents)
+    lab = assigned.groupBy("cell", "label").agg(F.count("*").alias("c"))
+    tot = lab.groupBy("cell").agg(F.sum("c").cast("bigint").alias("n"))
+    w = Window.partitionBy("cell").orderBy(F.desc("c"), F.asc("label"))
+    top = (
+        lab.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cell", F.col("label").alias("majority_label"), "c")
+    )
+    return (
+        top.join(tot, "cell")
+        .select(
+            "cell",
+            "n",
+            "majority_label",
+            F.round(F.col("c") / F.col("n"), 6).alias("purity"),
+        )
+        .orderBy("cell")
+    )
