@@ -408,3 +408,62 @@ def test_semdedup_groups_by_cell_blocks(spark, sf_dir):
     assert re.search(
         r"hashpartitioning\(cell#\d+, bi#\d+, bj#\d+", plan
     ), "pair scoring is not bucketed by IVF cell"
+
+
+def test_phash_shuffles_band_slices_not_features(spark, sf_dir):
+    """Fingerprint near-dup discovery is bucketed: candidate exchanges
+    partition on (band, slice) ints — never payloads or feature
+    arrays — and the exact check runs only on candidates."""
+    plan = plan_of(REGISTRY["mm_phash_neardup"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the candidate join is an EQUI-join keyed on (band, slice) — as a
+    # broadcast join at small SF or an exchange on those keys at scale.
+    assert re.search(
+        r"Left keys \[2\]: \[band#\d+, slice#\d+L?\]", plan
+    ) or re.search(r"hashpartitioning\(band#\d+, slice#\d+", plan), tree_of(
+        plan
+    )
+    # Catalyst folds the exact hamming check into the join condition:
+    # candidates pay bit_count(xor) during the join, nothing after.
+    assert re.search(r"Join condition: .*bit_count", plan)
+
+
+def test_graph_triangles_no_cartesian_and_wedge_equi_join(spark, sf_dir):
+    """The wedge enumeration must be an equi-join on the oriented src
+    (the kd inequality is a post-filter), never a cartesian product;
+    edge discovery self-joins on the order key."""
+    plan = plan_of(REGISTRY["q_graph_triangles"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"hashpartitioning\(src#\d+", plan) or re.search(
+        r"\[src#\d+\]", plan
+    ), "wedge join is not keyed on src"
+
+
+def test_quantile_sketch_shuffles_bins_not_values(spark, sf_dir):
+    """The histogram aggregation must bin BEFORE the exchange: shuffle
+    keys are (group, bin), with map-side partial counts — never raw
+    value rows."""
+    plan = plan_of(REGISTRY["q_quantile_sketch"].builder(spark, sf_dir))
+    assert "partial_count" in plan
+    # Catalyst aliases the bin expression as _groupingexpression; the
+    # invariant is a TWO-key exchange (group + computed bin), never a
+    # shuffle of raw value rows on the group alone before binning.
+    assert re.search(
+        r"hashpartitioning\(o_orderpriority#\d+, (_groupingexpression|bin)#\d+",
+        plan,
+    ), "histogram exchange not keyed on (group, bin)"
+
+
+def test_key_skew_profile_topk_is_take_ordered(spark, sf_dir):
+    """The top-k share branch must plan as TakeOrderedAndProject (no
+    global sort of the per-key count frame)."""
+    plan = plan_of(REGISTRY["q_key_skew_profile"].builder(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # per-key counts map-side combine
+
+
+def test_length_outliers_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(REGISTRY["ns_length_outliers"].builder(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # the scalar median/MAD frames come back as broadcast joins
+    assert "BroadcastNestedLoopJoin" in plan
