@@ -310,3 +310,186 @@ def cms_stream_estimate(
         merged, probes, group_cols=groups, probe_col=probe_col,
         depth=depth, width=width,
     )
+
+
+def hll_sketch_sink(
+    table_path: str,
+    *,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink for HLL registers: each epoch lands its
+    batch's (group, reg, r) rows (<= 64 per group). HLL is a
+    MAX-sketch — like KMV it is double-count-immune: even a replayed
+    epoch folded twice could not move any register above its true max,
+    so the committed-horizon guard is belt-and-braces here."""
+    groups = list(group_cols)
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        regs = sketches.hll_registers(
+            batch, group_cols=groups, value_col=value_col
+        ).withColumn("epoch", F.lit(epoch_id))
+        (
+            regs.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(table_path)
+        )
+
+    return _sink
+
+
+def start_hll_sketch_stream(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    *,
+    group_cols: Sequence[str],
+    value_col: str,
+    available_now: bool = False,
+    trigger_secs: int = 10,
+):
+    writer = stream.writeStream.foreachBatch(
+        hll_sketch_sink(table_path, group_cols=group_cols, value_col=value_col)
+    ).option("checkpointLocation", checkpoint_path)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+    return writer.start()
+
+
+def hll_stream_estimate(
+    spark,
+    table_path: str,
+    *,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Current distinct estimates: cell-wise max over every epoch's
+    registers, then the standard estimator. Read cost is (groups x 64 x
+    epochs) rows — never the raw stream."""
+    groups = list(group_cols)
+    regs = spark.read.parquet(table_path).drop("epoch")
+    return sketches.hll_estimate(
+        sketches.hll_merge(regs, group_cols=groups), group_cols=groups
+    )
+
+
+def compact_hll_epochs(
+    spark,
+    table_path: str,
+    *,
+    group_cols: Sequence[str],
+    checkpoint_path: str | None = None,
+) -> None:
+    """Fold committed epochs' registers into epoch=0 by cell-wise max —
+    associative and double-count-immune (max is idempotent), so this is
+    purely a file-count/read-cost optimization."""
+    groups = list(group_cols)
+    _compact(
+        spark,
+        table_path,
+        lambda df: sketches.hll_merge(df, group_cols=groups),
+        checkpoint_path=checkpoint_path,
+    )
+
+
+def hist_sketch_sink(
+    table_path: str,
+    *,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` sink for histogram grids: each epoch lands its
+    batch's (group, bin, c) cells. The histogram is LINEAR (like CMS):
+    the union's grid is the cell-wise SUM of epoch grids — which also
+    means counts are NOT replay-immune, so compaction must respect the
+    committed horizon (same contract as the CMS table)."""
+    groups = list(group_cols)
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        grid = sketches.histogram_sketch(
+            batch, group_cols=groups, value_col=value_col,
+            lo=lo, hi=hi, bins=bins,
+        ).withColumn("epoch", F.lit(epoch_id))
+        (
+            grid.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(table_path)
+        )
+
+    return _sink
+
+
+def start_hist_sketch_stream(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    *,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    available_now: bool = False,
+    trigger_secs: int = 10,
+):
+    writer = stream.writeStream.foreachBatch(
+        hist_sketch_sink(
+            table_path, group_cols=group_cols, value_col=value_col,
+            lo=lo, hi=hi, bins=bins,
+        )
+    ).option("checkpointLocation", checkpoint_path)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+    return writer.start()
+
+
+def hist_stream_quantiles(
+    spark,
+    table_path: str,
+    *,
+    group_cols: Sequence[str],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Current approximate quantiles over everything ingested: sum the
+    epoch grids cell-wise, then interpolate."""
+    groups = list(group_cols)
+    grids = spark.read.parquet(table_path).drop("epoch")
+    merged = (
+        grids.groupBy(*groups, "bin")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    return sketches.histogram_quantiles(
+        merged, group_cols=groups, lo=lo, hi=hi, bins=bins, qs=qs
+    )
+
+
+def compact_hist_epochs(
+    spark,
+    table_path: str,
+    *,
+    group_cols: Sequence[str],
+    checkpoint_path: str | None = None,
+) -> None:
+    """Histogram twin of :func:`compact_cms_epochs`: sum the epoch
+    grids. Counts are linear, not idempotent — always pass
+    ``checkpoint_path`` unless the stream stopped cleanly."""
+    groups = list(group_cols)
+    _compact(
+        spark,
+        table_path,
+        lambda df: df.groupBy(*groups, "bin").agg(
+            F.sum("c").cast("bigint").alias("c")
+        ),
+        checkpoint_path=checkpoint_path,
+    )

@@ -200,3 +200,96 @@ def test_compaction_spares_uncommitted_epoch_from_double_count(spark, env, tmp_p
         probes, group_cols=["source"],
     ).collect()))
     assert got == want  # exactly-once counts survived compact + replay
+
+
+def test_hll_stream_estimate_equals_batch_sketch(spark, env):
+    from takuan_spark.operators.sketches import hll_distinct
+    from takuan_spark.streaming.sketch_stream import (
+        hll_stream_estimate,
+        start_hll_sketch_stream,
+    )
+
+    table = env["table"] + "_hll"
+    ckpt = env["ckpt"] + "_hll"
+    for start, fname in ((0, "b1.parquet"), (200, "b2.parquet")):
+        _batch(start, 40).to_parquet(env["src"] / fname)
+        stream = spark.readStream.schema(
+            "source string, tok string"
+        ).parquet(str(env["src"]))
+        q = start_hll_sketch_stream(
+            stream, table, ckpt,
+            group_cols=["source"], value_col="tok", available_now=True,
+        )
+        q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in hll_stream_estimate(
+            spark, table, group_cols=["source"]
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in hll_distinct(
+            spark.read.parquet(str(env["src"])),
+            group_cols=["source"], value_col="tok",
+        ).collect()
+    }
+    assert got == want  # max-merge at read == one-shot batch sketch
+
+
+def test_hist_stream_quantiles_equal_batch_and_compact(spark, env, tmp_path):
+    import pandas as pd
+
+    from takuan_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+    from takuan_spark.streaming.sketch_stream import (
+        compact_hist_epochs,
+        hist_stream_quantiles,
+        start_hist_sketch_stream,
+    )
+
+    src = tmp_path / "hist_src"
+    src.mkdir()
+    table = str(tmp_path / "hist_table")
+    ckpt = str(tmp_path / "hist_ckpt")
+    kw = dict(group_cols=["g"], lo=0.0, hi=100.0, bins=20)
+    for start, fname in ((0, "b1.parquet"), (37, "b2.parquet")):
+        pd.DataFrame(
+            {"g": ["a"] * 60, "v": [(start + i) % 100 * 1.0 for i in range(60)]}
+        ).to_parquet(src / fname)
+        stream = spark.readStream.schema("g string, v double").parquet(
+            str(src)
+        )
+        q = start_hist_sketch_stream(
+            stream, table, ckpt, value_col="v", available_now=True, **kw
+        )
+        q.awaitTermination(120)
+    want = [
+        tuple(r)
+        for r in histogram_quantiles(
+            histogram_sketch(
+                spark.read.parquet(str(src)), value_col="v", **kw
+            ),
+            **kw,
+        ).orderBy("q").collect()
+    ]
+    got = [
+        tuple(r)
+        for r in hist_stream_quantiles(spark, table, **kw)
+        .orderBy("q")
+        .collect()
+    ]
+    assert got == want
+    # compaction folds committed epochs without moving any estimate
+    compact_hist_epochs(
+        spark, table, group_cols=["g"], checkpoint_path=ckpt
+    )
+    after = [
+        tuple(r)
+        for r in hist_stream_quantiles(spark, table, **kw)
+        .orderBy("q")
+        .collect()
+    ]
+    assert after == want
