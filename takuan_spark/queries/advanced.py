@@ -853,3 +853,85 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.percentile("value", F.lit(0.5)).over(w), 4).alias("med50"),
     ).orderBy("event_type", "event_id")
+
+
+@query(
+    "q_ntile_deciles",
+    """
+    WITH d AS (
+        SELECT o_totalprice,
+               NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM d GROUP BY decile ORDER BY decile
+    """,
+    "Decile assignment (NTILE) over order value with a unique-key "
+    "tiebreak, then per-decile stats — the feature-engineering "
+    "bucketing primitive. NOTE the single global sort NTILE implies: "
+    "fine for reporting cuts; the scale-out alternative for billions "
+    "of rows is the histogram sketch's rank interpolation "
+    "(q_quantile_sketch), which this query is the exact cross-check "
+    "for.",
+)
+def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    d = orders.select(
+        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    )
+    return (
+        d.groupBy(F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "q_corr_regression",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS r,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 2)
+               AS intercept
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "Bivariate statistical aggregates per return flag: Pearson "
+    "correlation, sample covariance, and OLS slope/intercept — all "
+    "single-pass partial-aggregable moments (no second scan, no "
+    "driver), rounded in both engines to absorb summation-order ulps.",
+)
+def q_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("r"),
+            F.round(
+                F.covar_samp("l_quantity", "l_extendedprice"), 2
+            ).alias("cov"),
+            F.round(
+                F.regr_slope("l_extendedprice", "l_quantity"), 4
+            ).alias("slope"),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_quantity"), 2
+            ).alias("intercept"),
+        )
+        .orderBy("l_returnflag")
+    )
