@@ -107,8 +107,12 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     (sum of d*(d-1)/2 — exact integer), n_triangles via degree-ordered
     enumeration, and the global clustering coefficient
     3 * triangles / wedges rounded to 6dp."""
-    # degree frame feeds the wedge aggregate AND both orientation
-    # joins; materialize so the edge aggregation runs once.
+    # the edge list feeds degrees, orientation, and the edge-count
+    # aggregate — three consumers with no exchange reuse across
+    # branches, so an unmaterialized (possibly expensive) edge
+    # derivation would run three times. Same for the degree frame
+    # (wedge aggregate + both orientation joins).
+    edges = materialize(edges.select("u", "v"))
     deg = materialize(degrees(edges))
     o = materialize(_oriented(edges, deg))
     a, b = o.alias("a"), o.alias("b")
@@ -162,10 +166,15 @@ def pagerank(
     reset mass but redistribute nothing — the standard simplification;
     with a fixed iteration count the result is still well-defined and
     identical in both engines."""
-    e = edges.select(
-        F.col(src_col).alias("src"),
-        F.col(dst_col).alias("dst"),
-        F.col(weight_col).cast("double").alias("w"),
+    # the edge frame feeds the node union (twice), the out-strength
+    # aggregate, and the rate projection — materialize so a derived
+    # edge list (a window + aggregation upstream) computes once.
+    e = materialize(
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
     )
     nodes = materialize(
         e.select(F.col("src").alias("node"))

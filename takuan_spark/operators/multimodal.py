@@ -261,6 +261,11 @@ def phash_pairs(
         raise ValueError(
             "pigeonhole completeness needs max_distance < bands"
         )
+    from takuan_spark.operators.skew import materialize
+
+    # both sides of the band join slice the same fingerprint frame;
+    # unmaterialized, the upstream decode (mapInPandas) would run twice.
+    hashed = materialize(hashed.select(id_col, hash_col))
     band_bits = dim // bands
     mask = (1 << band_bits) - 1
     slices = F.array(

@@ -84,7 +84,7 @@ PRIORITY: list[str] = [
     "q_graph_triangles", "q_graph_pagerank", "mm_phash_neardup",
     "q_quantile_sketch", "q_key_skew_profile", "q_rolling_median",
     "ns_containment_neardup", "ns_length_outliers", "ns_cluster_purity",
-    "q_ntile_deciles", "q_corr_regression",
+    "q_ntile_deciles", "q_corr_regression", "q_scd2_intervals",
     # -- 3. changed this round ----------------------------------------
     "ns_dedup_clusters",  # data-derived CC partitioning
     # -- 4. backfill: r1-green, unchecked since r1 --------------------

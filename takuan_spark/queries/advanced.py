@@ -935,3 +935,77 @@ def q_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_scd2_intervals",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT user_id, event_type, ts,
+               SUM(chg) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS run_id
+        FROM seq
+    ),
+    iv AS (
+        SELECT user_id, event_type, CAST(run_id AS BIGINT) AS run_id,
+               MIN(ts) AS valid_from,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM runs GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY run_id) AS valid_to,
+           n_events
+    FROM iv
+    ORDER BY user_id, valid_from, event_type
+    """,
+    "SCD Type-2 validity intervals from a change stream: consecutive "
+    "runs of the same value collapse into (valid_from, valid_to) rows "
+    "via gaps-and-islands (lag -> change flag -> cumulative run id), "
+    "valid_to = next run's start, NULL while current — the warehouse "
+    "dimension-history primitive. All windows are per-user with O(1) "
+    "running state; no self-joins.",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = seq.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("chg").over(w).alias("run_id"),
+    )
+    iv = runs.groupBy(
+        "user_id", "event_type", F.col("run_id").cast("bigint").alias("run_id")
+    ).agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("run_id")
+    return iv.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wr).alias("valid_to"),
+        "n_events",
+    ).orderBy("user_id", "valid_from", "event_type")

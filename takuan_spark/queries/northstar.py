@@ -1411,10 +1411,16 @@ def ns_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ns_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from takuan_spark.operators.skew import materialize
+
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
     cents = similarity.fixed_centroids(_EMB_DIM, nlist=16, seed=777)
     assigned = similarity.ivf_assign_fixed(emb, cents)
-    lab = assigned.groupBy("cell", "label").agg(F.count("*").alias("c"))
+    # (cell, label) counts feed both the total and the majority branch;
+    # materialized so the assignment GEMM runs once.
+    lab = materialize(
+        assigned.groupBy("cell", "label").agg(F.count("*").alias("c"))
+    )
     tot = lab.groupBy("cell").agg(F.sum("c").cast("bigint").alias("n"))
     w = Window.partitionBy("cell").orderBy(F.desc("c"), F.asc("label"))
     top = (
