@@ -85,6 +85,8 @@ PRIORITY: list[str] = [
     "q_quantile_sketch", "q_key_skew_profile", "q_rolling_median",
     "ns_containment_neardup", "ns_length_outliers", "ns_cluster_purity",
     "q_ntile_deciles", "q_corr_regression", "q_scd2_intervals",
+    "ns_bpe_merge_candidates", "ns_effective_corpus_size",
+    "ns_cms_join_size", "ns_kmv_set_ops",
     # -- 3. changed this round ----------------------------------------
     "ns_dedup_clusters",  # data-derived CC partitioning
     # -- 4. backfill: r1-green, unchecked since r1 --------------------

@@ -200,3 +200,167 @@ def ns_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.cms_estimate(
         counters, probes, group_cols=["source"], depth=4, width=256
     ).orderBy("source", "term")
+
+
+@query(
+    "ns_cms_join_size",
+    f"""
+    WITH u AS (
+        SELECT CAST(user_id AS VARCHAR) AS uid FROM events
+    ),
+    plane AS (
+        SELECT uid, r.j AS row
+        FROM u CROSS JOIN UNNEST(generate_series(0, 3)) AS r(j)
+    ),
+    grid AS (
+        SELECT row,
+               CAST({sql_md5_int("CAST(row AS VARCHAR) || ':' || uid",
+                                 hex_chars=15)} % 256 AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM plane GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT CAST(MIN(f2) AS BIGINT) AS est_selfjoin FROM (
+            SELECT row, SUM(c * c) AS f2 FROM grid GROUP BY row)
+    ),
+    exact AS (
+        SELECT CAST(SUM(c * c) AS BIGINT) AS true_selfjoin FROM (
+            SELECT uid, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY uid)
+    )
+    SELECT est_selfjoin, true_selfjoin,
+           ROUND(CAST(est_selfjoin AS DOUBLE) / true_selfjoin, 4)
+               AS overestimate
+    FROM est, exact
+    """,
+    "Self-join size (second frequency moment F2) estimated from a "
+    "count-min sketch — min over rows of the grid's sum-of-squares, "
+    "the AMS/CMS inner-product estimator — against the exact F2. This "
+    "IS the shuffle-cost question a planner asks before a key join "
+    "('how many output rows if I join on user_id?'), answered from "
+    "4x256 counters instead of a full per-key count, and mergeable "
+    "across epochs like every linear sketch.",
+)
+def ns_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("string").alias("uid"))
+        .withColumn("g", F.lit("all"))
+    )
+    grid = sketches.cms_counters(
+        ev, group_cols=["g"], value_col="uid", depth=4, width=256
+    )
+    est = (
+        grid.groupBy("row")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("f2"))
+        .agg(F.min("f2").cast("bigint").alias("est_selfjoin"))
+    )
+    exact = (
+        ev.groupBy("uid")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("true_selfjoin"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_selfjoin",
+        "true_selfjoin",
+        F.round(
+            F.col("est_selfjoin").cast("double") / F.col("true_selfjoin"), 4
+        ).alias("overestimate"),
+    )
+
+
+_KSO_K = 64
+_KSO_SPLIT = "1995-01-01"
+
+
+@query(
+    "ns_kmv_set_ops",
+    f"""
+    WITH ha AS (
+        SELECT DISTINCT {sql_md5_int("CAST(l_partkey AS VARCHAR)",
+                                     hex_chars=15)} AS h
+        FROM lineitem WHERE l_shipdate < DATE '{_KSO_SPLIT}'
+    ),
+    hb AS (
+        SELECT DISTINCT {sql_md5_int("CAST(l_partkey AS VARCHAR)",
+                                     hex_chars=15)} AS h
+        FROM lineitem WHERE l_shipdate >= DATE '{_KSO_SPLIT}'
+    ),
+    x AS (
+        SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+        ORDER BY h LIMIT {_KSO_K}
+    ),
+    fl AS (
+        SELECT x.h,
+               CASE WHEN ha.h IS NOT NULL THEN 1 ELSE 0 END AS ia,
+               CASE WHEN hb.h IS NOT NULL THEN 1 ELSE 0 END AS ib
+        FROM x LEFT JOIN ha ON ha.h = x.h LEFT JOIN hb ON hb.h = x.h
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_x,
+               MAX(h) AS h_k,
+               CAST(SUM(ia * ib) AS BIGINT) AS rho_n
+        FROM fl
+    )
+    SELECT CAST(CASE WHEN n_x >= {_KSO_K}
+                     THEN floor(({_KSO_K} - 1.0) * {float(1 << 60)!r} / h_k)
+                     ELSE n_x END AS BIGINT) AS est_union,
+           ROUND(rho_n * CAST(CASE WHEN n_x >= {_KSO_K}
+                     THEN floor(({_KSO_K} - 1.0) * {float(1 << 60)!r} / h_k)
+                     ELSE n_x END AS DOUBLE) / n_x, 4) AS est_intersection,
+           ROUND(CAST(rho_n AS DOUBLE) / n_x, 6) AS est_jaccard
+    FROM s
+    """,
+    "Theta-sketch-style set operations from KMV state: |A ∪ B| from "
+    "the merged k-minimum set, |A ∩ B| and Jaccard from the fraction "
+    "of the union sketch's hashes present in both sets — set "
+    "cardinality algebra over two 64-hash sketches instead of a "
+    "distinct-join over the raw sets (A/B here: parts shipped before "
+    "vs after the 1995-01-01 split). Every term is integer or a single shared "
+    "division, so the approximate answers hash-match the oracle.",
+)
+def ns_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.hashing import md5_int
+
+    from takuan_spark.operators.skew import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    split = F.lit(_KSO_SPLIT).cast("date")
+    h = md5_int(F.col("l_partkey").cast("string"), hex_chars=15)
+    # each hash set feeds the union AND its membership join: materialize
+    # so the filtered scan + distinct runs once per set.
+    ha = materialize(
+        li.where(F.col("l_shipdate") < split).select(h.alias("h")).distinct()
+    )
+    hb = materialize(
+        li.where(F.col("l_shipdate") >= split).select(h.alias("h")).distinct()
+    )
+    x = ha.unionAll(hb).distinct().orderBy("h").limit(_KSO_K)
+    fl = (
+        x.join(ha.withColumnRenamed("h", "h_a"), x["h"] == F.col("h_a"), "left")
+        .join(hb.withColumnRenamed("h", "h_b"), x["h"] == F.col("h_b"), "left")
+        .select(
+            "h",
+            F.when(F.col("h_a").isNotNull(), 1).otherwise(0).alias("ia"),
+            F.when(F.col("h_b").isNotNull(), 1).otherwise(0).alias("ib"),
+        )
+    )
+    s = fl.agg(
+        F.count("*").cast("bigint").alias("n_x"),
+        F.max("h").alias("h_k"),
+        F.sum(F.col("ia") * F.col("ib")).cast("bigint").alias("rho_n"),
+    )
+    est_union = F.when(
+        F.col("n_x") >= _KSO_K,
+        F.floor(
+            F.lit(float(_KSO_K - 1)) * F.lit(float(1 << 60)) / F.col("h_k")
+        ),
+    ).otherwise(F.col("n_x"))
+    return s.select(
+        est_union.cast("bigint").alias("est_union"),
+        F.round(
+            F.col("rho_n") * est_union.cast("double") / F.col("n_x"), 4
+        ).alias("est_intersection"),
+        F.round(F.col("rho_n").cast("double") / F.col("n_x"), 6).alias(
+            "est_jaccard"
+        ),
+    )

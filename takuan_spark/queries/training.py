@@ -477,3 +477,107 @@ def ns_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "shard", "pos")
         .orderBy("shard", "pos")
     )
+
+
+# --------------------------------------------- BPE merge-step candidates
+
+
+@query(
+    "ns_bpe_merge_candidates",
+    """
+    WITH wf AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                      x -> x <> '')) AS w
+            FROM documents
+        ) GROUP BY w
+    ),
+    pairs AS (
+        SELECT substr(w, g.i, 2) AS pair,
+               CAST(SUM(freq) AS BIGINT) AS n
+        FROM wf, UNNEST(generate_series(1, length(w) - 1)) AS g(i)
+        GROUP BY 1
+    )
+    SELECT pair, n FROM pairs
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+    "One scoring round of BPE tokenizer training: adjacent-symbol pair "
+    "frequencies over the word-frequency table (the parallel-heavy "
+    "inner loop — the argmax merge choice is driver-trivial once pairs "
+    "are counted). Counting runs over the DISTINCT-word table weighted "
+    "by frequency, so the pair shuffle is vocabulary-sized, not "
+    "corpus-sized; top-k plans as TakeOrderedAndProject.",
+)
+def ns_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.explode(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"[^a-z]+"), lambda x: x != ""
+        )
+    ).alias("w")
+    wf = docs.select(w).groupBy("w").agg(F.count("*").alias("freq"))
+    # sequence(1, 0) counts DOWN in Spark (DuckDB's generate_series is
+    # empty): guard 1-char words explicitly or they emit bogus pairs.
+    idx = F.when(
+        F.length("w") >= 2, F.sequence(F.lit(1), F.length("w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = wf.select(
+        F.explode(
+            F.transform(idx, lambda i: F.col("w").substr(i, F.lit(2)))
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
+# --------------------------------------------- dedup-aware sample weights
+
+
+@query(
+    "ns_effective_corpus_size",
+    """
+    WITH fp AS (
+        SELECT source, md5(text) AS fp FROM documents
+    ),
+    grp AS (
+        SELECT fp, CAST(COUNT(*) AS BIGINT) AS dup_n FROM fp GROUP BY fp
+    )
+    SELECT f.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(1.0 / g.dup_n), 4) AS effective_docs,
+           ROUND(SUM(1.0 / g.dup_n) / COUNT(*), 6) AS unique_mass
+    FROM fp f JOIN grp g ON f.fp = g.fp
+    GROUP BY f.source
+    ORDER BY f.source
+    """,
+    "Dedup-aware sampling weights: every document weighs 1/dup_count "
+    "(its fingerprint group size), so the per-source 'effective corpus "
+    "size' counts each distinct text exactly once however many copies "
+    "exist — the standard de-duplicated sampling correction applied "
+    "WITHOUT dropping rows. Fingerprint counts join back by 16-byte "
+    "md5 keys; both aggregations map-side combine.",
+)
+def ns_effective_corpus_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("source", F.md5("text").alias("fp"))
+    grp = fp.groupBy("fp").agg(F.count("*").alias("dup_n"))
+    return (
+        fp.join(grp, "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.sum(F.lit(1.0) / F.col("dup_n")), 4).alias(
+                "effective_docs"
+            ),
+            F.round(
+                F.sum(F.lit(1.0) / F.col("dup_n")) / F.count("*"), 6
+            ).alias("unique_mass"),
+        )
+        .orderBy("source")
+    )

@@ -202,3 +202,27 @@ def test_histogram_sketch_merges_linearly(spark):
         .collect()
     }
     assert merged == whole
+
+
+def test_cms_join_size_never_underestimates(spark):
+    # CMS inner products only over-count (collisions add, never
+    # subtract): the F2 estimate upper-bounds the exact self-join size,
+    # and with few keys in 4x256 cells it is exact.
+    rows = [("u%d" % (i % 7),) for i in range(200)]
+    df = spark.createDataFrame(rows, "uid string").withColumn(
+        "g", F.lit("all")
+    )
+    grid = sketches.cms_counters(
+        df, group_cols=["g"], value_col="uid", depth=4, width=256
+    )
+    est = (
+        grid.groupBy("row")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("f2"))
+        .agg(F.min("f2").alias("est"))
+        .collect()[0]["est"]
+    )
+    exact = sum(
+        c * c
+        for c in [len([i for i in range(200) if i % 7 == k]) for k in range(7)]
+    )
+    assert est == exact  # no collisions at this cardinality
