@@ -398,3 +398,90 @@ def test_duplicated_spans_matches_reference(spark):
             for r in duplicated_spans(sdf, n=n).collect()
         }
         assert got == _spans_reference(corpus, n), (corpus, got)
+
+
+# ------------------------------------------------------ HLL reference
+
+
+def _hll_reference(values) -> tuple[float, int]:
+    """Independent Python HLL with the same md5 register derivation:
+    h = first 15 md5 hex chars; reg = h % 64; rho = 55 - bitlen of the
+    54-bit suffix; estimate per operators/sketches.py."""
+    import hashlib
+    import math
+
+    regs: dict[int, int] = {}
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        reg, w = h % 64, h // 64
+        rho = 55 - w.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    zeros = 64 - len(regs)
+    total = sum(1 << (55 - r) for r in regs.values()) + zeros * (1 << 55)
+    alpha = 0.7213 / (1.0 + 1.079 / 64)
+    raw = alpha * 64 * 64 * float(1 << 55) / total
+    if raw <= 2.5 * 64 and zeros > 0:
+        est = 64.0 * math.log(64.0 / zeros)
+    else:
+        est = raw
+    return round(est, 4), len(regs)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=8),
+        min_size=1,
+        max_size=80,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=8, deadline=None)
+def test_hll_matches_python_reference_any_partitioning(spark, toks, n_parts):
+    from takuan_spark.operators.sketches import hll_distinct
+
+    df = spark.createDataFrame(
+        [("s", t) for t in toks], "source string, tok string"
+    ).repartition(n_parts)
+    out = hll_distinct(df, group_cols=["source"], value_col="tok").collect()[0]
+    want_est, want_regs = _hll_reference(set(toks))
+    assert (out["est_distinct"], out["n_regs"]) == (want_est, want_regs)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=99.9, allow_nan=False),
+        min_size=5,
+        max_size=120,
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_histogram_quantile_within_one_bin_of_truth(spark, vals):
+    """The interpolated estimate can never be farther from the true
+    quantile than one bin width (both live in the covering bin)."""
+    from takuan_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double").withColumn(
+        "g", F.lit("a")
+    )
+    kw = dict(group_cols=["g"], lo=0.0, hi=100.0, bins=25)
+    out = {
+        r["q"]: r["est"]
+        for r in histogram_quantiles(
+            histogram_sketch(df, value_col="v", **kw), qs=(0.5, 0.9), **kw
+        ).collect()
+    }
+    width = 4.0
+    s = sorted(vals)
+    n = len(s)
+    for q in (0.5, 0.9):
+        # at rank boundaries the q-quantile is any value between the
+        # two adjacent order statistics — the estimate must land within
+        # one bin of that interval, not of one arbitrary convention.
+        import math
+
+        lo_true = s[max(0, math.ceil(q * n) - 1)]
+        hi_true = s[min(n - 1, math.floor(q * n))]
+        assert lo_true - width - 1e-9 <= out[q] <= hi_true + width + 1e-9
