@@ -87,6 +87,7 @@ PRIORITY: list[str] = [
     "q_ntile_deciles", "q_corr_regression", "q_scd2_intervals",
     "ns_bpe_merge_candidates", "ns_effective_corpus_size",
     "ns_cms_join_size", "ns_kmv_set_ops",
+    "ns_winsorized_stats", "ns_cluster_sample", "q_unpivot_metrics",
     # -- 3. changed this round ----------------------------------------
     "ns_dedup_clusters",  # data-derived CC partitioning
     # -- 4. backfill: r1-green, unchecked since r1 --------------------

@@ -1438,3 +1438,89 @@ def ns_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@query(
+    "ns_winsorized_stats",
+    """
+    WITH b AS (
+        SELECT quantile_cont(n_chars, 0.01) AS p01,
+               quantile_cont(n_chars, 0.99) AS p99
+        FROM documents
+    ),
+    w AS (
+        SELECT source,
+               least(greatest(CAST(n_chars AS DOUBLE), b.p01), b.p99) AS v
+        FROM documents, b
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(v), 4) AS wins_mean,
+           ROUND(stddev_samp(v), 4) AS wins_sd
+    FROM w GROUP BY source ORDER BY source
+    """,
+    "Winsorized per-source length statistics: values clip to the "
+    "corpus-global [p1, p99] before the mean/sd — the outlier-robust "
+    "normalization a mixture-balancing pipeline feeds on (pairs with "
+    "ns_length_outliers, which FLAGS what this CLIPS). Two scalar "
+    "percentiles broadcast over one pass.",
+)
+def ns_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.agg(
+        F.percentile("n_chars", F.lit(0.01)).alias("p01"),
+        F.percentile("n_chars", F.lit(0.99)).alias("p99"),
+    )
+    v = F.least(
+        F.greatest(F.col("n_chars").cast("double"), F.col("p01")),
+        F.col("p99"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(b))
+        .select("source", v.alias("v"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("v"), 4).alias("wins_mean"),
+            F.round(F.stddev_samp("v"), 4).alias("wins_sd"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "ns_cluster_sample",
+    f"""
+    WITH {_ivf_cte()},
+    ranked AS (
+        SELECT a.cell, a.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.cell
+                   ORDER BY md5(CAST(a.vec_id AS VARCHAR)), a.vec_id
+               ) AS rn
+        FROM assign a
+    )
+    SELECT cell, vec_id FROM ranked WHERE rn <= 8
+    ORDER BY cell, vec_id
+    """,
+    "Cluster-balanced diversity sampling: up to 8 vectors per IVF cell "
+    "chosen by md5 order — a deterministic, rerun-stable 'spread' "
+    "sample across embedding space (the anti-mode-collapse counterpart "
+    "of uniform sampling: every occupied region contributes). Per-cell "
+    "windows parallelize across cells; no global sort, no RNG.",
+)
+def ns_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    cents = similarity.fixed_centroids(_EMB_DIM, nlist=16, seed=777)
+    assigned = similarity.ivf_assign_fixed(emb, cents)
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        assigned.select("cell", "vec_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 8)
+        .select("cell", "vec_id")
+        .orderBy("cell", "vec_id")
+    )

@@ -1693,3 +1693,43 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "s_suppkey", F.col("nk").alias("nationkey"))
         .orderBy("c_custkey", "s_suppkey")
     )
+
+
+@query(
+    "q_unpivot_metrics",
+    """
+    WITH wide AS (
+        SELECT l_returnflag,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, value FROM (
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'avg_disc', avg_disc FROM wide
+    )
+    ORDER BY l_returnflag, metric
+    """,
+    "Unpivot (wide -> long melt) of a per-flag metric row via the "
+    "first-class DataFrame unpivot operator — the inverse of the pivot "
+    "surface (q_pivot_conditional): one aggregation, then a zero-"
+    "shuffle in-partition expansion of the metric columns into "
+    "(metric, value) rows.",
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        "l_returnflag",
+        ["sum_qty", "sum_price", "avg_disc"],
+        "metric",
+        "value",
+    ).orderBy("l_returnflag", "metric")
