@@ -101,3 +101,46 @@ def test_key_skew_profile_uniform_vs_hot(spark):
     row = key_skew_profile(hot, key_cols=["k"], topk=3).collect()[0]
     assert row["max_share"] == 0.991
     assert row["norm_entropy"] < 0.05  # one key dominates
+
+
+def test_zorder_key_matches_python_reference(spark):
+    from takuan_spark.operators.layout import zorder_key2
+
+    rows = [(a, b) for a in (0, 1, 37, 255) for b in (0, 2, 129, 255)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", zorder_key2(F.col("a"), F.col("b"), bits=8).alias("z")
+        ).collect()
+    }
+
+    def ref(a, b):
+        z = 0
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    assert got == {(a, b): ref(a, b) for a, b in rows}
+
+
+def test_zorder_ranges_bound_both_dims(spark):
+    # every contiguous top-4-bit key range confines both dimensions to
+    # a 64-wide band — the row-group pruning property.
+    from takuan_spark.operators.layout import zorder_key2
+
+    rows = [(a, b) for a in range(0, 256, 5) for b in range(0, 256, 7)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    spans = (
+        df.select(
+            "a", "b", zorder_key2(F.col("a"), F.col("b"), bits=8).alias("z")
+        )
+        .groupBy(F.floor(F.col("z") / 4096).alias("zb"))
+        .agg(
+            (F.max("a") - F.min("a")).alias("sa"),
+            (F.max("b") - F.min("b")).alias("sb"),
+        )
+        .collect()
+    )
+    assert spans and all(r["sa"] <= 63 and r["sb"] <= 63 for r in spans)
