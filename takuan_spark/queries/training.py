@@ -581,3 +581,108 @@ def ns_effective_corpus_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------- corpus growth health
+
+
+@query(
+    "ns_epoch_novelty",
+    """
+    WITH fp AS (
+        SELECT doc_id // 100 AS epoch, md5(text) AS fp FROM documents
+    ),
+    firsts AS (
+        SELECT fp, MIN(epoch) AS first_epoch FROM fp GROUP BY fp
+    )
+    SELECT f.epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN fi.first_epoch = f.epoch THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN fi.first_epoch = f.epoch THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS novelty_rate
+    FROM fp f JOIN firsts fi ON fi.fp = f.fp
+    GROUP BY f.epoch ORDER BY f.epoch
+    """,
+    "Novelty rate per ingestion epoch (epoch = doc_id div 100, the "
+    "batch id a growing corpus carries): share of each epoch's "
+    "documents whose fingerprint was never seen in an earlier epoch — "
+    "the content-growth health curve that tells a crawl when it has "
+    "started re-collecting itself. First-seen epoch is one min-"
+    "aggregate over fingerprints; no cross-epoch self-join.",
+)
+def ns_epoch_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.skew import materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = materialize(
+        docs.select(
+            (F.col("doc_id") / 100).cast("bigint").alias("epoch"),
+            F.md5("text").alias("fp"),
+        )
+    )
+    firsts = fp.groupBy("fp").agg(F.min("epoch").alias("first_epoch"))
+    novel = F.when(F.col("first_epoch") == F.col("epoch"), 1).otherwise(0)
+    return (
+        fp.join(firsts, "fp")
+        .groupBy("epoch")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(F.sum(novel) / F.count("*"), 6).alias("novelty_rate"),
+        )
+        .orderBy("epoch")
+    )
+
+
+@query(
+    "ns_duplication_pareto",
+    """
+    WITH grp AS (
+        SELECT md5(text) AS fp, CAST(COUNT(*) AS BIGINT) AS dup_n
+        FROM documents GROUP BY fp
+    ),
+    ranked AS (
+        SELECT dup_n,
+               ROW_NUMBER() OVER (ORDER BY dup_n DESC, fp) AS rnk,
+               SUM(dup_n) OVER () AS total
+        FROM grp
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, dup_n,
+           ROUND(CAST(SUM(dup_n) OVER (ORDER BY rnk) AS DOUBLE) / total, 6)
+               AS cum_share
+    FROM ranked
+    WHERE rnk <= 10
+    ORDER BY rnk
+    """,
+    "Duplication Pareto curve: cumulative corpus share owned by the "
+    "top-k most-duplicated texts — the dedup ROI diagnostic (a steep "
+    "curve says a handful of boilerplate texts dominate; a flat one "
+    "says exact dedup is already cheap). Fingerprint groups plus two "
+    "tiny windows over the top-10 rows.",
+)
+def ns_duplication_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    grp = docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.count("*").cast("bigint").alias("dup_n")
+    )
+    wr = Window.orderBy(F.desc("dup_n"), "fp")
+    ranked = grp.select(
+        "dup_n",
+        F.row_number().over(wr).alias("rnk"),
+        F.sum("dup_n").over(Window.partitionBy()).alias("total"),
+    )
+    wc = Window.orderBy("rnk")
+    return (
+        ranked.select(
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "dup_n",
+            F.round(
+                F.sum("dup_n").over(wc).cast("double") / F.col("total"), 6
+            ).alias("cum_share"),
+        )
+        .where(F.col("rnk") <= 10)
+        .orderBy("rnk")
+    )
