@@ -89,6 +89,7 @@ PRIORITY: list[str] = [
     "ns_cms_join_size", "ns_kmv_set_ops",
     "ns_winsorized_stats", "ns_cluster_sample", "q_unpivot_metrics",
     "q_zorder_locality", "ns_epoch_novelty", "ns_duplication_pareto",
+    "ns_keyword_tagging", "ns_hard_negatives",
     # -- 3. changed this round ----------------------------------------
     "ns_dedup_clusters",  # data-derived CC partitioning
     # -- 4. backfill: r1-green, unchecked since r1 --------------------

@@ -1524,3 +1524,100 @@ def ns_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cell", "vec_id")
         .orderBy("cell", "vec_id")
     )
+
+
+_KW_LEXICON = [
+    "data", "model", "query", "spark", "vector", "hash", "index",
+    "stream", "graph", "token",
+]
+
+
+@query(
+    "ns_keyword_tagging",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    )
+    SELECT doc_id, tok AS keyword, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM toks
+    WHERE tok IN ({", ".join(repr(k) for k in sorted(_KW_LEXICON))})
+    GROUP BY doc_id, tok
+    ORDER BY doc_id, keyword
+    """,
+    "Dictionary-match document tagging: tokenize once and semi-filter "
+    "against a broadcast lexicon — the scalable multi-keyword scanner "
+    "(a 10k-term lexicon compiles to one hash probe per token, where "
+    "the regex-alternation equivalent blows up the NFA and scans each "
+    "doc 10k times). The filter sits under the (doc, keyword) "
+    "aggregation exchange, so only hits shuffle.",
+)
+def ns_keyword_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(text.words(F.lower(F.col("text")))).alias("tok"),
+    )
+    lex = docs.sparkSession.createDataFrame(
+        [(k,) for k in _KW_LEXICON], "tok string"
+    )
+    return (
+        toks.join(F.broadcast(lex), "tok", "left_semi")
+        .groupBy("doc_id", F.col("tok").alias("keyword"))
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+        .orderBy("doc_id", "keyword")
+    )
+
+
+@query(
+    "ns_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+    scored AS (
+        SELECT q.q_id, e.vec_id,
+               ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qv,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, sim, rnk FROM (
+        SELECT q_id, vec_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY sim DESC, vec_id) AS INT) AS rnk
+        FROM scored
+    ) WHERE rnk BETWEEN 6 AND 10
+    ORDER BY q_id, rnk
+    """,
+    "Hard-negative mining for contrastive training: per query, the "
+    "vectors ranked just BELOW the positive band (rank 6-10 by cosine, "
+    "self excluded) — similar enough to be informative, far enough to "
+    "be wrong. Same windowed-rank plan as the k-NN join, different "
+    "rank slice; at corpus scale the scoring side swaps in the ANN "
+    "index probes unchanged.",
+)
+def ns_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    pairs = emb.crossJoin(F.broadcast(queries)).where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    sim = F.round(
+        similarity.cosine(F.col("embedding"), F.col("qv")), 6
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        pairs.select("q_id", "vec_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where((F.col("rnk") >= 6) & (F.col("rnk") <= 10))
+        .orderBy("q_id", "rnk")
+    )
