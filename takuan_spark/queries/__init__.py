@@ -90,6 +90,7 @@ PRIORITY: list[str] = [
     "ns_winsorized_stats", "ns_cluster_sample", "q_unpivot_metrics",
     "q_zorder_locality", "ns_epoch_novelty", "ns_duplication_pareto",
     "ns_keyword_tagging", "ns_hard_negatives",
+    "ns_contrastive_triplets", "ns_length_bucketing",
     # -- 3. changed this round ----------------------------------------
     "ns_dedup_clusters",  # data-derived CC partitioning
     # -- 4. backfill: r1-green, unchecked since r1 --------------------

@@ -1621,3 +1621,139 @@ def ns_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("rnk") >= 6) & (F.col("rnk") <= 10))
         .orderBy("q_id", "rnk")
     )
+
+
+@query(
+    "ns_contrastive_triplets",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+    scored AS (
+        SELECT q.q_id, e.vec_id,
+               ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qv,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY sim DESC, vec_id) AS INT) AS rnk
+        FROM scored
+    )
+    SELECT p.q_id AS anchor, p.vec_id AS positive, n.vec_id AS negative,
+           p.sim AS pos_sim, n.sim AS neg_sim,
+           ROUND(p.sim - n.sim, 6) AS margin
+    FROM ranked p JOIN ranked n
+      ON n.q_id = p.q_id AND p.rnk <= 2 AND n.rnk BETWEEN 6 AND 8
+    ORDER BY anchor, positive, negative
+    """,
+    "Contrastive training triplets assembled in-plan: per anchor, the "
+    "top-2 neighbors as positives x the rank-6..8 band as hard "
+    "negatives, with the similarity margin attached (the quantity a "
+    "triplet loss optimizes). One scored ranking feeds both roles — "
+    "the data-assembly step between ANN search and the training "
+    "dataloader, as a single shuffle-light query.",
+)
+def ns_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from takuan_spark.operators.skew import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    pairs = emb.crossJoin(F.broadcast(queries)).where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    sim = F.round(similarity.cosine(F.col("embedding"), F.col("qv")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+    # one ranking frame plays both the positive and the negative role
+    ranked = materialize(
+        pairs.select("q_id", "vec_id", sim.alias("sim")).withColumn(
+            "rnk", F.row_number().over(w)
+        )
+    )
+    p = ranked.where(F.col("rnk") <= 2).select(
+        F.col("q_id").alias("anchor"),
+        F.col("vec_id").alias("positive"),
+        F.col("sim").alias("pos_sim"),
+    )
+    n = ranked.where((F.col("rnk") >= 6) & (F.col("rnk") <= 8)).select(
+        F.col("q_id").alias("anchor"),
+        F.col("vec_id").alias("negative"),
+        F.col("sim").alias("neg_sim"),
+    )
+    return (
+        p.join(n, "anchor")
+        .select(
+            "anchor",
+            "positive",
+            "negative",
+            "pos_sim",
+            "neg_sim",
+            F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+        )
+        .orderBy("anchor", "positive", "negative")
+    )
+
+
+@query(
+    "ns_length_bucketing",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '')) AS n_tok
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, n_tok,
+               CAST(CASE WHEN n_tok <= 1 THEN 1 WHEN n_tok <= 2 THEN 2
+                         WHEN n_tok <= 4 THEN 4 WHEN n_tok <= 8 THEN 8
+                         WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+                         WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+                         WHEN n_tok <= 256 THEN 256 ELSE 512 END
+                    AS BIGINT) AS bucket
+        FROM t
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(bucket - least(n_tok, bucket)) AS BIGINT) AS pad_tokens,
+           ROUND(CAST(SUM(bucket - least(n_tok, bucket)) AS DOUBLE)
+                 / SUM(bucket), 6) AS pad_frac
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    "Length-bucketed batching stats: documents assign to power-of-2 "
+    "token buckets (capped at 512 — the truncation context), and the "
+    "padding waste per bucket quantifies what bucketed batching saves "
+    "over one global max-length pad. The inference/training batcher's "
+    "planning query: one projection + one tiny aggregation.",
+)
+def ns_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = text.word_count(F.col("text"))
+    # integer threshold chain, NOT ceil(ln n / ln 2): at exact powers
+    # of two the float log2 can land on either side of the integer in
+    # different engines — the same trap the HLL rho derivation avoids.
+    bucket = F.lit(512).cast("bigint")
+    for p in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+        bucket = F.when(n_tok <= p, F.lit(p).cast("bigint")).otherwise(bucket)
+    b = docs.select(n_tok.alias("n_tok"), bucket.alias("bucket"))
+    pad = F.col("bucket") - F.least(F.col("n_tok").cast("bigint"), F.col("bucket"))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum(pad).cast("bigint").alias("pad_tokens"),
+            F.round(
+                F.sum(pad).cast("double") / F.sum("bucket"), 6
+            ).alias("pad_frac"),
+        )
+        .orderBy("bucket")
+    )
