@@ -110,12 +110,44 @@ def _run_geo_batch(spark: SparkSession, events_path: str, geo_dim_path: str) -> 
     return 0
 
 
+def _run_sql(args) -> int:
+    """Ad-hoc SQL mode: register available tables as views, run one
+    statement declaratively (full Catalyst planning — this is just
+    ``spark.sql``), stream the result to stdout as CSV. Output goes
+    through ``toLocalIterator`` so the driver holds one partition at a
+    time, not the whole result."""
+    import csv
+    import sys
+
+    spark = get_spark(app_name="takuan-sql", master=args.master)
+    events_path = f"{args.out}/events"
+    if os.path.isdir(events_path):
+        spark.read.parquet(events_path).createOrReplaceTempView("events")
+    if args.tables:
+        for fname in sorted(os.listdir(args.tables)):
+            if fname.endswith(".parquet"):
+                spark.read.parquet(
+                    os.path.join(args.tables, fname)
+                ).createOrReplaceTempView(fname[: -len(".parquet")])
+    df = spark.sql(args.sql)
+    writer = csv.writer(sys.stdout)
+    writer.writerow(df.columns)
+    for row in df.toLocalIterator():
+        writer.writerow(list(row))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="takuan_spark",
         description="PySpark-native log-analytics service (reference-parity CLI)",
     )
-    ap.add_argument("--config", required=True, help="pipeline YAML (reference shape)")
+    ap.add_argument(
+        "--config",
+        default=None,
+        help="pipeline YAML (reference shape); required for every mode "
+        "except --sql",
+    )
     ap.add_argument("--out", default="./takuan_out", help="output root directory")
     ap.add_argument(
         "--db",
@@ -157,6 +189,19 @@ def main(argv: list[str] | None = None) -> int:
         "it byte-by-byte (the reference sensor's exact mode; default "
         "treats paths as chunk directories)",
     )
+    ap.add_argument(
+        "--sql",
+        default=None,
+        help="ad-hoc mode: run one SQL statement and print CSV to "
+        "stdout. The events table at --out/events (if present) is "
+        "registered as `events`; every parquet file in --tables is "
+        "registered under its basename.",
+    )
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="directory of parquet files to register as views for --sql",
+    )
     ap.add_argument("--master", default="local[*]")
     ap.add_argument(
         "--timeout-secs",
@@ -165,6 +210,11 @@ def main(argv: list[str] | None = None) -> int:
         help="stop the stream after N seconds (service runs forever without it)",
     )
     args = ap.parse_args(argv)
+
+    if args.sql is not None:
+        return _run_sql(args)
+    if args.config is None:
+        ap.error("--config is required for every mode except --sql")
 
     config = load_config(args.config)
     spark = get_spark(app_name=f"takuan-{config.node_name}", master=args.master)

@@ -175,3 +175,27 @@ def test_cli_tail_mode_end_to_end(spark, cli_env, tmp_path, capsys):
     assert {r["address"] for r in events.select("address").collect()} == {
         "203.0.113.7", "198.51.100.23",
     }
+
+
+def test_cli_sql_mode(spark, tmp_path, capsys):
+    rc = main(
+        [
+            "--sql",
+            "SELECT r_name FROM region ORDER BY r_name LIMIT 2",
+            "--tables",
+            "/root/testdata/sf0.001",
+            "--out",
+            str(tmp_path / "none"),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "r_name"
+    assert out[1] == "AFRICA" and out[2] == "AMERICA"
+
+
+def test_cli_sql_mode_requires_config_elsewhere(tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["--batch", "--out", str(tmp_path)])
