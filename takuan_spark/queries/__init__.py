@@ -59,13 +59,15 @@ def query(name: str, oracle_sql: str | None, description: str = ""):
 # exactly the first 50 names of that round's ordering), so the dict is
 # ordered explicitly each round as a coverage-rotation schedule:
 #   1. queries that have NEVER had a driver row (r2's cap cut 17);
-#   2. queries new this round;
+#   2. queries new this round (both r3 sessions; with group 1 they fill
+#      positions 1..~48, inside the cap);
 #   3. queries whose implementation changed this round;
 #   4. backfill: r1 greens unchecked since r1, events-table consumers
 #      first (this round's ts-normalization change touches them);
 #   5. everything else (r2 greens, then remaining r1 greens), all still
 #      oracle-verified locally by tests/test_oracle.py every run.
-# Across r1+r2+r3 every declared query then has a driver-green row.
+# Anything past the cap this round rotates to the front next round;
+# every declared query is oracle-verified locally on every test run.
 PRIORITY: list[str] = [
     # -- 1. never driver-checked (the 17 past r2's cap) ---------------
     "q12_priority_by_returnflag", "q16_supplier_count_by_part",
@@ -80,19 +82,30 @@ PRIORITY: list[str] = [
     "ns_semdedup", "ns_substring_dedup", "ns_bm25_search",
     "ns_shard_assign", "ns_dedup_pipeline", "q_interval_overlap_join",
     "ns_unicode_normalize", "ns_dup_size_histogram", "ns_bm25_batch",
-    "q_sliding_distinct", "ns_hll_distinct", "ns_token_entropy",
+    "q_sliding_distinct",
+    # session-2 additions: one representative of every NEW operator
+    # class first (these 20 + the groups above land positions 1..49)
+    "ns_hll_distinct", "ns_token_entropy",
     "q_graph_triangles", "q_graph_pagerank", "mm_phash_neardup",
-    "q_quantile_sketch", "q_key_skew_profile", "q_rolling_median",
+    "q_quantile_sketch", "q_key_skew_profile",
     "ns_containment_neardup", "ns_length_outliers", "ns_cluster_purity",
-    "q_ntile_deciles", "q_corr_regression", "q_scd2_intervals",
+    "q_corr_regression", "q_scd2_intervals",
     "ns_bpe_merge_candidates", "ns_effective_corpus_size",
     "ns_cms_join_size", "ns_kmv_set_ops",
-    "ns_winsorized_stats", "ns_cluster_sample", "q_unpivot_metrics",
-    "q_zorder_locality", "ns_epoch_novelty", "ns_duplication_pareto",
-    "ns_keyword_tagging", "ns_hard_negatives",
+    "q_zorder_locality", "ns_epoch_novelty",
     "ns_contrastive_triplets", "ns_length_bucketing",
     # -- 3. changed this round ----------------------------------------
     "ns_dedup_clusters",  # data-derived CC partitioning
+    # session-2 additions whose operator CLASS is already driver-
+    # covered by an in-window cousin (rolling median / ntile by the
+    # percentile+window family, winsorized by outliers, cluster_sample
+    # by purity, hard_negatives by triplets, unpivot by pivot) — they
+    # rotate to the front of round 4's window:
+    # (pareto by dup_size_histogram, keyword tagging by BM25's
+    # posting-list selection)
+    "q_rolling_median", "q_ntile_deciles", "ns_winsorized_stats",
+    "ns_cluster_sample", "ns_hard_negatives", "q_unpivot_metrics",
+    "ns_duplication_pareto", "ns_keyword_tagging",
     # -- 4. backfill: r1-green, unchecked since r1 --------------------
     # events-table consumers (ts normalization changed this round)
     "q_sliding_window", "q_session_window", "q_funnel",
