@@ -124,3 +124,47 @@ def write_events_orc(df: DataFrame, path: str, *, mode: str = "append") -> None:
         .partitionBy("event_date")
         .orc(path)
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *,
+    a_col: str,
+    b_col: str,
+    a_bucket: Callable[[F.Column], F.Column] | None = None,
+    b_bucket: Callable[[F.Column], F.Column] | None = None,
+    bits: int = 8,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a table sorted by the Morton key of two columns — the
+    OPTIMIZE ZORDER layout pass. After this write, parquet row-group
+    min/max statistics are tight on BOTH dimensions, so scans filtered
+    on either column skip most row groups (`q_zorder_locality` shows
+    the bound; `tests/test_sinks.py` asserts it on the written files).
+
+    ``a_bucket``/``b_bucket`` map each raw column into [0, 2^bits)
+    (default: modulo for integral columns). The sort is
+    ``sortWithinPartitions`` after a repartition on the key range —
+    a total layout sort without a driver-side bottleneck."""
+    from takuan_spark.operators.layout import zorder_key2
+
+    a = F.col(a_col) % (1 << bits) if a_bucket is None else a_bucket(F.col(a_col))
+    b = F.col(b_col) % (1 << bits) if b_bucket is None else b_bucket(F.col(b_col))
+    keyed = df.withColumn("_z", zorder_key2(a, b, bits=bits))
+    # explicit n_files pins the range-partition (=file) count; without
+    # it AQE sizes partitions by bytes, which on a small table folds
+    # everything into one file (one row group, no pruning to show).
+    ranged = (
+        keyed.repartitionByRange(n_files, "_z")
+        if n_files
+        else keyed.repartitionByRange("_z")
+    )
+    (
+        ranged
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -116,3 +116,48 @@ def test_read_avro_raises_clear_error_without_package(spark, tmp_path):
 
     with _pytest.raises(RuntimeError, match="spark-avro"):
         read_avro(spark, str(tmp_path / "nope.avro"))
+
+
+def test_write_zordered_tightens_rowgroup_stats(spark, tmp_path):
+    """The layout pass must leave each parquet file covering a narrow
+    band of BOTH dimensions (vs the full range unsorted) — the
+    min/max-pruning property, checked on the actual file footers."""
+    import pyarrow.parquet as pq
+
+    from takuan_spark.sinks.writers import write_zordered
+
+    rows = [(i * 37 % 256, i * 91 % 256) for i in range(20000)]
+    df = spark.createDataFrame(rows, "a long, b long").repartition(8)
+    out = str(tmp_path / "z")
+    write_zordered(df, out, a_col="a", b_col="b", bits=8, n_files=16)
+
+    import glob
+
+    spans = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.read_metadata(f)
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            cols = {
+                g.column(i).path_in_schema: g.column(i).statistics
+                for i in range(g.num_columns)
+            }
+            spans.append(
+                (
+                    cols["a"].max - cols["a"].min,
+                    cols["b"].max - cols["b"].min,
+                )
+            )
+    assert spans
+    # A contiguous Morton range maps to a small rectangle EXCEPT where
+    # it straddles a quadrant boundary, so the pruning claim is
+    # distributional: the typical row group is tight on BOTH dims
+    # (unsorted layout: every row group spans the full 255).
+    import statistics
+
+    assert statistics.median(s[0] for s in spans) <= 127
+    assert statistics.median(s[1] for s in spans) <= 127
+    tight = sum(1 for s in spans if s[0] <= 127 and s[1] <= 127)
+    assert tight / len(spans) >= 0.5
+    # and the written data survives the round trip
+    assert spark.read.parquet(out).count() == 20000
