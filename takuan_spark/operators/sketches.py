@@ -398,15 +398,12 @@ def hll_distinct(
     )
 
 
-def hll_oracle_sql(
+def hll_registers_sql(
     *, source_expr: str, group_col: str, value_col: str
 ) -> str:
-    """DuckDB mirror of :func:`hll_distinct` over ``source_expr`` (a
-    relation producing (group, value) rows) — same md5-derived
-    registers, same integer fixed-point harmonic sum, same literals."""
-    raw = f"({_HLL_NUM!r} / (s + ({HLL_M} - n_regs) * {1 << (HLL_W_BITS + 1)}))"
-    return f"""
-    WITH hh AS (
+    """CTE chain producing ``regs(group, reg, r)`` in DuckDB from a
+    (group, value) relation — the shared head of every HLL oracle."""
+    return f"""hh AS (
         SELECT {group_col}, {sql_md5_int(value_col, hex_chars=15)} AS h
         FROM {source_expr} WHERE {value_col} IS NOT NULL
     ),
@@ -414,12 +411,19 @@ def hll_oracle_sql(
         SELECT {group_col}, CAST(h % {HLL_M} AS INT) AS reg,
                CAST(MAX({_hll_rho_sql(f"(h // {HLL_M})")}) AS INT) AS r
         FROM hh GROUP BY 1, 2
-    ),
-    agg AS (
+    )"""
+
+
+def hll_estimator_sql(*, group_col: str, regs_rel: str = "regs") -> str:
+    """Aggregate + estimate SQL over a ``(group, reg, r)`` relation —
+    the shared tail of every HLL oracle (same integer fixed-point sum
+    and literals as :func:`hll_estimate`)."""
+    raw = f"({_HLL_NUM!r} / (s + ({HLL_M} - n_regs) * {1 << (HLL_W_BITS + 1)}))"
+    return f"""agg AS (
         SELECT {group_col}, CAST(COUNT(*) AS INT) AS n_regs,
                CAST(SUM(CAST(power(2.0, {HLL_W_BITS + 1} - r) AS BIGINT))
                     AS BIGINT) AS s
-        FROM regs GROUP BY 1
+        FROM {regs_rel} GROUP BY 1
     )
     SELECT {group_col},
            ROUND(CASE WHEN {raw} <= {2.5 * HLL_M!r} AND n_regs < {HLL_M}
@@ -427,7 +431,19 @@ def hll_oracle_sql(
                            * ln({float(HLL_M)!r} / ({HLL_M} - n_regs))
                       ELSE {raw} END, 4) AS est_distinct,
            n_regs
-    FROM agg
+    FROM agg"""
+
+
+def hll_oracle_sql(
+    *, source_expr: str, group_col: str, value_col: str
+) -> str:
+    """DuckDB mirror of :func:`hll_distinct` over ``source_expr`` (a
+    relation producing (group, value) rows) — same md5-derived
+    registers, same integer fixed-point harmonic sum, same literals."""
+    return f"""
+    WITH {hll_registers_sql(source_expr=source_expr, group_col=group_col,
+                            value_col=value_col)},
+    {hll_estimator_sql(group_col=group_col)}
     """
 
 

@@ -93,7 +93,7 @@ PRIORITY: list[str] = [
     "ns_bpe_merge_candidates", "ns_effective_corpus_size",
     "ns_cms_join_size", "ns_kmv_set_ops",
     "q_zorder_locality", "ns_epoch_novelty",
-    "ns_contrastive_triplets", "ns_length_bucketing",
+    "ns_contrastive_triplets", "q_sliding_distinct_hll",
     # -- 3. changed this round ----------------------------------------
     "ns_dedup_clusters",  # data-derived CC partitioning
     # session-2 additions whose operator CLASS is already driver-
@@ -106,6 +106,7 @@ PRIORITY: list[str] = [
     "q_rolling_median", "q_ntile_deciles", "ns_winsorized_stats",
     "ns_cluster_sample", "ns_hard_negatives", "q_unpivot_metrics",
     "ns_duplication_pareto", "ns_keyword_tagging",
+    "ns_length_bucketing",  # (by ns_pack_sequences' token budgeting)
     # -- 4. backfill: r1-green, unchecked since r1 --------------------
     # events-table consumers (ts normalization changed this round)
     "q_sliding_window", "q_session_window", "q_funnel",
@@ -118,7 +119,8 @@ PRIORITY: list[str] = [
     "ns_embedding_neardup", "ns_text_stats", "ns_lang_id",
     "ns_quality_score", "ns_stratified_sample", "ns_tfidf_topterms",
     "ns_winnow_fingerprint",
-    # ---------------- driver cap (50) lands here ---------------------
+    # (the ~50-row driver cap lands at the end of group 3 this round —
+    # everything below is backfill with an r1/r2 row already on record)
     "ns_fingerprint", "ns_similarity_topk", "ns_knn_join",
     # relational r1 greens
     "q_scalar_subquery",

@@ -364,3 +364,53 @@ def ns_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_jaccard"
         ),
     )
+
+
+@query(
+    "q_sliding_distinct_hll",
+    f"""
+    WITH ev AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(user_id AS VARCHAR) AS uid
+        FROM events
+    ),
+    {sketches.hll_registers_sql(source_expr="ev", group_col="day",
+                                value_col="uid")},
+    days AS (SELECT DISTINCT day FROM regs),
+    win AS (
+        SELECT d.day, s.reg, CAST(MAX(s.r) AS INT) AS r
+        FROM days d JOIN regs s
+          ON s.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        GROUP BY 1, 2
+    ),
+    {sketches.hll_estimator_sql(group_col="day", regs_rel="win")}
+    ORDER BY day
+    """,
+    "Rolling 7-day distinct users via HLL register max-merge: one "
+    "64-int register set per DAY, then each window estimate folds 7 "
+    "daily sets — total state days x 64 ints, where the exact rolling "
+    "COUNT DISTINCT (q_sliding_distinct) re-shuffles the raw event "
+    "stream per window. The day-to-window expansion joins against the "
+    "broadcast tiny day dimension; estimates are bit-reproducible by "
+    "the oracle like every sketch here.",
+)
+def q_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    daily = sketches.hll_registers(ev, group_cols=["day"], value_col="uid")
+    from takuan_spark.operators.skew import materialize
+
+    daily = materialize(daily)  # feeds the day dim AND the window join
+    days = daily.select(F.col("day").alias("win_day")).distinct()
+    merged = (
+        daily.join(
+            F.broadcast(days),
+            (F.col("day") <= F.col("win_day"))
+            & (F.col("day") >= F.date_sub(F.col("win_day"), 6)),
+        )
+        .groupBy(F.col("win_day").alias("day"), F.col("reg"))
+        .agg(F.max("r").cast("int").alias("r"))
+    )
+    return sketches.hll_estimate(merged, group_cols=["day"]).orderBy("day")

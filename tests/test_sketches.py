@@ -226,3 +226,40 @@ def test_cms_join_size_never_underestimates(spark):
         for c in [len([i for i in range(200) if i % 7 == k]) for k in range(7)]
     )
     assert est == exact  # no collisions at this cardinality
+
+
+def test_sliding_hll_merges_daily_registers(spark):
+    # 3 days, overlapping users; the 2-day-window merge must equal the
+    # sketch of the union of those days' rows.
+    from datetime import date
+
+    from takuan_spark.operators import sketches
+
+    rows = []
+    for d, users in ((1, range(0, 30)), (2, range(20, 60)), (3, range(50, 55))):
+        rows += [(date(2024, 1, d), f"u{u}") for u in users]
+    df = spark.createDataFrame(rows, "day date, uid string")
+    daily = sketches.hll_registers(df, group_cols=["day"], value_col="uid")
+    days = daily.select(F.col("day").alias("win_day")).distinct()
+    merged = (
+        daily.join(
+            F.broadcast(days),
+            (F.col("day") <= F.col("win_day"))
+            & (F.col("day") >= F.date_sub(F.col("win_day"), 1)),
+        )
+        .groupBy(F.col("win_day").alias("day"), "reg")
+        .agg(F.max("r").cast("int").alias("r"))
+    )
+    got = {
+        str(r["day"]): r["est_distinct"]
+        for r in sketches.hll_estimate(merged, group_cols=["day"]).collect()
+    }
+    for d, lo, hi in ((1, range(0, 30), None), (2, range(0, 60), None), (3, range(20, 60), range(50, 55))):
+        users = set(lo) | set(hi or [])
+        direct = spark.createDataFrame(
+            [("w", f"u{u}") for u in users], "g string, uid string"
+        )
+        want = sketches.hll_distinct(
+            direct, group_cols=["g"], value_col="uid"
+        ).collect()[0]["est_distinct"]
+        assert got[f"2024-01-0{d}"] == want
