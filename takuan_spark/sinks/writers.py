@@ -168,3 +168,79 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+class AuditFailure(RuntimeError):
+    """A write-audit-publish validation failed; the live table was not
+    touched."""
+
+
+def wap_publish(
+    df: DataFrame,
+    path: str,
+    *,
+    checks: "list[Callable[[DataFrame], str | None]]",
+    partition_by: str | None = None,
+) -> None:
+    """Write-Audit-Publish: land the table in a staging directory, run
+    the validation checks against what was ACTUALLY written (re-read
+    from disk, so schema drift and write corruption are caught too),
+    and only then swap it live atomically. A failed check raises
+    :class:`AuditFailure`, leaves the previous live table untouched,
+    and keeps the staging directory for inspection.
+
+    Each check takes the re-read DataFrame and returns ``None`` (pass)
+    or a failure message. See ``not_empty`` / ``no_nulls`` /
+    ``min_rows`` below for the common gates.
+
+    This is the publication discipline a 100 TB corpus pipeline needs:
+    downstream consumers only ever see tables that passed their gates,
+    and a bad run costs a staging directory, not the corpus."""
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    staged = path + ".staging"
+    shutil.rmtree(staged, ignore_errors=True)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(staged)
+
+    written = spark.read.parquet(staged)
+    failures = [msg for check in checks if (msg := check(written))]
+    if failures:
+        raise AuditFailure(
+            f"WAP audit failed for {path}: " + "; ".join(failures)
+            + f" (staging kept at {staged})"
+        )
+    old = path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def not_empty(df: DataFrame) -> str | None:
+    return None if df.limit(1).count() == 1 else "table is empty"
+
+
+def min_rows(n: int) -> "Callable[[DataFrame], str | None]":
+    def check(df: DataFrame) -> str | None:
+        c = df.count()
+        return None if c >= n else f"row count {c} < required {n}"
+
+    return check
+
+
+def no_nulls(*cols: str) -> "Callable[[DataFrame], str | None]":
+    def check(df: DataFrame) -> str | None:
+        cond = None
+        for c in cols:
+            e = F.col(c).isNull()
+            cond = e if cond is None else cond | e
+        bad = df.where(cond).limit(1).count()
+        return None if bad == 0 else f"NULLs present in one of {cols}"
+
+    return check

@@ -161,3 +161,34 @@ def test_write_zordered_tightens_rowgroup_stats(spark, tmp_path):
     assert tight / len(spans) >= 0.5
     # and the written data survives the round trip
     assert spark.read.parquet(out).count() == 20000
+
+
+def test_wap_publish_gates_and_swaps(spark, tmp_path):
+    import pytest as _pytest
+
+    from takuan_spark.sinks.writers import (
+        AuditFailure,
+        min_rows,
+        no_nulls,
+        not_empty,
+        wap_publish,
+    )
+
+    path = str(tmp_path / "corpus")
+    good = spark.createDataFrame([(1, "a"), (2, "b")], "id long, t string")
+    wap_publish(
+        good, path, checks=[not_empty, min_rows(2), no_nulls("id", "t")]
+    )
+    assert spark.read.parquet(path).count() == 2
+
+    # a failing publish must leave the live table exactly as it was
+    bad = spark.createDataFrame([(3, None)], "id long, t string")
+    with _pytest.raises(AuditFailure):
+        wap_publish(bad, path, checks=[no_nulls("t")])
+    live = spark.read.parquet(path)
+    assert live.count() == 2  # previous version still served
+    assert {r["id"] for r in live.collect()} == {1, 2}
+    # staging kept for inspection
+    import os
+
+    assert os.path.isdir(path + ".staging")
