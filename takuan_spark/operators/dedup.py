@@ -123,6 +123,37 @@ def shingle_df(
     )
 
 
+def _hashed_shingle_index(
+    df: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_df: int | None,
+) -> DataFrame:
+    """The shared inverted-index base of the Jaccard and containment
+    families: distinct shingles per doc, hashed to int64 (8-byte
+    exchange keys), with the optional ``max_df`` stop-shingle filter.
+    Materialized — the index feeds multiple consumers (a-side, b-side,
+    per-doc counts, and the df aggregation when ``max_df`` is set) and
+    Catalyst does not reuse the exchange across those branches, so the
+    tokenize+explode must run exactly once."""
+    sh = materialize(
+        shingle_df(df, text_col=text_col, id_col=id_col, n=n).select(
+            id_col, F.xxhash64("shingle").alias("shingle")
+        )
+    )
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = materialize(sh.join(rare, "shingle"))
+    return sh
+
+
 def jaccard_pairs(
     df: DataFrame,
     *,
@@ -154,24 +185,9 @@ def jaccard_pairs(
     loses ~nothing while bounding the worst join bucket at max_df^2/2.
     Default None preserves the exact full-vocabulary metric.
     """
-    # multiple consumers (a-side, b-side, per-doc counts — plus the df
-    # aggregation when max_df is set) and no exchange reuse across
-    # branches: materialize the hashed shingle index BEFORE deriving
-    # anything from it, so the tokenize+explode runs exactly once.
-    sh = materialize(
-        shingle_df(df, text_col=text_col, id_col=id_col, n=n).select(
-            id_col, F.xxhash64("shingle").alias("shingle")
-        )
+    sh = _hashed_shingle_index(
+        df, text_col=text_col, id_col=id_col, n=n, max_df=max_df
     )
-    if max_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .where(F.col("_df") <= max_df)
-            .select("shingle")
-        )
-        # the filtered index again feeds three consumers
-        sh = materialize(sh.join(rare, "shingle"))
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -206,22 +222,12 @@ def containment_pairs(
     fully embedded in a long one has containment 1.0 but arbitrarily
     low Jaccard. Output: (id, other, containment) rows with
     C(id, other) >= threshold, BOTH directions evaluated from the one
-    undirected inverted-index intersection (same index, same shuffle
-    shape, and the same ``max_df`` stop-shingle guard as
-    :func:`jaccard_pairs`)."""
-    sh = materialize(
-        shingle_df(df, text_col=text_col, id_col=id_col, n=n).select(
-            id_col, F.xxhash64("shingle").alias("shingle")
-        )
+    undirected inverted-index intersection (literally the same
+    ``_hashed_shingle_index`` base as :func:`jaccard_pairs` — same
+    shuffle shape, same ``max_df`` stop-shingle guard)."""
+    sh = _hashed_shingle_index(
+        df, text_col=text_col, id_col=id_col, n=n, max_df=max_df
     )
-    if max_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .where(F.col("_df") <= max_df)
-            .select("shingle")
-        )
-        sh = materialize(sh.join(rare, "shingle"))
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -64,7 +64,11 @@ def kmv_sketches(
     it with a plain ``row_number() <= k`` over distinct hashes.
     """
     groups = list(group_cols)
-    hashed = exploded.select(
+    # NULL values hash to NULL, and Spark's sort_array puts NULLs FIRST
+    # while the oracle's ORDER BY puts them last — a NULL in the k-min
+    # set would displace a real hash differently per engine. Skip them
+    # (same contract as hll_registers: a NULL is no observation).
+    hashed = exploded.where(F.col(value_col).isNotNull()).select(
         *groups, (md5_int(F.col(value_col), hex_chars=15)).alias("h")
     )
 
@@ -173,7 +177,7 @@ def kmv_oracle_sql(
     WITH hashed AS (
         SELECT DISTINCT {group_col},
                {sql_md5_int(value_col, hex_chars=15)} AS h
-        FROM {source_expr}
+        FROM {source_expr} WHERE {value_col} IS NOT NULL
     ),
     ranked AS (
         SELECT {group_col}, h,
@@ -227,8 +231,12 @@ def histogram_sketch(
         .cast("int")
         .alias("bin")
     )
+    # a NULL value would create a NULL bin that inflates totals and
+    # sorts FIRST under Spark's cumulative window (shifting every
+    # quantile) — a NULL is no observation, same as KMV/HLL.
     return (
-        df.groupBy(*list(group_cols), b)
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*list(group_cols), b)
         .agg(F.count("*").cast("bigint").alias("c"))
     )
 

@@ -269,7 +269,7 @@ def ns_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN cnt ca ON id_a = ca.doc_id
     JOIN cnt cb ON id_b = cb.doc_id
-    WHERE i * 1.0 / (ca.n_sh + cb.n_sh - i) >= 0.8
+    WHERE ROUND(i * 1.0 / (ca.n_sh + cb.n_sh - i), 6) >= 0.8
     ORDER BY id_a, id_b
     """,
     "Exact 3-gram Jaccard near-duplicate pairs via inverted-index "

@@ -322,7 +322,7 @@ def ns_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT id_b AS doc_id FROM inter
         JOIN cnt ca ON id_a = ca.doc_id
         JOIN cnt cb ON id_b = cb.doc_id
-        WHERE i * 1.0 / (ca.n_sh + cb.n_sh - i) >= 0.8
+        WHERE ROUND(i * 1.0 / (ca.n_sh + cb.n_sh - i), 6) >= 0.8
     ),
     kept AS (
         SELECT * FROM kept_exact

@@ -129,6 +129,19 @@ def duckdb_staged_sink(
             # from a previous crash is replaced wholesale)
             batch.write.mode("overwrite").parquet(epoch_dir)
             glob = os.path.join(epoch_dir, "*.parquet")
+            import glob as _glob
+
+            if not _glob.glob(glob):
+                # empty micro-batch: zero part files staged, and
+                # read_parquet on a matchless glob raises — which would
+                # wedge the stream on this epoch forever. Register the
+                # epoch as delivered (it delivered nothing) and move on.
+                con.execute(
+                    f"INSERT INTO {EPOCH_TABLE} VALUES (?, ?)",
+                    [table, epoch_id],
+                )
+                shutil.rmtree(epoch_dir, ignore_errors=True)
+                return
             con.execute("BEGIN")
             # guard re-check inside the transaction (two concurrent
             # replays: second one loses on the epoch insert conflict

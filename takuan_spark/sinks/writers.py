@@ -150,8 +150,20 @@ def write_zordered(
     a total layout sort without a driver-side bottleneck."""
     from takuan_spark.operators.layout import zorder_key2
 
-    a = F.col(a_col) % (1 << bits) if a_bucket is None else a_bucket(F.col(a_col))
-    b = F.col(b_col) % (1 << bits) if b_bucket is None else b_bucket(F.col(b_col))
+    # pmod, not %: Spark's % keeps the sign, and a negative "bucket"
+    # violates zorder_key2's [0, 2^bits) precondition — the Morton key
+    # would be garbage for every negative id (signed hashes are common
+    # here) and the layout would silently stop clustering.
+    a = (
+        F.pmod(F.col(a_col), F.lit(1 << bits))
+        if a_bucket is None
+        else a_bucket(F.col(a_col))
+    )
+    b = (
+        F.pmod(F.col(b_col), F.lit(1 << bits))
+        if b_bucket is None
+        else b_bucket(F.col(b_col))
+    )
     keyed = df.withColumn("_z", zorder_key2(a, b, bits=bits))
     # explicit n_files pins the range-partition (=file) count; without
     # it AQE sizes partitions by bytes, which on a small table folds

@@ -102,16 +102,12 @@ def compact_ivf_epochs(
 
     from takuan_spark.streaming.sketch_stream import (
         _swap_in,
-        last_committed_epoch,
+        resolve_compaction_horizon,
     )
 
     data = f"{index_path}/data"
     df = spark.read.parquet(data)
-    horizon = (
-        last_committed_epoch(checkpoint_path)
-        if checkpoint_path is not None
-        else None
-    )
+    horizon = resolve_compaction_horizon(checkpoint_path)
     if horizon is not None:
         foldable = df.where(F.col("epoch") <= horizon)
         keep_ids = sorted(

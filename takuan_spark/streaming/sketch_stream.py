@@ -151,6 +151,25 @@ def last_committed_epoch(checkpoint_path: str) -> int | None:
     return max(ids) if ids else None
 
 
+def resolve_compaction_horizon(checkpoint_path: str | None) -> int | None:
+    """Committed-epoch horizon for a compaction run. ``None`` input
+    means the caller asserts a cleanly-stopped stream (fold all). A
+    checkpoint that yields NO committed epochs — mistyped path, moved
+    directory, or zero commits — raises instead of silently degrading
+    to the fold-everything path: folding a replayable epoch
+    double-counts it when the restarted stream lands it again."""
+    if checkpoint_path is None:
+        return None
+    horizon = last_committed_epoch(checkpoint_path)
+    if horizon is None:
+        raise ValueError(
+            f"checkpoint {checkpoint_path!r} has no readable commits/ "
+            "entries; refusing to compact (pass checkpoint_path=None "
+            "only for a cleanly-stopped stream)"
+        )
+    return horizon
+
+
 def _compact(
     spark, table_path: str, merge, *, checkpoint_path: str | None
 ) -> None:
@@ -164,11 +183,7 @@ def _compact(
     committed) and everything folds. SINGLE-WRITER op either way: run
     while the maintainer stream is stopped."""
     df = spark.read.parquet(table_path)
-    horizon = (
-        last_committed_epoch(checkpoint_path)
-        if checkpoint_path is not None
-        else None
-    )
+    horizon = resolve_compaction_horizon(checkpoint_path)
     if horizon is not None:
         foldable = df.where(F.col("epoch") <= horizon)
         keep_ids = sorted(

@@ -139,3 +139,26 @@ def test_staged_sink_replay_is_skipped(spark, env, tmp_path):
     ).fetchall()
     con.close()
     assert [e[0] for e in epochs] == [3, 4]
+
+
+def test_staged_sink_survives_empty_batch(spark, tmp_path):
+    """An empty micro-batch stages zero part files; the sink must
+    register the epoch and move on instead of wedging the stream on a
+    matchless read_parquet glob forever."""
+    import duckdb
+
+    from takuan_spark.sinks.db import duckdb_staged_sink
+
+    db = str(tmp_path / "t.db")
+    stage = str(tmp_path / "stage")
+    sink = duckdb_staged_sink(db, "events", stage)
+    empty = spark.createDataFrame([], "id long, v string")
+    sink(empty, 0)  # must not raise
+    sink(empty, 0)  # replay of the registered empty epoch: no-op
+    full = spark.createDataFrame([(1, "a")], "id long, v string")
+    sink(full, 1)
+    con = duckdb.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM events").fetchone()[0] == 1
+    assert con.execute(
+        "SELECT COUNT(*) FROM _sink_epochs WHERE tbl = 'events'"
+    ).fetchone()[0] == 2

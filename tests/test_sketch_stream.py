@@ -293,3 +293,24 @@ def test_hist_stream_quantiles_equal_batch_and_compact(spark, env, tmp_path):
         .collect()
     ]
     assert after == want
+
+
+def test_compaction_refuses_unreadable_checkpoint(spark, tmp_path):
+    """A checkpoint path with no readable commits (mistyped, moved, or
+    zero commits) must raise, not silently fold possibly-replayable
+    epochs (which would double-count them on resume)."""
+    import pytest as _pytest
+
+    from takuan_spark.streaming.sketch_stream import compact_cms_epochs
+
+    table = str(tmp_path / "grids")
+    spark.createDataFrame(
+        [("s", 0, 1, 2, 7)], "source string, row int, bucket int, c long, epoch int"
+    ).write.partitionBy("epoch").parquet(table)
+    with _pytest.raises(ValueError, match="refusing to compact"):
+        compact_cms_epochs(
+            spark, table, group_cols=["source"],
+            checkpoint_path=str(tmp_path / "no-such-checkpoint"),
+        )
+    # the table is untouched
+    assert spark.read.parquet(table).count() == 1

@@ -263,3 +263,25 @@ def test_sliding_hll_merges_daily_registers(spark):
             direct, group_cols=["g"], value_col="uid"
         ).collect()[0]["est_distinct"]
         assert got[f"2024-01-0{d}"] == want
+
+
+def test_kmv_and_histogram_skip_null_values(spark):
+    # NULL is no observation: it must neither enter the k-min set
+    # (where Spark sorts NULL first, displacing a real hash) nor
+    # create a NULL histogram bin that shifts every quantile.
+    rows = [("s", "a"), ("s", None), ("s", "b"), ("s", "c")]
+    out = sketches.kmv_distinct(
+        spark.createDataFrame(rows, "source string, tok string"),
+        group_cols=["source"], value_col="tok", k=64,
+    ).collect()[0]
+    assert (out["est_distinct"], out["n_kept"]) == (3, 3)
+
+    vals = [(1.0,), (None,), (51.0,), (99.0,)]
+    hist = {
+        r["bin"]: r["c"]
+        for r in sketches.histogram_sketch(
+            spark.createDataFrame(vals, "v double").withColumn("g", F.lit("a")),
+            group_cols=["g"], value_col="v", lo=0.0, hi=100.0, bins=4,
+        ).collect()
+    }
+    assert hist == {0: 1, 2: 1, 3: 1}  # no NULL bin, no phantom count
