@@ -485,3 +485,34 @@ def test_histogram_quantile_within_one_bin_of_truth(spark, vals):
         lo_true = s[max(0, math.ceil(q * n) - 1)]
         hi_true = s[min(n - 1, math.floor(q * n))]
         assert lo_true - width - 1e-9 <= out[q] <= hi_true + width + 1e-9
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=4),
+        min_size=3,
+        max_size=12,
+    ),
+    st.lists(
+        st.text(alphabet="fghij", min_size=1, max_size=4),
+        min_size=0,
+        max_size=8,
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_containment_of_embedded_doc_is_one(spark, inner, framing):
+    """Whenever doc A's word sequence appears verbatim inside doc B,
+    containment(A -> B) must be exactly 1.0 (every shingle of A is a
+    shingle of B) — the property Jaccard does not have."""
+    from takuan_spark.operators.dedup import containment_pairs
+
+    a_text = " ".join(inner)
+    b_text = " ".join(framing + inner + framing)
+    docs = spark.createDataFrame(
+        [(1, a_text), (2, b_text)], "doc_id long, text string"
+    )
+    out = {
+        (r["id"], r["other"]): r["containment"]
+        for r in containment_pairs(docs, n=3, threshold=0.0).collect()
+    }
+    assert out[(1, 2)] == 1.0
