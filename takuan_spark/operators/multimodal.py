@@ -109,13 +109,12 @@ def wav_decoder(payload: bytes) -> list[float]:
     ]
 
 
-def bmp_decoder(payload: bytes) -> list[float]:
-    """REAL image decode — uncompressed 24/32-bit BMP is a fixed header
-    plus raw pixel rows, parseable with struct + numpy alone. Features:
-    mean luminance over a 4x4 spatial grid (16 = FEATURE_DIM cells),
-    [0, 1] — the thumbnail-energy signature image-dedup keys on.
-    Handles bottom-up and top-down row order and 4-byte row padding.
-    """
+def bmp_pixels(payload: bytes):
+    """Decode an uncompressed 24/32-bit BMP to an (H, W, 3) uint8 BGR
+    array — a fixed header plus raw pixel rows, parseable with
+    struct + numpy alone. Handles bottom-up and top-down row order and
+    4-byte row padding. The pixel-level base of :func:`bmp_decoder`
+    (features) and :func:`bmp_resize` (re-layout)."""
     import struct
 
     import numpy as np
@@ -145,6 +144,53 @@ def bmp_decoder(payload: bytes) -> list[float]:
     img = np.stack(rows)  # (H, W, 3), file row order
     if not top_down:
         img = img[::-1]  # bottom-up storage -> natural top-down
+    return img
+
+
+def bmp_encode(img) -> bytes:
+    """Encode an (H, W, 3) uint8 BGR array as an uncompressed 24-bit
+    bottom-up BMP — 54 bytes of header plus padded pixel rows, stdlib
+    struct only (the inverse of :func:`bmp_pixels`)."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    data_size = stride * h
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 54 + data_size, 0, 0, 54,
+        40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0,
+    )
+    rows = []
+    pad = b"\x00" * (stride - w * 3)
+    for r in range(h - 1, -1, -1):  # bottom-up storage
+        rows.append(np.ascontiguousarray(img[r]).tobytes() + pad)
+    return header + b"".join(rows)
+
+
+def bmp_resize(payload: bytes, *, width: int, height: int) -> bytes:
+    """REAL image resize: decode → nearest-neighbor sample to
+    (width, height) → re-encode as 24-bit BMP. Nearest-neighbor is the
+    deterministic, dependency-free kernel; production interpolating
+    resizers plug into the same mapInPandas slot."""
+    import numpy as np
+
+    img = bmp_pixels(payload)
+    h, w, _ = img.shape
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return bmp_encode(img[ys][:, xs])
+
+
+def bmp_decoder(payload: bytes) -> list[float]:
+    """REAL image decode — feature view over :func:`bmp_pixels`:
+    mean luminance over a 4x4 spatial grid (16 = FEATURE_DIM cells),
+    [0, 1] — the thumbnail-energy signature image-dedup keys on."""
+    import numpy as np
+
+    img = bmp_pixels(payload)
     # ITU-R BT.601 luminance from B, G, R channels
     lum = (
         0.114 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.299 * img[:, :, 2]
@@ -302,6 +348,64 @@ def phash_pairs(
         .cast("int")
         .alias("hamming"),
     ).where(F.col("hamming") <= max_distance)
+
+
+def resize_images(
+    media: DataFrame,
+    *,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes], bytes] | None = None,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """media table → (media_id, payload, width, height, payload_bytes)
+    with every payload re-encoded at (width, height) — the thumbnail /
+    normalization pass of an image pipeline, as Arrow-batched
+    mapInPandas like every decode stage. Default resizer is the REAL
+    stdlib BMP path (:func:`bmp_resize`); other codecs plug into the
+    same hook. A record whose payload fails to decode yields a NULL
+    payload (the per-record quarantine contract of extract_features),
+    so one corrupt blob never kills a corpus-wide pass."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("payload", BinaryType(), True),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("payload_bytes", IntegerType(), True),
+        ]
+    )
+    rz = resizer or (lambda p: bmp_resize(p, width=width, height=height))
+
+    def _one(p) -> bytes | None:
+        if p is None:
+            return None
+        try:
+            return rz(bytes(p))
+        except Exception:
+            return None
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [_one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": out,
+                    "width": [width if o is not None else None for o in out],
+                    "height": [
+                        height if o is not None else None for o in out
+                    ],
+                    "payload_bytes": [
+                        len(o) if o is not None else None for o in out
+                    ],
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        _resize, schema=out_schema
+    )
 
 
 def media_summary(media: DataFrame) -> DataFrame:

@@ -662,3 +662,59 @@ def test_containment_catches_embedded_doc(spark):
     assert (2, 1) not in cont  # reverse direction is far below 0.5
     jac = dedup.jaccard_pairs(docs, n=3, threshold=0.5).collect()
     assert jac == []  # symmetric Jaccard misses the embedding entirely
+
+
+def _half_black_bmp(w=8, h=8):
+    import struct
+
+    row_stride = (w * 3 + 3) & ~3
+    pixel_bytes = row_stride * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + pixel_bytes, 0, 0, 14 + 40
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0
+    )
+    rows = b""
+    for _ in range(h):
+        row = b""
+        for x in range(w):
+            v = 0 if x < w // 2 else 255
+            row += bytes([v, v, v])  # BGR
+        rows += row + b"\x00" * (row_stride - len(row))
+    return header + info + rows
+
+
+def test_bmp_resize_roundtrip_preserves_structure(spark):
+    """Resize is REAL: 8x8 half-black downsampled to 4x4 re-decodes as
+    a valid BMP with the same left-black/right-white structure; corrupt
+    payloads quarantine to NULL instead of failing the pass."""
+    from pyspark.sql import Row
+
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(_half_black_bmp())),
+            Row(media_id=2, payload=bytearray(b"not a bmp")),
+        ]
+    )
+    out = {
+        r["media_id"]: r
+        for r in multimodal.resize_images(
+            media, width=4, height=4
+        ).collect()
+    }
+    good = out[1]
+    assert (good["width"], good["height"]) == (4, 4)
+    assert good["payload_bytes"] == len(bytes(good["payload"]))
+    px = multimodal.bmp_pixels(bytes(good["payload"]))
+    assert px.shape == (4, 4, 3)
+    assert (px[:, :2] == 0).all() and (px[:, 2:] == 255).all()
+    assert out[2]["payload"] is None  # quarantined, not fatal
+
+
+def test_bmp_encode_pixels_roundtrip():
+    import numpy as np
+
+    img = (np.arange(5 * 3 * 3) % 256).astype(np.uint8).reshape(5, 3, 3)
+    back = multimodal.bmp_pixels(multimodal.bmp_encode(img))
+    assert (back == img).all()
