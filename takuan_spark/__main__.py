@@ -117,8 +117,15 @@ def _run_sql(args) -> int:
     through ``toLocalIterator`` so the driver holds one partition at a
     time, not the whole result."""
     import csv
+    import re
     import sys
 
+    if args.tables and not os.path.isdir(args.tables):
+        print(
+            f"error: --tables directory not found: {args.tables}",
+            file=sys.stderr,
+        )
+        return 2
     spark = get_spark(app_name="takuan-sql", master=args.master)
     events_path = f"{args.out}/events"
     if os.path.isdir(events_path):
@@ -126,9 +133,15 @@ def _run_sql(args) -> int:
     if args.tables:
         for fname in sorted(os.listdir(args.tables)):
             if fname.endswith(".parquet"):
+                # view names must be identifiers: a part file like
+                # part-00000.snappy.parquet would otherwise abort the
+                # whole session on registration
+                view = re.sub(
+                    r"\W", "_", fname[: -len(".parquet")]
+                ).lstrip("0123456789_") or "t"
                 spark.read.parquet(
                     os.path.join(args.tables, fname)
-                ).createOrReplaceTempView(fname[: -len(".parquet")])
+                ).createOrReplaceTempView(view)
     df = spark.sql(args.sql)
     writer = csv.writer(sys.stdout)
     writer.writerow(df.columns)

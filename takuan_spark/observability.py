@@ -26,8 +26,12 @@ def quality_metrics_exprs(error_col: str = "_parse_error"):
     not-quarantined."""
     return [
         F.count(F.lit(1)).alias("rows_total"),
-        F.sum(
-            F.coalesce(F.col(error_col), F.lit(False)).cast("long")
+        # outer coalesce: SUM over an EMPTY frame/micro-batch is NULL,
+        # and a metrics consumer dividing or thresholding on None
+        # breaks — an empty batch quarantined 0 rows, say 0.
+        F.coalesce(
+            F.sum(F.coalesce(F.col(error_col), F.lit(False)).cast("long")),
+            F.lit(0),
         ).alias("rows_quarantined"),
     ]
 

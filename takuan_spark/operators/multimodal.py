@@ -155,6 +155,16 @@ def bmp_encode(img) -> bytes:
 
     import numpy as np
 
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        # tobytes() on a wider dtype would write N bytes per channel
+        # while the header stride assumes 1 — a silently corrupt file.
+        # Pixel arithmetic upstream (numpy promotes to int64/float64)
+        # must come back to 8-bit here; out-of-range values are the
+        # caller's bug, truncation is not.
+        if img.min() < 0 or img.max() > 255:
+            raise ValueError("pixel values outside [0, 255]")
+        img = img.astype(np.uint8)
     h, w, _ = img.shape
     stride = (w * 3 + 3) & ~3
     data_size = stride * h
@@ -358,15 +368,20 @@ def resize_images(
     resizer: Callable[[bytes], bytes] | None = None,
     payload_col: str = "payload",
     id_col: str = "media_id",
+    on_error: str = "null",
 ) -> DataFrame:
     """media table → (media_id, payload, width, height, payload_bytes)
     with every payload re-encoded at (width, height) — the thumbnail /
     normalization pass of an image pipeline, as Arrow-batched
     mapInPandas like every decode stage. Default resizer is the REAL
     stdlib BMP path (:func:`bmp_resize`); other codecs plug into the
-    same hook. A record whose payload fails to decode yields a NULL
-    payload (the per-record quarantine contract of extract_features),
-    so one corrupt blob never kills a corpus-wide pass."""
+    same hook. Error contract matches :func:`extract_features`: a
+    corrupt payload quarantines to a NULL row (``on_error="null"``) or
+    propagates (``"raise"``); ``NotImplementedError`` ALWAYS propagates
+    — a missing codec is a configuration bug, not bad data, and must
+    not silently empty a corpus pass."""
+    if on_error not in ("null", "raise"):
+        raise ValueError(f"on_error must be 'null' or 'raise', got {on_error!r}")
     out_schema = StructType(
         [
             StructField(id_col, LongType(), False),
@@ -383,7 +398,11 @@ def resize_images(
             return None
         try:
             return rz(bytes(p))
+        except NotImplementedError:
+            raise
         except Exception:
+            if on_error == "raise":
+                raise
             return None
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -73,7 +73,8 @@ _HQ_QS = (0.5, 0.9, 0.99)
                                          / {_HQ_W!r}), 0),
                           {_HQ_BINS - 1}) AS INT) AS bin,
                CAST(COUNT(*) AS BIGINT) AS c
-        FROM orders GROUP BY 1, 2
+        FROM orders WHERE o_totalprice IS NOT NULL
+        GROUP BY 1, 2
     ),
     cum AS (
         SELECT o_orderpriority, bin, c,

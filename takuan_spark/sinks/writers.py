@@ -182,6 +182,25 @@ def write_zordered(
     )
 
 
+def swap_live(path: str, staged: str) -> None:
+    """Directory-rename swap: stage -> live, previous live kept as
+    ``.old`` until the new one is in place (then reaped). Same-
+    filesystem renames are atomic on POSIX, but the SEQUENCE is not:
+    a crash between the two renames leaves ``.old`` beside an empty
+    live path — recoverable by hand, never silently wrong. A reader
+    racing that window sees path-not-found, not partial data. Shared
+    by the WAP sink and the streaming compactors."""
+    import os
+    import shutil
+
+    old = path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 class AuditFailure(RuntimeError):
     """A write-audit-publish validation failed; the live table was not
     touched."""
@@ -197,7 +216,9 @@ def wap_publish(
     """Write-Audit-Publish: land the table in a staging directory, run
     the validation checks against what was ACTUALLY written (re-read
     from disk, so schema drift and write corruption are caught too),
-    and only then swap it live atomically. A failed check raises
+    and only then rename it live (:func:`swap_live` — each rename is
+    atomic; a crash between the two leaves the previous version in
+    ``.old``, recoverable, never a half-table). A failed check raises
     :class:`AuditFailure`, leaves the previous live table untouched,
     and keeps the staging directory for inspection.
 
@@ -226,12 +247,7 @@ def wap_publish(
             f"WAP audit failed for {path}: " + "; ".join(failures)
             + f" (staging kept at {staged})"
         )
-    old = path + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(staged, path)
-    shutil.rmtree(old, ignore_errors=True)
+    swap_live(path, staged)
 
 
 def not_empty(df: DataFrame) -> str | None:
@@ -247,6 +263,9 @@ def min_rows(n: int) -> "Callable[[DataFrame], str | None]":
 
 
 def no_nulls(*cols: str) -> "Callable[[DataFrame], str | None]":
+    if not cols:
+        raise ValueError("no_nulls() needs at least one column name")
+
     def check(df: DataFrame) -> str | None:
         cond = None
         for c in cols:

@@ -127,15 +127,12 @@ def kmv_stream_estimate(
 
 
 def _swap_in(table_path: str, staged: str) -> None:
-    """Directory-rename swap: stage -> live with the old table kept
-    until the new one is in place. Same-filesystem renames are atomic
-    on POSIX; a crash between the two renames leaves `.old` beside an
-    empty live path — recoverable by hand, never silently wrong."""
-    old = table_path + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(table_path, old)
-    os.rename(staged, table_path)
-    shutil.rmtree(old, ignore_errors=True)
+    """Directory-rename swap — delegates to the shared
+    :func:`takuan_spark.sinks.writers.swap_live` (one crash-semantics
+    story for compactors and the WAP sink alike)."""
+    from takuan_spark.sinks.writers import swap_live
+
+    swap_live(table_path, staged)
 
 
 def last_committed_epoch(checkpoint_path: str) -> int | None:

@@ -199,3 +199,12 @@ def test_cli_sql_mode_requires_config_elsewhere(tmp_path):
 
     with _pytest.raises(SystemExit):
         main(["--batch", "--out", str(tmp_path)])
+
+
+def test_cli_sql_mode_bad_tables_dir_is_clean_error(tmp_path, capsys):
+    rc = main(
+        ["--sql", "SELECT 1", "--tables", str(tmp_path / "nope"),
+         "--out", str(tmp_path)]
+    )
+    assert rc == 2
+    assert "not found" in capsys.readouterr().err
