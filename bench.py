@@ -2,13 +2,20 @@
 """Benchmark harness: runs every declared query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Output contract: the LAST stdout line is one compact JSON summary
-{"metric", "value": total_sec, "unit": "sec", "sf", "n_queries",
-"mean_sec", "queries": {15 slowest}, "queries_truncated": true,
-"detail": "BENCH_DETAIL.json"} sized to fit the driver's ~2000-char
-tail capture (the full >100-entry per-query map cannot). The complete
-map is written to BENCH_DETAIL.json at the repo root and also printed
-as an earlier stdout line.
+Each query runs TAKUAN_BENCH_REPEATS times (default 3) and reports the
+MEDIAN, so one-off JIT/GC hiccups cannot masquerade as plan regressions
+(round-3 saw a 2.2x same-query swing that a single run could not
+classify as noise vs regression).
+
+Output contract: the LAST stdout line is one compact JSON summary sized
+to fit the driver's hard 2000-char tail capture. A >150-entry per-query
+map is arithmetically unfittable (~30 bytes/entry ≈ 5 KB), so the line
+is made self-contained at the family grain instead: "families" carries
+a COMPLETE {family: [n_queries, total_sec]} rollup (nothing omitted),
+plus total/mean/p50/p95/max dispersion and the slowest 12 individual
+queries. The full per-query median map (and the raw per-repeat runs)
+is written to BENCH_DETAIL.json at the repo root and printed as an
+earlier stdout line.
 
 Queries execute against the noop sink — full plan execution (scan →
 shuffle → result) without driver-side collection, so the measured time is
@@ -31,6 +38,24 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_LOG_LINES = int(os.environ.get("TAKUAN_BENCH_LOG_LINES", "200000"))
+REPEATS = max(1, int(os.environ.get("TAKUAN_BENCH_REPEATS", "3")))
+
+
+def _family(name: str) -> str:
+    """Coarse suite family for the self-contained rollup line."""
+    if name.startswith("takuan_"):
+        return "takuan"
+    if name.startswith("mm_"):
+        return "multimodal"
+    if name.startswith("ns_"):
+        return "northstar"
+    if name.startswith("q_stream"):
+        return "streaming"
+    if name.startswith("q_"):
+        return "advanced"
+    if name[0] == "q" and name[1].isdigit():
+        return "tpch"
+    return "pipeline"
 
 
 def _gen_logs(tmp: str) -> dict[str, str]:
@@ -80,6 +105,21 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
+
+    def timed(name: str, build) -> None:
+        runs = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            execute(build())
+            runs.append(time.perf_counter() - t0)
+            # operators that materialize sketch frames persist them;
+            # drop between runs so repeat 2+ measures the same work and
+            # memory stays flat across the suite.
+            spark.catalog.clearCache()
+        runs.sort()
+        raw_runs[name] = [round(r, 3) for r in runs]
+        timings[name] = round(runs[len(runs) // 2], 3)
 
     # warm the JVM/codegen paths and the Python-UDF worker pool once so
     # per-query numbers measure the engine, not first-call JIT or
@@ -90,20 +130,17 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     for name, spec in REGISTRY.items():
-        t0 = time.perf_counter()
-        execute(spec.builder(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # operators that materialize sketch frames persist them; drop
-        # between queries so memory stays flat across the suite.
-        spark.catalog.clearCache()
+        timed(name, lambda spec=spec: spec.builder(spark, SF_DIR))
 
     with tempfile.TemporaryDirectory() as tmp:
         paths = _gen_logs(tmp)
         conf = load_config(os.path.join(REPO, "configs", "takuan.yml"), year=2026)
-        t0 = time.perf_counter()
-        events = compile_batch(spark, conf, paths=paths)
-        execute(address_report(events, country_cols=None))
-        timings["log_pipeline"] = round(time.perf_counter() - t0, 3)
+
+        def build_pipeline():
+            events = compile_batch(spark, conf, paths=paths)
+            return address_report(events, country_cols=None)
+
+        timed("log_pipeline", build_pipeline)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -112,32 +149,46 @@ def main() -> None:
     # artifact tail-captures ~2000 chars of stdout, which >100 query
     # names cannot fit) plus an early stdout line for log readers.
     detail = {
-        "metric": "takuan_spark full query suite, sec (noop sink)",
+        "metric": "takuan_spark full query suite, sec (noop sink, median)",
         "value": total,
         "unit": "sec",
+        "repeats": REPEATS,
         "queries": timings,
+        "runs": raw_runs,
         "sf": sf_val,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh)
-    print(json.dumps(detail))
-    # LAST line: the compact parseable summary, sized to survive tail
-    # capture — total, count, mean, and the slowest queries; the full
-    # map lives in BENCH_DETAIL.json (committed with the repo).
+    print(json.dumps({k: v for k, v in detail.items() if k != "runs"}))
+    # LAST line: the compact parseable summary, sized to survive the
+    # driver's hard 2000-char tail capture. Self-contained at the
+    # family grain: "families" is a COMPLETE rollup (every query is in
+    # exactly one family), "slowest" the top individual offenders;
+    # per-query medians + raw runs live in BENCH_DETAIL.json.
+    families: dict[str, list[float]] = {}
+    for name, sec in timings.items():
+        fam = families.setdefault(_family(name), [0, 0.0])
+        fam[0] += 1
+        fam[1] = round(fam[1] + sec, 3)
+    vals = sorted(timings.values())
     slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:15]
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:12]
     )
     print(
         json.dumps(
             {
-                "metric": "takuan_spark full query suite, sec (noop sink)",
+                "metric": "takuan_spark full query suite, sec (noop sink, median)",
                 "value": total,
                 "unit": "sec",
                 "sf": sf_val,
+                "repeats": REPEATS,
                 "n_queries": len(timings),
                 "mean_sec": round(total / len(timings), 3),
-                "queries": slowest,
-                "queries_truncated": True,
+                "p50_sec": round(vals[len(vals) // 2], 3),
+                "p95_sec": round(vals[int(len(vals) * 0.95)], 3),
+                "max_sec": vals[-1],
+                "families": families,
+                "slowest": slowest,
                 "detail": "BENCH_DETAIL.json",
             },
             separators=(",", ":"),

@@ -131,6 +131,7 @@ def _run_sql(args) -> int:
     if os.path.isdir(events_path):
         spark.read.parquet(events_path).createOrReplaceTempView("events")
     if args.tables:
+        registered: dict[str, str] = {}
         for fname in sorted(os.listdir(args.tables)):
             if fname.endswith(".parquet"):
                 # view names must be identifiers: a part file like
@@ -139,6 +140,18 @@ def _run_sql(args) -> int:
                 view = re.sub(
                     r"\W", "_", fname[: -len(".parquet")]
                 ).lstrip("0123456789_") or "t"
+                # two files sanitizing to one identifier would silently
+                # shadow each other (last registered wins) and a query
+                # would read the wrong table — fail loudly instead
+                if view in registered:
+                    print(
+                        f"error: table files {registered[view]!r} and "
+                        f"{fname!r} both register as view {view!r}; "
+                        "rename one",
+                        file=sys.stderr,
+                    )
+                    return 2
+                registered[view] = fname
                 spark.read.parquet(
                     os.path.join(args.tables, fname)
                 ).createOrReplaceTempView(view)

@@ -39,9 +39,14 @@ from pyspark.sql import functions as F
 
 from takuan_spark.operators.skew import materialize
 
-#: rank key = degree * RANK_BASE + node id: one bigint totally ordering
-#: (degree, id) pairs. Valid while ids < RANK_BASE and degrees <
-#: 2^63 / RANK_BASE ~ 9.2e9 — both far beyond any realistic graph here.
+#: Oracle-SQL-side rank key encoding: degree * RANK_BASE + node id — one
+#: bigint totally ordering (degree, id) pairs for INTEGRAL ids < RANK_BASE
+#: (the oracle queries' domain; part keys top out far below 1e9). The
+#: engine side does NOT use this encoding: ``_oriented`` ranks by a
+#: ``struct(degree, id)`` key, which Spark orders lexicographically, so
+#: string ids (``cooccurrence_edges`` legitimately emits them) and ids
+#: >= RANK_BASE order correctly with no overflow/collision precondition.
+#: The two orders coincide exactly on the oracle's integral domain.
 RANK_BASE = 1_000_000_000
 
 #: PageRank constants, embedded as the same literals in oracle SQL.
@@ -87,14 +92,16 @@ def degrees(edges: DataFrame) -> DataFrame:
 
 def _oriented(edges: DataFrame, deg: DataFrame) -> DataFrame:
     """Orient each edge from lower to higher (degree, id) rank:
-    (src, dst, kd) where kd is the dst's rank key."""
+    (src, dst, kd) where kd is the dst's rank key — a struct(degree, id)
+    compared lexicographically, so any orderable id type (bigint OR
+    string) works and there is no magnitude precondition."""
     e = (
         edges.select("u", "v")
         .join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
         .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
     )
-    ku = F.col("du") * RANK_BASE + F.col("u")
-    kv = F.col("dv") * RANK_BASE + F.col("v")
+    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
     return e.select(
         F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("dst"),

@@ -156,15 +156,19 @@ def bmp_encode(img) -> bytes:
     import numpy as np
 
     img = np.asarray(img)
+    if img.size == 0:
+        raise ValueError("cannot encode an empty image")
     if img.dtype != np.uint8:
         # tobytes() on a wider dtype would write N bytes per channel
         # while the header stride assumes 1 — a silently corrupt file.
         # Pixel arithmetic upstream (numpy promotes to int64/float64)
         # must come back to 8-bit here; out-of-range values are the
-        # caller's bug, truncation is not.
+        # caller's bug. Fractional values (interpolating resizers emit
+        # them) are ROUNDED to nearest, never truncated toward zero —
+        # astype() alone would silently map 254.7 -> 254.
         if img.min() < 0 or img.max() > 255:
             raise ValueError("pixel values outside [0, 255]")
-        img = img.astype(np.uint8)
+        img = np.rint(img).astype(np.uint8)
     h, w, _ = img.shape
     stride = (w * 3 + 3) & ~3
     data_size = stride * h
@@ -317,6 +321,10 @@ def phash_pairs(
         raise ValueError(
             "pigeonhole completeness needs max_distance < bands"
         )
+    if dim % bands != 0:
+        # a remainder would leave the top dim % bands hash bits out of
+        # every band slice — silently weaker candidate discrimination.
+        raise ValueError(f"bands ({bands}) must divide dim ({dim})")
     from takuan_spark.operators.skew import materialize
 
     # both sides of the band join slice the same fingerprint frame;

@@ -152,26 +152,35 @@ def key_skew_profile(
     counts = materialize(
         df.groupBy(*keys).agg(F.count("*").alias("c"))
     )
+    # coalesce the zero-row aggregates: SUM/MAX over no rows are NULL,
+    # and NULL totals would propagate through every share — an empty
+    # input must read as an explicit "0 keys, 0 rows" diagnostic that
+    # downstream thresholding handles without NULL surprises.
     stats = counts.agg(
         F.count("*").cast("bigint").alias("n_keys"),
-        F.sum("c").cast("bigint").alias("total"),
-        F.max("c").cast("bigint").alias("max_c"),
-        F.sum(F.col("c") * F.log("c")).alias("_sc"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("total"),
+        F.coalesce(F.max("c"), F.lit(0)).cast("bigint").alias("max_c"),
+        F.coalesce(F.sum(F.col("c") * F.log("c")), F.lit(0.0)).alias("_sc"),
     )
     top = (
         counts.orderBy(F.desc("c"), *keys)
         .limit(topk)
-        .agg(F.sum("c").cast("bigint").alias("top_c"))
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("top_c"))
     )
     ent = (
         F.log(F.col("total").cast("double")) - F.col("_sc") / F.col("total")
     ) / F.log(F.col("n_keys").cast("double"))
+    nonempty = F.col("total") > 0
     return stats.crossJoin(F.broadcast(top)).select(
         "n_keys",
         "total",
-        F.round(F.col("max_c") / F.col("total"), 6).alias("max_share"),
-        F.round(F.col("top_c") / F.col("total"), 6).alias("topk_share"),
         F.round(
-            F.when(F.col("n_keys") > 1, ent).otherwise(F.lit(1.0)), 6
+            F.when(nonempty, F.col("max_c") / F.col("total"))
+        , 6).alias("max_share"),
+        F.round(
+            F.when(nonempty, F.col("top_c") / F.col("total"))
+        , 6).alias("topk_share"),
+        F.round(
+            F.when(F.col("n_keys") > 1, ent).when(nonempty, F.lit(1.0)), 6
         ).alias("norm_entropy"),
     )

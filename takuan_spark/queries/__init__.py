@@ -69,70 +69,50 @@ def query(name: str, oracle_sql: str | None, description: str = ""):
 # Anything past the cap this round rotates to the front next round;
 # every declared query is oracle-verified locally on every test run.
 PRIORITY: list[str] = [
-    # -- 1. never driver-checked (the 17 past r2's cap) ---------------
-    "q12_priority_by_returnflag", "q16_supplier_count_by_part",
-    "q17_small_quantity_revenue", "q18_large_orders",
-    "q20_promo_share_suppliers", "q22_idle_rich_customers",
-    "ns_kmv_distinct", "ns_cms_heavy_hitters", "ns_weighted_sample",
-    "q_asof_nearest_tolerance", "q_bloom_prefilter", "q_except_all",
-    "q_histogram", "q_null_safe_join", "q_percentiles",
-    "q_udtf_tokenize", "q_window_range_frame",
+    # -- 1. never driver-checked (the 9 added past r3's cap) ----------
+    # With these green, every query ever declared has a driver row.
+    "ns_cluster_sample", "ns_duplication_pareto", "ns_hard_negatives",
+    "ns_keyword_tagging", "ns_length_bucketing", "ns_winsorized_stats",
+    "q_ntile_deciles", "q_rolling_median", "q_unpivot_metrics",
     # -- 2. new this round --------------------------------------------
-    "q_stateful_alerts", "q_stateful_profile",
-    "ns_semdedup", "ns_substring_dedup", "ns_bm25_search",
-    "ns_shard_assign", "ns_dedup_pipeline", "q_interval_overlap_join",
-    "ns_unicode_normalize", "ns_dup_size_histogram", "ns_bm25_batch",
-    "q_sliding_distinct",
-    # session-2 additions: one representative of every NEW operator
-    # class first (these 20 + the groups above land positions 1..49)
-    "ns_hll_distinct", "ns_token_entropy",
-    "q_graph_triangles", "q_graph_pagerank", "mm_phash_neardup",
-    "q_quantile_sketch", "q_key_skew_profile",
-    "ns_containment_neardup", "ns_length_outliers", "ns_cluster_purity",
-    "q_corr_regression", "q_scd2_intervals",
-    "ns_bpe_merge_candidates", "ns_effective_corpus_size",
-    "ns_cms_join_size", "ns_kmv_set_ops",
-    "q_zorder_locality", "ns_epoch_novelty",
-    "ns_contrastive_triplets", "q_sliding_distinct_hll",
+    # streaming-maintainer batch analogs (first driver rows for the
+    # streaming family) and the round-4 operator additions
+    "q_stream_report_fold", "q_stream_sketch_fold",
+    "ns_minhash_prod_mode",
+    "ns_record_linkage", "ns_blocked_linkage",
+    "ns_kmeans_clusters", "ns_kmeans_assign",
+    "ns_url_extract", "ns_domain_dedup",
+    "ns_ngram_lm_stats", "ns_perplexity_filter",
+    "q_cdc_merge", "q_cdc_latest",
+    "ns_anchor_text", "ns_doc_graph_rank",
+    "q_range_bucket_join", "ns_quantile_bins",
+    "ns_minwise_containment", "q_approx_topk_freq",
+    "ns_mixture_schedule",
     # -- 3. changed this round ----------------------------------------
-    "ns_dedup_clusters",  # data-derived CC partitioning
-    # session-2 additions whose operator CLASS is already driver-
-    # covered by an in-window cousin (rolling median / ntile by the
-    # percentile+window family, winsorized by outliers, cluster_sample
-    # by purity, hard_negatives by triplets, unpivot by pivot) — they
-    # rotate to the front of round 4's window:
-    # (pareto by dup_size_histogram, keyword tagging by BM25's
-    # posting-list selection)
-    "q_rolling_median", "q_ntile_deciles", "ns_winsorized_stats",
-    "ns_cluster_sample", "ns_hard_negatives", "q_unpivot_metrics",
-    "ns_duplication_pareto", "ns_keyword_tagging",
-    "ns_length_bucketing",  # (by ns_pack_sequences' token budgeting)
-    # -- 4. backfill: r1-green, unchecked since r1 --------------------
-    # events-table consumers (ts normalization changed this round)
+    "q_bloom_prefilter",  # dual hash family (oracle mode default)
+    # -- 4. backfill: longest-unchecked r1 greens (none of these has
+    # had a row since r1; events-table consumers first) ---------------
     "q_sliding_window", "q_session_window", "q_funnel",
     "q_cohort_retention", "q_asof_join", "q_stats_agg",
     "q_pivot_conditional",
-    # multimodal family
     "mm_media_summary", "mm_feature_extract", "mm_frame_sample",
-    # dedup/text/similarity r1 greens
     "ns_dedup_exact", "ns_dedup_incremental", "ns_jaccard_neardup",
     "ns_embedding_neardup", "ns_text_stats", "ns_lang_id",
     "ns_quality_score", "ns_stratified_sample", "ns_tfidf_topterms",
     "ns_winnow_fingerprint",
-    # (the ~50-row driver cap lands at the end of group 3 this round —
-    # everything below is backfill with an r1/r2 row already on record)
     "ns_fingerprint", "ns_similarity_topk", "ns_knn_join",
-    # relational r1 greens
-    "q_scalar_subquery",
-    "q_correlated_subquery", "q_array_functions",
+    "q_scalar_subquery", "q_correlated_subquery", "q_array_functions",
     "q_full_outer_join", "q_ip_range_join", "q_ip_range_join_bucketed",
-    "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q1_pricing_summary", "q3_shipping_priority",
+    # (~the 50-row driver cap lands here this round — below is deeper
+    # backfill, r1/r2/r3 rows already on record, still locally
+    # oracle-verified by tests/test_oracle.py on every run)
+    "q5_local_supplier_volume",
     "q_top_customers", "q_grouping_sets", "q_window_lag_lead",
     "q_window_rank", "q_rollup", "q6_forecast_revenue",
     "q4_order_priority", "q10_returned_items", "q14_promo_revenue",
     "q19_disjunctive_filter", "q_cube", "q_pandas_udaf",
-    # -- 5. r2 greens (on record in CORRECTNESS_r02) ------------------
+    # -- 5. r2 greens -------------------------------------------------
     "takuan_address_report", "takuan_country_topk", "takuan_rule_filter",
     "takuan_rule_label", "takuan_json_extract", "takuan_hourly_window",
     "takuan_regex_tokenize", "takuan_geo_enrich_join",
@@ -153,6 +133,29 @@ PRIORITY: list[str] = [
     "ns_pii_redact", "ns_sample_to_mix", "ns_chunk_documents",
     "ns_rag_pipeline", "q_gap_fill_interpolate", "q_hypertable_rollup",
     "q11_part_value_share",
+    # -- 6. r3 greens (all 50 on record in CORRECTNESS_r03) -----------
+    "q12_priority_by_returnflag", "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q20_promo_share_suppliers", "q22_idle_rich_customers",
+    "ns_kmv_distinct", "ns_cms_heavy_hitters", "ns_weighted_sample",
+    "q_asof_nearest_tolerance", "q_except_all",
+    "q_histogram", "q_null_safe_join", "q_percentiles",
+    "q_udtf_tokenize", "q_window_range_frame",
+    "q_stateful_alerts", "q_stateful_profile",
+    "ns_semdedup", "ns_substring_dedup", "ns_bm25_search",
+    "ns_shard_assign", "ns_dedup_pipeline", "q_interval_overlap_join",
+    "ns_unicode_normalize", "ns_dup_size_histogram", "ns_bm25_batch",
+    "q_sliding_distinct",
+    "ns_hll_distinct", "ns_token_entropy",
+    "q_graph_triangles", "q_graph_pagerank", "mm_phash_neardup",
+    "q_quantile_sketch", "q_key_skew_profile",
+    "ns_containment_neardup", "ns_length_outliers", "ns_cluster_purity",
+    "q_corr_regression", "q_scd2_intervals",
+    "ns_bpe_merge_candidates", "ns_effective_corpus_size",
+    "ns_cms_join_size", "ns_kmv_set_ops",
+    "q_zorder_locality", "ns_epoch_novelty",
+    "ns_contrastive_triplets", "q_sliding_distinct_hll",
+    "ns_dedup_clusters",
 ]
 
 

@@ -27,9 +27,9 @@ This module supplies those side effects as composable hooks for
 
 from __future__ import annotations
 
-import csv
 import json
 import os
+import shutil
 import subprocess
 import urllib.request
 from collections.abc import Callable
@@ -52,24 +52,35 @@ def _timestamp(now: datetime | None) -> str:
 def drop_report_csv(
     report: DataFrame, out_dir: str, *, now: datetime | None = None
 ) -> str:
-    """Write the address report as ONE publishable CSV file (atomic
-    tmp+rename) and return its path.
+    """Write the address report as ONE publishable CSV file (the
+    reference's filename and 5-column header) and return its path.
 
-    The report is the output of ``operators/reports.py:address_report``
-    — top-k sized, so the driver-side collect is bounded by design; the
-    heavy reduction already happened in the distributed plan.
+    The report from ``operators/reports.py:address_report`` has one row
+    per distinct attacker address — UNBOUNDED at scale — so it is never
+    collected to the driver: a single output task streams the sorted
+    result straight to disk (``coalesce(1)`` over the range-sorted
+    report preserves the count-desc order), and the part file is then
+    renamed into place (same filesystem, atomic for readers).
     """
     base = f"report_{_timestamp(now)}.csv"
     final = os.path.join(out_dir, base)
-    tmp = final + ".tmp"
-    rows = report.select(*REPORT_COLUMNS).collect()
     os.makedirs(out_dir, exist_ok=True)
-    with open(tmp, "w", newline="") as fp:
-        w = csv.writer(fp)
-        w.writerow(REPORT_COLUMNS)
-        for r in rows:
-            w.writerow(["" if r[c] is None else r[c] for c in REPORT_COLUMNS])
-    os.rename(tmp, final)
+    staging = os.path.join(out_dir, f".{base}.staging")
+    (
+        report.select(*REPORT_COLUMNS)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("emptyValue", "")
+        .csv(staging)
+    )
+    part = next(
+        p
+        for p in os.listdir(staging)
+        if p.startswith("part-") and p.endswith(".csv")
+    )
+    os.replace(os.path.join(staging, part), final)
+    shutil.rmtree(staging, ignore_errors=True)
     return final
 
 

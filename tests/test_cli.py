@@ -208,3 +208,20 @@ def test_cli_sql_mode_bad_tables_dir_is_clean_error(tmp_path, capsys):
     )
     assert rc == 2
     assert "not found" in capsys.readouterr().err
+
+
+def test_cli_sql_mode_view_name_collision_is_error(spark, tmp_path, capsys):
+    # "a-b.parquet" and "a_b.parquet" both sanitize to view a_b: the
+    # session must refuse (silent last-wins shadowing would let a query
+    # read the wrong table).
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    spark.range(1).write.parquet(str(tables / "a-b.parquet"))
+    spark.range(2).write.parquet(str(tables / "a_b.parquet"))
+    rc = main(
+        ["--sql", "SELECT COUNT(*) AS n FROM a_b", "--tables",
+         str(tables), "--out", str(tmp_path / "out")]
+    )
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "a_b" in err and "rename" in err

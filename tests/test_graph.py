@@ -93,3 +93,24 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         pr = 0.15 / n + 0.85 * (m @ pr)
     for node, val in out.items():
         assert abs(val - pr[node]) < 1e-6
+
+
+def test_triangle_stats_string_node_ids(spark):
+    # cooccurrence_edges legitimately emits string item ids; the
+    # struct(degree, id) rank key must order them (the old bigint
+    # encoding silently produced NULL keys -> 0 triangles).
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "u string, v string",
+    )
+    row = graph.triangle_stats(tri).collect()[0]
+    assert row["n_triangles"] == 1
+    assert row["n_wedges"] == 5
+
+
+def test_triangle_stats_huge_ids_no_collision(spark):
+    # ids far above 1e9 (the old RANK_BASE) must not collide/overflow.
+    base = 50_000_000_000
+    tri = [(base, base + 1), (base + 1, base + 2), (base, base + 2)]
+    row = graph.triangle_stats(_edges(spark, tri)).collect()[0]
+    assert row["n_triangles"] == 1 and row["n_nodes"] == 3

@@ -718,3 +718,25 @@ def test_bmp_encode_pixels_roundtrip():
     img = (np.arange(5 * 3 * 3) % 256).astype(np.uint8).reshape(5, 3, 3)
     back = multimodal.bmp_pixels(multimodal.bmp_encode(img))
     assert (back == img).all()
+
+
+def test_bmp_encode_rounds_fractional_and_rejects_bad():
+    import numpy as np
+    import pytest as _pytest
+
+    # interpolating resizers emit fractional pixels: round to nearest,
+    # never truncate (254.7 must encode as 255, not 254)
+    img = np.full((2, 2, 3), 254.7)
+    back = multimodal.bmp_pixels(multimodal.bmp_encode(img))
+    assert (back == 255).all()
+    with _pytest.raises(ValueError, match="outside"):
+        multimodal.bmp_encode(np.full((2, 2, 3), 300.0))
+    with _pytest.raises(ValueError, match="empty"):
+        multimodal.bmp_encode(np.zeros((0, 0, 3)))
+
+
+def test_phash_pairs_bands_must_divide_dim():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divide"):
+        multimodal.phash_pairs(None, dim=16, bands=3, max_distance=2)

@@ -144,3 +144,14 @@ def test_zorder_ranges_bound_both_dims(spark):
         .collect()
     )
     assert spans and all(r["sa"] <= 63 and r["sb"] <= 63 for r in spans)
+
+
+def test_key_skew_profile_empty_input(spark):
+    from takuan_spark.operators.skew import key_skew_profile
+
+    empty = spark.createDataFrame([], "k int")
+    row = key_skew_profile(empty, key_cols=["k"]).collect()[0]
+    # explicit zeroed diagnostic, NULL shares (0/0 is undefined, not 0)
+    assert row["n_keys"] == 0 and row["total"] == 0
+    assert row["max_share"] is None and row["topk_share"] is None
+    assert row["norm_entropy"] is None
