@@ -13,6 +13,18 @@ The filter state is a sorted array of occupied bucket ids (at most
 ``array_contains`` lookups AND-ed together — pure codegen'd
 expressions on the fact side; no UDFs, no join until after the
 pre-filter has discarded the misses.
+
+Two hash families behind one bucket interface:
+
+- ``family="md5"`` (default, ORACLE mode): md5-derived buckets an
+  external SQL engine reproduces bit-for-bit — the correctness-gate
+  family. Cost: one md5 over a materialized string per (row, hash).
+- ``family="xxhash64"`` (PRODUCTION mode): Spark-native xxhash64 over
+  the raw column — no string materialization, stays integer-typed
+  inside whole-stage codegen. Same no-false-negative guarantee (any
+  key present at build time passes the probe), so any query that
+  verifies with the real join downstream is exact under either family;
+  only the false-positive SET differs.
 """
 
 from __future__ import annotations
@@ -22,8 +34,16 @@ from pyspark.sql import functions as F
 
 from takuan_spark.operators.hashing import md5_int, sql_md5_int
 
+FAMILIES = ("md5", "xxhash64")
 
-def _bucket(key: Column, j: int, mbits: int) -> Column:
+
+def _bucket(key: Column, j: int, mbits: int, family: str = "md5") -> Column:
+    if family == "xxhash64":
+        # seed-per-hash via a leading literal column; pmod (not %) so
+        # negative hashes land in [0, mbits)
+        return F.pmod(F.xxhash64(F.lit(j), key), F.lit(mbits)).cast("int")
+    if family != "md5":
+        raise ValueError(f"unknown bloom hash family {family!r}; use {FAMILIES}")
     return (
         md5_int(F.concat_ws(":", F.lit(j), key), hex_chars=15) % F.lit(mbits)
     ).cast("int")
@@ -35,6 +55,7 @@ def bloom_build(
     key_col: str,
     mbits: int = 1024,
     k: int = 3,
+    family: str = "md5",
 ) -> DataFrame:
     """One-row frame ``(bloom array<int>)``: the sorted distinct bucket
     ids occupied by the key set under ``k`` hash functions. Bounded by
@@ -42,7 +63,9 @@ def bloom_build(
     broadcastable when the dim is too big to broadcast raw."""
     buckets = keys.where(F.col(key_col).isNotNull()).select(
         F.explode(
-            F.array(*[_bucket(F.col(key_col), j, mbits) for j in range(k)])
+            F.array(
+                *[_bucket(F.col(key_col), j, mbits, family) for j in range(k)]
+            )
         ).alias("b")
     )
     return buckets.agg(F.sort_array(F.collect_set("b")).alias("bloom"))
@@ -55,6 +78,7 @@ def bloom_prefilter(
     key_col: str,
     mbits: int = 1024,
     k: int = 3,
+    family: str = "md5",
 ) -> DataFrame:
     """Fact rows whose key MIGHT be in the filter (all ``k`` buckets
     occupied). The one-row bloom frame is broadcast; the membership
@@ -70,7 +94,7 @@ def bloom_prefilter(
     cond: Column = F.col(key_col).isNotNull()
     for j in range(k):
         cond = cond & F.array_contains(
-            F.col("bloom"), _bucket(F.col(key_col), j, mbits)
+            F.col("bloom"), _bucket(F.col(key_col), j, mbits, family)
         )
     return fact.crossJoin(F.broadcast(bloom)).where(cond).drop("bloom")
 

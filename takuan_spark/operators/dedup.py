@@ -417,15 +417,27 @@ def minhash_signatures(
     num_hashes: int = 64,
     n: int = 3,
     seed: int = 42,
+    family: str = "md5",
 ) -> DataFrame:
     """(id, signature array<long>[num_hashes]) MinHash signatures.
 
-    Hash family: the md5-derived universal family
-    ``h_i(s) = (a_i * md5_32(s) + b_i) mod (2^31-1)`` — ONE md5 per
-    shingle, then ``num_hashes`` codegen'd affine maps; the signature is
-    the per-i minimum. Portable: an external SQL engine derives the
-    exact same integers (operators/hashing.py), so MinHash output is
-    hash-match oracle-checkable.
+    Hash family (``family``):
+
+    - ``"md5"`` (default, ORACLE mode): the md5-derived universal family
+      ``h_i(s) = (a_i * md5_32(s) + b_i) mod (2^31-1)`` — ONE md5 per
+      shingle, then ``num_hashes`` codegen'd affine maps; the signature
+      is the per-i minimum. Portable: an external SQL engine derives the
+      exact same integers (operators/hashing.py), so MinHash output is
+      hash-match oracle-checkable.
+    - ``"xxhash64"`` (PRODUCTION mode): the base shingle hash is
+      Spark-native ``xxhash64`` folded into the same Mersenne domain —
+      no md5 string digest per shingle, the whole signature stays in
+      whole-stage codegen. Identical affine maps and estimator; both
+      families are uniform over the same domain, so near-dup RECALL
+      characteristics match (tests/test_northstar.py asserts pair
+      parity on a corpus with real near-dups) — only the concrete
+      signature integers differ, which is why this mode has no SQL
+      oracle.
 
     Shape: explode shingles → 64-way min groupBy. This is deliberately
     NOT a per-row ``transform``/``array_min`` fold: higher-order-function
@@ -435,8 +447,14 @@ def minhash_signatures(
     co-partitioned with it, so partial aggregation collapses them to one
     64-long signature row per doc before the exchange.
     """
+    if family == "xxhash64":
+        base = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE31))
+    elif family == "md5":
+        base = md5_int("shingle") % F.lit(MERSENNE31)
+    else:
+        raise ValueError(f"unknown minhash family {family!r}")
     sh = shingle_df(df, text_col=text_col, id_col=id_col, n=n).select(
-        id_col, (md5_int("shingle") % F.lit(MERSENNE31)).alias("hb")
+        id_col, base.alias("hb")
     )
     mins = [
         F.min(affine(F.col("hb"), a, b)).alias(f"h{i}")
@@ -466,6 +484,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     n: int = 3,
     threshold: float = 0.8,
+    family: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs via MinHash LSH banding (the 100 TB discovery path).
 
@@ -480,7 +499,12 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     sig = materialize(
         minhash_signatures(
-            df, text_col=text_col, id_col=id_col, num_hashes=num_hashes, n=n
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            n=n,
+            family=family,
         )
     )
     band_entries = F.array(

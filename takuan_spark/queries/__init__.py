@@ -14,11 +14,15 @@ schema + order-insensitive value hash), so:
 - orderings carry stable tiebreak keys, and string encodings (counter
   segments, fingerprints) are defined deterministically.
 
-Since round 2 EVERY registered query carries an oracle — the sketch
+Since round 2 every registered query carries an oracle — the sketch
 families (MinHash, SimHash, LSH, IVF, PQ) were made externally
 reproducible via md5-derived hashes and literal-embedded
 hyperplanes/centroids/codebooks; tests/test_northstar.py additionally
-pins their semantics against independent Python implementations.
+pins their semantics against independent Python implementations. The
+single deliberate exception: ``ns_minhash_prod_mode`` (round 4) runs
+the xxhash64 PRODUCTION hash family, which no external SQL engine can
+reproduce — it takes the driver's weaker rows-only check, and its
+family parity against the md5 oracle mode is pytest-asserted instead.
 """
 
 from __future__ import annotations
@@ -78,7 +82,7 @@ PRIORITY: list[str] = [
     # streaming-maintainer batch analogs (first driver rows for the
     # streaming family) and the round-4 operator additions
     "q_stream_report_fold", "q_stream_sketch_fold",
-    "ns_minhash_prod_mode",
+    "ns_minhash_prod_mode", "q_bloom_prefilter_prod",
     "ns_record_linkage", "ns_blocked_linkage",
     "ns_kmeans_clusters", "ns_kmeans_assign",
     "ns_url_extract", "ns_domain_dedup",
@@ -192,9 +196,11 @@ def _load() -> None:
         graph,
         multimodal,
         northstar,
+        prod_mode,
         relational,
         sketches,
         stateful_analog,
+        stream_analog,
         takuan,
         training,
         udtf_surface,

@@ -1,0 +1,148 @@
+"""Driver-checkable batch analogs of the streaming maintainers.
+
+The streaming family (``streaming/report_stream.py``,
+``streaming/sketch_stream.py``) maintains epoch-partitioned partial
+state (per-batch report partials, per-batch KMV sketches) that readers
+fold into the current answer. Its correctness property is the FOLD
+ALGEBRA: partial-per-epoch then merge must equal computing over all
+events at once. pytest proves it with live streams; these queries prove
+the same algebra through the driver's DuckDB oracle gate by running the
+real sink + reader code over a deterministic epoch split of the batch
+events table:
+
+1. split events into 4 epochs (``pmod(event_id, 4)`` — deterministic,
+   partitioning-invariant);
+2. feed each epoch through the ACTUAL ``foreachBatch`` sink (same
+   function the stream driver calls), landing `epoch=<id>` partitions
+   under a scratch table;
+3. return the ACTUAL reader fold (``merged_report`` /
+   ``kmv_stream_estimate``) over the maintained table.
+
+The oracle computes the answer directly over all events — a green row
+means sink + table layout + reader fold compose to the exact batch
+semantics. The scratch table is rebuilt per call (keyed by sf_dir so
+sf0.01 correctness runs and sf0.1 bench runs never cross-read) and the
+write cost is inside the benched window — honest maintainer cost.
+
+Ref: core/reporter.go:102-168 (the report this maintains incrementally);
+the reference recomputes from scratch per flush tick, the scale path
+folds O(epochs x addresses) partials instead of re-scanning history.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from takuan_spark.operators import sketches
+from takuan_spark.queries import query
+from takuan_spark.tables import load_table
+
+_N_EPOCHS = 4
+_KMV_K = 32
+
+
+def _scratch(sf_dir: str, kind: str) -> str:
+    """Fresh scratch table path, unique per (sf_dir, kind) so runs at
+    different scale factors never read each other's epochs."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(
+        tempfile.gettempdir(), f"takuan_stream_fold_{kind}_{tag}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def _epoch_batches(ev: DataFrame):
+    """The deterministic 4-way epoch split of the events table."""
+    for e in range(_N_EPOCHS):
+        yield e, ev.where(F.pmod(F.col("event_id"), F.lit(_N_EPOCHS)) == e)
+
+
+@query(
+    "q_stream_report_fold",
+    """
+    WITH inner_counts AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT user_id AS address,
+           CAST(NULL AS VARCHAR) AS country_code,
+           CAST(NULL AS VARCHAR) AS country_name,
+           CAST(SUM(cnt) AS BIGINT) AS total_events,
+           string_agg('ev/' || event_type || ':' || CAST(cnt AS VARCHAR),
+                      '|' ORDER BY 'ev/' || event_type || ':'
+                                   || CAST(cnt AS VARCHAR)) AS counters
+    FROM inner_counts
+    GROUP BY user_id
+    ORDER BY total_events DESC, address
+    """,
+    "Streaming report maintainer, driver-checked: 4 deterministic "
+    "epochs through the REAL report_sink (per-epoch partials, dynamic "
+    "partition overwrite) then the REAL merged_report fold — green "
+    "proves partial-then-merge equals the all-at-once address report "
+    "(the linearity the incremental view depends on at 100 TB).",
+)
+def q_stream_report_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.streaming.report_stream import merged_report, report_sink
+
+    table = _scratch(sf_dir, "report")
+    ev = load_table(spark, sf_dir, "events")
+    sink = report_sink(table)
+    for e, batch in _epoch_batches(ev):
+        sink(
+            batch.select(
+                F.col("user_id").alias("address"),
+                F.lit("ev").alias("sensor"),
+                F.col("event_type").alias("rule"),
+                F.lit(None).cast("string").alias("country_code"),
+                F.lit(None).cast("string").alias("country_name"),
+            ),
+            e,
+        )
+    return merged_report(spark, table)
+
+
+@query(
+    "q_stream_sketch_fold",
+    sketches.kmv_oracle_sql(
+        source_expr="events",
+        group_col="event_type",
+        value_col="CAST(user_id AS VARCHAR)",
+        k=_KMV_K,
+    )
+    + "\nORDER BY event_type",
+    "Streaming KMV sketch maintainer, driver-checked: 4 epochs through "
+    "the REAL kmv_sketch_sink (k=32 sketches per epoch partition, k "
+    "stamped in the table marker) then the REAL kmv_stream_estimate "
+    "fold — green proves the epoch-merged k-minimum set equals the "
+    "global sketch (the associativity that lets 100 TB of stream "
+    "history reduce to groups x epochs x k hashes).",
+)
+def q_stream_sketch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.streaming.sketch_stream import (
+        kmv_sketch_sink,
+        kmv_stream_estimate,
+    )
+
+    table = _scratch(sf_dir, "kmv")
+    ev = load_table(spark, sf_dir, "events")
+    sink = kmv_sketch_sink(
+        table, group_cols=["event_type"], value_col="uid", k=_KMV_K
+    )
+    for e, batch in _epoch_batches(ev):
+        sink(
+            batch.select(
+                "event_type", F.col("user_id").cast("string").alias("uid")
+            ),
+            e,
+        )
+    return kmv_stream_estimate(
+        spark, table, group_cols=["event_type"], k=_KMV_K
+    ).orderBy("event_type")

@@ -740,3 +740,44 @@ def test_phash_pairs_bands_must_divide_dim():
 
     with _pytest.raises(ValueError, match="divide"):
         multimodal.phash_pairs(None, dim=16, bands=3, max_distance=2)
+
+
+def test_minhash_family_parity_and_bloom_prod(spark, sf_dir):
+    """PRODUCTION hash family (xxhash64): recall parity with the md5
+    oracle family on the planted near-dups, and the production bloom's
+    post-join answer must be family-invariant (no false negatives)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert exact
+    prod = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, threshold=0.5, family="xxhash64"
+        ).collect()
+    }
+    assert not (exact - prod), "xxhash64 family missed planted near-dups"
+
+    from takuan_spark.operators import bloom
+
+    keys = spark.createDataFrame([(i,) for i in range(0, 50, 5)], "k long")
+    fact = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    for fam in bloom.FAMILIES:
+        bl = bloom.bloom_build(keys, key_col="k", mbits=64, k=3, family=fam)
+        passed = bloom.bloom_prefilter(
+            fact, bl, key_col="k", mbits=64, k=3, family=fam
+        )
+        got = {
+            r["k"]
+            for r in passed.join(keys, "k", "left_semi").collect()
+        }
+        assert got == set(range(0, 50, 5)), fam
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="family"):
+        bloom.bloom_build(keys, key_col="k", family="fnv")
+    with _pytest.raises(ValueError, match="family"):
+        dedup.minhash_signatures(docs, family="fnv")
