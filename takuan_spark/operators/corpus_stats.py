@@ -1,0 +1,215 @@
+"""Corpus governance operators: dataset cards, domain importance
+weights, and training-mixture schedules.
+
+These are the bookkeeping layer of a training-data pipeline — the
+numbers that decide WHAT to train on before any tokens move:
+
+- :func:`dataset_card` — the per-source fact sheet (docs, tokens,
+  vocabulary, length profile, language-mix entropy) every corpus
+  release ships with.
+- :func:`importance_weights` — DoReMi-style domain reweighting: each
+  source's sampling weight is target-share / observed-share, clipped,
+  so underrepresented sources oversample and dominant ones shrink.
+- :func:`mixture_schedule` — given a target language mixture and a
+  token budget, how many epochs of each slice the dataloader must
+  draw, flagging slices that repeat (epochs > 1).
+
+All three reduce the corpus to per-group scalars with map-side
+combined aggregates; the widest shuffle key is a (source, token) pair
+for the vocabulary count. Nothing here grows with document size."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from takuan_spark.operators.lm import positioned_tokens
+
+
+def dataset_card(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """One row per source: n_docs, n_tokens, vocab, mean_doc_tokens,
+    min/max length, and the Shannon entropy (natural log) of the
+    source's language distribution."""
+    toks = positioned_tokens(docs, text_col=text_col, id_col=id_col).join(
+        docs.select(id_col, group_col), id_col
+    )
+    tok_stats = toks.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.countDistinct("tok").cast("bigint").alias("vocab"),
+    )
+    lang_counts = docs.groupBy(group_col, lang_col).agg(
+        F.count("*").alias("lc")
+    )
+    lang_ent = (
+        lang_counts.groupBy(group_col)
+        .agg(
+            F.sum("lc").alias("n"),
+            F.sum(F.col("lc") * F.log("lc")).alias("_sl"),
+        )
+        .select(
+            group_col,
+            F.round(
+                F.log(F.col("n").cast("double")) - F.col("_sl") / F.col("n"),
+                6,
+            ).alias("lang_entropy"),
+        )
+    )
+    doc_stats = docs.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min(len_col).cast("bigint").alias("min_chars"),
+        F.max(len_col).cast("bigint").alias("max_chars"),
+    )
+    return (
+        doc_stats.join(tok_stats, group_col)
+        .join(lang_ent, group_col)
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            "vocab",
+            F.round(F.col("n_tokens") / F.col("n_docs"), 4).alias(
+                "mean_doc_tokens"
+            ),
+            "min_chars",
+            "max_chars",
+            "lang_entropy",
+        )
+    )
+
+
+def vocabulary_overlap(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the contamination
+    / redundancy map of a multi-source corpus. Discovery is an
+    inverted-index join on the TOKEN (each token contributes its
+    source-pair combinations), never a doc-level cross join; the output
+    is one row per source pair (src_a < src_b) with shared / jaccard.
+    Shuffle width is (distinct tokens x sources), corpus-size
+    independent."""
+    vocab = (
+        positioned_tokens(docs, text_col=text_col, id_col=id_col)
+        .join(docs.select(id_col, group_col), id_col)
+        .select(F.col(group_col).alias("g"), "tok")
+        .distinct()
+    )
+    from takuan_spark.operators.skew import materialize
+
+    vocab = materialize(vocab)
+    sizes = vocab.groupBy("g").agg(F.count("*").alias("nv"))
+    a = vocab.select(F.col("g").alias("src_a"), "tok")
+    b = vocab.select(F.col("g").alias("src_b"), "tok")
+    shared = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("g").alias("src_a"), F.col("nv").alias("na")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("g").alias("src_b"), F.col("nv").alias("nb")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.round(
+                F.col("shared")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def importance_weights(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    clip_lo: float = 0.2,
+    clip_hi: float = 5.0,
+) -> DataFrame:
+    """Per-source sampling weights toward a UNIFORM target mixture:
+    ``w = clip((1/n_groups) / observed_token_share, lo, hi)`` — the
+    degenerate (uniform-target) DoReMi reweighting. Output: (source,
+    n_tokens, share, weight, eff_tokens = tokens * weight)."""
+    toks = positioned_tokens(docs, text_col=text_col, id_col=id_col).join(
+        docs.select(id_col, group_col), id_col
+    )
+    per = toks.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens")
+    )
+    totals = per.agg(
+        F.sum("n_tokens").cast("double").alias("total"),
+        F.count("*").cast("double").alias("n_groups"),
+    )
+    share = F.col("n_tokens") / F.col("total")
+    weight = F.least(
+        F.greatest(
+            (F.lit(1.0) / F.col("n_groups")) / share, F.lit(clip_lo)
+        ),
+        F.lit(clip_hi),
+    )
+    return per.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        "n_tokens",
+        F.round(share, 6).alias("share"),
+        F.round(weight, 6).alias("weight"),
+        F.round(F.col("n_tokens") * weight, 2).alias("eff_tokens"),
+    )
+
+
+def mixture_schedule(
+    docs: DataFrame,
+    target: dict[str, float],
+    *,
+    token_budget: int,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Epochs-per-slice plan for a target mixture: slice ``g`` must
+    contribute ``target[g] * token_budget`` tokens, so the dataloader
+    draws ``alloc / available`` epochs of it (> 1 means the slice
+    repeats — the oversampling flag a mixture review looks for).
+    ``target`` is a literal plan (weights over group values); groups
+    absent from it get weight 0."""
+    toks = positioned_tokens(docs, text_col=text_col, id_col=id_col).join(
+        docs.select(id_col, group_col), id_col
+    )
+    per = toks.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens")
+    )
+    tgt = F.create_map(
+        *[F.lit(x) for kv in target.items() for x in kv]
+    )
+    share = F.coalesce(F.element_at(tgt, F.col(group_col)), F.lit(0.0))
+    alloc = share * F.lit(float(token_budget))
+    epochs = alloc / F.col("n_tokens")
+    return per.select(
+        group_col,
+        "n_tokens",
+        F.round(share, 6).alias("target_share"),
+        F.round(alloc, 2).alias("alloc_tokens"),
+        F.round(epochs, 4).alias("epochs"),
+        (epochs > 1.0).alias("oversampled"),
+    )

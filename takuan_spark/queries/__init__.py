@@ -85,13 +85,13 @@ PRIORITY: list[str] = [
     "ns_minhash_prod_mode", "q_bloom_prefilter_prod",
     "ns_record_linkage", "ns_blocked_linkage",
     "ns_kmeans_clusters", "ns_kmeans_assign",
-    "ns_url_extract", "ns_domain_dedup",
+    "ns_token_pmi", "ns_source_overlap",
     "ns_ngram_lm_stats", "ns_perplexity_filter",
     "q_cdc_merge", "q_cdc_latest",
-    "ns_anchor_text", "ns_doc_graph_rank",
-    "q_range_bucket_join", "ns_quantile_bins",
-    "ns_minwise_containment", "q_approx_topk_freq",
-    "ns_mixture_schedule",
+    "ns_dataset_card", "ns_importance_weights",
+    "q_touch_attribution", "ns_quantile_bins",
+    "ns_class_rebalance", "ns_embedding_qc",
+    "ns_mixture_schedule", "q_event_dedup_window",
     # -- 3. changed this round ----------------------------------------
     "q_bloom_prefilter",  # dual hash family (oracle mode default)
     # -- 4. backfill: longest-unchecked r1 greens (none of these has
@@ -192,6 +192,8 @@ def _load() -> None:
     from takuan_spark.queries import (  # noqa: F401
         advanced,
         bloom_filter,
+        cdc,
+        corpus_ops,
         curation,
         graph,
         multimodal,

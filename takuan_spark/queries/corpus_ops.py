@@ -1,0 +1,317 @@
+"""Corpus governance + LM-filtering queries (operators/lm.py,
+operators/corpus_stats.py, operators/binning.py).
+
+Shared oracle plumbing: ``_PTOKS`` positions every whitespace token
+per document (DuckDB has no WITH ORDINALITY; ``generate_subscripts``
+over the split list is its positional explode), ``_BIGRAMS`` derives
+adjacent pairs with a lag window — the exact mirrors of
+``lm.positioned_tokens`` / ``lm.bigrams``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from takuan_spark.operators import binning, corpus_stats, lm
+from takuan_spark.queries import query
+from takuan_spark.tables import load_table
+
+_PTOKS = r"""
+    split AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> x <> '') AS l
+        FROM documents
+    ),
+    ptoks AS (
+        SELECT doc_id, i - 1 AS pos, l[i] AS tok
+        FROM (SELECT doc_id, l, generate_subscripts(l, 1) AS i FROM split)
+    )
+"""
+
+_BIGRAMS = """
+    bg AS (
+        SELECT doc_id, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS w1,
+               tok AS w2
+        FROM ptoks
+        QUALIFY w1 IS NOT NULL
+    )
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "ns_token_pmi",
+    f"""
+    WITH {_PTOKS},
+    {_BIGRAMS},
+    cxy AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2),
+    cx AS (SELECT tok, COUNT(*) AS c FROM ptoks GROUP BY 1),
+    nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_bi FROM bg),
+    nu AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_uni FROM ptoks)
+    SELECT c.w1, c.w2, CAST(c.c_xy AS BIGINT) AS c_xy,
+           ROUND(ln((c.c_xy / n_bi) / ((a.c / n_uni) * (b.c / n_uni))), 6)
+               AS pmi
+    FROM cxy c
+    JOIN cx a ON a.tok = c.w1
+    JOIN cx b ON b.tok = c.w2, nb, nu
+    WHERE c.c_xy >= 5
+    ORDER BY c_xy DESC, w1, w2 LIMIT 30
+    """,
+    "Collocation mining by pointwise mutual information over adjacent "
+    "token pairs: two map-side-combined counts (bigram, unigram) + two "
+    "scalar totals broadcast into the score projection — shuffle keys "
+    "are tokens, never documents. Top-30 by frequency with stable "
+    "tiebreaks.",
+)
+def ns_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = lm.token_pmi(_docs(spark, sf_dir), min_count=5)
+    return out.orderBy(F.desc("c_xy"), "w1", "w2").limit(30)
+
+
+@query(
+    "ns_source_overlap",
+    f"""
+    WITH {_PTOKS},
+    vocab AS (
+        SELECT DISTINCT d.source AS g, p.tok
+        FROM ptoks p JOIN documents d USING (doc_id)
+    ),
+    sizes AS (SELECT g, COUNT(*) AS nv FROM vocab GROUP BY 1),
+    shared AS (
+        SELECT a.g AS src_a, b.g AS src_b, COUNT(*) AS shared
+        FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.g < b.g
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared,
+           ROUND(shared / (sa.nv + sb.nv - shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.g = src_a
+    JOIN sizes sb ON sb.g = src_b
+    ORDER BY src_a, src_b
+    """,
+    "Pairwise vocabulary Jaccard between the corpus sources — the "
+    "cross-source redundancy map. Inverted-index join on the token "
+    "(shuffle width = distinct tokens x sources, independent of corpus "
+    "size), one pair-count aggregate, two broadcast-sized size joins.",
+)
+def ns_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_stats.vocabulary_overlap(_docs(spark, sf_dir)).orderBy(
+        "src_a", "src_b"
+    )
+
+
+@query(
+    "ns_ngram_lm_stats",
+    f"""
+    WITH {_PTOKS},
+    {_BIGRAMS},
+    cxy AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2),
+    cx AS (SELECT tok, COUNT(*) AS c_x FROM ptoks GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM ptoks)
+    SELECT c.w1, c.w2, CAST(c.c_xy AS BIGINT) AS c_xy,
+           ROUND((c.c_xy + 0.5) / (x.c_x + 0.5 * v.v), 6) AS p_cond
+    FROM cxy c JOIN cx x ON x.tok = c.w1, v
+    ORDER BY c_xy DESC, w1, w2 LIMIT 50
+    """,
+    "Add-k-smoothed bigram language model (k=0.5) trained in one plan: "
+    "conditional probabilities over observed pairs, top-50 by count. "
+    "p_cond rounds to 6dp — the determinism anchor every downstream "
+    "log starts from.",
+)
+def ns_ngram_lm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = lm.bigram_model(_docs(spark, sf_dir), add_k=0.5)
+    return out.orderBy(F.desc("c_xy"), "w1", "w2").limit(50)
+
+
+@query(
+    "ns_perplexity_filter",
+    f"""
+    WITH {_PTOKS},
+    {_BIGRAMS},
+    cxy AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2),
+    cx AS (SELECT tok, COUNT(*) AS c_x FROM ptoks GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM ptoks),
+    model AS (
+        SELECT c.w1, c.w2,
+               ROUND((c.c_xy + 0.5) / (x.c_x + 0.5 * v.v), 6) AS p_cond
+        FROM cxy c JOIN cx x ON x.tok = c.w1, v
+    ),
+    scored AS (
+        SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(exp(AVG(-ln(m.p_cond))), 4) AS ppl
+        FROM bg b JOIN model m ON m.w1 = b.w1 AND m.w2 = b.w2
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_bigrams, ppl, ppl <= 45.0 AS keep
+    FROM scored ORDER BY doc_id
+    """,
+    "Perplexity quality gate (the CCNet/KenLM curation recipe): score "
+    "every document's cross-entropy under the corpus-trained bigram "
+    "LM, keep documents the model finds predictable (ppl <= 45). "
+    "Train + score in ONE plan; the only model-sized exchange is the "
+    "(w1, w2) model join, AQE-broadcast when small.",
+)
+def ns_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    scored = lm.perplexity_scores(docs, add_k=0.5)
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "ppl",
+        (F.col("ppl") <= 45.0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "ns_dataset_card",
+    f"""
+    WITH {_PTOKS},
+    toks AS (
+        SELECT d.source, p.tok FROM ptoks p JOIN documents d USING (doc_id)
+    ),
+    tok_stats AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab
+        FROM toks GROUP BY 1
+    ),
+    lang_ent AS (
+        SELECT source,
+               ROUND(ln(CAST(SUM(lc) AS DOUBLE))
+                     - SUM(lc * ln(lc)) / SUM(lc), 6) AS lang_entropy
+        FROM (SELECT source, lang, COUNT(*) AS lc
+              FROM documents GROUP BY 1, 2)
+        GROUP BY source
+    ),
+    doc_stats AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY 1
+    )
+    SELECT d.source, n_docs, n_tokens, vocab,
+           ROUND(n_tokens / CAST(n_docs AS DOUBLE), 4) AS mean_doc_tokens,
+           min_chars, max_chars, lang_entropy
+    FROM doc_stats d
+    JOIN tok_stats USING (source) JOIN lang_ent USING (source)
+    ORDER BY source
+    """,
+    "Per-source dataset card: docs, tokens, vocabulary, length "
+    "profile, language-mix entropy — the release fact sheet. Three "
+    "map-side-combined aggregates joined on the (tiny) source key.",
+)
+def ns_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_stats.dataset_card(_docs(spark, sf_dir)).orderBy("source")
+
+
+@query(
+    "ns_importance_weights",
+    f"""
+    WITH {_PTOKS},
+    per AS (
+        SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM ptoks p JOIN documents d USING (doc_id) GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total,
+                   CAST(COUNT(*) AS DOUBLE) AS n_groups FROM per)
+    SELECT source, n_tokens,
+           ROUND(n_tokens / total, 6) AS share,
+           ROUND(least(greatest((1.0 / n_groups) / (n_tokens / total),
+                                0.2), 5.0), 6) AS weight,
+           ROUND(n_tokens * least(greatest(
+                     (1.0 / n_groups) / (n_tokens / total), 0.2), 5.0), 2)
+               AS eff_tokens
+    FROM per, tot ORDER BY source
+    """,
+    "Domain importance weights toward a uniform target mixture "
+    "(DoReMi-degenerate): weight = target-share / observed-token-share "
+    "clipped to [0.2, 5] — underrepresented sources oversample, "
+    "dominant ones shrink. Corpus reduces to one scalar row per "
+    "source before any arithmetic.",
+)
+def ns_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_stats.importance_weights(_docs(spark, sf_dir)).orderBy(
+        "source"
+    )
+
+
+#: literal mixture plan + budget, embedded in both dialects
+_MIX = {"en": 0.4, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.15}
+_BUDGET = 2_000_000
+
+
+@query(
+    "ns_mixture_schedule",
+    f"""
+    WITH {_PTOKS},
+    per AS (
+        SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM ptoks p JOIN documents d USING (doc_id) GROUP BY 1
+    ),
+    tgt AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"('{k}', {v})" for k, v in _MIX.items())}
+        ) t(lang, share)
+    )
+    SELECT p.lang, p.n_tokens,
+           ROUND(COALESCE(t.share, 0.0), 6) AS target_share,
+           ROUND(COALESCE(t.share, 0.0) * {float(_BUDGET)!r}, 2)
+               AS alloc_tokens,
+           ROUND(COALESCE(t.share, 0.0) * {float(_BUDGET)!r}
+                 / p.n_tokens, 4) AS epochs,
+           COALESCE(t.share, 0.0) * {float(_BUDGET)!r} / p.n_tokens > 1.0
+               AS oversampled
+    FROM per p LEFT JOIN tgt t USING (lang)
+    ORDER BY lang
+    """,
+    "Training-mixture schedule: a literal target language mixture and "
+    "token budget turn per-slice availability into epochs-to-draw, "
+    "flagging slices that must repeat (epochs > 1). The corpus "
+    "reduces to one row per language; the plan itself is broadcast "
+    "arithmetic.",
+)
+def ns_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_stats.mixture_schedule(
+        _docs(spark, sf_dir), _MIX, token_budget=_BUDGET
+    ).orderBy("lang")
+
+
+@query(
+    "ns_quantile_bins",
+    """
+    WITH pr AS (
+        SELECT o_orderpriority, o_totalprice,
+               percent_rank() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice) AS p
+        FROM orders
+    ),
+    binned AS (
+        SELECT o_orderpriority,
+               CAST(least(floor(p * 4), 3) AS INT) AS bin, o_totalprice
+        FROM pr
+    )
+    SELECT o_orderpriority, bin, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi,
+           ROUND(AVG(o_totalprice), 4) AS mean_val
+    FROM binned GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "Equal-frequency (quartile) discretization of order value within "
+    "each priority class, with the per-bin cutpoint profile a feature "
+    "store persists. percent_rank-based so TIED values always share a "
+    "bin — ntile's row-split would scatter ties nondeterministically "
+    "under shuffle.",
+)
+def ns_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return binning.bin_profile(
+        orders.select("o_orderpriority", "o_totalprice"),
+        value_col="o_totalprice",
+        group_cols=["o_orderpriority"],
+        nbins=4,
+    ).orderBy("o_orderpriority", "bin")

@@ -23,8 +23,13 @@ except ImportError:  # pragma: no cover - environment-dependent
 # and the skip is scoped to exactly the wire-protocol dependency.
 needs_protobuf = pytest.mark.skipif(
     not _HAS_PROTOBUF,
-    reason="transformWithStateInPandas requires google.protobuf, "
-    "which this environment lacks (see streaming/profiles.py docstring)",
+    reason="transformWithStateInPandas requires google.protobuf "
+    "(declared in configs/requirements-optional.txt; install with "
+    "`pip install -r configs/requirements-optional.txt`). This "
+    "container cannot install packages, so the wire-protocol tests "
+    "skip; the operator's state-transition logic is still verified "
+    "unconditionally below, and the applyInPandasWithState fallback "
+    "(streaming/stateful.py) is fully stream-tested.",
 )
 
 
