@@ -1,0 +1,210 @@
+"""Embedding clustering and dataset-shaping operators: Lloyd k-means,
+class rebalancing, and vector QC.
+
+K-means here is the DETERMINISTIC, oracle-checkable form: seeds are
+the k lowest-id vectors (no RNG), iterations are fixed, and every
+floating-point handoff (distances, centroid means) rounds to 6dp so an
+external SQL engine replays the identical trajectory. The plan is pure
+joins — no driver-side centroid collect:
+
+- assignment: corpus x broadcast(k centroid rows), squared distance as
+  an ORDERED left-fold over the zipped arrays (both engines sum
+  element-by-element in array order — bit-identical inputs give
+  bit-identical sums), argmin by min-struct aggregate (map-side
+  combined; no per-vector sort);
+- refit: posexplode to (cluster, dim) partial means — shuffle carries
+  one partial per (cluster, dim) per partition, independent of corpus
+  size — then re-assembled to centroid arrays with an ordered
+  array_sort, never a collect.
+
+At 100 TB this is the standard Lloyd-on-Spark shape (the corpus is
+scanned iters+1 times; the k x dim centroid frame is the only
+broadcast). Production variants swap the fold-distance for the Arrow
+GEMM used by operators/semdedup.py — same plan skeleton.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared euclidean distance as an ordered element fold, rounded
+    to 6dp — the cross-engine determinism contract."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+
+
+def assign_to_centroids(
+    emb: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, dist): nearest centroid per vector — broadcast the
+    (cid, cv) centroid frame, argmin (dist, cid) via one min-struct
+    hash aggregate (first-cid tiebreak, map-side combined)."""
+    d = _sq_dist(_as_double(F.col(vec_col)), F.col("cv"))
+    scored = emb.select(id_col, vec_col).crossJoin(
+        F.broadcast(centroids)
+    ).select(id_col, "cid", d.alias("d"))
+    best = F.min(F.struct(F.col("d"), F.col("cid")))
+    return scored.groupBy(id_col).agg(
+        best.getField("cid").alias("cluster"),
+        best.getField("d").alias("dist"),
+    )
+
+
+def seed_centroids(
+    emb: DataFrame,
+    *,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic seeds: the k lowest-id vectors, cid = rank. (The
+    no-RNG stand-in for kmeans++ — reproducible across engines and
+    runs.)"""
+    low = emb.orderBy(id_col).limit(k)
+    return low.select(
+        (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cid"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+
+
+def refit_centroids(
+    emb: DataFrame,
+    assignment: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """New (cid, cv) centroids: element-wise mean over each cluster's
+    members, each component rounded to 6dp. Empty clusters drop out
+    (standard Lloyd: they simply stop existing)."""
+    joined = emb.select(id_col, vec_col).join(
+        assignment.select(id_col, "cluster"), id_col
+    )
+    comp = joined.select(
+        F.col("cluster").alias("cid"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"),
+    )
+    means = comp.groupBy("cid", "pos").agg(
+        F.round(F.avg("x"), 6).alias("mv")
+    )
+    return means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+            lambda s: s.getField("mv"),
+        ).alias("cv")
+    )
+
+
+def kmeans_assignments(
+    emb: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, dist) after ``iters`` Lloyd refits from the
+    deterministic seeds — one lazy plan, no driver round-trips."""
+    cents = seed_centroids(emb, k=k, id_col=id_col, vec_col=vec_col)
+    assignment = assign_to_centroids(
+        emb, cents, id_col=id_col, vec_col=vec_col
+    )
+    for _ in range(iters):
+        cents = refit_centroids(
+            emb, assignment, id_col=id_col, vec_col=vec_col
+        )
+        assignment = assign_to_centroids(
+            emb, cents, id_col=id_col, vec_col=vec_col
+        )
+    return assignment
+
+
+def class_rebalance(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Oversample minority classes to parity: every row of label L
+    replicates ``ceil(max_class_count / count_L)`` times (integer
+    math — no float boundary). Output: (id, label, copy) — the
+    replicated training view; explode(sequence) keeps the blow-up
+    inside the executors, row-local, no shuffle at all."""
+    counts = df.groupBy(label_col).agg(F.count("*").alias("n"))
+    mx = counts.agg(F.max("n").alias("mx"))
+    factors = counts.crossJoin(F.broadcast(mx)).select(
+        label_col,
+        F.expr("(mx + n - 1) div n").cast("int").alias("factor"),
+    )
+    return df.select(id_col, label_col).join(
+        F.broadcast(factors), label_col
+    ).select(
+        id_col,
+        label_col,
+        F.explode(F.sequence(F.lit(1), F.col("factor"))).alias("copy"),
+    )
+
+
+def embedding_qc(
+    emb: DataFrame,
+    *,
+    dim: int,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    norm_lo: float = 0.5,
+    norm_hi: float = 2.0,
+) -> DataFrame:
+    """Per-label vector quality gate: counts of wrong-dimension, NaN,
+    all-zero, and out-of-band-norm vectors plus the mean norm — the
+    validation row an embedding pipeline checks before indexing.
+    Norms round to 6dp pre-aggregation (the determinism anchor)."""
+    v = _as_double(F.col(vec_col))
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    has_nan = F.exists(v, lambda x: F.isnan(x))
+    all_zero = F.forall(v, lambda x: x == 0.0)
+    per = emb.select(
+        label_col,
+        norm.alias("nrm"),
+        has_nan.alias("bad_nan"),
+        all_zero.alias("zero"),
+        (F.size(vec_col) != dim).alias("bad_dim"),
+    )
+    return per.groupBy(label_col).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("bad_dim").cast("int")).cast("bigint").alias("n_bad_dim"),
+        F.sum(F.col("bad_nan").cast("int")).cast("bigint").alias("n_nan"),
+        F.sum(F.col("zero").cast("int")).cast("bigint").alias("n_zero"),
+        F.sum((F.col("nrm") < norm_lo).cast("int"))
+        .cast("bigint")
+        .alias("n_norm_low"),
+        F.sum((F.col("nrm") > norm_hi).cast("int"))
+        .cast("bigint")
+        .alias("n_norm_high"),
+        F.round(F.avg("nrm"), 4).alias("mean_norm"),
+    )

@@ -1,0 +1,145 @@
+"""Record linkage / entity resolution operators.
+
+Two halves of the classic Fellegi-Sunter pipeline, each mapped to its
+scale-correct Spark shape:
+
+- :func:`blocked_pairs` — BLOCKING: candidate pairs only form inside a
+  cheap deterministic block key (language x length band). Within-block
+  comparison is quadratic BY DESIGN — the block key is what bounds it
+  (that is the entire point of blocking); the cross-block quadratic
+  never happens. One shuffle on the block key.
+- :func:`score_links` — SCORING: per-pair field-agreement features
+  (token-set Jaccard, length ratio, field equality) combined into a
+  match score. Works over candidates from ANY discovery path — the
+  blocked join here, or MinHash-LSH banding
+  (operators/dedup.py:minhash_lsh_pairs) when no blocking key exists.
+
+Token sets compare as DISTINCT sets (array_intersect/array_union), so
+repeated words don't inflate agreement."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from takuan_spark.operators.text import words
+
+
+def _tok_set(text: Column) -> Column:
+    return F.array_distinct(words(text))
+
+
+def blocked_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    len_col: str = "n_chars",
+    len_band: int = 200,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Within-block linked pairs: block key = (lang, floor(len/band)),
+    pairs with distinct-token Jaccard >= ``min_jaccard``. Output:
+    (id_a, id_b, lang, len_band, jaccard)."""
+    keyed = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        F.floor(F.col(len_col) / len_band).cast("int").alias("lb"),
+        _tok_set(F.col(text_col)).alias("ts"),
+    )
+    a = keyed.select(
+        F.col("id").alias("id_a"), "lang", "lb", F.col("ts").alias("ts_a")
+    )
+    b = keyed.select(
+        F.col("id").alias("id_b"), "lang", "lb", F.col("ts").alias("ts_b")
+    )
+    jac = F.size(F.array_intersect("ts_a", "ts_b")) / F.size(
+        F.array_union("ts_a", "ts_b")
+    )
+    return (
+        a.join(b, ["lang", "lb"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "lang",
+            F.col("lb").alias("len_band"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def score_links(
+    candidates: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    len_col: str = "n_chars",
+    source_col: str = "source",
+    w_jaccard: float = 0.5,
+    w_len: float = 0.3,
+    w_lang: float = 0.2,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Score candidate (id_a, id_b) pairs with linkage features and
+    keep cross-source matches above ``threshold``:
+
+    ``score = w_j * token_jaccard + w_len * len_ratio + w_lang *
+    lang_agree`` — the linear Fellegi-Sunter surrogate. Only pairs
+    from different sources survive (same-source pairs are dedup's
+    business, not linkage's)."""
+    meta = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        F.col(len_col).alias("len"),
+        F.col(source_col).alias("src"),
+        _tok_set(F.col(text_col)).alias("ts"),
+    )
+    a = meta.select(
+        F.col("id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("len").alias("len_a"),
+        F.col("src").alias("src_a"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = meta.select(
+        F.col("id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("len").alias("len_b"),
+        F.col("src").alias("src_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    jac = F.size(F.array_intersect("ts_a", "ts_b")) / F.size(
+        F.array_union("ts_a", "ts_b")
+    )
+    len_ratio = F.least(F.col("len_a"), F.col("len_b")) / F.greatest(
+        F.col("len_a"), F.col("len_b")
+    )
+    lang_agree = (F.col("lang_a") == F.col("lang_b")).cast("int")
+    score = F.round(
+        F.lit(w_jaccard) * F.round(jac, 6)
+        + F.lit(w_len) * F.round(len_ratio, 6)
+        + F.lit(w_lang) * lang_agree,
+        6,
+    )
+    return (
+        candidates.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .where(F.col("src_a") != F.col("src_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "src_a",
+            "src_b",
+            F.round(jac, 6).alias("jaccard"),
+            F.round(len_ratio, 6).alias("len_ratio"),
+            lang_agree.alias("lang_agree"),
+            score.alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )

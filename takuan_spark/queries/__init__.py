@@ -195,7 +195,9 @@ def _load() -> None:
         cdc,
         corpus_ops,
         curation,
+        embedding_ops,
         graph,
+        linkage,
         multimodal,
         northstar,
         prod_mode,

@@ -1,0 +1,183 @@
+"""Embedding clustering / shaping queries (operators/clustering.py):
+deterministic Lloyd k-means, class rebalancing, vector QC."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from takuan_spark.operators import clustering
+from takuan_spark.queries import query
+from takuan_spark.tables import load_table
+
+_K = 8
+_DIM = 64
+
+#: shared CTE chain: deterministic seeds (k lowest vec_ids), one
+#: assignment, one refit (means rounded 6dp), final assignment — the
+#: exact trajectory of clustering.kmeans_assignments(k=8, iters=1).
+_SQ = "x -> (x[1] - x[2]) * (x[1] - x[2])"
+_KMEANS_CTE = f"""
+    emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS cid, v AS cv
+        FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {_K})
+    ),
+    d1 AS (
+        SELECT e.vec_id, c.cid,
+               ROUND(list_sum(list_transform(list_zip(e.v, c.cv),
+                                             {_SQ})), 6) AS d
+        FROM emb e CROSS JOIN c0 c
+    ),
+    a1 AS (
+        SELECT vec_id, cid AS cluster, d
+        FROM (SELECT vec_id, cid, d,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d, cid) AS rn
+              FROM d1)
+        WHERE rn = 1
+    ),
+    m1 AS (
+        SELECT a.cluster AS cid, g.i AS pos, ROUND(AVG(e.v[g.i]), 6) AS mv
+        FROM a1 a JOIN emb e USING (vec_id),
+             UNNEST(generate_series(1, {_DIM})) AS g(i)
+        GROUP BY 1, 2
+    ),
+    c1 AS (SELECT cid, list(mv ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+    d2 AS (
+        SELECT e.vec_id, c.cid,
+               ROUND(list_sum(list_transform(list_zip(e.v, c.cv),
+                                             {_SQ})), 6) AS d
+        FROM emb e CROSS JOIN c1 c
+    ),
+    a2 AS (
+        SELECT vec_id, cid AS cluster, d
+        FROM (SELECT vec_id, cid, d,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d, cid) AS rn
+              FROM d2)
+        WHERE rn = 1
+    )
+"""
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@query(
+    "ns_kmeans_assign",
+    f"""
+    WITH {_KMEANS_CTE}
+    SELECT vec_id, cluster, d AS dist FROM a2 ORDER BY vec_id
+    """,
+    "Deterministic Lloyd k-means (k=8, seeds = lowest-id vectors, one "
+    "refit), per-vector assignment: broadcast k centroids, ORDERED "
+    "element-fold squared distance rounded 6dp, argmin by min-struct "
+    "hash aggregate (map-side combined, no per-vector sort); the refit "
+    "shuffles one partial mean per (cluster, dim) per partition — "
+    "corpus-size independent. No driver-side centroid collect "
+    "anywhere; the whole trajectory is one lazy plan.",
+)
+def ns_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = clustering.kmeans_assignments(
+        _emb(spark, sf_dir), k=_K, iters=1
+    )
+    return out.select("vec_id", "cluster", F.col("dist")).orderBy("vec_id")
+
+
+@query(
+    "ns_kmeans_clusters",
+    f"""
+    WITH {_KMEANS_CTE}
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(d), 4) AS mean_dist,
+           ROUND(MAX(d), 4) AS max_dist
+    FROM a2 GROUP BY cluster ORDER BY cluster
+    """,
+    "Cluster profile of the same deterministic k-means run: size, mean "
+    "and max squared distance per cluster — the inertia diagnostic "
+    "that decides k. One extra map-side-combined aggregate over the "
+    "assignment frame.",
+)
+def ns_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = clustering.kmeans_assignments(
+        _emb(spark, sf_dir), k=_K, iters=1
+    )
+    return (
+        out.groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("dist"), 4).alias("mean_dist"),
+            F.round(F.max("dist"), 4).alias("max_dist"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@query(
+    "ns_class_rebalance",
+    """
+    WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+    m AS (SELECT MAX(n) AS mx FROM c),
+    f AS (SELECT label, CAST((mx + n - 1) // n AS INT) AS factor
+          FROM c, m)
+    SELECT e.vec_id, e.label, CAST(g.i AS INT) AS copy
+    FROM embeddings e
+    JOIN f USING (label),
+         UNNEST(generate_series(1, f.factor)) AS g(i)
+    ORDER BY vec_id, copy
+    """,
+    "Minority-class oversampling to parity: each row replicates "
+    "ceil(max_class / class) times (integer math, no float boundary) "
+    "via explode(sequence) — the blow-up happens row-locally in the "
+    "executors; the only exchange is the broadcast of the per-label "
+    "factor table.",
+)
+def ns_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = clustering.class_rebalance(_emb(spark, sf_dir))
+    return out.select(
+        "vec_id", "label", F.col("copy").cast("int").alias("copy")
+    ).orderBy("vec_id", "copy")
+
+
+@query(
+    "ns_embedding_qc",
+    """
+    WITH per AS (
+        SELECT label,
+               ROUND(sqrt(list_sum(list_transform(
+                   CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS nrm,
+               len(list_filter(CAST(embedding AS DOUBLE[]),
+                               x -> isnan(x))) > 0 AS bad_nan,
+               len(list_filter(CAST(embedding AS DOUBLE[]),
+                               x -> x <> 0)) = 0 AS zero,
+               len(embedding) <> 64 AS bad_dim
+        FROM embeddings
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN bad_dim THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bad_dim,
+           CAST(SUM(CASE WHEN bad_nan THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nan,
+           CAST(SUM(CASE WHEN zero THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+           CAST(SUM(CASE WHEN nrm < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_norm_low,
+           CAST(SUM(CASE WHEN nrm > 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_norm_high,
+           ROUND(AVG(nrm), 4) AS mean_norm
+    FROM per GROUP BY label ORDER BY label
+    """,
+    "Vector QC gate per label: wrong-dimension / NaN / all-zero / "
+    "out-of-band-norm counts plus mean norm — the validation row an "
+    "embedding pipeline checks before indexing. Single narrow pass, "
+    "one map-side-combined aggregate; norms round 6dp pre-aggregation.",
+)
+def ns_embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clustering.embedding_qc(_emb(spark, sf_dir), dim=_DIM).orderBy(
+        "label"
+    )

@@ -1,0 +1,97 @@
+"""Record-linkage queries (operators/linkage.py): blocked within-band
+linkage and LSH-candidate scored linkage over the documents corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from takuan_spark.operators import dedup, linkage
+from takuan_spark.queries import query
+from takuan_spark.queries.northstar import _minhash_pairs_cte
+from takuan_spark.tables import load_table
+
+_TS = r"""list_distinct(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> ''))"""
+
+
+@query(
+    "ns_blocked_linkage",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id AS id, lang,
+               CAST(floor(n_chars / 200) AS INT) AS lb,
+               {_TS} AS ts
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.lang, a.lb AS len_band,
+               ROUND(len(list_intersect(a.ts, b.ts))
+                     / CAST(len(list_distinct(a.ts || b.ts)) AS DOUBLE),
+                     6) AS jaccard
+        FROM keyed a
+        JOIN keyed b ON a.lang = b.lang AND a.lb = b.lb AND a.id < b.id
+    )
+    SELECT * FROM pairs WHERE jaccard >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    "BLOCKING half of record linkage: candidate pairs only form inside "
+    "the (language, 200-char length band) block key — the quadratic "
+    "comparison is bounded by block size by construction, and the "
+    "cross-block quadratic never exists. One shuffle on the block key; "
+    "agreement is distinct-token-set Jaccard.",
+)
+def ns_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return linkage.blocked_pairs(
+        docs, len_band=200, min_jaccard=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "ns_record_linkage",
+    f"""
+    WITH {_minhash_pairs_cte(threshold=0.5)},
+    meta AS (
+        SELECT doc_id AS id, lang, n_chars AS len, source AS src,
+               {_TS} AS ts
+        FROM documents
+    ),
+    feat AS (
+        SELECT p.id_a, p.id_b, a.src AS src_a, b.src AS src_b,
+               ROUND(len(list_intersect(a.ts, b.ts))
+                     / CAST(len(list_distinct(a.ts || b.ts)) AS DOUBLE),
+                     6) AS jaccard,
+               ROUND(least(a.len, b.len)
+                     / CAST(greatest(a.len, b.len) AS DOUBLE), 6)
+                   AS len_ratio,
+               CAST(a.lang = b.lang AS INT) AS lang_agree
+        FROM mh_pairs p
+        JOIN meta a ON a.id = p.id_a
+        JOIN meta b ON b.id = p.id_b
+        WHERE a.src <> b.src
+    )
+    SELECT id_a, id_b, src_a, src_b, jaccard, len_ratio, lang_agree,
+           ROUND(0.5 * jaccard + 0.3 * len_ratio + 0.2 * lang_agree, 6)
+               AS score
+    FROM feat
+    WHERE ROUND(0.5 * jaccard + 0.3 * len_ratio + 0.2 * lang_agree, 6)
+          >= 0.6
+    ORDER BY id_a, id_b
+    """,
+    "SCORING half of record linkage (Fellegi-Sunter linear surrogate): "
+    "candidates come from MinHash-LSH banding (no blocking key "
+    "needed — the 100 TB discovery path), features are token Jaccard + "
+    "length ratio + language agreement, and only cross-SOURCE matches "
+    "above the score threshold survive (same-source pairs are dedup's "
+    "business). Feature joins touch candidates only, never the corpus "
+    "cross product.",
+)
+def ns_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, threshold=0.5
+    )
+    return linkage.score_links(cand, docs, threshold=0.6).orderBy(
+        "id_a", "id_b"
+    )
