@@ -99,6 +99,50 @@ def bloom_prefilter(
     return fact.crossJoin(F.broadcast(bloom)).where(cond).drop("bloom")
 
 
+def bloom_bitmap_prefilter(
+    fact: DataFrame,
+    bloom: DataFrame,
+    *,
+    key_col: str,
+    mbits: int = 1024,
+    k: int = 3,
+    family: str = "xxhash64",
+) -> DataFrame:
+    """PRODUCTION-shape bloom probe: materialize the built filter on
+    the driver (bounded: <= ``mbits`` bucket ids, a few KB — the same
+    mechanism Spark's own runtime filters use: execute the build side,
+    inject the result as a literal predicate) and test membership
+    against a LITERAL BITMAP of ``mbits / 64`` longs.
+
+    Two properties the broadcast-crossJoin form lacks:
+
+    - the probe is O(1) per (row, hash) — one word index + shift —
+      instead of an O(occupied-buckets) array scan;
+    - a literal predicate is a plain Filter on the fact scan, which
+      Catalyst CANNOT reorder above a downstream join (the crossJoin
+      form is join-reorderable, and the optimizer will happily move it
+      past the very shuffle it exists to protect — observed, and
+      gated in tests/test_plans.py).
+    """
+    if mbits % 64:
+        raise ValueError("mbits must be a multiple of 64")
+    values = bloom.collect()[0]["bloom"] or []
+    words = [0] * (mbits // 64)
+    for b in values:
+        words[b // 64] |= 1 << (b % 64)
+    # Python ints with bit 63 set exceed signed int64 — wrap to the
+    # two's-complement value Spark's LongType expects
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bitmap = F.array(*[F.lit(w).cast("long") for w in signed])
+    cond: Column = F.col(key_col).isNotNull()
+    for j in range(k):
+        b = _bucket(F.col(key_col), j, mbits, family).cast("long")
+        word = F.element_at(bitmap, (F.floor(b / 64) + 1).cast("int"))
+        hit = F.getbit(word, (b % 64).cast("int")) == 1
+        cond = cond & hit
+    return fact.where(cond)
+
+
 def sql_bloom_bucket(key_expr: str, j: int, mbits: int) -> str:
     """DuckDB spelling of the bucket hash — identical integers to
     :func:`_bucket` (Spark's concat_ws renders a bigint key the same

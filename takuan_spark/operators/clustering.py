@@ -195,16 +195,21 @@ def embedding_qc(
         all_zero.alias("zero"),
         (F.size(vec_col) != dim).alias("bad_dim"),
     )
+    # NaN vectors are counted ONLY in n_nan: Spark orders NaN above
+    # every number (so a NaN norm would otherwise also trip the
+    # high-norm gate), and a NaN norm in the mean poisons it — both
+    # gates and the mean therefore see non-NaN vectors only.
+    clean_nrm = F.when(~F.col("bad_nan"), F.col("nrm"))
     return per.groupBy(label_col).agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.col("bad_dim").cast("int")).cast("bigint").alias("n_bad_dim"),
         F.sum(F.col("bad_nan").cast("int")).cast("bigint").alias("n_nan"),
         F.sum(F.col("zero").cast("int")).cast("bigint").alias("n_zero"),
-        F.sum((F.col("nrm") < norm_lo).cast("int"))
+        F.sum((clean_nrm < norm_lo).cast("int"))
         .cast("bigint")
         .alias("n_norm_low"),
-        F.sum((F.col("nrm") > norm_hi).cast("int"))
+        F.sum((clean_nrm > norm_hi).cast("int"))
         .cast("bigint")
         .alias("n_norm_high"),
-        F.round(F.avg("nrm"), 4).alias("mean_norm"),
+        F.round(F.avg(clean_nrm), 4).alias("mean_norm"),
     )

@@ -165,11 +165,11 @@ def ns_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_nan,
            CAST(SUM(CASE WHEN zero THEN 1 ELSE 0 END) AS BIGINT)
                AS n_zero,
-           CAST(SUM(CASE WHEN nrm < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_norm_low,
-           CAST(SUM(CASE WHEN nrm > 2.0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_norm_high,
-           ROUND(AVG(nrm), 4) AS mean_norm
+           CAST(SUM(CASE WHEN NOT bad_nan AND nrm < 0.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_norm_low,
+           CAST(SUM(CASE WHEN NOT bad_nan AND nrm > 2.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_norm_high,
+           ROUND(AVG(CASE WHEN NOT bad_nan THEN nrm END), 4) AS mean_norm
     FROM per GROUP BY label ORDER BY label
     """,
     "Vector QC gate per label: wrong-dimension / NaN / all-zero / "

@@ -68,7 +68,11 @@ def q_bloom_prefilter_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     bl = bloom.bloom_build(
         eu, key_col="s_suppkey", mbits=_MBITS, k=_K, family="xxhash64"
     )
-    passed = bloom.bloom_prefilter(
+    # bitmap form, not the crossJoin form: a literal predicate cannot
+    # be join-reordered above the semi join it protects (the crossJoin
+    # probe WAS — Catalyst moved it past the lineitem shuffle), and the
+    # probe is O(1) per hash instead of an array scan
+    passed = bloom.bloom_bitmap_prefilter(
         li.select("l_suppkey", "l_extendedprice"),
         bl,
         key_col="l_suppkey",

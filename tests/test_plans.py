@@ -470,3 +470,66 @@ def test_length_outliers_topk_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     # the scalar median/MAD frames come back as broadcast joins
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_cdc_latest_single_aggregate_no_window(spark, sf_dir):
+    # last-writer-wins must be the max-struct hash aggregate, not a
+    # rank window (the window form cannot map-side combine)
+    plan = plan_of(REGISTRY["q_cdc_latest"].builder(spark, sf_dir))
+    tree = tree_of(plan)
+    assert "Window" not in tree
+    assert "partial_max" in plan and "partial_count" in plan
+    read_schema = re.search(r"ReadSchema: ([^\n]+)", plan).group(1)
+    assert "props" not in read_schema  # unused column pruned
+
+
+def test_cdc_merge_single_exchange_for_windows(spark, sf_dir):
+    # rank window + tombstone max + final agg all ride ONE exchange on
+    # the user key (plus the final sort's range exchange)
+    plan = plan_of(REGISTRY["q_cdc_merge"].builder(spark, sf_dir))
+    tree = tree_of(plan)
+    hash_exchanges = len(re.findall(r"Exchange hashpartitioning", tree))
+    assert hash_exchanges <= 2, tree
+
+
+def test_class_rebalance_broadcasts_factors(spark, sf_dir):
+    # replication factors join by broadcast; the explode is row-local
+    plan = plan_of(REGISTRY["ns_class_rebalance"].builder(spark, sf_dir))
+    tree = tree_of(plan)
+    assert "BroadcastHashJoin" in tree
+    assert "Generate explode" in tree or "Generate" in tree
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
+    # every corpus-sized join in the k-means plan is a broadcast of the
+    # k-row centroid frame; the corpus itself is never on the build side
+    plan = plan_of(REGISTRY["ns_kmeans_assign"].builder(spark, sf_dir))
+    tree = tree_of(plan)
+    assert "BroadcastNestedLoopJoin" in tree  # corpus x tiny centroids
+    assert "CartesianProduct" not in tree
+    assert "partial_min" in plan  # argmin via map-side-combined min
+
+
+def test_bloom_prod_membership_before_exchange(spark, sf_dir):
+    # production bitmap probe must be a literal Filter directly on the
+    # lineitem scan — BELOW the semi join's exchange, where Catalyst
+    # cannot reorder it (the crossJoin form was observed reordered
+    # ABOVE the join it protects). In the formatted tree the lineitem
+    # branch must read Scan -> Filter(shiftrightunsigned bitmap probe)
+    # -> Exchange, with no join between scan and probe.
+    plan = plan_of(REGISTRY["q_bloom_prefilter_prod"].builder(spark, sf_dir))
+    assert "getbit" in plan  # the bitmap probe expression exists
+    tree = tree_of(plan)
+    # the bloom must NOT arrive via a cross/nested-loop join anymore
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "xxhash64" in plan  # production family, not md5
+
+
+def test_stream_report_fold_reads_partials_not_events(spark, sf_dir):
+    # the fold reads the epoch-partitioned partial table; its plan must
+    # scan parquet partials and aggregate — never re-scan the events
+    # table
+    df = REGISTRY["q_stream_report_fold"].builder(spark, sf_dir)
+    plan = plan_of(df)
+    assert "events.parquet" not in plan
+    assert "partial_sum" in plan
