@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""10x scale probe: times the slowest bench queries at sf0.1 and at a
+synthesized ~sf1 replica to catch superlinear plans that sf0.1 hides.
+
+The probe corpus is built in /tmp by unioning 10 key-offset replicas of
+sf0.1 (PERF ONLY — correctness stays on the driver's read-only
+testdata). Replication semantics are chosen so the workload SHAPE is
+preserved at 10x rather than distorted:
+
+- fact/dim keys (orderkey, custkey, doc_id, ...) are offset by
+  ``replica * (max_key + 1)`` so referential integrity holds and join
+  fan-outs stay constant per row;
+- ``documents.text`` is deterministically word-shuffled per replica
+  (seeded Fisher-Yates) so replicas are DISTINCT texts: the probe is
+  "10 independent sf0.1 corpora", not "every doc now has 10 near-dup
+  copies" (which would inflate near-dup candidate pairs ~quadratically
+  per duplicate group and mis-attribute the growth to the plan);
+- ``embeddings.embedding`` is rolled by ``replica`` positions (norms
+  preserved, directions distinct) for the same reason;
+- region/nation stay single-copy (fixed-size at every TPC-H SF).
+
+Usage: python scale_probe.py [n_slowest]
+Writes SCALE_PROBE.json and prints a markdown table for PLANS.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PROBE_DIR = os.environ.get("TAKUAN_PROBE_DIR", "/tmp/takuan_sfprobe")
+REPLICAS = int(os.environ.get("TAKUAN_PROBE_REPLICAS", "10"))
+
+# key columns to offset per replica, per table (col -> stride source col)
+OFFSET_KEYS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+SINGLE_COPY = ["region", "nation"]
+
+
+def build_probe_corpus() -> None:
+    import duckdb
+
+    os.makedirs(PROBE_DIR, exist_ok=True)
+    marker = os.path.join(PROBE_DIR, f".built_r{REPLICAS}")
+    if os.path.exists(marker):
+        print(f"probe corpus already built at {PROBE_DIR}", flush=True)
+        return
+    con = duckdb.connect()
+    for t in SINGLE_COPY:
+        src = f"{BASE}/{t}.parquet"
+        if os.path.exists(src):
+            con.sql(
+                f"COPY (SELECT * FROM '{src}') TO "
+                f"'{PROBE_DIR}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    for t, keys in OFFSET_KEYS.items():
+        src = f"{BASE}/{t}.parquet"
+        if not os.path.exists(src):
+            continue
+        if t == "documents":
+            _build_documents(src)
+            continue
+        if t == "embeddings":
+            _build_embeddings(src)
+            continue
+        strides = {
+            k: con.sql(f"SELECT max({k}) + 1 FROM '{src}'").fetchone()[0]
+            for k in keys
+        }
+        cols = [c[0] for c in con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
+        parts = []
+        for i in range(REPLICAS):
+            sel = ", ".join(
+                f"{c} + {i * strides[c]} AS {c}" if c in strides else c
+                for c in cols
+            )
+            parts.append(f"SELECT {sel} FROM '{src}'")
+        con.sql(
+            f"COPY ({' UNION ALL '.join(parts)}) TO "
+            f"'{PROBE_DIR}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
+        )
+        print(f"built {t} x{REPLICAS}", flush=True)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+
+
+def _build_documents(src: str) -> None:
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(src).to_pandas()
+    stride = int(df["doc_id"].max()) + 1
+    out = []
+    for i in range(REPLICAS):
+        rep = df.copy()
+        rep["doc_id"] = rep["doc_id"] + i * stride
+        if i > 0:
+            rng = random.Random(97 + i)
+
+            def shuffle_words(s: str) -> str:
+                w = s.split(" ")
+                rng.shuffle(w)
+                return " ".join(w)
+
+            rep["text"] = rep["text"].map(shuffle_words)
+        out.append(rep)
+    pd.concat(out, ignore_index=True).to_parquet(
+        f"{PROBE_DIR}/documents.parquet", index=False
+    )
+    print(f"built documents x{REPLICAS} (word-shuffled replicas)", flush=True)
+
+
+def _build_embeddings(src: str) -> None:
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(src).to_pandas()
+    stride = int(df["vec_id"].max()) + 1
+    out = []
+    for i in range(REPLICAS):
+        rep = df.copy()
+        rep["vec_id"] = rep["vec_id"] + i * stride
+        if i > 0:
+            rep["embedding"] = rep["embedding"].map(
+                lambda v, k=i: np.roll(np.asarray(v), k).astype(np.float32)
+            )
+        out.append(rep)
+    pd.concat(out, ignore_index=True).to_parquet(
+        f"{PROBE_DIR}/embeddings.parquet", index=False
+    )
+    print(f"built embeddings x{REPLICAS} (rolled replicas)", flush=True)
+
+
+def main() -> None:
+    n_slowest = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    build_probe_corpus()
+
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    with open(detail_path) as fh:
+        medians = json.load(fh)["queries"]
+    slowest = [
+        n for n, _ in sorted(medians.items(), key=lambda kv: -kv[1])
+        if n != "log_pipeline"
+    ][:n_slowest]
+    print(f"probing: {slowest}", flush=True)
+
+    from takuan_spark.queries import REGISTRY, _load
+    from takuan_spark.session import get_spark
+
+    _load()
+    spark = get_spark(app_name="takuan-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        REGISTRY[name].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        return dt
+
+    results = {}
+    for name in slowest:
+        base_s = run(name, BASE)
+        probe_s = run(name, PROBE_DIR)
+        ratio = probe_s / base_s if base_s > 0 else float("nan")
+        results[name] = {
+            "sf0.1_sec": round(base_s, 3),
+            "sf1_sec": round(probe_s, 3),
+            "ratio": round(ratio, 2),
+        }
+        print(f"{name}: {base_s:.2f}s -> {probe_s:.2f}s ({ratio:.1f}x)", flush=True)
+
+    with open(os.path.join(REPO, "SCALE_PROBE.json"), "w") as fh:
+        json.dump({"replicas": REPLICAS, "results": results}, fh, indent=1)
+
+    print("\n| query | sf0.1 sec | ~sf1 sec | ratio (10x data) |")
+    print("|---|---|---|---|")
+    for n, r in results.items():
+        print(f"| {n} | {r['sf0.1_sec']} | {r['sf1_sec']} | {r['ratio']}x |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -274,10 +274,12 @@ def corpus_dedup_summary(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """End-to-end dedup pipeline report: exact dedup (min-id per
     fingerprint) → n-gram Jaccard near-dup removal (dominated-id
-    policy) → per-source corpus accounting.
+    policy) → per-source corpus accounting. ``max_df`` passes through
+    to :func:`jaccard_pairs` (stop-shingle guard; see there).
 
     Output per source: (source, kept_docs, kept_chars, exact_dropped,
     near_dropped). The whole pipeline is one DAG — fingerprints shuffle
@@ -289,7 +291,12 @@ def corpus_dedup_summary(
         dedup_exact(docs, text_col=text_col, id_col=id_col)
     )
     pairs = jaccard_pairs(
-        kept_exact, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+        kept_exact,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        threshold=threshold,
+        max_df=max_df,
     )
     near = materialize(near_dominated_ids(pairs))
     kept = kept_exact.join(near, id_col, "left_anti")

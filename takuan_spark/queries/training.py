@@ -308,10 +308,14 @@ def ns_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
         FROM kept_exact
     ),
-    sh AS (
+    sh0 AS (
         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
         FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
     ),
+    rare AS (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 64
+    ),
+    sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
     cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
@@ -352,12 +356,14 @@ def ns_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "End-to-end dedup pipeline report: exact fingerprint dedup -> "
     "3-gram Jaccard near-dup removal (dominated-id single-pass "
     "policy) -> per-source kept/dropped accounting. One DAG: 32-byte "
-    "fingerprint shuffles, inverted-index near-dup discovery, "
-    "partial-aggregated counts; no iteration, no driver data.",
+    "fingerprint shuffles, inverted-index near-dup discovery with the "
+    "max_df=64 stop-shingle guard (quadratic-bucket bound, no-op at "
+    "oracle SF), partial-aggregated counts; no iteration, no driver "
+    "data.",
 )
 def ns_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.corpus_dedup_summary(docs, n=3, threshold=0.8)
+    return dedup.corpus_dedup_summary(docs, n=3, threshold=0.8, max_df=64)
 
 
 @query(
