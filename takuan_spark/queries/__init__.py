@@ -92,7 +92,10 @@ PRIORITY: list[str] = [
     "q_touch_attribution", "ns_quantile_bins",
     "ns_class_rebalance", "ns_embedding_qc",
     "ns_mixture_schedule", "q_event_dedup_window",
+    "q_compaction_bins", "q_zonemap_prune_compare",
+    "ns_leakage_safe_split", "ns_k_anonymity", "ns_tokenizer_fertility",
     # -- 3. changed this round ----------------------------------------
+    "ns_jaccard_neardup", "ns_containment_neardup", "ns_dedup_pipeline",
     "q_bloom_prefilter",  # dual hash family (oracle mode default)
     # -- 4. backfill: longest-unchecked r1 greens (none of these has
     # had a row since r1; events-table consumers first) ---------------
@@ -100,7 +103,7 @@ PRIORITY: list[str] = [
     "q_cohort_retention", "q_asof_join", "q_stats_agg",
     "q_pivot_conditional",
     "mm_media_summary", "mm_feature_extract", "mm_frame_sample",
-    "ns_dedup_exact", "ns_dedup_incremental", "ns_jaccard_neardup",
+    "ns_dedup_exact", "ns_dedup_incremental",
     "ns_embedding_neardup", "ns_text_stats", "ns_lang_id",
     "ns_quality_score", "ns_stratified_sample", "ns_tfidf_topterms",
     "ns_winnow_fingerprint",
@@ -147,13 +150,13 @@ PRIORITY: list[str] = [
     "q_udtf_tokenize", "q_window_range_frame",
     "q_stateful_alerts", "q_stateful_profile",
     "ns_semdedup", "ns_substring_dedup", "ns_bm25_search",
-    "ns_shard_assign", "ns_dedup_pipeline", "q_interval_overlap_join",
+    "ns_shard_assign", "q_interval_overlap_join",
     "ns_unicode_normalize", "ns_dup_size_histogram", "ns_bm25_batch",
     "q_sliding_distinct",
     "ns_hll_distinct", "ns_token_entropy",
     "q_graph_triangles", "q_graph_pagerank", "mm_phash_neardup",
     "q_quantile_sketch", "q_key_skew_profile",
-    "ns_containment_neardup", "ns_length_outliers", "ns_cluster_purity",
+    "ns_length_outliers", "ns_cluster_purity",
     "q_corr_regression", "q_scd2_intervals",
     "ns_bpe_merge_candidates", "ns_effective_corpus_size",
     "ns_cms_join_size", "ns_kmv_set_ops",
@@ -196,8 +199,10 @@ def _load() -> None:
         corpus_ops,
         curation,
         embedding_ops,
+        governance,
         graph,
         linkage,
+        maintenance,
         multimodal,
         northstar,
         prod_mode,

@@ -1,0 +1,206 @@
+"""Data-governance queries for training-corpus pipelines: leakage-safe
+splits, k-anonymity audits, tokenizer fertility accounting.
+
+These are the checks a dataset ships WITH at scale: the split that
+provably cannot leak eval data into train, the re-identification audit
+over quasi-identifiers, and per-language tokenizer-cost accounting
+(fertility decides how many real tokens a fixed training budget buys
+per language). All pure built-in expressions — hash aggregates and
+portable md5-derived bucketing, no UDFs, no driver materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from takuan_spark.operators import text
+from takuan_spark.operators.hashing import md5_int, sql_md5_int
+from takuan_spark.queries import query
+from takuan_spark.tables import load_table
+
+#: Normalized content fingerprint — identical spelling to the dedup
+#: family (whitespace-collapsed lowercase md5).
+_FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+@query(
+    "ns_leakage_safe_split",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               {_FP_SQL} AS fp,
+               {sql_md5_int(_FP_SQL)} % 10 AS gb,
+               doc_id % 10 AS nb
+        FROM documents
+    ),
+    labeled AS (
+        SELECT doc_id, fp,
+               CASE WHEN gb < 8 THEN 'train'
+                    WHEN gb = 8 THEN 'val' ELSE 'test' END AS split,
+               CASE WHEN nb < 8 THEN 'train'
+                    WHEN nb = 8 THEN 'val' ELSE 'test' END AS naive_split
+        FROM base
+    ),
+    leak AS (
+        SELECT
+            CAST(SUM(CASE WHEN gs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS leaked_grouped,
+            CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS leaked_naive
+        FROM (
+            SELECT fp, COUNT(DISTINCT split) AS gs,
+                   COUNT(DISTINCT naive_split) AS ns
+            FROM labeled GROUP BY fp
+        )
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_clusters,
+           leaked_grouped, leaked_naive
+    FROM labeled, leak
+    GROUP BY split, leaked_grouped, leaked_naive
+    ORDER BY split
+    """,
+    "Leakage-safe train/val/test split: the split key is a hash of the "
+    "CONTENT fingerprint, so exact duplicates land in the same split "
+    "by construction — the audit columns prove it (leaked_grouped = 0) "
+    "and quantify the counterfactual naive doc_id split (each "
+    "leaked_naive count is a duplicate group straddling train and "
+    "eval, i.e. memorized eval rows; the sf0.1 corpus has 8 duplicate "
+    "groups exposed to that risk, sf0.01 has none). Fingerprints "
+    "shuffle as 32-byte keys; the audit is one aggregate on the frame.",
+)
+def ns_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = text.fingerprint(F.col("text"))
+    gb = md5_int(fp) % 10
+    nb = F.col("doc_id") % 10
+
+    def lab(bucket) -> F.Column:
+        return (
+            F.when(bucket < 8, "train")
+            .when(bucket == 8, "val")
+            .otherwise("test")
+        )
+
+    labeled = docs.select(
+        "doc_id",
+        fp.alias("fp"),
+        lab(gb).alias("split"),
+        lab(nb).alias("naive_split"),
+    )
+    leak = (
+        labeled.groupBy("fp")
+        .agg(
+            F.countDistinct("split").alias("gs"),
+            F.countDistinct("naive_split").alias("ns"),
+        )
+        .agg(
+            F.sum((F.col("gs") > 1).cast("bigint"))
+            .cast("bigint")
+            .alias("leaked_grouped"),
+            F.sum((F.col("ns") > 1).cast("bigint"))
+            .cast("bigint")
+            .alias("leaked_naive"),
+        )
+    )
+    per_split = labeled.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("fp").cast("bigint").alias("n_clusters"),
+    )
+    return (
+        per_split.crossJoin(F.broadcast(leak))
+        .select("split", "n_docs", "n_clusters", "leaked_grouped", "leaked_naive")
+        .orderBy("split")
+    )
+
+
+@query(
+    "ns_k_anonymity",
+    """
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr,
+           CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT)
+               AS vbucket,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING COUNT(DISTINCT user_id) < 5
+    ORDER BY event_type, hr, vbucket
+    """,
+    "k-anonymity audit over quasi-identifiers (event_type, hour, "
+    "value bucket): every combination linkable to fewer than k=5 "
+    "distinct users is a re-identification risk the release gate must "
+    "suppress or generalize. One hash aggregate with a distinct-count "
+    "— partials combine map-side, the shuffle carries (group, user) "
+    "keys, and the HAVING prunes before any result materializes.",
+)
+def ns_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.hour("ts").cast("int").alias("hr"),
+            F.least(
+                F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)), F.lit(9)
+            )
+            .cast("bigint")
+            .alias("vbucket"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("k"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+        .where(F.col("k") < 5)
+        .orderBy("event_type", "hr", "vbucket")
+    )
+
+
+@query(
+    "ns_tokenizer_fertility",
+    r"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(regexp_extract_all(trim(text), '\S+'))) AS BIGINT)
+               AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text,
+                '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]'))) AS BIGINT)
+               AS subword_tokens,
+           ROUND(SUM(len(regexp_extract_all(text,
+                '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]'))) * 1.0
+                / SUM(len(regexp_extract_all(trim(text), '\S+'))), 6)
+               AS fertility,
+           ROUND(SUM(length(text)) * 1.0
+                / SUM(len(regexp_extract_all(text,
+                     '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]'))), 6)
+               AS chars_per_token
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+    "Tokenizer fertility per language: subword tokens per whitespace "
+    "word and chars per subword token — the numbers that decide how "
+    "much effective text a fixed token budget buys per language and "
+    "which languages a tokenizer penalizes. Pure regexp counts in "
+    "whole-stage codegen; one aggregate keyed by lang.",
+)
+def ns_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), 0))
+    sub = text.token_count(F.col("text"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+            F.sum(ws).cast("bigint").alias("ws_tokens"),
+            F.sum(sub).cast("bigint").alias("subword_tokens"),
+            F.round(F.sum(sub) / F.sum(ws), 6).alias("fertility"),
+            F.round(F.sum(F.length("text")) / F.sum(sub), 6).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,133 @@
+"""Compaction planner and zone-map prune estimator semantics, plus the
+governance queries' invariants (leakage-safety, k-anonymity floor)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from takuan_spark.operators.maintenance import (
+    compaction_bins,
+    compaction_plan,
+    prune_estimate,
+    zonemap_stats,
+)
+
+
+def _files(spark):
+    # two partitions; sizes chosen so p1 packs [100,200,300],[400],[500]
+    # at target 600: bins split where the EXCLUSIVE running sum crosses.
+    rows = [
+        ("p1", 1, 100),
+        ("p1", 2, 200),
+        ("p1", 3, 300),
+        ("p1", 4, 400),
+        ("p1", 5, 500),
+        ("p2", 1, 50),
+        ("p2", 2, 50),
+    ]
+    return spark.createDataFrame(rows, ["part", "fid", "size"])
+
+
+def test_compaction_bins_sequential_packing(spark):
+    out = compaction_bins(
+        _files(spark),
+        size_col="size",
+        order_cols=["fid"],
+        partition_cols=["part"],
+        target_bytes=600,
+    ).collect()
+    got = {(r["part"], r["fid"]): r["bin"] for r in out}
+    # p1 exclusive cumsums: 0,100,300,600,1000 -> bins 0,0,0,1,1
+    assert got[("p1", 1)] == 0
+    assert got[("p1", 2)] == 0
+    assert got[("p1", 3)] == 0
+    assert got[("p1", 4)] == 1
+    assert got[("p1", 5)] == 1
+    # p2 both fit bin 0
+    assert got[("p2", 1)] == 0 and got[("p2", 2)] == 0
+
+
+def test_compaction_plan_rollup(spark):
+    plan = {
+        (r["part"], r["bin"]): (r["n_files"], r["bytes"])
+        for r in compaction_plan(
+            _files(spark),
+            size_col="size",
+            order_cols=["fid"],
+            partition_cols=["part"],
+            target_bytes=600,
+        ).collect()
+    }
+    assert plan[("p1", 0)] == (3, 600)
+    assert plan[("p1", 1)] == (2, 900)
+    assert plan[("p2", 0)] == (2, 100)
+
+
+def test_compaction_rejects_bad_target(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        compaction_bins(
+            _files(spark),
+            size_col="size",
+            order_cols=["fid"],
+            partition_cols=["part"],
+            target_bytes=0,
+        )
+
+
+def test_zonemap_prune_counts(spark):
+    # 3 files: f0 has b in [0,10], f1 in [20,30], f2 in [50,60]
+    rows = [(0, 0), (0, 10), (1, 20), (1, 30), (2, 50), (2, 60)]
+    df = spark.createDataFrame(rows, ["f", "b"])
+    zm = zonemap_stats(df, file_col="f", value_cols=["b"])
+    est = prune_estimate(zm, col="b", lo=F.lit(25), hi=F.lit(40)).collect()[0]
+    # only f1 overlaps [25,40]; f0 (max 10 < 25) and f2 (min 50 > 40) prune
+    assert est["n_files"] == 3
+    assert est["n_prunable"] == 2
+    assert abs(est["scan_fraction"] - 1 / 3) < 1e-6
+
+
+def test_zonemap_query_zorder_beats_natural(spark):
+    from takuan_spark.queries.maintenance import q_zonemap_prune_compare
+
+    rows = {
+        r["layout"]: r
+        for r in q_zonemap_prune_compare(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert rows["zorder"]["scan_fraction"] < rows["natural"]["scan_fraction"]
+    assert rows["natural"]["n_prunable"] == 0 or (
+        rows["natural"]["n_prunable"] < rows["zorder"]["n_prunable"]
+    )
+
+
+def test_leakage_safe_split_invariants(spark):
+    from takuan_spark.queries.governance import ns_leakage_safe_split
+
+    rows = ns_leakage_safe_split(spark, "/root/testdata/sf0.001").collect()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # the content-grouped split can NEVER leak a duplicate group
+    assert all(r["leaked_grouped"] == 0 for r in rows)
+    assert sum(r["n_docs"] for r in rows) > 0
+
+
+def test_k_anonymity_all_below_threshold(spark):
+    from takuan_spark.queries.governance import ns_k_anonymity
+
+    rows = ns_k_anonymity(spark, "/root/testdata/sf0.001").collect()
+    assert all(1 <= r["k"] < 5 for r in rows)
+    assert all(r["n_rows"] >= r["k"] for r in rows)
+
+
+def test_tokenizer_fertility_bounds(spark):
+    from takuan_spark.queries.governance import ns_tokenizer_fertility
+
+    rows = ns_tokenizer_fertility(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 1
+    for r in rows:
+        # subword tokenization can only split words further
+        assert r["subword_tokens"] >= r["ws_tokens"]
+        assert r["fertility"] >= 1.0
+        assert r["chars_per_token"] > 0

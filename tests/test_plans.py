@@ -533,3 +533,33 @@ def test_stream_report_fold_reads_partials_not_events(spark, sf_dir):
     plan = plan_of(df)
     assert "events.parquet" not in plan
     assert "partial_sum" in plan
+
+
+def test_compaction_bins_single_exchange_no_global_sort(spark, sf_dir):
+    # the planner's window partitions by the table partition key — ONE
+    # hash exchange (plus the presentation sort's range exchange), and
+    # never a SinglePartition window that would serialize a 100 M-file
+    # manifest through one task
+    plan = plan_of(REGISTRY["q_compaction_bins"].builder(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    kinds = re.findall(r"Arguments: (hashpartitioning|rangepartitioning)", plan)
+    assert kinds.count("hashpartitioning") == 1, kinds
+
+
+def test_zonemap_estimator_is_metadata_sized_aggregates(spark, sf_dir):
+    # both layout estimates are hash aggregates over (file, min, max) —
+    # no join, no window, no cartesian anywhere in the plan
+    plan = plan_of(REGISTRY["q_zonemap_prune_compare"].builder(spark, sf_dir))
+    tree = tree_of(plan)
+    assert "Join" not in tree, tree
+    assert "Window" not in tree, tree
+    assert "partial_min" in plan and "partial_max" in plan
+
+
+def test_leakage_split_broadcasts_audit_row(spark, sf_dir):
+    # the one-row leak audit joins the per-split aggregate by broadcast;
+    # fingerprints shuffle as md5 strings, never document text
+    plan = plan_of(REGISTRY["ns_leakage_safe_split"].builder(spark, sf_dir))
+    tree = tree_of(plan)
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
