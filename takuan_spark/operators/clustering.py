@@ -213,3 +213,84 @@ def embedding_qc(
         .alias("n_norm_high"),
         F.round(F.avg(clean_nrm), 4).alias("mean_norm"),
     )
+
+
+def power_iteration_top_component(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int,
+    iters: int = 2,
+) -> DataFrame:
+    """Top principal direction of the (uncentered) second-moment
+    matrix by deterministic power iteration — PCA's workhorse step,
+    expressed so the Gram matrix is NEVER materialized: each iteration
+    computes ``t = X^T (X u)`` as one scan (per-row dot product in a
+    codegen'd ordered fold) plus one dim-sized aggregate (posexplode →
+    ``sum(x_pos * s)`` per dimension), then normalizes inside the same
+    one-row frame. The start vector is the deterministic uniform unit
+    vector (1/sqrt(dim), rounded 6dp) and every handoff rounds 6dp —
+    the same cross-engine determinism contract as k-means above, so an
+    external SQL engine replays the identical trajectory.
+
+    Output: one row per dimension (pos 1-based, comp) plus the
+    constant columns lambda (||X^T X u|| of the final iterate — the
+    top eigenvalue estimate) and explained_share (lambda over the
+    total second moment, i.e. the fraction of corpus "energy" along
+    the component).
+
+    Scale shape: per iteration the shuffle carries dim partial sums
+    per partition (map-side combined); the dim-sized component vector
+    moves by broadcast; the corpus is scanned iters times and nothing
+    dim^2-sized or corpus-sized ever concentrates anywhere.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    x = emb.select(_as_double(F.col(vec_col)).alias("v"))
+    spark = emb.sparkSession
+    u0 = round(1.0 / dim**0.5, 6)
+    cur = spark.range(1).select(
+        F.array([F.lit(u0)] * dim).alias("u"), F.lit(None).cast("double").alias("lam")
+    )
+    for _ in range(iters):
+        s = F.aggregate(
+            F.zip_with("v", "u", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+        weighted = x.crossJoin(F.broadcast(cur.select("u"))).select(
+            F.posexplode("v").alias("pos", "xv"), s.alias("s")
+        )
+        t = weighted.groupBy("pos").agg(
+            F.round(F.sum(F.col("xv") * F.col("s")), 6).alias("t")
+        )
+        cur = t.agg(
+            F.round(F.sqrt(F.sum(F.col("t") * F.col("t"))), 6).alias("lam"),
+            F.sort_array(F.collect_list(F.struct("pos", "t"))).alias("ts"),
+        ).select(
+            F.transform(
+                "ts", lambda st: F.round(st["t"] / F.col("lam"), 6)
+            ).alias("u"),
+            "lam",
+        )
+    tv = x.agg(
+        F.sum(
+            F.aggregate(
+                F.transform("v", lambda a: a * a),
+                F.lit(0.0),
+                lambda acc, y: acc + y,
+            )
+        ).alias("m")
+    )
+    return (
+        cur.select(F.posexplode("u").alias("pos0", "comp"), "lam")
+        .crossJoin(F.broadcast(tv))
+        .select(
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            "comp",
+            F.col("lam").alias("lambda"),
+            F.round(F.col("lam") / F.col("m"), 6).alias("explained_share"),
+        )
+        .orderBy("pos")
+    )

@@ -414,6 +414,86 @@ def duplicated_spans(
     )
 
 
+def boilerplate_strip(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-frequent n-gram removal (the C4/CCNet boilerplate pass,
+    word-granular): any word ``n``-gram whose exact string occurs in
+    >= ``min_docs`` distinct documents is boilerplate; every word
+    covered by a boilerplate occurrence is cut and the remainder
+    reassembled in order. Where :func:`duplicated_spans` REPORTS
+    duplicated spans, this op performs the cleanup cut and returns the
+    per-document accounting: (doc_id, n_words, n_removed,
+    cleaned_hash) with ``cleaned_hash`` = md5 of the reassembled text
+    (engine-portable identity for the cleaned corpus without moving
+    cleaned bodies through the comparison).
+
+    Scale shape: one count aggregate finds boilerplate gram hashes
+    (16-hex md5 keys, never gram strings, on the exchange); start
+    flags reach word rows by an (id, pos) equi-join; the cover test is
+    a RANGE window ``max`` over [pos-n+1, pos] — O(1) state, NO
+    per-word range join; reassembly is a per-document sort_array over
+    kept words (document-sized state, same bound as chunking). Nothing
+    is all-pairs, nothing touches the driver.
+    """
+    base = _spread(df)
+    toks = base.select(
+        id_col, F.posexplode(words(F.col(text_col))).alias("pos", "word")
+    )
+    grams = base.select(
+        id_col,
+        F.posexplode(ngram_array(F.col(text_col), n)).alias("pos", "g"),
+    ).select(id_col, "pos", F.substring(F.md5("g"), 1, 16).alias("h"))
+    bp = (
+        grams.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    starts = grams.join(bp, "h").select(id_col, "pos", F.lit(1).alias("s"))
+    marked = toks.join(starts, [id_col, "pos"], "left").select(
+        id_col, "pos", "word", F.coalesce("s", F.lit(0)).alias("s")
+    )
+    wcov = (
+        Window.partitionBy(id_col).orderBy("pos").rangeBetween(-(n - 1), 0)
+    )
+    kept = (
+        marked.withColumn("cov", F.max("s").over(wcov))
+        .where(F.col("cov") == 0)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "word"))),
+                    lambda x: x["word"],
+                ),
+                " ",
+            ).alias("cleaned"),
+        )
+    )
+    tot = base.select(
+        id_col, F.size(words(F.col(text_col))).alias("n_words")
+    )
+    return (
+        tot.join(kept, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_words").cast("bigint").alias("n_words"),
+            (F.col("n_words") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.md5(F.coalesce("cleaned", F.lit(""))).alias("cleaned_hash"),
+        )
+        .orderBy(id_col)
+    )
+
+
 # -------------------------------------------------------------- minhash
 
 def minhash_signatures(

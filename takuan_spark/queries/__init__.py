@@ -94,6 +94,7 @@ PRIORITY: list[str] = [
     "ns_mixture_schedule", "q_event_dedup_window",
     "q_compaction_bins", "q_zonemap_prune_compare",
     "ns_leakage_safe_split", "ns_k_anonymity", "ns_tokenizer_fertility",
+    "ns_boilerplate_strip", "ns_pca_power_iteration",
     # -- 3. changed this round ----------------------------------------
     "ns_jaccard_neardup", "ns_containment_neardup", "ns_dedup_pipeline",
     "q_bloom_prefilter",  # dual hash family (oracle mode default)

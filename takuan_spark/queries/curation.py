@@ -526,3 +526,64 @@ def ns_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_before",
         "n_picks",
     ).orderBy("lang", "doc_id")
+
+
+@query(
+    "ns_boilerplate_strip",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '') AS t
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, i - 1 AS pos, t[i] AS word
+        FROM toks, UNNEST(generate_series(1, len(t))) AS s(i)
+    ),
+    grams AS (
+        SELECT doc_id, i - 1 AS pos,
+               substr(md5(list_aggregate(t[i:i+4], 'string_agg', ' ')),
+                      1, 16) AS h
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 4, 0))) AS s(i)
+    ),
+    bp AS (SELECT h FROM grams GROUP BY h
+           HAVING COUNT(DISTINCT doc_id) >= 2),
+    starts AS (SELECT doc_id, pos, 1 AS s FROM grams JOIN bp USING (h)),
+    marked AS (
+        SELECT w.doc_id, w.pos, w.word, COALESCE(st.s, 0) AS s
+        FROM w LEFT JOIN starts st
+          ON w.doc_id = st.doc_id AND w.pos = st.pos
+    ),
+    cov AS (
+        SELECT doc_id, pos, word,
+               MAX(s) OVER (PARTITION BY doc_id ORDER BY pos
+                            RANGE BETWEEN 4 PRECEDING AND CURRENT ROW) AS c
+        FROM marked
+    ),
+    kept AS (
+        SELECT doc_id,
+               COUNT(*) AS n_kept,
+               string_agg(word, ' ' ORDER BY pos) AS cleaned
+        FROM cov WHERE c = 0 GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, len(t) AS n_words FROM toks)
+    SELECT t.doc_id,
+           CAST(t.n_words AS BIGINT) AS n_words,
+           CAST(t.n_words - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           md5(COALESCE(k.cleaned, '')) AS cleaned_hash
+    FROM tot t LEFT JOIN kept k USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    "Corpus-frequent n-gram boilerplate removal (the C4/CCNet cleanup "
+    "pass): 5-grams occurring in >= 2 distinct docs are boilerplate; "
+    "covered words are cut and the remainder reassembled in order, "
+    "proven by an md5 identity of the cleaned text. The cover test is "
+    "a RANGE window max over [pos-4, pos] — O(1) state, no per-word "
+    "range join — and boilerplate discovery shuffles 16-hex gram "
+    "hashes, never gram strings.",
+)
+def ns_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.boilerplate_strip(docs, n=5, min_docs=2)

@@ -181,3 +181,57 @@ def ns_embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.embedding_qc(_emb(spark, sf_dir), dim=_DIM).orderBy(
         "label"
     )
+
+
+@query(
+    "ns_pca_power_iteration",
+    f"""
+    WITH e AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s1 AS (
+        SELECT v, list_sum(list_transform(v, x -> x * 0.125)) AS s FROM e
+    ),
+    t1 AS (
+        SELECT g.i AS pos, ROUND(SUM(v[g.i] * s), 6) AS t
+        FROM s1, UNNEST(generate_series(1, {_DIM})) AS g(i)
+        GROUP BY 1
+    ),
+    n1 AS (SELECT ROUND(sqrt(SUM(t * t)), 6) AS n FROM t1),
+    u1 AS (
+        SELECT list(ROUND(t / n, 6) ORDER BY pos) AS u FROM t1, n1
+    ),
+    s2 AS (
+        SELECT e.v,
+               list_sum(list_transform(list_zip(e.v, u1.u),
+                                       x -> x[1] * x[2])) AS s
+        FROM e, u1
+    ),
+    t2 AS (
+        SELECT g.i AS pos, ROUND(SUM(v[g.i] * s), 6) AS t
+        FROM s2, UNNEST(generate_series(1, {_DIM})) AS g(i)
+        GROUP BY 1
+    ),
+    lam AS (SELECT ROUND(sqrt(SUM(t * t)), 6) AS l FROM t2),
+    tv AS (
+        SELECT SUM(list_sum(list_transform(v, x -> x * x))) AS m FROM e
+    )
+    SELECT CAST(t2.pos AS INTEGER) AS pos,
+           ROUND(t2.t / lam.l, 6) AS comp,
+           lam.l AS lambda,
+           ROUND(lam.l / tv.m, 6) AS explained_share
+    FROM t2, lam, tv
+    ORDER BY pos
+    """,
+    "Top principal direction by deterministic power iteration (2 "
+    "rounds from the uniform unit start, 6dp handoffs): each round is "
+    "X^T(Xu) — a codegen'd per-row dot product and ONE dim-sized "
+    "aggregate — so the Gram matrix is never materialized and the "
+    "shuffle carries dim partials per partition regardless of corpus "
+    "size. Output: the 64 component loadings, the top-eigenvalue "
+    "estimate, and its share of total corpus energy.",
+)
+def ns_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clustering.power_iteration_top_component(
+        _emb(spark, sf_dir), dim=_DIM, iters=2
+    )

@@ -85,3 +85,38 @@ def test_seed_centroids_are_lowest_ids_in_order(spark):
         for r in clustering.seed_centroids(_emb(spark, vecs), k=3).collect()
     }
     assert cents == {0: [0.0], 1: [1.0], 2: [2.0]}
+
+
+def test_power_iteration_matches_numpy_eigvector(spark):
+    import numpy as np
+
+    from takuan_spark.operators.clustering import power_iteration_top_component
+
+    rng = np.random.RandomState(7)
+    # anisotropic blob: dominant direction along d0+d1
+    base = rng.randn(300, 8) * 0.1
+    base[:, 0] += base[:, 1] * 3
+    rows = [(i, [float(x) for x in base[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = power_iteration_top_component(df, dim=8, iters=4).collect()
+    comp = np.array([r["comp"] for r in sorted(out, key=lambda r: r["pos"])])
+    lam = out[0]["lambda"]
+    m = base.T @ base
+    w, v = np.linalg.eigh(m)
+    top = v[:, -1]
+    # direction match up to sign
+    cos = abs(float(comp @ top) / (np.linalg.norm(comp) * np.linalg.norm(top)))
+    assert cos > 0.999, cos
+    assert abs(lam - w[-1]) / w[-1] < 0.01, (lam, w[-1])
+    # share bounded and consistent
+    assert 0 < out[0]["explained_share"] <= 1
+
+
+def test_power_iteration_rejects_zero_iters(spark):
+    import pytest
+
+    from takuan_spark.operators.clustering import power_iteration_top_component
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        power_iteration_top_component(df, dim=2, iters=0)

@@ -131,3 +131,43 @@ def test_tokenizer_fertility_bounds(spark):
         assert r["subword_tokens"] >= r["ws_tokens"]
         assert r["fertility"] >= 1.0
         assert r["chars_per_token"] > 0
+
+
+def test_boilerplate_strip_cuts_shared_grams(spark):
+    import hashlib
+
+    from takuan_spark.operators.dedup import boilerplate_strip
+
+    shared = "alpha beta gamma delta epsilon"  # 5-gram in both docs
+    rows = [
+        (1, f"{shared} unique one tail"),
+        (2, f"lead {shared} other ending"),
+        (3, "completely different text entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in boilerplate_strip(df, n=5, min_docs=2).collect()}
+    # doc 1: 8 words, the 5 shared cut
+    assert out[1]["n_words"] == 8 and out[1]["n_removed"] == 5
+    assert out[1]["cleaned_hash"] == hashlib.md5(b"unique one tail").hexdigest()
+    # doc 2: shared gram starts at pos 1
+    assert out[2]["n_removed"] == 5
+    assert out[2]["cleaned_hash"] == hashlib.md5(b"lead other ending").hexdigest()
+    # doc 3 untouched
+    assert out[3]["n_removed"] == 0
+    assert (
+        out[3]["cleaned_hash"]
+        == hashlib.md5(b"completely different text entirely here now").hexdigest()
+    )
+
+
+def test_boilerplate_strip_full_removal_yields_empty_hash(spark):
+    import hashlib
+
+    from takuan_spark.operators.dedup import boilerplate_strip
+
+    t = "one two three four five"
+    df = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])
+    out = boilerplate_strip(df, n=5, min_docs=2).collect()
+    for r in out:
+        assert r["n_removed"] == 5
+        assert r["cleaned_hash"] == hashlib.md5(b"").hexdigest()
