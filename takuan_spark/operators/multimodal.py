@@ -24,7 +24,7 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -466,4 +466,131 @@ def sample_frames(
     return (
         media.where(F.col("kind") == "video")
         .select(F.col(id_col), F.explode(ts).alias("frame_ts_ms"))
+    )
+
+
+def synth_wav(doc_id: int, *, n_frames: int = 32, frame_samples: int = 256,
+              amplitude: int = 16384) -> bytes:
+    """Deterministic 16-bit mono PCM WAV: frame ``f`` is a full-frame
+    square wave of ``amplitude`` iff the md5-derived bit for
+    ``"{doc_id}:{f}"`` is 1, else silence. The same md5 derivation is
+    expressible in SQL (operators/hashing.py spelling), so a query
+    that DECODES this audio with the real ``wave`` reader can still be
+    value-checked by an external engine that re-derives the loudness
+    plan arithmetically — the mm_feature_extract pattern, applied to a
+    REAL codec path."""
+    import io
+    import wave
+
+    import numpy as np
+
+    samples = np.zeros(n_frames * frame_samples, dtype=np.int16)
+    for f in range(n_frames):
+        bit = int(hashlib.md5(f"{doc_id}:{f}".encode()).hexdigest()[:8], 16) % 2
+        if bit:
+            seg = np.empty(frame_samples, dtype=np.int16)
+            seg[0::2] = amplitude
+            seg[1::2] = -amplitude
+            samples[f * frame_samples : (f + 1) * frame_samples] = seg
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def frame_rms(
+    media: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    n_frames: int = 32,
+) -> DataFrame:
+    """WAV payload → one row per fixed-width time frame with its RMS
+    energy (full-scale normalized): (id, frame, rms float). The REAL
+    stdlib ``wave`` decode runs once per payload inside the Arrow
+    batch loop; corrupt payloads quarantine to a single NULL-rms row
+    at frame -1 (same per-record philosophy as extract_features).
+    Downstream segmentation is pure DataFrame ops — only the codec
+    itself is Python."""
+    import io
+    import wave
+
+    import numpy as np
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("frame", IntegerType(), False),
+            StructField("rms", FloatType(), True),
+        ]
+    )
+
+    def _frames(p) -> list[float] | None:
+        try:
+            with wave.open(io.BytesIO(bytes(p))) as w:
+                width = w.getsampwidth()
+                raw = w.readframes(w.getnframes())
+            if width != 2:
+                raise ValueError("frame_rms expects 16-bit PCM")
+            x = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
+            segs = np.array_split(x, n_frames)
+            return [
+                float(np.sqrt((s**2).mean()) / 32768.0) if s.size else 0.0
+                for s in segs
+            ]
+        except Exception:
+            return None
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, rms = [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                vals = _frames(p) if p is not None else None
+                if vals is None:
+                    ids.append(mid)
+                    frames.append(-1)
+                    rms.append(None)
+                    continue
+                for f, v in enumerate(vals):
+                    ids.append(mid)
+                    frames.append(f)
+                    rms.append(v)
+            yield pd.DataFrame({id_col: ids, "frame": frames, "rms": rms})
+
+    return media.select(id_col, payload_col).mapInPandas(
+        _decode, schema=out_schema
+    )
+
+
+def audio_segments(
+    frames: DataFrame,
+    *,
+    id_col: str = "media_id",
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Voice/sound-activity segmentation from per-frame RMS rows:
+    maximal runs of consecutive frames with rms >= threshold, via
+    gaps-and-islands (frame - row_number is constant within a run) —
+    O(1) window state per row, parallel across media. Output:
+    (id, seg_start, seg_end, n_frames, mean_rms)."""
+    loud = frames.where(
+        F.col("rms").isNotNull() & (F.col("rms") >= threshold)
+    )
+    w = Window.partitionBy(id_col).orderBy("frame")
+    runs = loud.withColumn(
+        "grp", F.col("frame") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy(id_col, "grp")
+        .agg(
+            F.min("frame").cast("int").alias("seg_start"),
+            F.max("frame").cast("int").alias("seg_end"),
+            F.count("*").cast("bigint").alias("n_frames"),
+            F.round(F.avg("rms"), 6).alias("mean_rms"),
+        )
+        .drop("grp")
+        .orderBy(id_col, "seg_start")
     )

@@ -204,3 +204,104 @@ def ns_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_dq_audit",
+    """
+    SELECT 'lineitem_null_quantity' AS check_name,
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NULL)
+                AS BIGINT) AS n_violations,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_checked
+    UNION ALL
+    SELECT 'lineitem_nonpositive_price',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= 0)
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_duplicate_pk',
+           CAST((SELECT COUNT(*) FROM (
+                     SELECT o_orderkey FROM orders
+                     GROUP BY o_orderkey HAVING COUNT(*) > 1))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    ORDER BY check_name
+    """,
+    "Data-quality expectation audit (the release gate a 100 TB table "
+    "ships with): null and range expectations as plain aggregates, "
+    "referential integrity as anti-join counts, primary-key "
+    "uniqueness as a having-count aggregate — each check one bounded "
+    "shuffle, results a fixed handful of rows regardless of scale.",
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def row(name: str, viol, checked) -> DataFrame:
+        return viol.crossJoin(F.broadcast(checked)).select(
+            F.lit(name).alias("check_name"),
+            F.col("v").cast("bigint").alias("n_violations"),
+            F.col("c").cast("bigint").alias("n_checked"),
+        )
+
+    li_total = li.agg(F.count("*").alias("c"))
+    o_total = orders.agg(F.count("*").alias("c"))
+    checks = [
+        row(
+            "lineitem_null_quantity",
+            li.agg(
+                F.sum(F.col("l_quantity").isNull().cast("bigint")).alias("v")
+            ),
+            li_total,
+        ),
+        row(
+            "lineitem_nonpositive_price",
+            li.agg(
+                F.sum((F.col("l_extendedprice") <= 0).cast("bigint")).alias("v")
+            ),
+            li_total,
+        ),
+        row(
+            "lineitem_orphan_orderkey",
+            li.join(
+                orders,
+                li.l_orderkey == orders.o_orderkey,
+                "left_anti",
+            ).agg(F.count("*").alias("v")),
+            li_total,
+        ),
+        row(
+            "orders_duplicate_pk",
+            orders.groupBy("o_orderkey")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > 1)
+            .agg(F.count("*").alias("v")),
+            o_total,
+        ),
+        row(
+            "orders_orphan_custkey",
+            orders.join(
+                cust, orders.o_custkey == cust.c_custkey, "left_anti"
+            ).agg(F.count("*").alias("v")),
+            o_total,
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("check_name")

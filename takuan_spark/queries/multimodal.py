@@ -144,3 +144,78 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", F.col("frame_ts_ms").cast("long"))
         .orderBy("media_id", "frame_ts_ms")
     )
+
+
+@query(
+    "mm_audio_segments",
+    """
+    WITH loud AS (
+        SELECT d.doc_id, g.f
+        FROM documents d, UNNEST(generate_series(0, 31)) AS g(f)
+        WHERE CAST(concat('0x', substr(md5(d.doc_id || ':' || g.f), 1, 8))
+                   AS BIGINT) % 2 = 1
+    ),
+    runs AS (
+        SELECT doc_id, f,
+               f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+        FROM loud
+    )
+    SELECT doc_id AS media_id,
+           CAST(MIN(f) AS INT) AS seg_start,
+           CAST(MAX(f) AS INT) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(0.5 AS DOUBLE) AS mean_rms
+    FROM runs
+    GROUP BY doc_id, grp
+    ORDER BY media_id, seg_start
+    """,
+    "Audio activity segmentation over a REAL PCM decode: deterministic "
+    "16-bit WAVs are synthesized per doc (md5-derived loud frames, "
+    "square wave = exact 0.5 RMS), the stdlib wave reader decodes "
+    "per-frame RMS inside an Arrow mapInPandas, and maximal loud runs "
+    "merge via gaps-and-islands — pure DataFrame ops after the codec. "
+    "The oracle re-derives the loudness plan arithmetically, so the "
+    "decode path itself is value-checked end-to-end (the "
+    "mm_feature_extract pattern applied to a real codec).",
+)
+def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from takuan_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    wav_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def _synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        multimodal.synth_wav(int(m)) for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    wavs = docs.mapInPandas(_synth, schema=wav_schema)
+    frames = multimodal.frame_rms(wavs, n_frames=32)
+    return multimodal.audio_segments(frames, threshold=0.25).select(
+        "media_id",
+        "seg_start",
+        "seg_end",
+        "n_frames",
+        F.col("mean_rms").cast("double").alias("mean_rms"),
+    )

@@ -168,3 +168,97 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
         F.col("resolution_secs").cast("int").alias("resolution_secs"),
     ).orderBy("event_type", "bucket", "resolution_secs")
+
+
+#: EWMA tap weights 0.7^k, k = 1..12, embedded as IDENTICAL decimal
+#: literals in the Spark plan and the oracle SQL (power() could differ
+#: in the last ulp between engines; a shared literal cannot).
+_EWMA_W = [repr(0.7**k) for k in range(1, 13)]
+
+_EWMA_NUM_SQL = " + ".join(
+    f"{w} * COALESCE(lag(value, {k}) OVER w, 0)"
+    for k, w in enumerate(_EWMA_W, start=1)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"{w} * (CASE WHEN lag(value, {k}) OVER w IS NULL THEN 0 ELSE 1 END)"
+    for k, w in enumerate(_EWMA_W, start=1)
+)
+
+
+@query(
+    "q_ewma_anomaly",
+    f"""
+    WITH scored AS (
+        SELECT user_id, ts, value,
+               ({_EWMA_NUM_SQL}) AS num,
+               ({_EWMA_DEN_SQL}) AS den,
+               stddev_samp(value) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING) AS sig,
+               COUNT(*) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING) AS n_hist
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, ts, value,
+           ROUND(num / den, 6) AS pred,
+           ROUND(abs(value - num / den) / sig, 6) AS zscore
+    FROM scored
+    WHERE n_hist >= 6 AND sig > 0
+      AND abs(value - num / den) > 3 * sig
+    ORDER BY user_id, ts
+    """,
+    "EWMA control chart per user series: the prediction is a 12-tap "
+    "exponentially-weighted mean of PRIOR values (weights are shared "
+    "decimal literals, so both engines compute bit-identical sums), "
+    "the band is 3 trailing standard deviations, and only breaches "
+    "with >= 6 points of history fire. One window pass, O(taps) state "
+    "per row — the telemetry/fraud anomaly gate that runs as a plain "
+    "projection at 100 TB (no self-join, no global sort).",
+)
+def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for k, wl in enumerate(_EWMA_W, start=1):
+        lagv = F.lag("value", k).over(w)
+        t_num = F.lit(float(wl)) * F.coalesce(lagv, F.lit(0.0))
+        t_den = F.lit(float(wl)) * F.when(lagv.isNull(), 0.0).otherwise(1.0)
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    hist = w.rowsBetween(-12, -1)
+    sig = F.stddev_samp("value").over(hist)
+    n_hist = F.count("value").over(hist)
+    scored = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        num.alias("num"),
+        den.alias("den"),
+        sig.alias("sig"),
+        n_hist.alias("n_hist"),
+    )
+    return (
+        scored.where(
+            (F.col("n_hist") >= 6)
+            & (F.col("sig") > 0)
+            & (F.abs(F.col("value") - F.col("num") / F.col("den"))
+               > 3 * F.col("sig"))
+        )
+        .select(
+            "user_id",
+            "ts",
+            "value",
+            F.round(F.col("num") / F.col("den"), 6).alias("pred"),
+            F.round(
+                F.abs(F.col("value") - F.col("num") / F.col("den"))
+                / F.col("sig"),
+                6,
+            ).alias("zscore"),
+        )
+        .orderBy("user_id", "ts")
+    )

@@ -171,3 +171,112 @@ def test_boilerplate_strip_full_removal_yields_empty_hash(spark):
     for r in out:
         assert r["n_removed"] == 5
         assert r["cleaned_hash"] == hashlib.md5(b"").hexdigest()
+
+
+def test_audio_segments_match_md5_plan(spark):
+    import hashlib
+
+    from takuan_spark.operators.multimodal import (
+        audio_segments,
+        frame_rms,
+        synth_wav,
+    )
+
+    ids = [3, 11]
+    rows = [(i, bytearray(synth_wav(i))) for i in ids]
+    media = spark.createDataFrame(rows, ["media_id", "payload"])
+    frames = frame_rms(media, n_frames=32)
+    segs = audio_segments(frames, threshold=0.25).collect()
+
+    def expected(doc_id):
+        loud = [
+            f
+            for f in range(32)
+            if int(hashlib.md5(f"{doc_id}:{f}".encode()).hexdigest()[:8], 16)
+            % 2
+            == 1
+        ]
+        runs, start = [], None
+        for f in range(33):
+            if f in loud and start is None:
+                start = f
+            elif f not in loud and start is not None:
+                runs.append((start, f - 1))
+                start = None
+        return runs
+
+    for i in ids:
+        got = [
+            (r["seg_start"], r["seg_end"])
+            for r in segs
+            if r["media_id"] == i
+        ]
+        assert got == expected(i), (i, got, expected(i))
+    # square wave RMS is exactly 0.5
+    assert all(abs(r["mean_rms"] - 0.5) < 1e-9 for r in segs)
+
+
+def test_frame_rms_quarantines_corrupt_payload(spark):
+    from takuan_spark.operators.multimodal import frame_rms, synth_wav
+
+    rows = [(1, bytearray(synth_wav(1))), (2, bytearray(b"not a wav"))]
+    media = spark.createDataFrame(rows, ["media_id", "payload"])
+    out = frame_rms(media, n_frames=32).collect()
+    good = [r for r in out if r["media_id"] == 1]
+    bad = [r for r in out if r["media_id"] == 2]
+    assert len(good) == 32
+    assert len(bad) == 1 and bad[0]["frame"] == -1 and bad[0]["rms"] is None
+
+
+def test_ewma_anomaly_flags_planted_spike(spark):
+    import datetime
+
+    # planted-spike check on a manual frame, using the same constants
+    # and window shape as the registered q_ewma_anomaly query
+    base = datetime.datetime(2026, 1, 1)
+    rows = []
+    for i in range(30):
+        v = 10.0 + (0.1 * (i % 3))  # stable series
+        if i == 20:
+            v = 500.0  # spike
+        rows.append((1, base + datetime.timedelta(seconds=i), i, v))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = w.rowsBetween(-12, -1)
+    num, den = None, None
+    for k in range(1, 13):
+        wl = 0.7**k
+        lagv = F.lag("value", k).over(w)
+        tn = F.lit(wl) * F.coalesce(lagv, F.lit(0.0))
+        td = F.lit(wl) * F.when(lagv.isNull(), 0.0).otherwise(1.0)
+        num = tn if num is None else num + tn
+        den = td if den is None else den + td
+    sig = F.stddev_samp("value").over(hist)
+    n = F.count("value").over(hist)
+    flagged = (
+        df.select("event_id", "value", num.alias("nm"), den.alias("dn"),
+                  sig.alias("sg"), n.alias("nh"))
+        .where((F.col("nh") >= 6) & (F.col("sg") > 0)
+               & (F.abs(F.col("value") - F.col("nm") / F.col("dn"))
+                  > 3 * F.col("sg")))
+        .collect()
+    )
+    assert any(r["event_id"] == 20 for r in flagged)
+    # the stable tail after the spike inflates sigma; nothing before
+    # the spike fires
+    assert all(r["event_id"] >= 20 for r in flagged)
+
+
+def test_dq_audit_clean_testdata(spark):
+    from takuan_spark.queries.governance import q_dq_audit
+
+    rows = {r["check_name"]: r for r in q_dq_audit(spark, "/root/testdata/sf0.001").collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r["n_violations"] >= 0 and r["n_checked"] > 0
+    # synthetic testdata is referentially intact
+    assert rows["lineitem_orphan_orderkey"]["n_violations"] == 0
+    assert rows["orders_duplicate_pk"]["n_violations"] == 0
