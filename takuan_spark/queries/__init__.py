@@ -96,6 +96,7 @@ PRIORITY: list[str] = [
     "ns_leakage_safe_split", "ns_k_anonymity", "ns_tokenizer_fertility",
     "ns_boilerplate_strip", "ns_pca_power_iteration",
     "mm_audio_segments", "q_ewma_anomaly", "q_dq_audit", "q_salted_join",
+    "ns_score_calibration",
     # -- 3. changed this round ----------------------------------------
     "ns_jaccard_neardup", "ns_containment_neardup", "ns_dedup_pipeline",
     "q_bloom_prefilter",  # dual hash family (oracle mode default)

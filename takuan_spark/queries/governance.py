@@ -305,3 +305,77 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out.orderBy("check_name")
+
+
+@query(
+    "ns_score_calibration",
+    """
+    WITH seg0 AS (
+        SELECT event_type,
+               quantile_cont(value,
+                   list_transform(generate_series(0, 20), g -> g / 20.0))
+                   AS qs
+        FROM events GROUP BY event_type
+    ),
+    pooled0 AS (
+        SELECT quantile_cont(value,
+                   list_transform(generate_series(0, 20), g -> g / 20.0))
+                   AS qs
+        FROM events
+    ),
+    seg AS (
+        SELECT event_type, g, ROUND(qs[g + 1], 6) AS seg_q
+        FROM seg0, UNNEST(generate_series(0, 20)) AS s(g)
+    ),
+    pooled AS (
+        SELECT g, ROUND(qs[g + 1], 6) AS pooled_q
+        FROM pooled0, UNNEST(generate_series(0, 20)) AS s(g)
+    )
+    SELECT s.event_type, CAST(s.g AS INTEGER) AS g, s.seg_q, p.pooled_q,
+           ROUND(p.pooled_q - s.seg_q, 6) AS shift
+    FROM seg s JOIN pooled p USING (g)
+    ORDER BY s.event_type, s.g
+    """,
+    "Cross-segment score calibration (quantile normalization): the QQ "
+    "mapping from each segment's score distribution onto the pooled "
+    "distribution at a 21-point grid — how heterogeneous scorer "
+    "versions or sources are put on one comparable scale before "
+    "thresholding. Two percentile aggregates and a 21-row join; the "
+    "mapping table is O(segments x grid) regardless of corpus size.",
+)
+def ns_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    grid = [g / 20.0 for g in range(21)]
+    pcts = F.array([F.lit(p) for p in grid])
+    seg = (
+        ev.groupBy("event_type")
+        .agg(F.percentile("value", pcts).alias("qs"))
+        .select(
+            "event_type",
+            F.posexplode("qs").alias("g", "seg_q0"),
+        )
+        .select(
+            "event_type",
+            F.col("g").cast("int").alias("g"),
+            F.round("seg_q0", 6).alias("seg_q"),
+        )
+    )
+    pooled = (
+        ev.agg(F.percentile("value", pcts).alias("qs"))
+        .select(F.posexplode("qs").alias("g", "pooled_q0"))
+        .select(
+            F.col("g").cast("int").alias("g"),
+            F.round("pooled_q0", 6).alias("pooled_q"),
+        )
+    )
+    return (
+        seg.join(F.broadcast(pooled), "g")
+        .select(
+            "event_type",
+            "g",
+            "seg_q",
+            "pooled_q",
+            F.round(F.col("pooled_q") - F.col("seg_q"), 6).alias("shift"),
+        )
+        .orderBy("event_type", "g")
+    )
