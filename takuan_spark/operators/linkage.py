@@ -109,7 +109,16 @@ def score_links(
     ``score = w_j * token_jaccard + w_len * len_ratio + w_lang *
     lang_agree`` — the linear Fellegi-Sunter surrogate. Only pairs
     from different sources survive (same-source pairs are dedup's
-    business, not linkage's)."""
+    business, not linkage's).
+
+    The weighted combination is computed in SCALED INTEGERS (micro
+    units, 1e6), not doubles: each 6-dp feature becomes a bigint,
+    weights become bigint micro-weights, and the blend is
+    ``(sum + half) div 1e6`` — round-half-up in exact integer
+    arithmetic. A double blend of already-rounded features can land a
+    half-ulp from a 6-dp tie point and round DIFFERENTLY per engine
+    (observed: Spark 0.977143 vs DuckDB 0.977144 on one pair), which
+    breaks cross-engine reproducibility of the match set itself."""
     meta = docs.select(
         F.col(id_col).alias("id"),
         F.col(lang_col).alias("lang"),
@@ -138,13 +147,13 @@ def score_links(
         F.col("len_a"), F.col("len_b")
     )
     lang_agree = (F.col("lang_a") == F.col("lang_b")).cast("int")
-    score = F.round(
-        F.lit(w_jaccard) * F.round(jac, 6)
-        + F.lit(w_len) * F.round(len_ratio, 6)
-        + F.lit(w_lang) * lang_agree,
-        6,
-    )
-    return (
+    # Micro-unit (1e6) integer weights/threshold: exact in any engine.
+    scale = 10**6
+    wj = int(round(w_jaccard * scale))
+    wl = int(round(w_len * scale))
+    wg = int(round(w_lang * scale))
+    thr = int(round(threshold * scale))
+    feat = (
         candidates.select("id_a", "id_b")
         .join(a, "id_a")
         .join(b, "id_b")
@@ -157,7 +166,32 @@ def score_links(
             F.round(jac, 6).alias("jaccard"),
             F.round(len_ratio, 6).alias("len_ratio"),
             lang_agree.alias("lang_agree"),
-            score.alias("score"),
         )
-        .where(F.col("score") >= threshold)
+        .withColumn(
+            "jac6", F.round(F.col("jaccard") * scale, 0).cast("long")
+        )
+        .withColumn(
+            "len6", F.round(F.col("len_ratio") * scale, 0).cast("long")
+        )
+        .withColumn(
+            "score_micro",
+            F.expr(
+                f"({wj}L * jac6 + {wl}L * len6"
+                f" + {wg}L * lang_agree * {scale}L"
+                f" + {scale // 2}L) div {scale}L"
+            ),
+        )
+    )
+    return (
+        feat.where(F.col("score_micro") >= thr)
+        .select(
+            "id_a",
+            "id_b",
+            "src_a",
+            "src_b",
+            "jaccard",
+            "len_ratio",
+            "lang_agree",
+            (F.col("score_micro") / F.lit(float(scale))).alias("score"),
+        )
     )

@@ -77,13 +77,19 @@ def ns_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN meta a ON a.id = p.id_a
         JOIN meta b ON b.id = p.id_b
         WHERE a.src <> b.src
+    ),
+    scored AS (
+        SELECT *,
+               (500000 * CAST(round(jaccard * 1000000) AS BIGINT)
+                + 300000 * CAST(round(len_ratio * 1000000) AS BIGINT)
+                + 200000 * CAST(lang_agree AS BIGINT) * 1000000
+                + 500000) // 1000000 AS score_micro
+        FROM feat
     )
     SELECT id_a, id_b, src_a, src_b, jaccard, len_ratio, lang_agree,
-           ROUND(0.5 * jaccard + 0.3 * len_ratio + 0.2 * lang_agree, 6)
-               AS score
-    FROM feat
-    WHERE ROUND(0.5 * jaccard + 0.3 * len_ratio + 0.2 * lang_agree, 6)
-          >= 0.6
+           score_micro / 1000000.0 AS score
+    FROM scored
+    WHERE score_micro >= 600000
     ORDER BY id_a, id_b
     """,
     "SCORING half of record linkage (Fellegi-Sunter linear surrogate): "

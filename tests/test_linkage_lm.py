@@ -58,6 +58,25 @@ def test_score_links_cross_source_only(spark):
     assert r["jaccard"] == 1.0 and r["score"] == 1.0
 
 
+def test_score_links_half_tie_rounds_up(spark):
+    # jaccard = 3/7 -> 6dp 0.428571 (odd micro), len_ratio = 1.0,
+    # lang_agree = 0: blended score = 0.5142855 exactly — a 6-dp
+    # half tie. Double blends resolve this differently per engine
+    # (Spark HALF_UP vs DuckDB banker's on the nearest double); the
+    # integer micro-unit composition must pin it to half-up.
+    docs = _docs(
+        spark,
+        [("aa bb cc dd ee", "en", "s0"), ("aa bb cc xx yy", "de", "s1")],
+    )
+    cand = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    out = linkage.score_links(cand, docs, threshold=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["jaccard"] == 0.428571
+    assert r["len_ratio"] == 1.0 and r["lang_agree"] == 0
+    assert r["score"] == 0.514286
+
+
 def test_bigrams_positions_and_order(spark):
     docs = _docs(spark, [("a b c", "en", "s")])
     got = [
