@@ -219,7 +219,6 @@ def power_iteration_top_component(
     emb: DataFrame,
     *,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
     dim: int,
     iters: int = 2,
 ) -> DataFrame:

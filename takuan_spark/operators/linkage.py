@@ -39,6 +39,7 @@ def blocked_pairs(
     len_band: int = 200,
     min_jaccard: float = 0.5,
     prefix_token: bool = False,
+    max_block: int | None = 64,
 ) -> DataFrame:
     """Within-block linked pairs: block key = (lang, floor(len/band))
     — plus the record's FIRST TOKEN when ``prefix_token`` is set —
@@ -53,6 +54,17 @@ def blocked_pairs(
     reduction on the test corpus from adding the first-token
     component (multi-attribute blocking, the standard fix). Callers
     with a natural high-cardinality key should always include one.
+
+    ``max_block`` is the HARD bound (the ``max_df`` contract on block
+    keys): even a selective key has Zipfian outliers — a frequent
+    first token ("the") recreates the degenerate block at scale.
+    Blocks holding more than ``max_block`` records are dropped from
+    pairing entirely (deterministic, oracle-expressible), so pair
+    count is <= n * max_block regardless of key skew. Records in a
+    dropped block are not linked by this path — a corpus where that
+    loss matters needs a more selective key (or the LSH discovery
+    path in operators/dedup.py), not a bigger quadratic.
+    ``max_block=None`` disables the guard.
     """
     block = ["lang", "lb"] + (["tok0"] if prefix_token else [])
     keyed = docs.select(
@@ -66,6 +78,14 @@ def blocked_pairs(
         ),
         _tok_set(F.col(text_col)).alias("ts"),
     )
+    if max_block is not None:
+        small = (
+            keyed.groupBy(*block)
+            .agg(F.count(F.lit(1)).alias("_bc"))
+            .where(F.col("_bc") <= max_block)
+            .drop("_bc")
+        )
+        keyed = keyed.join(small, block)
     a = keyed.select(
         F.col("id").alias("id_a"), *block, F.col("ts").alias("ts_a")
     )

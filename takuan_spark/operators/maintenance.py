@@ -49,10 +49,25 @@ def compaction_bins(
     deterministic sequential packing every compactor (Delta OPTIMIZE,
     Iceberg rewrite_data_files) uses, expressed as one window. A bin
     may exceed the target by at most one file, never undershoot-split.
+
+    The running sum uses an explicit ROWS frame, so the packing
+    invariant holds even when ``order_cols`` has ties; for a fully
+    DETERMINISTIC assignment (same file -> same bin across runs and
+    engines) callers must include a unique tiebreak column in
+    ``order_cols``, as the registered queries do with the file id.
     """
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be positive, got {target_bytes}")
-    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    # ROWS frame, not the default RANGE frame: with RANGE, tied
+    # order_cols values all receive the same inclusive running sum,
+    # which breaks the at-most-one-file overshoot invariant whenever
+    # order_cols are not unique (and diverges from the ROWS-framed
+    # oracle).
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     running = F.sum(size_col).over(w) - F.col(size_col)
     return files.withColumn(
         "bin", F.floor(running / F.lit(target_bytes)).cast("bigint")

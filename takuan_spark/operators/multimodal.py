@@ -532,9 +532,15 @@ def frame_rms(
         try:
             with wave.open(io.BytesIO(bytes(p))) as w:
                 width = w.getsampwidth()
+                channels = w.getnchannels()
                 raw = w.readframes(w.getnframes())
             if width != 2:
                 raise ValueError("frame_rms expects 16-bit PCM")
+            if channels != 1:
+                # a stereo payload would silently decode as a
+                # doubled-length mono stream and shift every frame
+                # boundary — quarantine it like any corrupt record
+                raise ValueError("frame_rms expects mono PCM")
             x = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
             segs = np.array_split(x, n_frames)
             return [

@@ -281,6 +281,7 @@ def cosine_pairs_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Approximate cosine near-dup pairs: only vectors that collide in at
     least one of ``tables`` random-hyperplane LSH tables are compared.
@@ -290,6 +291,20 @@ def cosine_pairs_lsh(
     (vector, table) and truly-near pairs (high cosine → high bit-agree
     probability) collide with probability 1-(1-p^nbits)^tables. Exact
     cosine is then computed per surviving candidate only.
+
+    ``max_bucket`` is the SCALE CONTRACT (the ``max_df`` rule applied
+    to signatures): with 2^nbits buckets per table, bucket occupancy
+    grows linearly with the corpus, so the within-bucket self-join is
+    quadratic in n unless bounded. Buckets holding more than
+    ``max_bucket`` rows are dropped from candidate generation BEFORE
+    the join — total candidate count is then <= n * tables *
+    max_bucket, linear in n. A near pair dropped in one table's
+    oversized bucket still collides in any other table whose bucket is
+    under the cap; to keep recall while growing the corpus, raise
+    ``nbits`` so occupancy stays near-constant (each +1 bit halves
+    it) — the persisted-index path (:func:`lsh_build_index`) already
+    partitions by signature prefix for exactly this reason.
+    ``max_bucket=None`` disables the guard (small fixed corpora only).
     """
     from takuan_spark.operators.skew import materialize
 
@@ -302,6 +317,14 @@ def cosine_pairs_lsh(
             F.posexplode(sig_fn(F.col(vec_col))).alias("tbl", "sig"),
         )
     )
+    if max_bucket is not None:
+        sizes = (
+            base.groupBy("tbl", "sig")
+            .agg(F.count(F.lit(1)).alias("_bc"))
+            .where(F.col("_bc") <= max_bucket)
+            .drop("_bc")
+        )
+        base = base.join(sizes, ["tbl", "sig"])
     a = base.select(
         F.col(id_col).alias("id_a"), F.col("nv").alias("nv_a"), "tbl", "sig"
     )

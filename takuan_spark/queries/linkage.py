@@ -26,14 +26,21 @@ _TS = r"""list_distinct(list_filter(string_split_regex(text, '\s+'),
                {_TS} AS ts
         FROM documents
     ),
+    small AS (
+        SELECT lang, lb, tok0 FROM keyed
+        GROUP BY lang, lb, tok0 HAVING COUNT(*) <= 64
+    ),
+    keyed_k AS (
+        SELECT k.* FROM keyed k JOIN small USING (lang, lb, tok0)
+    ),
     pairs AS (
         SELECT a.id AS id_a, b.id AS id_b, a.lang, a.lb AS len_band,
                ROUND(len(list_intersect(a.ts, b.ts))
                      / CAST(len(list_distinct(a.ts || b.ts)) AS DOUBLE),
                      6) AS jaccard
-        FROM keyed a
-        JOIN keyed b ON a.lang = b.lang AND a.lb = b.lb
-                    AND a.tok0 = b.tok0 AND a.id < b.id
+        FROM keyed_k a
+        JOIN keyed_k b ON a.lang = b.lang AND a.lb = b.lb
+                      AND a.tok0 = b.tok0 AND a.id < b.id
     )
     SELECT * FROM pairs WHERE jaccard >= 0.5
     ORDER BY id_a, id_b
@@ -44,9 +51,11 @@ _TS = r"""list_distinct(list_filter(string_split_regex(text, '\s+'),
     "block size, and the key is selective enough that block sizes stay "
     "bounded as the corpus grows ((lang, band) alone has O(15) values, "
     "so blocks grew linearly with the corpus and the bench paid 32 s "
-    "at sf0.1; the first-token component cut pair mass 28x). One "
-    "shuffle on the block key; agreement is distinct-token-set "
-    "Jaccard.",
+    "at sf0.1; the first-token component cut pair mass 28x). Blocks "
+    "over max_block=64 records are dropped before pairing — the hard "
+    "bound against Zipfian key outliers, mirrored in the oracle — so "
+    "pair count is <= n*64 regardless of skew. One shuffle on the "
+    "block key; agreement is distinct-token-set Jaccard.",
 )
 def ns_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

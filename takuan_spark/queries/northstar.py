@@ -489,9 +489,15 @@ def ns_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS nv
         FROM n1
     ),
+    bsz AS (
+        SELECT tbl, sig FROM sigs GROUP BY tbl, sig HAVING COUNT(*) <= 64
+    ),
+    sigs_k AS (
+        SELECT s.* FROM sigs s JOIN bsz USING (tbl, sig)
+    ),
     cand AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM sigs a JOIN sigs b
+        FROM sigs_k a JOIN sigs_k b
           ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
     ),
     scored AS (
@@ -509,8 +515,11 @@ def ns_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Embedding-cosine near-dup via LSH banding (seed-derived "
     "hyperplanes, 4 tables x 8 bits): the linear discovery path — only "
     "same-bucket vectors are ever compared; exact cosine scores the "
-    "survivors. The oracle embeds the same hyperplane literals and "
-    "re-derives the same buckets.",
+    "survivors, and buckets above max_bucket=64 rows are dropped "
+    "before the self-join (the max_df contract on signatures), so "
+    "candidate count is <= n*tables*64 — linear in n. The oracle "
+    "embeds the same hyperplane literals, re-derives the same buckets, "
+    "and applies the same cap.",
 )
 def ns_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

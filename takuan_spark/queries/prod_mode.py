@@ -14,10 +14,12 @@ cost and (where possible) the driver still verifies exactness:
   and a Bloom filter never false-negatives, so the post-join aggregate
   is exact under ANY family — the oracle checks the join answer, not
   the filter's (family-specific) false-positive set.
-- ``ns_minhash_prod_mode`` has no SQL oracle (DuckDB cannot compute
-  xxhash64): the driver records the weaker rows-only check, and
-  tests/test_northstar.py asserts pair-level parity between the two
-  families on a corpus with known near-dups.
+- ``ns_minhash_prod_mode`` registers the FAMILY-PARITY CLAIM itself as
+  the query: a full outer join of the md5-mode and xxhash64-mode pair
+  sets, with the oracle computing only the SQL-expressible md5 side
+  and asserting ``in_xx = 1`` everywhere — a driver-hash-checkable
+  statement about the non-portable family. tests/test_northstar.py
+  additionally asserts pair parity on a corpus with planted near-dups.
 """
 
 from __future__ import annotations
@@ -89,18 +91,49 @@ def q_bloom_prefilter_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_prod_oracle() -> str:
+    from takuan_spark.queries.northstar import _minhash_pairs_cte
+
+    return f"""
+    WITH {_minhash_pairs_cte(threshold=0.7)}
+    SELECT id_a, id_b, 1 AS in_md5, 1 AS in_xx
+    FROM mh_pairs
+    ORDER BY id_a, id_b
+    """
+
+
 @query(
     "ns_minhash_prod_mode",
-    None,  # xxhash64 is not SQL-expressible in DuckDB; rows-only check
-    "MinHash(64) + LSH(16 bands) near-dup pairs, PRODUCTION family: "
-    "base shingle hash is Spark-native xxhash64 (no md5 digest per "
-    "shingle — the signature pipeline never leaves whole-stage "
-    "codegen). Same banding, estimator, and threshold as "
-    "ns_minhash_lsh_neardup; pair-level family parity is asserted in "
-    "tests/test_northstar.py on a corpus with planted near-dups.",
+    _minhash_prod_oracle(),
+    "MinHash(64) + LSH(16 bands) near-dup PAIR-SET PARITY between the "
+    "md5 oracle family and the PRODUCTION family (Spark-native "
+    "xxhash64 base shingle hash — no string digest per shingle, the "
+    "signature pipeline never leaves whole-stage codegen). The query "
+    "full-outer-joins the two families' pair sets and returns "
+    "(id_a, id_b, in_md5, in_xx); the oracle computes only the "
+    "md5 side (xxhash64 is not SQL-expressible in DuckDB) and claims "
+    "in_xx = 1 for every md5 pair with no xx-only rows — so a "
+    "production-family recall regression (missed pair -> in_xx = 0) "
+    "or precision drift (extra pair -> extra row) FAILS the driver "
+    "hash check instead of hiding behind a rows-only row.",
 )
 def ns_minhash_prod_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(
-        docs, num_hashes=64, bands=16, threshold=0.7, family="xxhash64"
-    ).orderBy("id_a", "id_b")
+
+    def pairs(family: str, flag: str) -> DataFrame:
+        return dedup.minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, threshold=0.7, family=family
+        ).select("id_a", "id_b", F.lit(1).alias(flag))
+
+    md5 = pairs("md5", "in_md5")
+    xx = pairs("xxhash64", "in_xx")
+    return (
+        md5.join(xx, ["id_a", "id_b"], "full_outer")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("in_md5", F.lit(0)).alias("in_md5"),
+            F.coalesce("in_xx", F.lit(0)).alias("in_xx"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -189,7 +189,7 @@ _EWMA_DEN_SQL = " + ".join(
     "q_ewma_anomaly",
     f"""
     WITH scored AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                ({_EWMA_NUM_SQL}) AS num,
                ({_EWMA_DEN_SQL}) AS den,
                stddev_samp(value) OVER (PARTITION BY user_id
@@ -207,7 +207,7 @@ _EWMA_DEN_SQL = " + ".join(
     FROM scored
     WHERE n_hist >= 6 AND sig > 0
       AND abs(value - num / den) > 3 * sig
-    ORDER BY user_id, ts
+    ORDER BY user_id, ts, event_id
     """,
     "EWMA control chart per user series: the prediction is a 12-tap "
     "exponentially-weighted mean of PRIOR values (weights are shared "
@@ -232,10 +232,14 @@ def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         den = t_den if den is None else den + t_den
     hist = w.rowsBetween(-12, -1)
     sig = F.stddev_samp("value").over(hist)
-    n_hist = F.count("value").over(hist)
+    # COUNT(*) over the frame (not count of non-null value): the >= 6
+    # history gate must count ROWS exactly as the oracle's COUNT(*)
+    # does, or a NULL value in the frame diverges the two engines.
+    n_hist = F.count(F.lit(1)).over(hist)
     scored = ev.select(
         "user_id",
         "ts",
+        "event_id",
         "value",
         num.alias("num"),
         den.alias("den"),
@@ -249,6 +253,9 @@ def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.abs(F.col("value") - F.col("num") / F.col("den"))
                > 3 * F.col("sig"))
         )
+        # event_id tiebreak: same-timestamp anomalies must present in
+        # the same order in both engines
+        .orderBy("user_id", "ts", "event_id")
         .select(
             "user_id",
             "ts",
@@ -260,5 +267,4 @@ def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("zscore"),
         )
-        .orderBy("user_id", "ts")
     )

@@ -41,6 +41,27 @@ def test_blocked_pairs_respects_blocks(spark):
     assert got == {(0, 1)}
 
 
+def test_blocked_pairs_max_block_drops_oversized(spark):
+    # 70 near-identical docs share one block -> over the cap, zero
+    # pairs from it; the 2-doc block still links. Without the cap the
+    # big block alone would emit 70*69/2 = 2415 pairs.
+    big = [("the cat sat on mat", "en", f"s{i}") for i in range(70)]
+    small = [
+        ("zebra quick brown fox jumps", "de", "sA"),
+        ("zebra quick brown fox leaps", "de", "sB"),
+    ]
+    docs = _docs(spark, big + small)
+    pairs = linkage.blocked_pairs(
+        docs, min_jaccard=0.5, prefix_token=True, max_block=64
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(70, 71)}
+    uncapped = linkage.blocked_pairs(
+        docs, min_jaccard=0.5, prefix_token=True, max_block=None
+    ).count()
+    assert uncapped == 2415 + 1
+
+
 def test_score_links_cross_source_only(spark):
     t = "alpha beta gamma delta epsilon zeta"
     docs = _docs(

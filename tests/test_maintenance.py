@@ -47,6 +47,27 @@ def test_compaction_bins_sequential_packing(spark):
     assert got[("p2", 1)] == 0 and got[("p2", 2)] == 0
 
 
+def test_compaction_bins_tied_order_keys_keep_invariant(spark):
+    # 5 files with IDENTICAL order key: the default RANGE frame would
+    # give them all the same inclusive running sum (one 2000-byte
+    # mega-bin at target 600); the explicit ROWS frame packs them
+    # sequentially so every bin stays under target + one file.
+    rows = [("p1", 7, 400)] * 5
+    out = compaction_bins(
+        spark.createDataFrame(rows, ["part", "fid", "size"]),
+        size_col="size",
+        order_cols=["fid"],
+        partition_cols=["part"],
+        target_bytes=600,
+    ).collect()
+    by_bin: dict = {}
+    for r in out:
+        by_bin.setdefault(r["bin"], []).append(r["size"])
+    # exclusive cumsums 0,400,800,1200,1600 -> bins 0,0,1,2,2
+    assert sorted(len(v) for v in by_bin.values()) == [1, 2, 2]
+    assert all(sum(v) <= 600 + 400 for v in by_bin.values())
+
+
 def test_compaction_plan_rollup(spark):
     plan = {
         (r["part"], r["bin"]): (r["n_files"], r["bytes"])

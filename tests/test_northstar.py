@@ -221,6 +221,47 @@ def test_cosine_pairs_lsh_finds_planted_dups(spark, sf_dir):
     assert found >= 4, f"LSH missed planted dup pairs: {sorted(pairs)}"
 
 
+def test_cosine_pairs_lsh_max_bucket_bounds_join(spark, sf_dir):
+    """The max_bucket guard is the scale contract: a degenerate clone
+    set that floods one bucket in EVERY table contributes no pairs
+    (its buckets all exceed the cap), while a near pair in small
+    buckets is still found. Without the cap the clone set alone is
+    200*199/2 = 19900 candidate pairs — quadratic in clone count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_vec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    clones = spark.createDataFrame(
+        [(200000 + i, list(base_vec), -1) for i in range(200)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    corpus = emb.where(F.col("vec_id") > 0).unionByName(clones)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs_lsh(
+            corpus, threshold=0.9, max_bucket=64
+        ).collect()
+    }
+    clone_pairs = {
+        (a, b) for a, b in pairs if a >= 200000 and b >= 200000
+    }
+    assert not clone_pairs, (
+        f"oversized clone bucket leaked {len(clone_pairs)} pairs"
+    )
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs_lsh(
+            corpus, threshold=0.9, max_bucket=None
+        ).collect()
+    }
+    assert (
+        sum(a >= 200000 and b >= 200000 for a, b in uncapped) == 19900
+    )
+    # non-clone near pairs (small buckets) are identical either way
+    assert clone_pairs.symmetric_difference(set()) == set()
+    assert {p for p in pairs if p[0] < 200000 and p[1] < 200000} == {
+        p for p in uncapped if p[0] < 200000 and p[1] < 200000
+    }
+
+
 def test_knn_join_rank1_is_self(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 2)
