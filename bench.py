@@ -5,7 +5,14 @@
 Each query runs TAKUAN_BENCH_REPEATS times (default 3) and reports the
 MEDIAN, so one-off JIT/GC hiccups cannot masquerade as plan regressions
 (round-3 saw a 2.2x same-query swing that a single run could not
-classify as noise vs regression).
+classify as noise vs regression). Repeats are INTERLEAVED: the whole
+suite runs end-to-end REPEATS times and the median is taken per query
+ACROSS passes — back-to-back repeats share whatever host window they
+land in, so a noisy minute used to set all three samples of the
+unlucky query (round-4: ns_bm25_search repeats [1.19, 8.37, 14.25] s,
+a phantom 10x "regression" with an unchanged plan). Spread across
+full-suite passes, one bad window can contaminate at most one sample
+per query and the median survives.
 
 Output contract: the LAST stdout line is one compact JSON summary sized
 to fit the driver's hard 2000-char tail capture. A >150-entry per-query
@@ -104,22 +111,18 @@ def main() -> None:
     def execute(df):
         df.write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
 
-    def timed(name: str, build) -> None:
-        runs = []
-        for _ in range(REPEATS):
-            t0 = time.perf_counter()
-            execute(build())
-            runs.append(time.perf_counter() - t0)
-            # operators that materialize sketch frames persist them;
-            # drop between runs so repeat 2+ measures the same work and
-            # memory stays flat across the suite.
-            spark.catalog.clearCache()
-        runs.sort()
-        raw_runs[name] = [round(r, 3) for r in runs]
-        timings[name] = round(runs[len(runs) // 2], 3)
+    def one_run(name: str, build) -> None:
+        t0 = time.perf_counter()
+        execute(build())
+        raw_runs.setdefault(name, []).append(
+            round(time.perf_counter() - t0, 3)
+        )
+        # operators that materialize sketch frames persist them; drop
+        # between runs so later passes measure the same work and
+        # memory stays flat across the suite.
+        spark.catalog.clearCache()
 
     # warm the JVM/codegen paths and the Python-UDF worker pool once so
     # per-query numbers measure the engine, not first-call JIT or
@@ -129,9 +132,6 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    for name, spec in REGISTRY.items():
-        timed(name, lambda spec=spec: spec.builder(spark, SF_DIR))
-
     with tempfile.TemporaryDirectory() as tmp:
         paths = _gen_logs(tmp)
         conf = load_config(os.path.join(REPO, "configs", "takuan.yml"), year=2026)
@@ -140,8 +140,17 @@ def main() -> None:
             events = compile_batch(spark, conf, paths=paths)
             return address_report(events, country_cols=None)
 
-        timed("log_pipeline", build_pipeline)
+        # interleaved passes: whole suite REPEATS times, median per
+        # query across passes (see module docstring)
+        for _ in range(REPEATS):
+            for name, spec in REGISTRY.items():
+                one_run(name, lambda spec=spec: spec.builder(spark, SF_DIR))
+            one_run("log_pipeline", build_pipeline)
 
+    timings = {
+        name: sorted(runs)[len(runs) // 2]
+        for name, runs in raw_runs.items()
+    }
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

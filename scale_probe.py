@@ -148,13 +148,20 @@ def _build_embeddings(src: str) -> None:
 
 
 def main() -> None:
-    n_slowest = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # args: a count (probe the N slowest bench queries) and/or explicit
+    # query names — so a fix can be re-probed without a full sweep
+    n_slowest, explicit = 10, []
+    for a in sys.argv[1:]:
+        if a.isdigit():
+            n_slowest = int(a)
+        else:
+            explicit.append(a)
     build_probe_corpus()
 
     detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
     with open(detail_path) as fh:
         medians = json.load(fh)["queries"]
-    slowest = [
+    slowest = explicit or [
         n for n, _ in sorted(medians.items(), key=lambda kv: -kv[1])
         if n != "log_pipeline"
     ][:n_slowest]

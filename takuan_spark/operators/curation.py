@@ -116,6 +116,7 @@ def contamination_flags(
     id_col: str = "doc_id",
     n: int = 3,
     min_shared: int = 5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Training docs contaminated by the benchmark set: at least
     ``min_shared`` distinct shared word ``n``-gram shingles with some
@@ -126,8 +127,17 @@ def contamination_flags(
     and partial aggregation collapses per-pair counts before the final
     exchange. Output: (doc_id, n_bench_hits, max_shared) per
     contaminated training doc.
+
+    ``max_df`` is the stop-shingle guard (the same contract as the
+    dedup family): a shingle held by d_t train and d_b bench docs
+    contributes d_t * d_b join rows, so one Zipfian boilerplate
+    shingle makes the join quadratic in corpus size. Shingles whose
+    total document frequency (train + bench) exceeds ``max_df`` are
+    dropped as contamination evidence — ubiquitous shingles carry no
+    overlap signal anyway.
     """
     from takuan_spark.operators.dedup import shingle_df
+    from takuan_spark.operators.skew import materialize
 
     t = shingle_df(train, text_col=text_col, id_col=id_col, n=n).select(
         F.col(id_col).alias("train_id"), F.xxhash64("shingle").alias("sh")
@@ -135,6 +145,18 @@ def contamination_flags(
     b = shingle_df(benchmark, text_col=text_col, id_col=id_col, n=n).select(
         F.col(id_col).alias("bench_id"), F.xxhash64("shingle").alias("sh")
     )
+    if max_df is not None:
+        t, b = materialize(t), materialize(b)
+        rare = (
+            t.select("sh")
+            .unionAll(b.select("sh"))
+            .groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("sh")
+        )
+        t = t.join(rare, "sh")
+        b = b.join(rare, "sh")
     shared = (
         t.join(b, on="sh")
         .groupBy("train_id", "bench_id")

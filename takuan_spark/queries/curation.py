@@ -71,9 +71,16 @@ def ns_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 2 = 1),
     b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 2 = 0),
+    rare AS (
+        SELECT shingle FROM (
+            SELECT shingle FROM t UNION ALL SELECT shingle FROM b
+        ) GROUP BY shingle HAVING COUNT(*) <= 64
+    ),
+    t_k AS (SELECT t.* FROM t JOIN rare USING (shingle)),
+    b_k AS (SELECT b.* FROM b JOIN rare USING (shingle)),
     shared AS (
         SELECT train_id, bench_id, COUNT(*) AS shared
-        FROM t JOIN b USING (shingle)
+        FROM t_k JOIN b_k USING (shingle)
         GROUP BY 1, 2
         HAVING COUNT(*) >= 3
     )
@@ -86,7 +93,10 @@ def ns_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Benchmark decontamination: odd-id docs are the training set, "
     "even-id docs the held-out benchmark; flag training docs sharing "
     ">= 3 distinct 3-gram shingles with any benchmark doc. Inverted-"
-    "index join on hashed shingles — linear, never all-pairs.",
+    "index join on hashed shingles with the max_df=64 stop-shingle "
+    "guard (a shingle in d_t train and d_b bench docs emits d_t*d_b "
+    "join rows; ubiquitous shingles carry no overlap signal) — "
+    "linear, never all-pairs, even under Zipfian boilerplate.",
 )
 def ns_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -95,6 +105,7 @@ def ns_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 2 == 0),
         n=3,
         min_shared=3,
+        max_df=64,
     ).orderBy("doc_id")
 
 
@@ -181,10 +192,17 @@ def ns_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents WHERE doc_id % 2 = 0
         ), UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
     ),
+    rare AS (
+        SELECT shingle FROM (
+            SELECT shingle FROM tsh UNION ALL SELECT shingle FROM bsh
+        ) GROUP BY shingle HAVING COUNT(*) <= 64
+    ),
+    tsh_k AS (SELECT t.* FROM tsh t JOIN rare USING (shingle)),
+    bsh_k AS (SELECT b.* FROM bsh b JOIN rare USING (shingle)),
     contaminated AS (
         SELECT DISTINCT train_id AS doc_id FROM (
             SELECT t.doc_id AS train_id, b.doc_id AS bench_id, COUNT(*) AS shared
-            FROM tsh t JOIN bsh b USING (shingle)
+            FROM tsh_k t JOIN bsh_k b USING (shingle)
             GROUP BY 1, 2 HAVING COUNT(*) >= 3
         )
     ),
@@ -239,7 +257,7 @@ def ns_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (two shuffles + a bigram explode) would run twice.
     survivors = materialize(dedup_exact(gated))
     flagged = curation.contamination_flags(
-        survivors, bench, n=3, min_shared=3
+        survivors, bench, n=3, min_shared=3, max_df=64
     ).select("doc_id")
     clean = survivors.join(flagged, "doc_id", "left_anti")
     return curation.pack_sequences(clean, budget=256).orderBy("doc_id")
