@@ -293,3 +293,53 @@ def power_iteration_top_component(
         )
         .orderBy("pos")
     )
+
+
+def matryoshka_energy(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    prefix_dims: int,
+    min_ratio: float = 0.5,
+) -> DataFrame:
+    """Matryoshka truncation QC: how much of each vector's energy the
+    first ``prefix_dims`` dimensions carry. For MRL-style embeddings
+    (arXiv:2205.13147) the cosine between a vector and its
+    prefix-truncation is exactly ||v[:d']|| / ||v||, so the energy
+    ratio IS the truncation fidelity — computed per row with two
+    ordered folds, no shuffle until the per-label rollup.
+
+    Output per label: vector count, mean prefix-energy ratio, and how
+    many vectors fall below ``min_ratio`` (the ones that would lose
+    most from serving the truncated index)."""
+    full = F.aggregate(
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    prefix = F.aggregate(
+        F.transform(
+            F.slice(F.col(vec_col), 1, prefix_dims),
+            lambda x: x.cast("double") * x.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ratio = F.round(F.sqrt(prefix) / F.sqrt(full), 6)
+    per_vec = emb.select(
+        F.col(label_col).alias("label"), ratio.alias("ratio")
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.avg("ratio"), 6).alias("mean_energy_ratio"),
+            F.sum((F.col("ratio") < min_ratio).cast("int"))
+            .cast("bigint")
+            .alias("n_below_min"),
+        )
+    )

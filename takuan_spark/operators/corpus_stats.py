@@ -213,3 +213,131 @@ def mixture_schedule(
         F.round(epochs, 4).alias("epochs"),
         (epochs > 1.0).alias("oversampled"),
     )
+
+
+def top_vocabulary(
+    docs: DataFrame,
+    *,
+    v: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The corpus's top-``v`` tokens by frequency: (tok, cnt, rank),
+    rank 1 = most frequent, ties broken by token string ascending —
+    the vocabulary a frequency-pruned tokenizer would keep.
+
+    orderBy().limit(v) compiles to TakeOrderedAndProject — a bounded
+    per-partition heap merged on one reducer, NEVER a global sort of
+    the token-count frame. The count shuffle is keyed by token, so
+    state is vocabulary-sized (Heaps-law sublinear), not corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        positioned_tokens(docs, text_col=text_col, id_col=id_col)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(v)
+    )
+    # rank over <= v rows: the window's single partition holds the
+    # already-reduced top-v, a constant-size frame at any corpus SF
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    return counts.select(
+        "tok", "cnt", F.row_number().over(w).cast("int").alias("rank")
+    )
+
+
+def oov_stats(
+    docs: DataFrame,
+    *,
+    v: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Out-of-vocabulary rate per group against the corpus top-``v``
+    vocabulary: (group, n_tokens, n_oov, oov_rate) — the tokenizer-
+    coverage question ("how much of source X would a v-word vocab
+    fail to cover?") asked before committing a vocab size.
+
+    The vocabulary is v rows → broadcast left join onto the token
+    stream; no second shuffle of the corpus."""
+    vocab = top_vocabulary(docs, v=v, text_col=text_col, id_col=id_col)
+    toks = positioned_tokens(docs, text_col=text_col, id_col=id_col).join(
+        docs.select(id_col, group_col), id_col
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.select("tok", F.lit(1).alias("_in"))),
+        "tok",
+        "left",
+    )
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            group_col,
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    *,
+    top_k: int = 200,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group Zipf's-law fit: least-squares slope/intercept of
+    ln(freq) on ln(rank) over the group's ``top_k`` tokens. A natural
+    corpus sits near slope -1; machine-generated or template text
+    drifts shallow — a cheap distribution-level quality signal.
+
+    The per-group rank needs an ordered window over the group's
+    DISTINCT TOKENS (vocabulary-sized, Heaps-law sublinear in corpus
+    size — never the token stream itself), filtered to top_k before
+    the ln/regression math. Slope and intercept are closed-form
+    covariance/variance aggregates — both engines compute the same
+    formula and hand off at 6 dp."""
+    from pyspark.sql import Window
+
+    counts = (
+        positioned_tokens(docs, text_col=text_col, id_col=id_col)
+        .join(docs.select(id_col, group_col), id_col)
+        .groupBy(group_col, "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("cnt"), "tok")
+    ranked = counts.select(
+        group_col,
+        "cnt",
+        F.row_number().over(w).alias("rank"),
+    ).where(F.col("rank") <= top_k)
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    pts = ranked.select(group_col, x.alias("x"), y.alias("y"))
+    agg = pts.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_top"),
+        F.covar_pop("y", "x").alias("_cov"),
+        F.var_pop("x").alias("_var"),
+        F.avg("x").alias("_mx"),
+        F.avg("y").alias("_my"),
+    )
+    slope = F.col("_cov") / F.col("_var")
+    return agg.select(
+        group_col,
+        "n_top",
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(F.col("_my") - slope * F.col("_mx"), 4).alias(
+            "zipf_intercept"
+        ),
+    )

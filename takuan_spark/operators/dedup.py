@@ -898,3 +898,40 @@ def dedup_clusters(
             max_iter,
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_representatives(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score: Column | None = None,
+) -> DataFrame:
+    """Quality-aware exact dedup: keep the BEST row per distinct
+    content instead of the min-id row. ``score`` is any deterministic
+    per-row expression (default: operators/text.py:quality_score);
+    the survivor is argmax(score) with min-id tiebreak — so the kept
+    copy of a duplicated document is its highest-quality instance
+    (e.g. the least-truncated crawl of the same page), not whichever
+    one happened to have the smallest id.
+
+    Same shuffle shape as :func:`dedup_exact` (one exchange keyed by
+    the 32-byte fingerprint); the argmax is a max_by pair aggregate,
+    not a window, so there is no per-group sort. Output: the
+    surviving rows plus their dup_count.
+    """
+    from takuan_spark.operators.text import quality_score
+
+    s = score if score is not None else quality_score(F.col(text_col))
+    fp = fingerprint(F.col(text_col)).alias("fp")
+    # argmax(score), min-id tiebreak, as one max_by over a sortable
+    # (score, -id) struct: struct comparison is lexicographic, so max
+    # prefers higher score then (via the negated id) lower id.
+    ranked = df.select(fp, F.col(id_col), s.alias("_s"))
+    keep = ranked.groupBy("fp").agg(
+        F.max_by(
+            id_col, F.struct(F.col("_s"), (-F.col(id_col)).alias("_ni"))
+        ).alias(id_col),
+        F.count(F.lit(1)).cast("bigint").alias("dup_count"),
+    )
+    return df.join(keep, on=id_col, how="inner")

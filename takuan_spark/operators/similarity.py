@@ -1107,3 +1107,22 @@ def ivfpq_probe(
         .orderBy(F.asc("adist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def auto_nbits(
+    n_rows: int, *, target_occupancy: int = 32, max_nbits: int = 24
+) -> int:
+    """Signature width for ~constant LSH bucket occupancy: the
+    smallest ``nbits`` with ``n_rows / 2^nbits <= target_occupancy``.
+    Each +1 bit halves expected occupancy, so growing the corpus 2x
+    and adding one bit keeps the per-bucket self-join cost flat —
+    this is the knob the :func:`cosine_pairs_lsh` docstring tells
+    callers to turn as the corpus grows past its ``max_bucket`` cap
+    (recall at the SAME similarity threshold costs more tables as
+    bits grow; tune both together). Clamped to [1, max_nbits]."""
+    import math
+
+    if n_rows <= 0:
+        return 1
+    need = math.ceil(math.log2(max(n_rows / target_occupancy, 1.0)))
+    return max(1, min(max_nbits, need))

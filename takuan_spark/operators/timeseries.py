@@ -221,3 +221,69 @@ def rollup_merge(
         aggs=aggs,
     ).withColumn("resolution_secs", F.lit(fine_secs))
     return coarse.unionByName(fine)
+
+
+def mean_shift_changepoints(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    value_col: str = "value",
+    window: int = 8,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Level-shift changepoints per series: points where the mean of
+    the ``window`` FOLLOWING values (current row included) departs
+    from the mean of the ``window`` PRECEDING values by more than
+    ``z_threshold`` series standard deviations. The two-sided-window
+    form of changepoint detection — unlike CUSUM it has no running
+    recursion, so it is ONE window pass in any engine (and stays a
+    projection at 100 TB: both frames are ROWS-bounded, state is
+    O(window) per series, no self-join, no global sort).
+
+    Both frames require full history on each side (exactly ``window``
+    rows), so the first/last ``window`` points of a series never fire
+    — a changepoint needs evidence on both sides by definition.
+
+    Output: (key, ts, value, mean_before, mean_after, shift_z) for
+    firing points, shift_z = |after - before| / series stddev.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    before = w.rowsBetween(-window, -1)
+    after = w.rowsBetween(0, window - 1)
+    whole = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scored = events.select(
+        key_col,
+        ts_col,
+        order_tiebreak,
+        value_col,
+        F.avg(value_col).over(before).alias("mean_before"),
+        F.count(F.lit(1)).over(before).alias("_nb"),
+        F.avg(value_col).over(after).alias("mean_after"),
+        F.count(F.lit(1)).over(after).alias("_na"),
+        F.stddev_samp(value_col).over(whole).alias("_sd"),
+    )
+    shift_z = F.abs(F.col("mean_after") - F.col("mean_before")) / F.col(
+        "_sd"
+    )
+    return (
+        scored.where(
+            (F.col("_nb") == window)
+            & (F.col("_na") == window)
+            & (F.col("_sd") > 0)
+            & (shift_z > z_threshold)
+        )
+        .select(
+            key_col,
+            ts_col,
+            value_col,
+            F.round("mean_before", 6).alias("mean_before"),
+            F.round("mean_after", 6).alias("mean_after"),
+            F.round(shift_z, 6).alias("shift_z"),
+        )
+    )

@@ -315,3 +315,84 @@ def ns_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["o_orderpriority"],
         nbins=4,
     ).orderBy("o_orderpriority", "bin")
+
+
+@query(
+    "ns_vocab_oov",
+    f"""
+    WITH {_PTOKS.strip()},
+    t AS (
+        SELECT d.source, p.tok
+        FROM ptoks p JOIN documents d USING (doc_id)
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, COUNT(*) AS c FROM t GROUP BY tok
+        ) ORDER BY c DESC, tok LIMIT 500
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS oov_rate
+    FROM t LEFT JOIN vocab v USING (tok)
+    GROUP BY source
+    ORDER BY source
+    """,
+    "Tokenizer-coverage planning: the corpus top-500 vocabulary by "
+    "frequency (deterministic (count desc, token) tiebreak) and each "
+    "source's out-of-vocabulary token rate against it. The top-V is "
+    "TakeOrderedAndProject over the token-count aggregate (bounded "
+    "per-partition heaps, never a global sort of the vocabulary) and "
+    "the OOV flag is a broadcast join of the 500-row vocab onto the "
+    "token stream — one corpus-wide shuffle total, keyed by token.",
+)
+def ns_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_stats.oov_stats(docs, v=500).orderBy("source")
+
+
+@query(
+    "ns_zipf_fit",
+    f"""
+    WITH {_PTOKS.strip()},
+    t AS (
+        SELECT d.source, p.tok
+        FROM ptoks p JOIN documents d USING (doc_id)
+    ),
+    counts AS (
+        SELECT source, tok, COUNT(*) AS cnt FROM t GROUP BY source, tok
+    ),
+    ranked AS (
+        SELECT source, cnt,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY cnt DESC, tok) AS rank
+        FROM counts
+        QUALIFY rank <= 200
+    ),
+    pts AS (
+        SELECT source, ln(CAST(rank AS DOUBLE)) AS x,
+               ln(CAST(cnt AS DOUBLE)) AS y
+        FROM ranked
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_top,
+           ROUND(covar_pop(y, x) / var_pop(x), 4) AS zipf_slope,
+           ROUND(AVG(y) - covar_pop(y, x) / var_pop(x) * AVG(x), 4)
+               AS zipf_intercept
+    FROM pts
+    GROUP BY source
+    ORDER BY source
+    """,
+    "Zipf's-law fit per source: least-squares slope/intercept of "
+    "ln(freq) on ln(rank) over each source's top-200 tokens — natural "
+    "text sits near slope -1, template/machine text drifts shallow; a "
+    "distribution-level quality signal no per-document score sees. "
+    "The rank window orders the source's DISTINCT-token counts "
+    "(vocabulary-sized, Heaps-law sublinear), never the token stream; "
+    "slope is a closed-form covariance/variance aggregate.",
+)
+def ns_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_stats.zipf_fit(docs, top_k=200).orderBy("source")

@@ -605,3 +605,193 @@ def ns_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dedup.boilerplate_strip(docs, n=5, min_docs=2)
+
+
+#: the quality_score formula as DuckDB SQL (identical shape to the
+#: ns_quality_score oracle — text.quality_score's engine contract)
+_QSCORE_SQL = """ROUND((
+    least(len(list_filter(string_split_regex(text, '\\s+'),
+                          w -> w <> '')) / 100.0, 1.0)
+    + (1 - least(CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) > 0
+                 THEN length(regexp_replace(text, '[\\sA-Za-z0-9_]+', '', 'g'))
+                      * 1.0 / length(regexp_replace(text, '\\s+', '', 'g'))
+                 ELSE 0 END * 2.0, 1.0))
+    + least(CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
+                                      w -> w <> '')) > 0
+                 THEN len(regexp_extract_all(text, '\\b({sw})\\b'))
+                      * 1.0 / len(list_filter(string_split_regex(text, '\\s+'),
+                                              w -> w <> ''))
+                 ELSE 0 END * 5.0, 1.0)
+) / 3.0, 6)"""
+
+
+def _dup_representative_oracle() -> str:
+    from takuan_spark.operators.text import LANG_STOPWORDS
+
+    q = _QSCORE_SQL.format(sw="|".join(LANG_STOPWORDS["en"]))
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang, source, text, {q} AS s,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, source, s,
+               ROW_NUMBER() OVER (PARTITION BY f
+                                  ORDER BY s DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY f) AS dup_count
+        FROM scored
+    )
+    SELECT doc_id, lang, source,
+           s AS quality,
+           CAST(dup_count AS BIGINT) AS dup_count
+    FROM ranked WHERE rn = 1
+    ORDER BY doc_id
+    """
+
+
+@query(
+    "ns_dup_representative",
+    _dup_representative_oracle(),
+    "Quality-aware exact dedup: the survivor of each duplicate-content "
+    "cluster is its HIGHEST-quality instance (min-id tiebreak), not "
+    "the min-id row — so the kept copy of a duplicated page is the "
+    "least-truncated crawl of it. Same single fingerprint-keyed "
+    "shuffle as plain exact dedup; the argmax is a max_by pair "
+    "aggregate (map-side combined), never a per-group sort.",
+)
+def ns_dup_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.dedup import dedup_representatives
+    from takuan_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dedup_representatives(docs)
+    return kept.select(
+        "doc_id",
+        "lang",
+        "source",
+        quality_score(F.col("text")).alias("quality"),
+        "dup_count",
+    ).orderBy("doc_id")
+
+
+@query(
+    "ns_pii_risk",
+    """
+    WITH synth AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'mail ' || source || '@example.com ' ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                    THEN 'call +1555'
+                         || lpad(CAST(doc_id * 7919 % 1000000 AS VARCHAR),
+                                 6, '0') || ' ' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                    THEN 'at 203.0.113.' || CAST(doc_id % 251 AS VARCHAR)
+                         || ' ' ELSE '' END
+               || text AS raw
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(raw,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   AS n_email,
+               len(regexp_extract_all(raw,
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                   AS n_ip,
+               len(regexp_extract_all(raw, '\\+\\d{7,15}\\b')) AS n_phone
+        FROM synth
+    ),
+    classed AS (
+        SELECT source, n_email, n_ip, n_phone,
+               (CASE WHEN n_email > 0 THEN 1 ELSE 0 END
+                + CASE WHEN n_ip > 0 THEN 1 ELSE 0 END
+                + CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS n_classes
+        FROM per_doc
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS n_email,
+           CAST(SUM(n_ip) AS BIGINT) AS n_ip,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+           CAST(SUM(CASE WHEN n_classes >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high_risk,
+           CAST(SUM(CASE WHEN n_classes = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_risk,
+           ROUND(SUM(CASE WHEN n_classes > 0 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS pii_doc_rate
+    FROM classed
+    GROUP BY source
+    ORDER BY source
+    """,
+    "PII risk triage per source: per-class hit counts (email / IPv4 / "
+    "phone, the operators/text.py PII_PATTERNS classes) and a "
+    "risk-tier rollup — high = 2+ distinct PII classes in one doc, "
+    "low = 1 — the release-review table that decides which sources "
+    "need redaction before training. Synthetic PII is planted "
+    "conditionally (doc_id % 3/5/7) so every tier is exercised. One "
+    "regex projection + one source-keyed aggregate; the patterns mean "
+    "the same thing under Java regex and RE2.",
+)
+def ns_pii_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.text import PII_PATTERNS
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("mail "), F.col("source"), F.lit("@example.com ")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("call +1555"),
+                F.lpad((F.col("doc_id") * 7919 % 1000000).cast("string"), 6, "0"),
+                F.lit(" "),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit("at 203.0.113."),
+                (F.col("doc_id") % 251).cast("string"),
+                F.lit(" "),
+            ),
+        ).otherwise(F.lit("")),
+        F.col("text"),
+    )
+    pats = dict(zip(["n_email", "n_ip", "n_phone"], [p for p, _ in PII_PATTERNS]))
+    per_doc = docs.select(
+        "source",
+        *[
+            F.regexp_count(raw, F.lit(p)).cast("int").alias(name)
+            for name, p in pats.items()
+        ],
+    )
+    n_classes = (
+        (F.col("n_email") > 0).cast("int")
+        + (F.col("n_ip") > 0).cast("int")
+        + (F.col("n_phone") > 0).cast("int")
+    )
+    return (
+        per_doc.withColumn("n_classes", n_classes)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_email").cast("bigint").alias("n_email"),
+            F.sum("n_ip").cast("bigint").alias("n_ip"),
+            F.sum("n_phone").cast("bigint").alias("n_phone"),
+            F.sum((F.col("n_classes") >= 2).cast("int"))
+            .cast("bigint")
+            .alias("n_high_risk"),
+            F.sum((F.col("n_classes") == 1).cast("int"))
+            .cast("bigint")
+            .alias("n_low_risk"),
+            F.round(
+                F.sum((F.col("n_classes") > 0).cast("int")) / F.count(F.lit(1)),
+                6,
+            ).alias("pii_doc_rate"),
+        )
+        .orderBy("source")
+    )

@@ -235,3 +235,40 @@ def ns_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.power_iteration_top_component(
         _emb(spark, sf_dir), dim=_DIM, iters=2
     )
+
+
+@query(
+    "ns_matryoshka_qc",
+    """
+    WITH r AS (
+        SELECT label,
+               ROUND(
+                   sqrt(list_sum(list_transform(embedding[1:16],
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   / sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+                   6) AS ratio
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(ratio), 6) AS mean_energy_ratio,
+           CAST(SUM(CASE WHEN ratio < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_below_min
+    FROM r
+    GROUP BY label
+    ORDER BY label
+    """,
+    "Matryoshka truncation QC (arXiv:2205.13147): the cosine between "
+    "a vector and its 16-dim prefix truncation equals the prefix's "
+    "energy ratio ||v[:16]|| / ||v||, so serving fidelity of a "
+    "truncated index is a per-row ordered fold — no pairwise math at "
+    "all. Rollup per label: mean ratio and how many vectors fall "
+    "below 0.5 (the ones a truncated index would hurt most). Pure "
+    "projection + one label-keyed aggregate at any corpus size.",
+)
+def ns_matryoshka_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.matryoshka_energy(
+        emb, prefix_dims=16, min_ratio=0.5
+    ).orderBy("label")

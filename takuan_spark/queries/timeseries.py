@@ -268,3 +268,50 @@ def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("zscore"),
         )
     )
+
+
+@query(
+    "q_mean_shift_changepoint",
+    """
+    WITH scored AS (
+        SELECT user_id, ts, event_id, value,
+               AVG(value) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+                   AS mean_before,
+               COUNT(*) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS nb,
+               AVG(value) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+                   AS mean_after,
+               COUNT(*) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS na,
+               stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+        FROM events
+    )
+    SELECT user_id, ts, value,
+           ROUND(mean_before, 6) AS mean_before,
+           ROUND(mean_after, 6) AS mean_after,
+           ROUND(abs(mean_after - mean_before) / sd, 6) AS shift_z
+    FROM scored
+    WHERE nb = 8 AND na = 8 AND sd > 0
+      AND abs(mean_after - mean_before) / sd > 1.0
+    ORDER BY user_id, ts, event_id
+    """,
+    "Level-shift changepoint detection per user series: fire where "
+    "the mean of the 8 following values departs from the mean of the "
+    "8 preceding values by > 1 series standard deviation. The "
+    "two-sided-window form — unlike CUSUM there is no running "
+    "recursion, so it is ONE window pass with O(window) state per "
+    "series in any engine: a projection at 100 TB, no self-join, no "
+    "global sort. Series edges never fire (a changepoint needs full "
+    "evidence on both sides).",
+)
+def q_mean_shift_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return tsops.mean_shift_changepoints(
+        ev, window=8, z_threshold=1.0
+    ).orderBy("user_id", "ts", "event_id")

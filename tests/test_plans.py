@@ -563,3 +563,20 @@ def test_leakage_split_broadcasts_audit_row(spark, sf_dir):
     tree = tree_of(plan)
     assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
     assert "CartesianProduct" not in tree
+
+
+def test_vocab_oov_topv_is_take_ordered_and_broadcast(spark, sf_dir):
+    plan = plan_of(REGISTRY["ns_vocab_oov"].builder(spark, sf_dir))
+    # the top-V vocabulary must be a bounded heap, never a global sort
+    # of the token-count frame, and the vocab side of the OOV flag
+    # must broadcast (500 rows) rather than shuffle the token stream
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_matryoshka_qc_no_join_no_window(spark, sf_dir):
+    plan = plan_of(REGISTRY["ns_matryoshka_qc"].builder(spark, sf_dir))
+    # truncation QC is a per-row fold + one label-keyed aggregate:
+    # any join or window in this plan means pairwise math crept in
+    assert "Join" not in plan and "Window" not in plan
+    assert "partial_count" in plan or "partial_avg" in plan
