@@ -343,3 +343,74 @@ def matryoshka_energy(
             .alias("n_below_min"),
         )
     )
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    *,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy k-center diversity coreset (farthest-point traversal):
+    start from the lowest-id vector, then repeatedly add the point
+    farthest (max-min squared distance) from everything chosen so
+    far — the classic 2-approximation coreset picker for diverse
+    seed/eval-set selection.
+
+    Same determinism contract as k-means above: distances are ordered
+    element folds rounded 6dp, ties break on the lowest id, so an
+    external SQL engine replays the identical pick sequence. Each of
+    the k rounds is ONE corpus scan against a broadcast single-row
+    center plus a 1-row TakeOrdered argmax — the running min-distance
+    column is carried forward (never recomputed against all chosen
+    centers), so total work is k scans regardless of k's position in
+    the loop, the standard distributed farthest-point shape.
+
+    Output: (rank, id, mind) — selection order and each pick's
+    separation from the already-chosen set (NULL for the seed).
+    """
+    from takuan_spark.operators.skew import materialize
+
+    base = materialize(
+        emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    )
+    c = base.orderBy(id_col).limit(1)
+    picks = [
+        c.select(
+            F.lit(0).alias("rank"),
+            F.col(id_col),
+            F.lit(None).cast("double").alias("mind"),
+        )
+    ]
+    state = materialize(
+        base.crossJoin(
+            F.broadcast(c.select(F.col("v").alias("cv")))
+        ).select(
+            id_col, "v", _sq_dist(F.col("v"), F.col("cv")).alias("mind")
+        )
+    )
+    for r in range(1, k):
+        pick = materialize(
+            state.orderBy(F.desc("mind"), id_col).limit(1)
+        )
+        picks.append(
+            pick.select(
+                F.lit(r).alias("rank"), F.col(id_col), F.col("mind")
+            )
+        )
+        state = materialize(
+            state.crossJoin(
+                F.broadcast(pick.select(F.col("v").alias("cv")))
+            ).select(
+                id_col,
+                "v",
+                F.least(
+                    F.col("mind"), _sq_dist(F.col("v"), F.col("cv"))
+                ).alias("mind"),
+            )
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

@@ -217,3 +217,61 @@ def pagerank(
             )
         )
     return pr.select("node", F.round("pr", 6).alias("pr"))
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient: triangles through the
+    node over its possible wedges d*(d-1)/2 — the node-level cohesion
+    signal (communities score high, hubs and bridges low).
+
+    Same degree-ordered enumeration as :func:`triangle_stats` (each
+    triangle materializes exactly once, from its lowest-rank vertex),
+    then each triangle credits its three corners via a 3-row explode —
+    so per-node counting costs one extra narrow explode + aggregate
+    over the (small) triangle set, not a second wedge join. Nodes of
+    degree < 2 have no possible wedge and report lcc = 0.
+
+    Output: (node, degree, n_tri, lcc), lcc rounded 6dp.
+    """
+    from takuan_spark.operators.skew import materialize
+
+    edges = materialize(edges.select("u", "v"))
+    deg = materialize(degrees(edges))
+    o = materialize(_oriented(edges, deg))
+    a, b = o.alias("a"), o.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.src") == F.col("b.src")) & (F.col("a.kd") < F.col("b.kd")),
+    ).select(
+        F.col("a.src").alias("w"),
+        F.col("a.dst").alias("x"),
+        F.col("b.dst").alias("y"),
+    )
+    closing = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = wedges.join(closing, ["x", "y"], "left_semi")
+    corner_counts = (
+        tri.select(
+            F.explode(F.array(F.col("w"), F.col("x"), F.col("y"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    possible = (F.col("d") * (F.col("d") - 1) / F.lit(2)).cast("long")
+    return (
+        deg.join(corner_counts, "node", "left")
+        .select(
+            "node",
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_tri"),
+            F.when(
+                F.col("d") >= 2,
+                F.round(
+                    F.coalesce("n_tri", F.lit(0)) / possible, 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )

@@ -272,3 +272,64 @@ def ns_matryoshka_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.matryoshka_energy(
         emb, prefix_dims=16, min_ratio=0.5
     ).orderBy("label")
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Unrolled greedy k-center trajectory: pick r is the argmax of
+    the running min-distance after r-1 centers (same 6dp rounding and
+    lowest-id tiebreak as the Spark operator)."""
+    d = (
+        "ROUND(list_sum(list_transform(list_zip(e.v, c.cv), "
+        "x -> (x[1] - x[2]) * (x[1] - x[2]))), 6)"
+    )
+    ctes = [
+        "emb2 AS (\n        SELECT vec_id, CAST(embedding AS DOUBLE[])"
+        " AS v FROM embeddings\n    )",
+        "c0 AS (\n        SELECT vec_id AS cid, v AS cv FROM emb2"
+        " ORDER BY vec_id LIMIT 1\n    )",
+        f"m0 AS (\n        SELECT e.vec_id, e.v, {d} AS mind\n"
+        "        FROM emb2 e CROSS JOIN c0 c\n    )",
+    ]
+    for r in range(1, k):
+        ctes.append(
+            f"p{r} AS (\n        SELECT vec_id, v, mind FROM m{r - 1}\n"
+            "        ORDER BY mind DESC, vec_id LIMIT 1\n    )"
+        )
+        if r < k - 1:
+            ctes.append(
+                f"m{r} AS (\n        SELECT e.vec_id, e.v,"
+                f" LEAST(e.mind, {d}) AS mind\n"
+                f"        FROM m{r - 1} e CROSS JOIN"
+                f" (SELECT v AS cv FROM p{r}) c\n    )"
+            )
+    selects = [
+        "SELECT 0 AS rank, cid AS vec_id, CAST(NULL AS DOUBLE) AS mind"
+        " FROM c0"
+    ] + [
+        f"SELECT {r} AS rank, vec_id, mind FROM p{r}" for r in range(1, k)
+    ]
+    return (
+        "    WITH "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY rank"
+    )
+
+
+@query(
+    "ns_kcenter_coreset",
+    _kcenter_oracle(8),
+    "Greedy k-center diversity coreset (farthest-point traversal, "
+    "k=8): seed at the lowest id, then repeatedly add the vector with "
+    "the maximum running min-distance to the chosen set — the classic "
+    "2-approximation coreset picker for diverse seed/eval selection. "
+    "Each round is one scan against ONE broadcast center (the running "
+    "min-distance carries forward, never recomputed against all "
+    "chosen) plus a 1-row TakeOrdered argmax, so cost is k linear "
+    "scans at any corpus size. 6dp distance handoffs + lowest-id "
+    "tiebreaks make the full pick trajectory engine-reproducible.",
+)
+def ns_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.kcenter_coreset(emb, k=8).orderBy("rank")

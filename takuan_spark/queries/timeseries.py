@@ -315,3 +315,79 @@ def q_mean_shift_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tsops.mean_shift_changepoints(
         ev, window=8, z_threshold=1.0
     ).orderBy("user_id", "ts", "event_id")
+
+
+@query(
+    "q_interarrival_stats",
+    """
+    WITH gaps AS (
+        SELECT user_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+               - CAST(epoch(date_trunc('second',
+                            lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)))
+                      AS BIGINT) AS gap
+        FROM events
+        QUALIFY gap IS NOT NULL
+    )
+    ,
+    sums AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(gap) AS BIGINT) AS sx,
+               CAST(SUM(gap * gap) AS BIGINT) AS sxx,
+               CAST(MAX(gap) AS BIGINT) AS mx
+        FROM gaps GROUP BY user_id HAVING COUNT(*) >= 2
+    )
+    SELECT user_id,
+           n AS n_gaps,
+           ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_gap_secs,
+           mx AS max_gap_secs,
+           ROUND(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                 / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS gap_cv
+    FROM sums
+    ORDER BY user_id
+    """,
+    "Inter-arrival burstiness per user: gap count, mean/max gap and "
+    "the coefficient of variation (CV ~1 is Poisson-like traffic, "
+    ">> 1 is bursty — the signal rate-limiters and bot detectors key "
+    "on). One lag window per user partition then a per-user aggregate "
+    "— O(1) state per row, no self-join. Gaps are integer seconds, so "
+    "the aggregation carries EXACT bigint sums (sum, sum of squares — "
+    "order-independent) and the variance is the identical closed-form "
+    "scalar expression in both engines: streaming stddev_samp "
+    "implementations differ at ~1e-6 between engines and fail the "
+    "6dp handoff.",
+)
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    ).alias("gap")
+    gaps = ev.select("user_id", gap).where(F.col("gap").isNotNull())
+    sums = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("gap").cast("bigint").alias("sx"),
+            F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("sxx"),
+            F.max("gap").cast("bigint").alias("mx"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    var = (nd * sxxd - sxd * sxd) / (nd * (nd - F.lit(1.0)))
+    return sums.select(
+        "user_id",
+        F.col("n").alias("n_gaps"),
+        F.round(sxd / F.col("n"), 6).alias("mean_gap_secs"),
+        F.col("mx").alias("max_gap_secs"),
+        F.round(F.sqrt(var) / (sxd / nd), 6).alias("gap_cv"),
+    ).orderBy("user_id")

@@ -141,3 +141,70 @@ def test_auto_nbits_constant_occupancy():
         assert auto_nbits(2 * n) == auto_nbits(n) + 1
     # clamped
     assert auto_nbits(10**12) == 24
+
+
+def test_kcenter_coreset_farthest_point_order(spark):
+    # 1-d geometry embedded in 4-d: points at 0, 1, 10, 21 (ids 0-3).
+    # seed = id 0; then 21 (dist 441), then 10 (min-dist 100 vs
+    # closer alternatives), then 1.
+    pts = {0: 0.0, 1: 1.0, 2: 10.0, 3: 21.0}
+    emb = spark.createDataFrame(
+        [(i, [x, 0.0, 0.0, 0.0], 0) for i, x in pts.items()],
+        "vec_id long, embedding array<float>, label int",
+    )
+    from takuan_spark.operators.clustering import kcenter_coreset
+
+    got = [
+        (r["rank"], r["vec_id"], r["mind"])
+        for r in kcenter_coreset(emb, k=4).orderBy("rank").collect()
+    ]
+    assert [(g[0], g[1]) for g in got] == [(0, 0), (1, 3), (2, 2), (3, 1)]
+    assert got[0][2] is None
+    assert got[1][2] == 441.0  # 21^2 from the seed
+    assert got[2][2] == 100.0  # min(10^2 to seed, 11^2 to 21) = 100
+    assert got[3][2] == 1.0
+
+
+def test_local_clustering_known_graph(spark):
+    # triangle 1-2-3 plus a pendant 4 hanging off 3:
+    # lcc(1) = lcc(2) = 1 (deg 2, 1 triangle); lcc(3) = 1/3 (deg 3);
+    # lcc(4) = 0 (deg 1)
+    from takuan_spark.operators.graph import local_clustering
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "u long, v long"
+    )
+    got = {
+        r["node"]: (r["degree"], r["n_tri"], r["lcc"])
+        for r in local_clustering(edges).collect()
+    }
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (2, 1, 1.0)
+    assert got[3] == (3, 1, 0.333333)
+    assert got[4] == (1, 0, 0.0)
+
+
+def test_interarrival_stats_exact_moments(spark):
+    # gaps 10, 20, 30 -> mean 20, var_samp 100, cv = 10/20 = 0.5
+    rows = [
+        (0, "2024-01-01 00:00:00", 1, 0.0),
+        (1, "2024-01-01 00:00:10", 1, 0.0),
+        (2, "2024-01-01 00:00:30", 1, 0.0),
+        (3, "2024-01-01 00:01:00", 1, 0.0),
+        (4, "2024-01-01 00:00:00", 2, 0.0),  # single event: no gaps
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    from takuan_spark.queries import REGISTRY, _load
+
+    _load()
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.write.parquet(os.path.join(tmp, "events.parquet"))
+        got = REGISTRY["q_interarrival_stats"].builder(spark, tmp).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["user_id"], r["n_gaps"], r["max_gap_secs"]) == (1, 3, 30)
+    assert r["mean_gap_secs"] == 20.0
+    assert r["gap_cv"] == 0.5
