@@ -14,15 +14,15 @@ schema + order-insensitive value hash), so:
 - orderings carry stable tiebreak keys, and string encodings (counter
   segments, fingerprints) are defined deterministically.
 
-Since round 2 every registered query carries an oracle — the sketch
+Since round 5 EVERY registered query carries an oracle — the sketch
 families (MinHash, SimHash, LSH, IVF, PQ) were made externally
 reproducible via md5-derived hashes and literal-embedded
-hyperplanes/centroids/codebooks; tests/test_northstar.py additionally
-pins their semantics against independent Python implementations. The
-single deliberate exception: ``ns_minhash_prod_mode`` (round 4) runs
-the xxhash64 PRODUCTION hash family, which no external SQL engine can
-reproduce — it takes the driver's weaker rows-only check, and its
-family parity against the md5 oracle mode is pytest-asserted instead.
+hyperplanes/centroids/codebooks (tests/test_northstar.py additionally
+pins their semantics against independent Python implementations), and
+``ns_minhash_prod_mode`` — whose xxhash64 PRODUCTION hash family no
+external SQL engine can reproduce — now registers the family-PARITY
+claim as its query, so the oracle only needs the SQL-expressible md5
+side and the driver hash check covers the production path too.
 """
 
 from __future__ import annotations
@@ -61,111 +61,103 @@ def query(name: str, oracle_sql: str | None, description: str = ""):
 # The driver records CORRECTNESS rows for the FIRST ~50 entries of
 # queries() in dict order (verified in r1 and r2: both files hold
 # exactly the first 50 names of that round's ordering), so the dict is
-# ordered explicitly each round as a coverage-rotation schedule:
-#   1. queries that have NEVER had a driver row (r2's cap cut 17);
-#   2. queries new this round (both r3 sessions; with group 1 they fill
-#      positions 1..~48, inside the cap);
-#   3. queries whose implementation changed this round;
-#   4. backfill: r1 greens unchecked since r1, events-table consumers
-#      first (this round's ts-normalization change touches them);
-#   5. everything else (r2 greens, then remaining r1 greens), all still
-#      oracle-verified locally by tests/test_oracle.py every run.
-# Anything past the cap this round rotates to the front next round;
-# every declared query is oracle-verified locally on every test run.
+# ordered explicitly each round as a coverage-rotation schedule. The
+# round-5 rule (VERDICT r4 item 7), applied systematically from the
+# committed CORRECTNESS_r0*.json artifacts:
+#   1. queries whose implementation or oracle CHANGED this round
+#      (their old green rows no longer certify the current code);
+#   2. queries NEW this round (no row exists yet);
+#   3. staleness backfill — every remaining query ordered by its
+#      LAST-GREEN round ascending (r1 rows are 3 rounds stale), so the
+#      window always re-certifies the oldest evidence first.
+# The full last-green-per-query listing this ordering was derived from
+# is in PLANS.md ("Round 5 — correctness rotation"). Anything past the
+# cap rotates forward next round; every declared query is still
+# oracle-verified locally by tests/test_oracle.py on every run.
 PRIORITY: list[str] = [
-    # -- 1. never driver-checked (the 9 added past r3's cap) ----------
-    # With these green, every query ever declared has a driver row.
-    "ns_cluster_sample", "ns_duplication_pareto", "ns_hard_negatives",
-    "ns_keyword_tagging", "ns_length_bucketing", "ns_winsorized_stats",
-    "q_ntile_deciles", "q_rolling_median", "q_unpivot_metrics",
-    # -- 2. new this round --------------------------------------------
-    # streaming-maintainer batch analogs (first driver rows for the
-    # streaming family) and the round-4 operator additions
-    "q_stream_report_fold", "q_stream_sketch_fold",
-    "ns_minhash_prod_mode", "q_bloom_prefilter_prod",
-    "ns_record_linkage", "ns_blocked_linkage",
-    "ns_kmeans_clusters", "ns_kmeans_assign",
-    "ns_token_pmi", "ns_source_overlap",
-    "ns_ngram_lm_stats", "ns_perplexity_filter",
-    "q_cdc_merge", "q_cdc_latest",
-    "ns_dataset_card", "ns_importance_weights",
-    "q_touch_attribution", "ns_quantile_bins",
-    "ns_class_rebalance", "ns_embedding_qc",
-    "ns_mixture_schedule", "q_event_dedup_window",
-    "q_compaction_bins", "q_zonemap_prune_compare",
-    "ns_leakage_safe_split", "ns_k_anonymity", "ns_tokenizer_fertility",
-    "ns_boilerplate_strip", "ns_pca_power_iteration",
-    "mm_audio_segments", "q_ewma_anomaly", "q_dq_audit", "q_salted_join",
-    "ns_score_calibration",
-    # -- 3. changed this round ----------------------------------------
-    "ns_jaccard_neardup", "ns_containment_neardup", "ns_dedup_pipeline",
-    "q_bloom_prefilter",  # dual hash family (oracle mode default)
-    # -- 4. backfill: longest-unchecked r1 greens (none of these has
-    # had a row since r1; events-table consumers first) ---------------
-    "q_sliding_window", "q_session_window", "q_funnel",
+    # -- 1. r5: implementation or oracle CHANGED this round (incl. the
+    # two never-green rows ns_record_linkage / ns_minhash_prod_mode:
+    # the rounding fix and the driver-checkable parity restructure) --
+    "ns_record_linkage", "ns_minhash_prod_mode", "ns_blocked_linkage",
+    "ns_embedding_neardup_lsh", "ns_decontaminate", "ns_curation_pipeline",
+    "q_ewma_anomaly", "q_compaction_bins", "mm_audio_segments",
+    "ns_pca_power_iteration",
+    # -- 2. new this round (vocabulary/OOV, Zipf, changepoint,
+    # quality-dedup survivor, matryoshka QC, PII risk, k-center
+    # coreset, local clustering, inter-arrival) ----------------------
+    "ns_vocab_oov", "ns_zipf_fit", "q_mean_shift_changepoint",
+    "ns_dup_representative", "ns_matryoshka_qc", "ns_pii_risk",
+    "ns_kcenter_coreset", "q_local_clustering", "q_interarrival_stats",
+    # -- 3. staleness backfill, oldest last-green first: every row
+    # below is green but unchecked by the driver since the round
+    # tagged on it (r1 = 3 rounds stale). The ~50-row cap lands
+    # inside the r1 block; the rest rotate forward next round. -------
+    # r1-stale:
     "q_cohort_retention", "q_asof_join", "q_stats_agg",
-    "q_pivot_conditional",
-    "mm_media_summary", "mm_feature_extract", "mm_frame_sample",
-    "ns_dedup_exact", "ns_dedup_incremental",
+    "q_pivot_conditional", "mm_media_summary", "mm_feature_extract",
+    "mm_frame_sample", "ns_dedup_exact", "ns_dedup_incremental",
     "ns_embedding_neardup", "ns_text_stats", "ns_lang_id",
     "ns_quality_score", "ns_stratified_sample", "ns_tfidf_topterms",
-    "ns_winnow_fingerprint",
-    "ns_fingerprint", "ns_similarity_topk", "ns_knn_join",
-    "q_scalar_subquery", "q_correlated_subquery", "q_array_functions",
-    "q_full_outer_join", "q_ip_range_join", "q_ip_range_join_bucketed",
-    "q1_pricing_summary", "q3_shipping_priority",
-    # (~the 50-row driver cap lands here this round — below is deeper
-    # backfill, r1/r2/r3 rows already on record, still locally
-    # oracle-verified by tests/test_oracle.py on every run)
-    "q5_local_supplier_volume",
-    "q_top_customers", "q_grouping_sets", "q_window_lag_lead",
-    "q_window_rank", "q_rollup", "q6_forecast_revenue",
-    "q4_order_priority", "q10_returned_items", "q14_promo_revenue",
-    "q19_disjunctive_filter", "q_cube", "q_pandas_udaf",
-    # -- 5. r2 greens -------------------------------------------------
+    "ns_winnow_fingerprint", "ns_fingerprint", "ns_similarity_topk",
+    "ns_knn_join", "q_scalar_subquery", "q_correlated_subquery",
+    "q_array_functions", "q_full_outer_join", "q_ip_range_join",
+    "q_ip_range_join_bucketed", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume", "q_top_customers",
+    "q_grouping_sets", "q_window_lag_lead", "q_window_rank", "q_rollup",
+    "q6_forecast_revenue", "q4_order_priority", "q10_returned_items",
+    "q14_promo_revenue", "q19_disjunctive_filter", "q_cube",
+    "q_pandas_udaf",
+    # r2-stale:
     "takuan_address_report", "takuan_country_topk", "takuan_rule_filter",
     "takuan_rule_label", "takuan_json_extract", "takuan_hourly_window",
-    "takuan_regex_tokenize", "takuan_geo_enrich_join",
-    "q_anti_join", "q_semi_join", "q_set_ops", "q_union_distinct",
-    "q_string_functions", "q_date_functions", "q_math_functions",
-    "q_distinct_count", "q_first_value_per_group",
-    "ns_minhash_lsh_neardup", "ns_simhash_neardup",
-    "ns_embedding_neardup_lsh", "ns_lsh_similarity_topk", "ns_ivf_topk",
-    "ns_ivf_probe", "ns_lsh_probe",
-    "q2_min_cost_supplier", "q13_customer_distribution",
-    "q21_suppliers_kept_waiting",
-    "ns_repetition_filter", "ns_decontaminate", "ns_pack_sequences",
-    "ns_embedding_centroids", "ns_random_projection",
-    "ns_curation_pipeline", "q_salted_agg",
-    "q7_nation_volume_shipping", "q8_market_share",
-    "q9_product_type_profit", "q15_top_supplier",
+    "takuan_regex_tokenize", "takuan_geo_enrich_join", "q_anti_join",
+    "q_semi_join", "q_set_ops", "q_union_distinct", "q_string_functions",
+    "q_date_functions", "q_math_functions", "q_distinct_count",
+    "q_first_value_per_group", "ns_minhash_lsh_neardup",
+    "ns_simhash_neardup", "ns_lsh_similarity_topk", "ns_ivf_topk",
+    "ns_ivf_probe", "ns_lsh_probe", "q2_min_cost_supplier",
+    "q13_customer_distribution", "q21_suppliers_kept_waiting",
+    "ns_repetition_filter", "ns_pack_sequences", "ns_embedding_centroids",
+    "ns_random_projection", "q_salted_agg", "q7_nation_volume_shipping",
+    "q8_market_share", "q9_product_type_profit", "q15_top_supplier",
     "ns_pq_topk", "ns_pq_probe", "ns_pq_rerank", "ns_ivfpq_probe",
     "ns_pii_redact", "ns_sample_to_mix", "ns_chunk_documents",
     "ns_rag_pipeline", "q_gap_fill_interpolate", "q_hypertable_rollup",
     "q11_part_value_share",
-    # -- 6. r3 greens (all 50 on record in CORRECTNESS_r03) -----------
+    # r3-stale:
     "q12_priority_by_returnflag", "q16_supplier_count_by_part",
     "q17_small_quantity_revenue", "q18_large_orders",
     "q20_promo_share_suppliers", "q22_idle_rich_customers",
     "ns_kmv_distinct", "ns_cms_heavy_hitters", "ns_weighted_sample",
-    "q_asof_nearest_tolerance", "q_except_all",
-    "q_histogram", "q_null_safe_join", "q_percentiles",
-    "q_udtf_tokenize", "q_window_range_frame",
-    "q_stateful_alerts", "q_stateful_profile",
+    "q_asof_nearest_tolerance", "q_except_all", "q_histogram",
+    "q_null_safe_join", "q_percentiles", "q_udtf_tokenize",
+    "q_window_range_frame", "q_stateful_alerts", "q_stateful_profile",
     "ns_semdedup", "ns_substring_dedup", "ns_bm25_search",
-    "ns_shard_assign", "q_interval_overlap_join",
-    "ns_unicode_normalize", "ns_dup_size_histogram", "ns_bm25_batch",
-    "q_sliding_distinct",
-    "ns_hll_distinct", "ns_token_entropy",
-    "q_graph_triangles", "q_graph_pagerank", "mm_phash_neardup",
-    "q_quantile_sketch", "q_key_skew_profile",
-    "ns_length_outliers", "ns_cluster_purity",
-    "q_corr_regression", "q_scd2_intervals",
-    "ns_bpe_merge_candidates", "ns_effective_corpus_size",
-    "ns_cms_join_size", "ns_kmv_set_ops",
-    "q_zorder_locality", "ns_epoch_novelty",
-    "ns_contrastive_triplets", "q_sliding_distinct_hll",
-    "ns_dedup_clusters",
+    "ns_shard_assign", "q_interval_overlap_join", "ns_unicode_normalize",
+    "ns_dup_size_histogram", "ns_bm25_batch", "q_sliding_distinct",
+    "ns_hll_distinct", "ns_token_entropy", "q_graph_triangles",
+    "q_graph_pagerank", "mm_phash_neardup", "q_quantile_sketch",
+    "q_key_skew_profile", "ns_length_outliers", "ns_cluster_purity",
+    "q_corr_regression", "q_scd2_intervals", "ns_bpe_merge_candidates",
+    "ns_effective_corpus_size", "ns_cms_join_size", "ns_kmv_set_ops",
+    "q_zorder_locality", "ns_epoch_novelty", "ns_contrastive_triplets",
+    "q_sliding_distinct_hll", "ns_dedup_clusters",
+    # r4-green (freshest):
+    "ns_cluster_sample", "ns_duplication_pareto", "ns_hard_negatives",
+    "ns_keyword_tagging", "ns_length_bucketing", "ns_winsorized_stats",
+    "q_ntile_deciles", "q_rolling_median", "q_unpivot_metrics",
+    "q_stream_report_fold", "q_stream_sketch_fold",
+    "q_bloom_prefilter_prod", "ns_kmeans_clusters", "ns_kmeans_assign",
+    "ns_token_pmi", "ns_source_overlap", "ns_ngram_lm_stats",
+    "ns_perplexity_filter", "q_cdc_merge", "q_cdc_latest",
+    "ns_dataset_card", "ns_importance_weights", "q_touch_attribution",
+    "ns_quantile_bins", "ns_class_rebalance", "ns_embedding_qc",
+    "ns_mixture_schedule", "q_event_dedup_window",
+    "q_zonemap_prune_compare", "ns_leakage_safe_split", "ns_k_anonymity",
+    "ns_tokenizer_fertility", "ns_boilerplate_strip", "q_dq_audit",
+    "q_salted_join", "ns_score_calibration", "ns_jaccard_neardup",
+    "ns_containment_neardup", "ns_dedup_pipeline", "q_bloom_prefilter",
+    "q_sliding_window", "q_session_window", "q_funnel",
 ]
 
 
