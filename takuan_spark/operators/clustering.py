@@ -414,3 +414,59 @@ def kcenter_coreset(
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+def int8_quant_error(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int = 20,
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization round-trip error — the
+    QC table behind "can we ship this index at 4x less RAM?": scale =
+    max|x|/127, q = clamp(floor(x/scale + 0.5), -127, 127), and the
+    reported mse is the reconstruction error |x - q*scale|^2 / dim.
+    Returns the ``top_k`` WORST vectors (mse desc, id asc) — the
+    review queue, not the full corpus.
+
+    Cross-engine determinism: every per-vector number is an ordered
+    element fold (array order, not partition order), rounding is
+    ``floor(x + 0.5)`` (identical everywhere) rather than the
+    engine-specific ``round``-to-int tie rule, and only the final mse
+    / scale round at 6dp. No cross-row float aggregation exists at
+    all, so partial-aggregation order can't move a bit. One scan +
+    one TakeOrdered(top_k): embarrassingly parallel at any corpus
+    size."""
+    v = _as_double(F.col(vec_col))
+    absmax = F.array_max(F.transform(v, F.abs))
+    # all-zero vectors: scale 0 would divide by zero; quantize to 0s.
+    scale = F.when(absmax > 0.0, absmax / F.lit(127.0)).otherwise(
+        F.lit(1.0)
+    )
+    q = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(x / scale + F.lit(0.5))),
+        ),
+    )
+    sq = F.aggregate(
+        F.zip_with(
+            v,
+            q,
+            lambda x, qi: (x - qi * scale) * (x - qi * scale),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    n_clip = F.size(
+        F.filter(v, lambda x: F.abs(F.floor(x / scale + F.lit(0.5))) > 127)
+    )
+    per = emb.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        n_clip.cast("int").alias("n_clipped"),
+        F.round(sq / F.size(vec_col), 6).alias("mse"),
+    )
+    return per.orderBy(F.desc("mse"), id_col).limit(top_k)

@@ -341,3 +341,135 @@ def zipf_fit(
             "zipf_intercept"
         ),
     )
+
+
+def ks_drift(
+    docs: DataFrame,
+    *,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov statistic of
+    ``value_col`` against the POOLED corpus distribution — the standard
+    drift alarm for "does source X's length/score profile still look
+    like the corpus it feeds?". Output: (group, n_docs, ks_d).
+
+    Cross-engine exactness: the ECDF difference is never compared in
+    floating point. For counts c_g(x) (group docs <= x) and c(x) (all
+    docs <= x), |c_g/n_g - c/N| maximizes exactly where the INTEGER
+    numerator |c_g*N - c*n_g| does (the denominator n_g*N is constant
+    per group), so the argmax runs on bigints and only the final
+    division + 6dp round touches a double. Bigint holds to ~3e9 docs;
+    beyond that switch the numerator to DECIMAL(38,0).
+
+    Shape at scale: one groupBy on (group, value) — value domains like
+    lengths/scores are bounded, so the grid frame is tiny regardless of
+    corpus size — then windows over the value grid per group. No join
+    touches the full corpus twice."""
+    from pyspark.sql import Window
+
+    per = docs.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # Every group must be evaluated at every pooled grid point: a step
+    # in the pooled ECDF where the group has no mass still moves the
+    # difference. Grid and group list are both tiny -> broadcast cross.
+    grid = per.select(F.col(value_col).alias("x")).distinct()
+    groups = per.groupBy(group_col).agg(F.sum("c").alias("n_g"))
+    full = groups.crossJoin(F.broadcast(grid)).join(
+        per.select(
+            group_col, F.col(value_col).alias("x"), F.col("c").alias("cg")
+        ),
+        [group_col, "x"],
+        "left",
+    )
+    wg = (
+        Window.partitionBy(group_col)
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pooled = (
+        per.groupBy(value_col)
+        .agg(F.sum("c").alias("ca"))
+        .select(F.col(value_col).alias("x"), "ca")
+        .select("x", F.sum("ca").over(wall).alias("cum_all"))
+    )
+    total = per.agg(F.sum("c").cast("bigint").alias("n_total"))
+    cum = (
+        full.withColumn(
+            "cum_g", F.sum(F.coalesce("cg", F.lit(0))).over(wg)
+        )
+        .join(F.broadcast(pooled), "x")
+        .crossJoin(F.broadcast(total))
+    )
+    num = F.abs(
+        F.col("cum_g") * F.col("n_total") - F.col("cum_all") * F.col("n_g")
+    )
+    return (
+        cum.groupBy(group_col, "n_g", "n_total")
+        .agg(F.max(num).alias("d_num"))
+        .select(
+            group_col,
+            F.col("n_g").cast("bigint").alias("n_docs"),
+            F.round(
+                F.col("d_num") / (F.col("n_g") * F.col("n_total")), 6
+            ).alias("ks_d"),
+        )
+    )
+
+
+def mad_outlier_stats(
+    docs: DataFrame,
+    *,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier profile: median, MAD (median absolute
+    deviation), and the count of values beyond ``k * 1.4826 * MAD``
+    of the median — the standard robust z-score gate (1.4826 scales
+    MAD to sigma under normality). Mean/stddev gates move with the
+    outliers they hunt; median/MAD don't.
+
+    Two exact-percentile passes (Spark ``percentile`` == DuckDB
+    ``quantile_cont``: both interpolate (a+b)/2 on even counts, exact
+    on integer inputs), joined back broadcast — per-group medians are
+    one row per group, so neither pass re-shuffles the corpus beyond
+    its groupBy."""
+    med = docs.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    dev = docs.join(F.broadcast(med), group_col).select(
+        group_col,
+        "n_docs",
+        "med",
+        F.abs(F.col(value_col) - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy(group_col, "n_docs", "med").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    thr = F.lit(k) * F.lit(1.4826) * F.col("mad")
+    return (
+        dev.join(
+            F.broadcast(mad.select(group_col, "mad")), group_col
+        )
+        .groupBy(group_col, "n_docs", "med", "mad")
+        .agg(
+            F.sum((F.col("adev") > thr).cast("bigint"))
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            group_col,
+            "n_docs",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+        )
+    )

@@ -257,3 +257,77 @@ def chunk_documents(
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+def filter_funnel(
+    docs: DataFrame,
+    stages: list[tuple[str, "F.Column"]],
+    *,
+    dedup_text_col: str | None = None,
+) -> DataFrame:
+    """Attrition report for a filter cascade: apply ``stages`` (ordered
+    (name, predicate) pairs) CUMULATIVELY and report per-stage
+    survivors and drops — the observability table every curation
+    pipeline publishes ("raw 4.1B -> lang 2.9B -> quality 1.1B ->
+    dedup 0.7B"). If ``dedup_text_col`` is set, a final exact-dedup
+    stage counts one survivor per distinct content hash.
+
+    One aggregation job, not one per stage: each row gets ``depth`` =
+    number of consecutive leading predicates it survives (a codegen
+    CASE chain), and every funnel level is a conditional aggregate of
+    that single pass — survivors(s) = COUNT(depth >= s), the dedup
+    level a conditional COUNT(DISTINCT md5). The distinct count is the
+    cascade\'s only wide exchange. The k+2-row funnel is then unpivoted
+    with ``stack``.
+
+    Output: (stage, stage_name, survivors, dropped), stage 0 = input."""
+    depth = F.lit(len(stages))
+    for i in range(len(stages) - 1, -1, -1):
+        depth = F.when(~stages[i][1], F.lit(i)).otherwise(depth)
+    n = len(stages)
+    staged = docs.select(
+        depth.alias("_depth"),
+        *(
+            [F.col(dedup_text_col).alias("_text")]
+            if dedup_text_col is not None
+            else []
+        ),
+    )
+    aggs = [
+        F.sum((F.col("_depth") >= s).cast("bigint")).alias(f"_s{s}")
+        for s in range(n + 1)
+    ]
+    names = ["input"] + [nm for nm, _ in stages]
+    if dedup_text_col is not None:
+        aggs.append(
+            F.count_distinct(
+                F.when(F.col("_depth") >= n, F.md5("_text"))
+            )
+            .cast("bigint")
+            .alias(f"_s{n + 1}")
+        )
+        names.append("exact_dedup")
+    one = staged.agg(*aggs)
+    pairs = ", ".join(
+        f"{i}, '{nm}', _s{i}" for i, nm in enumerate(names)
+    )
+    lag_w = Window.partitionBy(F.lit(1)).orderBy("stage")
+    return (
+        one.select(
+            F.expr(
+                f"stack({len(names)}, {pairs}) AS (stage, stage_name, survivors)"
+            )
+        )
+        .select(
+            "stage",
+            "stage_name",
+            F.col("survivors").cast("bigint").alias("survivors"),
+            F.coalesce(
+                F.lag("survivors").over(lag_w) - F.col("survivors"),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("dropped"),
+        )
+        .orderBy("stage")
+    )

@@ -34,7 +34,7 @@ counters, core/aggregator.go); this is north-star scope.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from takuan_spark.operators.skew import materialize
@@ -275,3 +275,56 @@ def local_clustering(edges: DataFrame) -> DataFrame:
             .alias("lcc"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    rounds: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection over an
+    undirected (u, v) edge list (u < v, deduplicated): every node
+    starts as its own label; each round, every node adopts the MOST
+    FREQUENT label among its neighbors, ties to the smallest label —
+    the classic near-linear community detector (Raghavan et al. 2007).
+    Deterministic by construction: synchronous updates + a total
+    tiebreak order, so the result is a pure function of the graph (the
+    async/random variant converges faster but is irreproducible —
+    wrong trade for a data pipeline). Returns (node, label) after
+    ``rounds`` rounds.
+
+    Scale shape: each round is one shuffle — join labels to the
+    symmetric edge list on the source endpoint (label frames stay
+    (node, label) slim), count (dst, label) occupancy, one argmax
+    window per node. Cost per round ~ O(E) rows through 2 exchanges;
+    rounds is a small constant. Isolated nodes never appear in an
+    edge list; callers wanting them keep-as-own-label can union them
+    in afterwards."""
+    sym = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.desc("cnt"), F.asc("label")
+    )
+    for _ in range(rounds):
+        neigh = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("src"), F.col("label")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            neigh.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels

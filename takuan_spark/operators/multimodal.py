@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -599,4 +600,139 @@ def audio_segments(
         )
         .drop("grp")
         .orderBy(id_col, "seg_start")
+    )
+
+
+def synth_video_frame(doc_id: int, frame_id: int, *, size: int = 8) -> bytes:
+    """Deterministic 24-bit BMP "video frame": a uniform gray whose
+    intensity follows an md5-derived piecewise-constant shot
+    trajectory — frame f starts a new shot iff f == 0 or
+    md5("{doc_id}:vid:{f}") % 4 == 0, and the shot's intensity is
+    md5("{doc_id}:lvl:{f}") % 256 at its opening frame (carried
+    forward until the next shot). Both derivations are plain SQL
+    (md5 + modulo + a last_value-ignore-nulls carry), so a query
+    that DECODES these frames with the real BMP reader is still
+    value-checkable by an external engine — the synth_wav contract
+    for the image codec."""
+    import numpy as np
+
+    lvl = None
+    for f in range(frame_id, -1, -1):
+        is_cut = f == 0 or (
+            int(hashlib.md5(f"{doc_id}:vid:{f}".encode()).hexdigest()[:8], 16)
+            % 4
+            == 0
+        )
+        if is_cut:
+            lvl = (
+                int(
+                    hashlib.md5(f"{doc_id}:lvl:{f}".encode()).hexdigest()[:8],
+                    16,
+                )
+                % 256
+            )
+            break
+    img = np.full((size, size, 3), lvl, dtype=np.uint8)
+    return bmp_encode(img)
+
+
+def frame_intensity(
+    frames: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    frame_col: str = "frame_id",
+) -> DataFrame:
+    """Per-frame mean intensity from a REAL BMP decode: (id, frame,
+    intensity double = mean of all decoded channel bytes). The codec
+    (bmp_pixels) runs once per payload inside the Arrow batch loop;
+    corrupt payloads quarantine to a NULL-intensity row (frame kept,
+    so the temporal axis stays dense for diagnostics). Everything
+    after — cut detection, shot segmentation — is pure DataFrame
+    ops."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField(frame_col, IntegerType(), False),
+            StructField("intensity", DoubleType(), True),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            vals = []
+            for p in pdf[payload_col]:
+                try:
+                    img = bmp_pixels(bytes(p))
+                    vals.append(float(np.asarray(img, dtype=np.float64).mean()))
+                except Exception:
+                    vals.append(None)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    frame_col: pdf[frame_col],
+                    "intensity": pd.array(vals, dtype="float64"),
+                }
+            )
+
+    return frames.select(id_col, frame_col, payload_col).mapInPandas(
+        _decode, schema=out_schema
+    )
+
+
+def scene_segments(
+    intensities: DataFrame,
+    *,
+    id_col: str = "media_id",
+    frame_col: str = "frame_id",
+    threshold: float = 8.0,
+) -> DataFrame:
+    """Shot/scene segmentation from per-frame intensities: a cut is
+    declared wherever the frame-to-frame intensity jump reaches
+    ``threshold`` (or at frame 0), shots are the spans between cuts
+    (running cut count via one window), and each shot reports its
+    span and intensity profile. The standard frame-differencing
+    scene detector, reduced to two windows and a groupBy — state per
+    row is O(1), media partition independently at any corpus size.
+    Output: (id, shot_id, shot_start, shot_end, n_frames,
+    avg_intensity)."""
+    w = Window.partitionBy(id_col).orderBy(frame_col)
+    cuts = intensities.withColumn(
+        "is_cut",
+        (
+            F.row_number().over(w)
+            == 1
+        )
+        | (
+            F.abs(F.col("intensity") - F.lag("intensity").over(w))
+            >= threshold
+        ),
+    )
+    run = (
+        Window.partitionBy(id_col)
+        .orderBy(frame_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shots = cuts.withColumn(
+        "shot_id", F.sum(F.col("is_cut").cast("int")).over(run)
+    )
+    return (
+        shots.groupBy(id_col, "shot_id")
+        .agg(
+            F.min(frame_col).cast("int").alias("shot_start"),
+            F.max(frame_col).cast("int").alias("shot_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.round(F.avg("intensity"), 6).alias("avg_intensity"),
+        )
+        .select(
+            id_col,
+            F.col("shot_id").cast("int").alias("shot_id"),
+            "shot_start",
+            "shot_end",
+            "n_frames",
+            "avg_intensity",
+        )
+        .orderBy(id_col, "shot_start")
     )

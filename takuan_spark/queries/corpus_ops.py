@@ -396,3 +396,84 @@ def ns_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ns_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return corpus_stats.zipf_fit(docs, top_k=200).orderBy("source")
+
+
+@query(
+    "ns_ks_drift",
+    """
+    WITH per AS (
+        SELECT source, n_chars AS x, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    grid AS (SELECT DISTINCT x FROM per),
+    grp AS (SELECT source, SUM(c) AS n_g FROM per GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n_total FROM per),
+    pooled AS (
+        SELECT x, SUM(SUM(c)) OVER (ORDER BY x) AS cum_all
+        FROM per GROUP BY x
+    ),
+    cgrid AS (
+        SELECT g.source, g.n_g, gr.x, COALESCE(p.c, 0) AS cg
+        FROM grp g CROSS JOIN grid gr
+        LEFT JOIN per p ON p.source = g.source AND p.x = gr.x
+    ),
+    cum AS (
+        SELECT source, n_g, x,
+               SUM(cg) OVER (PARTITION BY source ORDER BY x) AS cum_g
+        FROM cgrid
+    )
+    SELECT c.source, CAST(c.n_g AS BIGINT) AS n_docs,
+           ROUND(MAX(ABS(c.cum_g * t.n_total - p.cum_all * c.n_g))
+                 / (c.n_g * t.n_total), 6) AS ks_d
+    FROM cum c JOIN pooled p USING (x) CROSS JOIN tot t
+    GROUP BY c.source, c.n_g, t.n_total
+    ORDER BY source
+    """,
+    "Per-source two-sample Kolmogorov-Smirnov drift statistic of the "
+    "document-length distribution against the pooled corpus — the "
+    "distribution-level alarm for a source whose profile shifted "
+    "between crawls. The ECDF difference is maximized on the exact "
+    "INTEGER numerator |c_s*N - c*n_s| (constant denominator per "
+    "source), so the argmax never compares floats and only one final "
+    "division is rounded — the integer-composition discipline from "
+    "the linkage-score fix applied to a whole statistic.",
+)
+def ns_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_stats.ks_drift(docs).orderBy("source")
+
+
+@query(
+    "ns_mad_outliers",
+    """
+    WITH med AS (
+        SELECT source, median(n_chars) AS med,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    ),
+    dev AS (
+        SELECT d.source, m.n_docs, m.med,
+               ABS(d.n_chars - m.med) AS adev
+        FROM documents d JOIN med m USING (source)
+    ),
+    mad AS (
+        SELECT source, n_docs, med, median(adev) AS mad
+        FROM dev GROUP BY 1, 2, 3
+    )
+    SELECT m.source, m.n_docs, ROUND(m.med, 6) AS med,
+           ROUND(m.mad, 6) AS mad,
+           CAST(SUM(CASE WHEN dv.adev > 3.0 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM mad m JOIN dev dv USING (source)
+    GROUP BY m.source, m.n_docs, m.med, m.mad
+    ORDER BY source
+    """,
+    "Per-source robust outlier profile (median + MAD + robust-z "
+    "gate at 3 sigma-equivalents) over document lengths — the gate "
+    "that survives the outliers a mean/stddev gate moves with. Exact "
+    "interpolated percentiles on integers agree bit-for-bit across "
+    "engines (Spark percentile == DuckDB quantile_cont).",
+)
+def ns_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_stats.mad_outlier_stats(docs).orderBy("source")

@@ -795,3 +795,65 @@ def ns_pii_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "ns_filter_funnel",
+    """
+    WITH d AS (
+        SELECT CASE
+                 WHEN NOT (n_chars BETWEEN 100 AND 500) THEN 0
+                 WHEN NOT (lang IN ('en', 'de', 'es', 'fr')) THEN 1
+                 WHEN NOT (len(list_filter(string_split_regex(text, '\\s+'),
+                                           x -> x <> '')) >= 30) THEN 2
+                 ELSE 3
+               END AS depth,
+               md5(text) AS h
+        FROM documents
+    ),
+    funnel AS (
+        SELECT 0 AS stage, 'input' AS stage_name,
+               CAST(COUNT(*) AS BIGINT) AS survivors FROM d
+        UNION ALL
+        SELECT 1, 'len_100_500',
+               CAST(SUM(CASE WHEN depth >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM d
+        UNION ALL
+        SELECT 2, 'lang_allowed',
+               CAST(SUM(CASE WHEN depth >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM d
+        UNION ALL
+        SELECT 3, 'min_30_words',
+               CAST(SUM(CASE WHEN depth >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM d
+        UNION ALL
+        SELECT 4, 'exact_dedup',
+               CAST(COUNT(DISTINCT CASE WHEN depth >= 3 THEN h END)
+                    AS BIGINT)
+        FROM d
+    )
+    SELECT CAST(stage AS INT) AS stage, stage_name, survivors,
+           CAST(COALESCE(LAG(survivors) OVER (ORDER BY stage) - survivors,
+                         0) AS BIGINT) AS dropped
+    FROM funnel ORDER BY stage
+    """,
+    "Filter-cascade attrition report — the per-stage survivors/drops "
+    "table every curation pipeline publishes (raw -> length gate -> "
+    "language gate -> min-words gate -> exact dedup). One aggregation "
+    "pass: each doc's survival DEPTH is a codegen CASE chain and "
+    "every funnel level is a conditional aggregate of it; no "
+    "stage-per-job loop, no driver collect.",
+)
+def ns_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.filter_funnel(
+        docs,
+        [
+            ("len_100_500", F.col("n_chars").between(100, 500)),
+            ("lang_allowed", F.col("lang").isin("en", "de", "es", "fr")),
+            ("min_30_words", F.size(words(F.col("text"))) >= 30),
+        ],
+        dedup_text_col="text",
+    )

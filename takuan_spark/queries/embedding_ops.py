@@ -333,3 +333,49 @@ def _kcenter_oracle(k: int = 8) -> str:
 def ns_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return clustering.kcenter_coreset(emb, k=8).orderBy("rank")
+
+
+@query(
+    "ns_int8_quant_error",
+    """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, x,
+               CASE WHEN list_max(list_transform(x, e -> ABS(e))) > 0
+                    THEN list_max(list_transform(x, e -> ABS(e))) / 127.0
+                    ELSE 1.0 END AS scale
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, scale, x,
+               len(list_filter(
+                   x, e -> ABS(FLOOR(e / scale + 0.5)) > 127)) AS n_clipped,
+               list_transform(
+                   x, e -> GREATEST(-127.0,
+                                    LEAST(127.0, FLOOR(e / scale + 0.5)))
+               ) AS qv
+        FROM s
+    )
+    SELECT vec_id, ROUND(scale, 6) AS scale,
+           CAST(n_clipped AS INT) AS n_clipped,
+           ROUND(list_sum(list_transform(
+                     list_zip(x, qv),
+                     p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale)))
+                 / len(x), 6) AS mse
+    FROM q
+    ORDER BY mse DESC, vec_id
+    LIMIT 20
+    """,
+    "Symmetric int8 quantization round-trip QC: per-vector scale "
+    "(max|x|/127), clip count, and reconstruction MSE — the worst-20 "
+    "review queue behind shipping a 4x-smaller index. Deterministic "
+    "across engines because rounding is floor(x+0.5) (no "
+    "engine-specific tie rule), error is an ordered element fold, and "
+    "NOTHING aggregates floats across rows — one scan plus a "
+    "TakeOrdered(20).",
+)
+def ns_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.int8_quant_error(emb, top_k=20)

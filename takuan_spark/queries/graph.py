@@ -209,3 +209,57 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, group_col="l_orderkey", item_col="l_partkey", min_count=2
     )
     return graph.local_clustering(edges).orderBy("node")
+
+
+def _lpa_sql(rounds: int) -> str:
+    """Chained-CTE label-propagation mirror over the co-purchase
+    graph: l0 = identity labels, each l{i} adopts the most frequent
+    neighbor label (ties to the smallest) — the same synchronous
+    update and total tiebreak as graph.label_propagation."""
+    steps = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+    n{i} AS (
+        SELECT s.dst AS node, l.label, COUNT(*) AS cnt
+        FROM sym s JOIN {prev} l ON l.node = s.src
+        GROUP BY 1, 2
+    ),
+    l{i} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY cnt DESC, label) AS rn
+            FROM n{i}) t
+        WHERE rn = 1
+    )""")
+        prev = f"l{i}"
+    return f"""
+    WITH {_EDGES_CTE.strip().rstrip()},
+    sym AS (
+        SELECT u AS src, v AS dst FROM e
+        UNION ALL SELECT v, u FROM e
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+    {",".join(steps).lstrip()}
+    SELECT node, label FROM {prev} ORDER BY node
+    """
+
+
+@query(
+    "q_community_labels",
+    _lpa_sql(3),
+    "Community detection via synchronous label propagation (Raghavan "
+    "et al. 2007) over the part co-purchase graph: 3 rounds of "
+    "adopt-the-most-frequent-neighbor-label with a smallest-label "
+    "tiebreak — deterministic by construction (the async/random "
+    "variant is irreproducible, the wrong trade for a pipeline). "
+    "Each round is one O(E) shuffle; label frames stay (node, label) "
+    "slim.",
+)
+def q_community_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(
+        li, group_col="l_orderkey", item_col="l_partkey", min_count=2
+    )
+    return graph.label_propagation(edges, rounds=3).orderBy("node")

@@ -219,3 +219,100 @@ def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         F.col("mean_rms").cast("double").alias("mean_rms"),
     )
+
+
+@query(
+    "mm_scene_cuts",
+    """
+    WITH f AS (
+        SELECT d.doc_id AS media_id, g.f AS frame_id,
+               (g.f = 0 OR
+                CAST(concat('0x', substr(md5(d.doc_id || ':vid:' || g.f),
+                                         1, 8)) AS BIGINT) % 4 = 0)
+                   AS is_cutbase,
+               CAST(concat('0x', substr(md5(d.doc_id || ':lvl:' || g.f),
+                                        1, 8)) AS BIGINT) % 256 AS lvl
+        FROM documents d, UNNEST(generate_series(0, 15)) AS g(f)
+    ),
+    loc AS (
+        SELECT media_id, frame_id,
+               CAST(LAST_VALUE(CASE WHEN is_cutbase THEN lvl END
+                               IGNORE NULLS)
+                    OVER (PARTITION BY media_id ORDER BY frame_id)
+                    AS DOUBLE) AS inten
+        FROM f
+    ),
+    cuts AS (
+        SELECT media_id, frame_id, inten,
+               CASE WHEN frame_id = 0
+                         OR ABS(inten - LAG(inten) OVER (
+                                PARTITION BY media_id ORDER BY frame_id))
+                            >= 8.0
+                    THEN 1 ELSE 0 END AS is_cut
+        FROM loc
+    ),
+    shots AS (
+        SELECT media_id, frame_id, inten,
+               SUM(is_cut) OVER (PARTITION BY media_id
+                                 ORDER BY frame_id) AS shot_id
+        FROM cuts
+    )
+    SELECT media_id, CAST(shot_id AS INT) AS shot_id,
+           CAST(MIN(frame_id) AS INT) AS shot_start,
+           CAST(MAX(frame_id) AS INT) AS shot_end,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           ROUND(AVG(inten), 6) AS avg_intensity
+    FROM shots GROUP BY media_id, shot_id
+    ORDER BY media_id, shot_start
+    """,
+    "Video shot segmentation over a REAL image decode: 16 "
+    "deterministic BMP frames per doc follow an md5-derived "
+    "piecewise-constant intensity trajectory, the real BMP reader "
+    "decodes per-frame mean intensity inside an Arrow mapInPandas, "
+    "and cuts are frame-differencing jumps >= 8 rolled into shots "
+    "via two windows — the mm_audio_segments contract applied to "
+    "the temporal image axis. The oracle re-derives the trajectory "
+    "arithmetically (md5 + a last_value-ignore-nulls carry), so the "
+    "decode path itself is value-checked end-to-end.",
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from takuan_spark.tables import load_table
+
+    n_frames = 16
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    frame_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_id", IntegerType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def _synth(batches):
+        for pdf in batches:
+            ids, fids, payloads = [], [], []
+            for m in pdf["media_id"]:
+                for f in range(n_frames):
+                    ids.append(int(m))
+                    fids.append(f)
+                    payloads.append(
+                        multimodal.synth_video_frame(int(m), f)
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_id": fids, "payload": payloads}
+            )
+
+    frames = docs.mapInPandas(_synth, schema=frame_schema)
+    inten = multimodal.frame_intensity(frames)
+    return multimodal.scene_segments(inten, threshold=8.0)

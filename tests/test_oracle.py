@@ -82,8 +82,21 @@ def test_query_matches_oracle(spark, ddb, sf_dir, spec):
     assert_frames_match(spark_pd, oracle_pd, spec.name)
 
 
-@pytest.mark.parametrize("spec", ROWS_ONLY_CASES, ids=[s.name for s in ROWS_ONLY_CASES])
-def test_rows_only_query_runs(spark, sf_dir, spec):
-    df = spec.builder(spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
+if ROWS_ONLY_CASES:
+
+    @pytest.mark.parametrize(
+        "spec", ROWS_ONLY_CASES, ids=[s.name for s in ROWS_ONLY_CASES]
+    )
+    def test_rows_only_query_runs(spark, sf_dir, spec):
+        df = spec.builder(spark, sf_dir)
+        assert df.count() >= 0
+        assert len(df.columns) > 0
+
+else:
+
+    def test_every_query_is_oracle_paired():
+        """Positive assertion of full oracle coverage: zero queries fall
+        back to the weaker rows-only check (an empty parametrize set
+        would otherwise surface as a perpetual SKIP)."""
+        assert ROWS_ONLY_CASES == []
+        assert len(ORACLE_CASES) == len(REGISTRY)

@@ -1,0 +1,248 @@
+"""Round-6 operator semantics on crafted inputs: KS drift, MAD
+outliers, filter-funnel attrition, int8 quantization QC, label
+propagation communities, and video scene segmentation over the real
+BMP codec."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from takuan_spark.operators import clustering, corpus_stats, curation, graph
+from takuan_spark.operators import multimodal as mm
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t, lang=lg, source=s, n_chars=len(t))
+            for i, (t, lg, s) in enumerate(rows)
+        ]
+    )
+
+
+# ---------------------------------------------------------------- KS drift
+
+
+def test_ks_drift_identical_distribution_is_zero(spark):
+    # two sources with the SAME length multiset -> D = 0 for both
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, source=s, n_chars=c)
+            for i, (s, c) in enumerate(
+                [("a", 10), ("a", 20), ("a", 30), ("b", 10), ("b", 20), ("b", 30)]
+            )
+        ]
+    )
+    got = {r["source"]: r["ks_d"] for r in corpus_stats.ks_drift(docs).collect()}
+    assert got == {"a": 0.0, "b": 0.0}
+
+
+def test_ks_drift_disjoint_supports(spark):
+    # a: all values 1, b: all values 2. Pooled ECDF at x=1 is 0.5;
+    # F_a(1)=1 -> D_a = 0.5; F_b(1)=0 -> D_b = 0.5.
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="a", n_chars=1) for i in range(4)]
+        + [Row(doc_id=10 + i, source="b", n_chars=2) for i in range(4)]
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["ks_d"])
+        for r in corpus_stats.ks_drift(docs).collect()
+    }
+    assert got == {"a": (4, 0.5), "b": (4, 0.5)}
+
+
+def test_ks_drift_evaluates_group_at_missing_grid_points(spark):
+    # source b has no mass at x=1: its ECDF at the pooled grid point
+    # x=1 must still be evaluated (0), where the pooled is 3/5.
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="a", n_chars=1) for i in range(3)]
+        + [Row(doc_id=5, source="b", n_chars=2), Row(doc_id=6, source="b", n_chars=3)]
+    )
+    got = {r["source"]: r["ks_d"] for r in corpus_stats.ks_drift(docs).collect()}
+    assert got["b"] == 0.6  # |0 - 3/5| at x=1
+    assert got["a"] == 0.4  # |1 - 3/5| at x=1
+
+
+# ------------------------------------------------------------ MAD outliers
+
+
+def test_mad_outlier_stats_flags_far_point(spark):
+    # values 10..14 plus 1000: med=12.5? n=6 -> med=(12+13)/2=12.5,
+    # adev = [2.5,1.5,0.5,0.5,1.5,987.5], mad = median = 1.5
+    # threshold = 3*1.4826*1.5 = 6.6717 -> only 1000 is out.
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", n_chars=v) for i, v in enumerate([10, 11, 12, 13, 14, 1000])]
+    )
+    row = corpus_stats.mad_outlier_stats(docs).collect()[0]
+    assert row["med"] == 12.5
+    assert row["mad"] == 1.5
+    assert row["n_outliers"] == 1
+
+
+def test_mad_outlier_stats_zero_mad(spark):
+    # constant values: mad=0, threshold=0, |x-med|>0 never -> 0 outliers
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", n_chars=7) for i in range(5)]
+    )
+    row = corpus_stats.mad_outlier_stats(docs).collect()[0]
+    assert (row["med"], row["mad"], row["n_outliers"]) == (7.0, 0.0, 0)
+
+
+# ------------------------------------------------------------ filter funnel
+
+
+def test_filter_funnel_depth_and_dedup(spark):
+    docs = _docs(
+        spark,
+        [
+            ("x" * 30, "en", "s"),       # survives len only if in [10, 50]
+            ("short", "en", "s"),        # fails len (5 chars)
+            ("y" * 30, "zz", "s"),       # fails lang at stage 2
+            ("x" * 30, "en", "s"),       # duplicate of doc 0 text
+        ],
+    )
+    out = curation.filter_funnel(
+        docs,
+        [
+            ("len", F.col("n_chars").between(10, 50)),
+            ("lang", F.col("lang") == "en"),
+        ],
+        dedup_text_col="text",
+    ).collect()
+    rows = {r["stage"]: (r["stage_name"], r["survivors"], r["dropped"]) for r in out}
+    assert rows[0] == ("input", 4, 0)
+    assert rows[1] == ("len", 3, 1)
+    assert rows[2] == ("lang", 2, 1)
+    assert rows[3] == ("exact_dedup", 1, 1)
+
+
+def test_filter_funnel_is_cumulative_not_independent(spark):
+    # a doc failing stage 1 must NOT count at stage 2 even if it
+    # passes stage 2's predicate.
+    docs = _docs(spark, [("short", "en", "s")])  # fails len, passes lang
+    out = curation.filter_funnel(
+        docs,
+        [
+            ("len", F.col("n_chars") > 10),
+            ("lang", F.col("lang") == "en"),
+        ],
+    ).collect()
+    surv = {r["stage"]: r["survivors"] for r in out}
+    assert surv == {0: 1, 1: 0, 2: 0}
+
+
+# -------------------------------------------------------- int8 quant error
+
+
+def test_int8_quant_error_exact_grid_is_lossless(spark):
+    # vector on the exact int8 grid (k * max/127): zero error
+    scale = 0.5 / 127.0
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[0.5, -0.5, 0.0]),
+            Row(vec_id=2, embedding=[scale * 64, -0.5 + 0.0, 0.5]),
+        ]
+    )
+    out = {r["vec_id"]: r for r in clustering.int8_quant_error(emb).collect()}
+    assert out[1]["mse"] == 0.0
+    assert out[1]["n_clipped"] == 0
+    assert out[2]["mse"] == 0.0
+
+
+def test_int8_quant_error_zero_vector(spark):
+    emb = spark.createDataFrame([Row(vec_id=1, embedding=[0.0, 0.0])])
+    row = clustering.int8_quant_error(emb).collect()[0]
+    assert row["mse"] == 0.0
+    assert row["scale"] == 1.0
+
+
+def test_int8_quant_error_known_error(spark):
+    # max = 1.0 -> scale = 1/127; x = 0.5 -> x/scale = 63.5 ->
+    # floor(63.5 + .5) = 64 -> dq = 64/127; err = (0.5 - 64/127)^2
+    emb = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 0.5])])
+    row = clustering.int8_quant_error(emb).collect()[0]
+    s = 1.0 / 127.0
+    exp = round(((0.5 - 64 * s) ** 2 + 0.0) / 2, 6)
+    assert row["mse"] == pytest.approx(exp, abs=1e-9)
+
+
+# ------------------------------------------------------- label propagation
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([Row(u=u, v=v) for u, v in pairs])
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles joined by nothing: every node converges to its
+    # clique's smallest id
+    tri1 = [(1, 2), (1, 3), (2, 3)]
+    tri2 = [(10, 11), (10, 12), (11, 12)]
+    got = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(_edges(spark, tri1 + tri2), rounds=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_tiebreak_smallest_label(spark):
+    # node 2's neighbors 1 and 3 each occur once -> tie -> label 1
+    got = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(_edges(spark, [(1, 2), (2, 3)]), rounds=1).collect()
+    }
+    assert got[2] == 1
+    # endpoints adopt their single neighbor's label
+    assert got[1] == 2 and got[3] == 2
+
+
+# ------------------------------------------------------------- scene cuts
+
+
+def test_synth_video_frame_trajectory_is_locf(spark):
+    import hashlib
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    doc = 42
+    # recompute the expected LOCF trajectory straight from the spec
+    lvl, exp = None, []
+    for f in range(16):
+        if f == 0 or h(f"{doc}:vid:{f}") % 4 == 0:
+            lvl = h(f"{doc}:lvl:{f}") % 256
+        exp.append(lvl)
+    got = [mm.bmp_pixels(mm.synth_video_frame(doc, f)).mean() for f in range(16)]
+    assert got == [float(e) for e in exp]
+
+
+def test_scene_segments_cut_rule(spark):
+    rows = [
+        Row(media_id=1, frame_id=0, intensity=10.0),
+        Row(media_id=1, frame_id=1, intensity=12.0),   # jump 2 < 8: same shot
+        Row(media_id=1, frame_id=2, intensity=50.0),   # jump 38: cut
+        Row(media_id=1, frame_id=3, intensity=50.0),
+        Row(media_id=2, frame_id=0, intensity=7.0),
+    ]
+    out = mm.scene_segments(spark.createDataFrame(rows), threshold=8.0).collect()
+    by = [(r["media_id"], r["shot_id"], r["shot_start"], r["shot_end"], r["n_frames"], r["avg_intensity"]) for r in out]
+    assert by == [
+        (1, 1, 0, 1, 2, 11.0),
+        (1, 2, 2, 3, 2, 50.0),
+        (2, 1, 0, 0, 1, 7.0),
+    ]
+
+
+def test_frame_intensity_quarantines_corrupt_payload(spark):
+    good = mm.synth_video_frame(1, 0)
+    frames = spark.createDataFrame(
+        [
+            Row(media_id=1, frame_id=0, payload=bytearray(good)),
+            Row(media_id=1, frame_id=1, payload=bytearray(b"not a bmp")),
+        ]
+    )
+    out = {r["frame_id"]: r["intensity"] for r in mm.frame_intensity(frames).collect()}
+    assert out[0] is not None
+    assert out[1] is None
