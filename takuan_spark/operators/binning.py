@@ -56,3 +56,82 @@ def bin_profile(
         F.round(F.max(value_col), 2).alias("hi"),
         F.round(F.avg(value_col), 4).alias("mean_val"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Cross-group quantile normalization by NEAREST RANK: each row's
+    value is replaced by the pooled-distribution value at the pooled
+    index matching its within-group quantile — the standard fix for
+    "source A's quality scorer runs hot": after normalization every
+    group has (as near as ranks allow) the pooled distribution, so a
+    single global threshold treats groups fairly.
+
+    Everything is integer rank arithmetic (nearest-rank, not
+    interpolated): a row at within-group rank r of n maps to pooled
+    index round-half-up((r-1)*(N-1)/(n-1)) + 1 (singleton groups to
+    the pooled median index), and the pooled value at an index is
+    looked up by cumulative-count ranges over the DISTINCT value grid
+    — no float ever appears, so engines agree bit-for-bit.
+
+    Scale shape: the per-group rank is a window partitioned by group
+    (parallel across groups); the pooled lookup is a broadcast range
+    join against the value-grid frame, whose size is the number of
+    DISTINCT values (bounded domains like lengths/scores), never the
+    corpus. Output: input rows + (src_rank, norm_value)."""
+    wg = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    staged = df.select(
+        id_col,
+        group_col,
+        value_col,
+        F.row_number().over(wg).alias("src_rank"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(group_col))
+        .alias("_n_g"),
+    )
+    vc = (
+        df.groupBy(value_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .select(F.col(value_col).alias("_v"), "_c")
+        .select(
+            "_v",
+            "_c",
+            F.sum("_c")
+            .over(
+                Window.partitionBy(F.lit(1))
+                .orderBy("_v")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .alias("_cum"),
+        )
+        .select("_v", (F.col("_cum") - F.col("_c")).alias("_lo"), "_cum")
+    )
+    n_total = df.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    idx = F.when(
+        F.col("_n_g") == 1, F.expr("(_n + 1) DIV 2")
+    ).otherwise(
+        F.expr(
+            "((src_rank - 1) * (_n - 1) * 2 + (_n_g - 1))"
+            " DIV (2 * (_n_g - 1)) + 1"
+        )
+    )
+    return (
+        staged.crossJoin(F.broadcast(n_total))
+        .withColumn("_idx", idx)
+        .join(
+            F.broadcast(vc),
+            (F.col("_idx") > F.col("_lo")) & (F.col("_idx") <= F.col("_cum")),
+        )
+        .select(
+            id_col,
+            group_col,
+            value_col,
+            "src_rank",
+            F.col("_v").alias("norm_value"),
+        )
+    )

