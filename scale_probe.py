@@ -195,8 +195,18 @@ def main() -> None:
         }
         print(f"{name}: {base_s:.2f}s -> {probe_s:.2f}s ({ratio:.1f}x)", flush=True)
 
-    with open(os.path.join(REPO, "SCALE_PROBE.json"), "w") as fh:
-        json.dump({"replicas": REPLICAS, "results": results}, fh, indent=1)
+    # merge into the existing artifact (an explicit-name re-probe must
+    # not discard the rest of the sweep's rows)
+    probe_path = os.path.join(REPO, "SCALE_PROBE.json")
+    merged = {}
+    if os.path.exists(probe_path):
+        with open(probe_path) as fh:
+            prior = json.load(fh)
+        if prior.get("replicas") == REPLICAS:
+            merged = prior.get("results", {})
+    merged.update(results)
+    with open(probe_path, "w") as fh:
+        json.dump({"replicas": REPLICAS, "results": merged}, fh, indent=1)
 
     print("\n| query | sf0.1 sec | ~sf1 sec | ratio (10x data) |")
     print("|---|---|---|---|")

@@ -935,3 +935,19 @@ def dedup_representatives(
         F.count(F.lit(1)).cast("bigint").alias("dup_count"),
     )
     return df.join(keep, on=id_col, how="inner")
+
+
+def jaccard_threshold_bin(
+    jaccard: Column, *, lo: int = 2, hi: int = 9
+) -> Column:
+    """Highest decimal threshold (``lo``..``hi``, in tenths) a score
+    clears, via the SAME chain of double comparisons a per-threshold
+    filter would apply. NOT ``floor(j*10)``: thresholds are the doubles
+    ``k/10.0``, and e.g. 0.3 sits just below 3.0 after ``*10`` (so
+    floor misbins it) while ``0.3 >= 3/10.0`` is true — binning must
+    reproduce the comparison's semantics bit-for-bit or sweep counts
+    drift from a direct filter's."""
+    out = F.lit(lo)
+    for k in range(lo + 1, hi + 1):
+        out = F.when(jaccard >= F.lit(k / 10.0), F.lit(k)).otherwise(out)
+    return out

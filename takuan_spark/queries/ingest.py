@@ -1,0 +1,99 @@
+"""Ingest-format queries: the engine's file-format surface under the
+driver's oracle gate.
+
+The sources module (sources/readers.py) reads parquet/JSON/CSV/ORC;
+pytest covers each reader, but a reader's PERMISSIVE quarantine path —
+the part that matters when 100 TB of scraped JSONL contains garbage
+lines — deserves a driver-checked row too. The round-trip query below
+writes the documents table as JSONL plus deterministic corrupt lines,
+reads it back through the real reader with an explicit schema and the
+default `_corrupt_record` quarantine column (the name PERMISSIVE mode
+routes malformed lines to — a differently-named field silently stays
+NULL and corrupt rows masquerade as all-NULL data), and returns good rows + a quarantine-count
+sentinel — so schema projection, parse, and quarantine are all
+value-checked against an engine that never saw the files.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from takuan_spark.queries import query
+from takuan_spark.tables import load_table
+
+#: injected unparseable lines — every JSON reader must quarantine all 3
+_CORRUPT_LINES = ["{not json", "[1,2", "}{"]
+
+
+def _scratch(sf_dir: str, kind: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"takuan_ingest_{kind}_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+@query(
+    "q_jsonl_roundtrip",
+    f"""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT -1 AS doc_id, 'corrupt' AS lang, 'corrupt' AS source,
+           {len(_CORRUPT_LINES)} AS n_chars
+    ORDER BY doc_id
+    """,
+    "JSONL ingest round-trip through the real reader: the documents "
+    "table is serialized to JSON lines (plus 3 deterministic "
+    "unparseable lines), read back with an explicit schema in "
+    "PERMISSIVE mode, and the result is the parsed rows plus a "
+    "sentinel row carrying the quarantine count — write, parse, "
+    "schema projection, and the corrupt-record channel all "
+    "value-checked. The write cost is in the benched window (honest "
+    "ingest cost); at scale the same plan is one pass over the "
+    "landing files with per-record quarantine, no driver state.",
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.sources.readers import read_json
+
+    path = _scratch(sf_dir, "jsonl")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.selectExpr(
+        "to_json(struct(doc_id, text, lang, source, n_chars)) AS value"
+    ).write.mode("overwrite").text(path)
+    spark.createDataFrame(
+        [(line,) for line in _CORRUPT_LINES], "value string"
+    ).coalesce(1).write.mode("append").text(path)
+    parsed = read_json(
+        spark,
+        path,
+        schema=(
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint, _corrupt_record string"
+        ),
+    )
+    good = parsed.where(F.col("_corrupt_record").isNull()).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    # Spark refuses plans whose referenced columns are ONLY the corrupt
+    # record column of a raw JSON scan (and pruning reduces a
+    # count-the-quarantined subtree to exactly that), so the quarantine
+    # count is derived as raw text lines minus surviving rows — one
+    # extra parse-free line-count scan, still a single lazy plan.
+    n_lines = spark.read.text(path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_total")
+    )
+    # count(doc_id), not count(1): pruning would otherwise strip the
+    # subtree down to the corrupt column alone and trip the same rule
+    n_good = good.agg(F.count("doc_id").cast("bigint").alias("_ok"))
+    quarantined = n_lines.crossJoin(n_good).select(
+        F.lit(-1).cast("bigint").alias("doc_id"),
+        F.lit("corrupt").alias("lang"),
+        F.lit("corrupt").alias("source"),
+        (F.col("_total") - F.col("_ok")).cast("bigint").alias("n_chars"),
+    )
+    return good.unionByName(quarantined).orderBy("doc_id")

@@ -1783,3 +1783,111 @@ def ns_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "ns_dedup_sweep",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh0 AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+    ),
+    rare AS (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 64
+    ),
+    sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b,
+               ROUND(i * 1.0 / (ca.n_sh + cb.n_sh - i), 6) AS jaccard
+        FROM inter
+        JOIN cnt ca ON id_a = ca.doc_id
+        JOIN cnt cb ON id_b = cb.doc_id
+        WHERE ROUND(i * 1.0 / (ca.n_sh + cb.n_sh - i), 6) >= 0.2
+    ),
+    ids AS (
+        SELECT jaccard, id_a AS id FROM pairs
+        UNION ALL SELECT jaccard, id_b FROM pairs
+    ),
+    thr AS (
+        SELECT x / 10.0 AS t FROM UNNEST(generate_series(2, 9)) AS g(x)
+    ),
+    np AS (
+        SELECT th.t AS threshold, CAST(COUNT(p.id_a) AS BIGINT) AS n_pairs
+        FROM thr th LEFT JOIN pairs p ON p.jaccard >= th.t
+        GROUP BY 1
+    ),
+    nd AS (
+        SELECT th.t AS threshold,
+               CAST(COUNT(DISTINCT i.id) AS BIGINT) AS n_docs
+        FROM thr th LEFT JOIN ids i ON i.jaccard >= th.t
+        GROUP BY 1
+    )
+    SELECT np.threshold, np.n_pairs, nd.n_docs
+    FROM np JOIN nd USING (threshold)
+    ORDER BY threshold
+    """,
+    "Dedup aggressiveness curve: near-dup pair count and docs-touched "
+    "at every Jaccard threshold 0.2..0.9 in ONE pass over the "
+    "max_df-guarded inverted-index pairs — the sweep a pipeline owner "
+    "reads to pick a dedup threshold instead of re-running discovery "
+    "per candidate value. The threshold grid is an 8-row broadcast; "
+    "pair mass is bounded by the same stop-shingle cap as "
+    "ns_jaccard_neardup.",
+)
+def ns_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.2, max_df=64)
+    # Bin each pair at the HIGHEST threshold it clears, via the same
+    # chain of double comparisons the oracle's join applies (floor(j*10)
+    # would misbin values like 0.3 whose double sits below 3/10.0*10) —
+    # then every per-threshold count is a suffix sum over an 8-row
+    # histogram. Linear in pairs; the non-equi threshold join never
+    # touches corpus-scale data.
+    binned = pairs.select(
+        "id_a",
+        "id_b",
+        dedup.jaccard_threshold_bin(F.col("jaccard")).alias("bin"),
+    )
+    pair_hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    doc_bins = (
+        binned.select(F.col("id_a").alias("id"), "bin")
+        .unionAll(binned.select(F.col("id_b").alias("id"), "bin"))
+        .groupBy("id")
+        .agg(F.max("bin").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    thr = spark.range(2, 10).select(F.col("id").cast("int").alias("bin"))
+    suffix = (
+        Window.partitionBy(F.lit(1))
+        .orderBy(F.desc("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        thr.join(pair_hist, "bin", "left")
+        .join(doc_bins, "bin", "left")
+        .select(
+            "bin",
+            F.sum(F.coalesce("c", F.lit(0))).over(suffix).alias("n_pairs"),
+            F.sum(F.coalesce("d", F.lit(0))).over(suffix).alias("n_docs"),
+        )
+        .select(
+            (F.col("bin") / F.lit(10.0)).alias("threshold"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("threshold")
+    )

@@ -354,3 +354,24 @@ def test_quantile_normalize_singleton_group_gets_median(spark):
         ).collect()
     }
     assert out[3] == 7
+
+
+# ------------------------------------------------------- dedup sweep bins
+
+
+def test_jaccard_threshold_bin_boundary_doubles(spark):
+    from takuan_spark.operators.dedup import jaccard_threshold_bin
+
+    # 0.3 as a double sits BELOW 3.0 after *10 (floor would misbin),
+    # but >= 3/10.0 must hold; 0.79999 clears 0.7 not 0.8; 0.9 -> 9.
+    df = spark.createDataFrame(
+        [(0.3,), (0.79999,), (0.8,), (0.9,), (0.2,), (0.299999,)],
+        "jaccard double",
+    )
+    got = [
+        r["bin"]
+        for r in df.select(
+            jaccard_threshold_bin(F.col("jaccard")).alias("bin")
+        ).collect()
+    ]
+    assert got == [3, 7, 8, 9, 2, 2]
