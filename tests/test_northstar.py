@@ -422,16 +422,21 @@ def test_winnow_fingerprints_robust_to_local_edits(spark):
     assert sim_other == 0.0, sim_other
 
 
-def test_dedup_clusters_connected_components(spark):
+@pytest.mark.parametrize("gate", [None, dedup.CC_SMALL_GRAPH_MAX_EDGES])
+def test_dedup_clusters_connected_components(spark, gate):
     """Chains must collapse to one cluster: A~B, B~C, plus a separate
-    pair and an isolated-free graph."""
+    pair and an isolated-free graph — identical through BOTH solve
+    paths (gate=None forces the distributed iteration; the default
+    gate routes this tiny graph to the driver union-find)."""
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
         "id_a long, id_b long",
     )
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in dedup.dedup_clusters(pairs).collect()
+        for r in dedup.dedup_clusters(
+            pairs, small_graph_max_edges=gate
+        ).collect()
     }
     assert got == {
         1: 1, 2: 1, 3: 1,
@@ -453,7 +458,9 @@ def test_dedup_clusters_partition_sizing(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
     )
-    out = dedup.dedup_clusters(pairs, partitions=2)
+    out = dedup.dedup_clusters(
+        pairs, partitions=2, small_graph_max_edges=None
+    )
     # coalesce caps at the upstream shuffle width, so assert the cap
     # from below (2 < the fixture's 4 shuffle partitions -> exact).
     assert out.rdd.getNumPartitions() == 2
