@@ -81,7 +81,7 @@ PRIORITY: list[str] = [
     "ns_record_linkage", "ns_minhash_prod_mode", "ns_blocked_linkage",
     "ns_embedding_neardup_lsh", "ns_decontaminate", "ns_curation_pipeline",
     "q_ewma_anomaly", "q_compaction_bins", "mm_audio_segments",
-    "ns_pca_power_iteration",
+    "ns_pca_power_iteration", "ns_dedup_clusters",
     # -- 2. new this round (vocabulary/OOV, Zipf, changepoint,
     # quality-dedup survivor, matryoshka QC, PII risk, k-center
     # coreset, local clustering, inter-arrival) ----------------------
@@ -92,6 +92,7 @@ PRIORITY: list[str] = [
     "ns_int8_quant_error", "q_community_labels", "mm_scene_cuts",
     "q_stream_dedup_fold", "ns_burstiness", "ns_template_mining",
     "ns_quantile_normalize", "q_jsonl_roundtrip", "ns_dedup_sweep",
+    "q_csv_roundtrip",
     # -- 3. staleness backfill, oldest last-green first: every row
     # below is green but unchecked by the driver since the round
     # tagged on it (r1 = 3 rounds stale). The ~50-row cap lands
@@ -145,7 +146,7 @@ PRIORITY: list[str] = [
     "q_corr_regression", "q_scd2_intervals", "ns_bpe_merge_candidates",
     "ns_effective_corpus_size", "ns_cms_join_size", "ns_kmv_set_ops",
     "q_zorder_locality", "ns_epoch_novelty", "ns_contrastive_triplets",
-    "q_sliding_distinct_hll", "ns_dedup_clusters",
+    "q_sliding_distinct_hll",
     # r4-green (freshest):
     "ns_cluster_sample", "ns_duplication_pareto", "ns_hard_negatives",
     "ns_keyword_tagging", "ns_length_bucketing", "ns_winsorized_stats",

@@ -97,3 +97,80 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_total") - F.col("_ok")).cast("bigint").alias("n_chars"),
     )
     return good.unionByName(quarantined).orderBy("doc_id")
+
+
+#: malformed CSV lines: a field that fails its schema type conversion
+#: (the condition Spark's PERMISSIVE CSV parser routes to the
+#: corrupt-record column; wrong token COUNTS merely null-pad or drop
+#: extras, by design)
+_CORRUPT_CSV_LINES = [
+    "notanumber,x,en,src0,10",
+    "9000002,y,de,src1,notanumber",
+]
+
+
+@query(
+    "q_csv_roundtrip",
+    f"""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT -1 AS doc_id, 'corrupt' AS lang, 'corrupt' AS source,
+           {len(_CORRUPT_CSV_LINES)} AS n_chars
+    ORDER BY doc_id
+    """,
+    "CSV ingest round-trip through the real reader: the documents "
+    "table (free text with commas/quotes, so the writer's quoting is "
+    "part of what's checked) plus 2 type-malformed lines, read "
+    "back with an explicit schema in PERMISSIVE mode; rows whose "
+    "fields fail type conversion land in _corrupt_record and are "
+    "returned as a quarantine-count sentinel. Complements "
+    "q_jsonl_roundtrip: CSV's malformed condition (type-cast "
+    "failure; token-count mismatches null-pad) differs from JSON's, "
+    "so both quarantine channels get a driver row. The raw-line "
+    "count channel assumes one record per physical line (true of "
+    "this corpus — no embedded newlines); a multiline-text corpus "
+    "needs multiLine=true and a parsed-side quarantine count "
+    "instead.",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.sources.readers import read_csv
+
+    path = _scratch(sf_dir, "csv")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "text", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).option("header", False).csv(path)
+    spark.createDataFrame(
+        [(line,) for line in _CORRUPT_CSV_LINES], "value string"
+    ).coalesce(1).write.mode("append").text(path)
+    parsed = read_csv(
+        spark,
+        path,
+        schema=(
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint, _corrupt_record string"
+        ),
+        header=False,
+    )
+    good = parsed.where(F.col("_corrupt_record").isNull()).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    n_lines = spark.read.text(path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_total")
+    )
+    # CSV corrupt detection is COLUMN-PRUNING-DEPENDENT: a pruned
+    # subtree that parses only doc_id never attempts the n_chars
+    # conversion, so a row whose n_chars is malformed counts as good
+    # there while the full projection quarantines it (off-by-one
+    # sentinel, observed). Referencing every failable (numeric) column
+    # in the count pins the same parse set as the main output.
+    n_good = good.agg(
+        F.count(F.expr("doc_id + n_chars")).cast("bigint").alias("_ok")
+    )
+    quarantined = n_lines.crossJoin(n_good).select(
+        F.lit(-1).cast("bigint").alias("doc_id"),
+        F.lit("corrupt").alias("lang"),
+        F.lit("corrupt").alias("source"),
+        (F.col("_total") - F.col("_ok")).cast("bigint").alias("n_chars"),
+    )
+    return good.unionByName(quarantined).orderBy("doc_id")
