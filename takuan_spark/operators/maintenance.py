@@ -126,3 +126,85 @@ def prune_estimate(
             1.0 - F.sum(prunable.cast("bigint")) / F.count("*"), 6
         ).alias("scan_fraction"),
     )
+
+
+def deletion_cascade(
+    docs: DataFrame,
+    delete_pred: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    chunk_overlap: int = 16,
+) -> DataFrame:
+    """Right-to-be-forgotten audit: before/after row counts for every
+    artifact a deletion must propagate through — the compliance table
+    proving a delete request actually cascaded. Artifacts:
+
+    - ``documents`` — the corpus itself;
+    - ``chunks`` — derived RAG chunks, removed by anti-join on the
+      deleted ids (the physical shape of a derived-table delete: no
+      recompute, one hash-partitioned anti-join on the id);
+    - ``fingerprints`` — the dedup fingerprint table, where a
+      fingerprint survives iff ANY RETAINED doc still carries it:
+      duplicate content shared with a retained doc must NOT vanish
+      from the dedup state, and forgetting that rule either breaks
+      future dedup (over-delete) or retains the deleted content's
+      hash with no owner (under-delete).
+
+    One pass per artifact, all counts conditional aggregates; output
+    (artifact, rows_before, rows_after, rows_deleted) ordered by
+    artifact name."""
+    from takuan_spark.operators.curation import chunk_documents
+    from takuan_spark.operators.text import fingerprint
+
+    flagged = docs.withColumn("_del", delete_pred)
+    doc_counts = flagged.agg(
+        F.lit("documents").alias("artifact"),
+        F.count(F.lit(1)).cast("bigint").alias("rows_before"),
+        F.sum((~F.col("_del")).cast("bigint"))
+        .cast("bigint")
+        .alias("rows_after"),
+    )
+    chunks = chunk_documents(
+        docs, size=chunk_size, overlap=chunk_overlap
+    ).select(id_col)
+    deleted_ids = flagged.where(F.col("_del")).select(
+        F.col(id_col), F.lit(True).alias("_gone")
+    )
+    chunk_counts = (
+        chunks.join(deleted_ids, id_col, "left")
+        .withColumn("_gone", F.coalesce("_gone", F.lit(False)))
+        .agg(
+            F.lit("chunks").alias("artifact"),
+            F.count(F.lit(1)).cast("bigint").alias("rows_before"),
+            F.sum((~F.col("_gone")).cast("bigint"))
+            .cast("bigint")
+            .alias("rows_after"),
+        )
+    )
+    fps = flagged.select(
+        fingerprint(F.col(text_col)).alias("fp"), "_del"
+    )
+    fp_counts = (
+        fps.groupBy("fp")
+        .agg(F.max((~F.col("_del")).cast("int")).alias("_retained"))
+        .agg(
+            F.lit("fingerprints").alias("artifact"),
+            F.count(F.lit(1)).cast("bigint").alias("rows_before"),
+            F.sum("_retained").cast("bigint").alias("rows_after"),
+        )
+    )
+    return (
+        doc_counts.unionByName(chunk_counts)
+        .unionByName(fp_counts)
+        .select(
+            "artifact",
+            "rows_before",
+            "rows_after",
+            (F.col("rows_before") - F.col("rows_after"))
+            .cast("bigint")
+            .alias("rows_deleted"),
+        )
+        .orderBy("artifact")
+    )

@@ -92,7 +92,7 @@ PRIORITY: list[str] = [
     "ns_int8_quant_error", "q_community_labels", "mm_scene_cuts",
     "q_stream_dedup_fold", "ns_burstiness", "ns_template_mining",
     "ns_quantile_normalize", "q_jsonl_roundtrip", "ns_dedup_sweep",
-    "q_csv_roundtrip",
+    "q_csv_roundtrip", "q_stream_ann_fold", "ns_deletion_cascade",
     # -- 3. staleness backfill, oldest last-green first: every row
     # below is green but unchecked by the driver since the round
     # tagged on it (r1 = 3 rounds stale). The ~50-row cap lands

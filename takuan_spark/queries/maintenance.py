@@ -143,3 +143,61 @@ def q_zonemap_prune_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = estimate(F.floor(F.col("event_id") / 4096.0).cast("bigint"), "natural")
     zod = estimate(F.floor(F.col("z") / 256.0).cast("bigint"), "zorder")
     return nat.unionAll(zod).orderBy("layout")
+
+
+@query(
+    "ns_deletion_cascade",
+    """
+    WITH flagged AS (
+        SELECT doc_id, text, doc_id % 37 = 0 AS del FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, del,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM flagged
+    ),
+    chunks AS (
+        SELECT doc_id, del
+        FROM toks,
+             UNNEST(generate_series(1, greatest(len(t), 1), 48)) AS g(i)
+        WHERE i <= len(t)
+    ),
+    fps AS (
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fp,
+               MAX(CASE WHEN del THEN 0 ELSE 1 END) AS retained
+        FROM flagged GROUP BY 1
+    ),
+    per AS (
+        SELECT 'documents' AS artifact,
+               CAST(COUNT(*) AS BIGINT) AS rows_before,
+               CAST(SUM(CASE WHEN del THEN 0 ELSE 1 END) AS BIGINT)
+                   AS rows_after
+        FROM flagged
+        UNION ALL
+        SELECT 'chunks', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN del THEN 0 ELSE 1 END) AS BIGINT)
+        FROM chunks
+        UNION ALL
+        SELECT 'fingerprints', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(retained) AS BIGINT)
+        FROM fps
+    )
+    SELECT artifact, rows_before, rows_after,
+           CAST(rows_before - rows_after AS BIGINT) AS rows_deleted
+    FROM per ORDER BY artifact
+    """,
+    "Right-to-be-forgotten cascade audit: before/after counts for the "
+    "corpus, its derived RAG chunks (anti-join delete), and the dedup "
+    "fingerprint table — where a fingerprint survives iff any RETAINED "
+    "doc still carries it (shared-content semantics: over-deleting "
+    "breaks future dedup, under-deleting retains an ownerless hash). "
+    "Delete set = doc_id % 37 = 0. All conditional aggregates; the "
+    "only wide exchange is the fingerprint groupBy.",
+)
+def ns_deletion_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return maintenance.deletion_cascade(
+        docs, F.col("doc_id") % 37 == 0
+    )

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from takuan_spark.operators import sketches
 from takuan_spark.queries import query
+from takuan_spark.queries.northstar import _IVF_TOPK_SQL
 from takuan_spark.tables import load_table
 
 _N_EPOCHS = 4
@@ -195,4 +196,44 @@ def q_stream_dedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_corpus(spark, corpus)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_stream_ann_fold",
+    # the batch IVF probe's oracle verbatim: a green row proves the
+    # epoch-partitioned streamed index folds to the batch answer
+    _IVF_TOPK_SQL,
+    "Streaming ANN index maintainer, driver-checked: 4 epochs of "
+    "embeddings through the REAL ivf_index_sink (fixed deterministic "
+    "quantizer, dynamic epoch-partition overwrite, cell partition "
+    "column under every epoch) then the REAL ivf_stream_probe fold — "
+    "green proves the continuously-maintained epoch=N/cell=C layout "
+    "answers identically to the batch IVF probe (the append-only "
+    "index-maintenance property the fixed quantizer buys at 100 TB: "
+    "new data never invalidates old assignments).",
+)
+def q_stream_ann_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.streaming.ann_stream import (
+        ivf_index_sink,
+        ivf_stream_probe,
+    )
+
+    table = _scratch(sf_dir, "ivf")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()[0]
+    ]
+    corpus = emb.where(F.col("vec_id") != 0)
+    sink = ivf_index_sink(table, dim=len(qvec), nlist=16, seed=777)
+    for e in range(_N_EPOCHS):
+        sink(
+            corpus.where(F.pmod(F.col("vec_id"), F.lit(_N_EPOCHS)) == e),
+            e,
+        )
+    return ivf_stream_probe(
+        spark, table, qvec, k=10, nlist=16, nprobe=4, seed=777
     )

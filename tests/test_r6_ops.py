@@ -375,3 +375,42 @@ def test_jaccard_threshold_bin_boundary_doubles(spark):
         ).collect()
     ]
     assert got == [3, 7, 8, 9, 2, 2]
+
+
+# --------------------------------------------------------- deletion cascade
+
+
+def test_deletion_cascade_shared_fingerprint_survives(spark):
+    from takuan_spark.operators.maintenance import deletion_cascade
+
+    # doc 0 (deleted) shares text with doc 1 (retained): the shared
+    # fingerprint must SURVIVE; doc 2's unique fp (deleted) must go.
+    docs = _docs(
+        spark,
+        [
+            ("same text here okay", "en", "s"),   # doc 0 -> deleted
+            ("same text here okay", "en", "s"),   # doc 1 -> retained
+            ("unique doomed text x", "en", "s"),  # doc 2 -> deleted
+            ("another retained doc", "en", "s"),  # doc 3 -> retained
+        ],
+    )
+    out = {
+        r["artifact"]: (r["rows_before"], r["rows_after"], r["rows_deleted"])
+        for r in deletion_cascade(
+            docs, F.col("doc_id").isin(0, 2)
+        ).collect()
+    }
+    assert out["documents"] == (4, 2, 2)
+    # 3 distinct fps; the shared one survives, doc2's dies -> 2 left
+    assert out["fingerprints"] == (3, 2, 1)
+    # each doc is short -> 1 chunk/doc
+    assert out["chunks"] == (4, 2, 2)
+
+
+def test_deletion_cascade_no_deletes_is_identity(spark):
+    from takuan_spark.operators.maintenance import deletion_cascade
+
+    docs = _docs(spark, [("a b", "en", "s"), ("c d", "en", "s")])
+    out = deletion_cascade(docs, F.lit(False)).collect()
+    assert all(r["rows_deleted"] == 0 for r in out)
+    assert all(r["rows_before"] == r["rows_after"] for r in out)
