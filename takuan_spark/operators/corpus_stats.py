@@ -524,3 +524,36 @@ def token_burstiness(
         .orderBy(F.desc("burstiness"), "tok")
         .limit(top_k)
     )
+
+
+def manifest_hash(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group corpus manifest stamp: (group, n_docs, n_chars_total,
+    manifest_hash) where the hash is an ORDER-INSENSITIVE reduction of
+    per-document content hashes — sum of each doc's
+    (md5 first 15 hex digits as int) modulo 2^60. Two corpus builds
+    match iff every (id-independent) document body matches, whatever
+    partitioning or ingest order produced them — the reproducibility
+    stamp a dataset release publishes next to its card.
+
+    Commutative + associative by construction, so the map-side-combined
+    distributed sum equals any serial computation; 15 hex digits keep
+    each term under 2^60 and bigint partial sums exact far beyond any
+    real group size (the modulo is taken once at the end, mirrored in
+    SQL)."""
+    term = (
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10)
+        .cast("long")
+        .cast("decimal(38,0)")  # bigint sum would overflow at ~2^3 docs
+    )
+    mod = F.lit(2**60).cast("decimal(38,0)")
+    return docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.length(text_col)).cast("bigint").alias("n_chars_total"),
+        F.pmod(F.sum(term), mod).cast("bigint").alias("manifest_hash"),
+    )

@@ -322,3 +322,52 @@ def prefix_templates(
         .orderBy(F.desc("n_docs"), "template")
         .limit(top_k)
     )
+
+
+def token_dropout(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    drop_every: int = 10,
+    salt: str = "aug",
+) -> DataFrame:
+    """Deterministic token-dropout augmentation: position ``p`` of doc
+    ``d`` is dropped iff md5("{d}:{salt}:{p}") % drop_every == 0 (~10%
+    at the default). The mask is a pure function of (id, salt,
+    position) — NOT an RNG — so every re-run, every worker, and every
+    engine produces byte-identical augmented shards; reproducibility
+    is the whole point of seeding augmentation this way in a
+    distributed pipeline (a per-worker RNG makes shards
+    partition-order-dependent). Different ``salt`` values yield
+    independent augmentation epochs.
+
+    Pure array expressions per row (no shuffle, no UDF): output
+    (id, n_tokens, n_kept, aug_text)."""
+    w = words(F.col(text_col))
+
+    def _keep(tok, i):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(f":{salt}:"),
+                        i.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % drop_every != 0
+
+    kept = F.filter(w, _keep)
+    return docs.select(
+        F.col(id_col),
+        F.size(w).cast("int").alias("n_tokens"),
+        F.size(kept).cast("int").alias("n_kept"),
+        F.concat_ws(" ", kept).alias("aug_text"),
+    )

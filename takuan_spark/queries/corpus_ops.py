@@ -611,3 +611,76 @@ def ns_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="source",
         id_col="doc_id",
     ).orderBy("doc_id")
+
+
+@query(
+    "ns_manifest_hash",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars_total,
+           CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 15))
+                         AS BIGINT))
+                % 1152921504606846976 AS BIGINT) AS manifest_hash
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    "Per-source corpus manifest stamp: an ORDER-INSENSITIVE sum of "
+    "per-document content hashes mod 2^60 — two corpus builds match "
+    "iff every document body matches, regardless of partitioning or "
+    "ingest order (commutative reduction = map-side combinable). The "
+    "reproducibility stamp a dataset release publishes next to its "
+    "card; partial sums ride in decimal(38,0) (DuckDB HUGEINT) since "
+    "bigint overflows after ~8 docs of 2^60-scale terms.",
+)
+def ns_manifest_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_stats.manifest_hash(docs).orderBy("source")
+
+
+@query(
+    "ns_text_augment",
+    """
+    WITH split AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS l
+        FROM documents
+    ),
+    ptoks AS (
+        SELECT doc_id, i - 1 AS pos, l[i] AS tok
+        FROM (SELECT doc_id, l, generate_subscripts(l, 1) AS i
+              FROM split)
+    ),
+    kept AS (
+        SELECT doc_id, pos, tok
+        FROM ptoks
+        WHERE CAST(concat('0x',
+                          substr(md5(doc_id || ':aug:' || pos), 1, 8))
+                   AS BIGINT) % 10 <> 0
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS INT) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS aug_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id, CAST(len(s.l) AS INT) AS n_tokens,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           COALESCE(a.aug_text, '') AS aug_text
+    FROM split s LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id
+    """,
+    "Deterministic token-dropout augmentation (~10%): the drop mask "
+    "is md5(id:salt:position), a pure function of content position — "
+    "NOT an RNG — so every re-run, worker, and engine produces "
+    "byte-identical augmented shards (per-worker RNGs make shards "
+    "partition-order-dependent, the reproducibility bug this seeding "
+    "removes). Pure array expressions, zero shuffles.",
+)
+def ns_text_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.text import token_dropout
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_dropout(docs).orderBy("doc_id")

@@ -414,3 +414,46 @@ def test_deletion_cascade_no_deletes_is_identity(spark):
     out = deletion_cascade(docs, F.lit(False)).collect()
     assert all(r["rows_deleted"] == 0 for r in out)
     assert all(r["rows_before"] == r["rows_after"] for r in out)
+
+
+# ----------------------------------------------------- manifest / augment
+
+
+def test_manifest_hash_order_insensitive(spark):
+    from takuan_spark.operators.corpus_stats import manifest_hash
+
+    rows = [("b text", "s"), ("a text", "s"), ("c text", "s")]
+    d1 = _docs(spark, [(t, "en", s) for t, s in rows])
+    d2 = _docs(spark, [(t, "en", s) for t, s in reversed(rows)])
+    h1 = manifest_hash(d1).collect()[0]["manifest_hash"]
+    h2 = manifest_hash(d2).collect()[0]["manifest_hash"]
+    assert h1 == h2
+
+
+def test_manifest_hash_detects_single_char_change(spark):
+    from takuan_spark.operators.corpus_stats import manifest_hash
+
+    d1 = _docs(spark, [("hello world", "en", "s")])
+    d2 = _docs(spark, [("hello worle", "en", "s")])
+    h1 = manifest_hash(d1).collect()[0]["manifest_hash"]
+    h2 = manifest_hash(d2).collect()[0]["manifest_hash"]
+    assert h1 != h2
+
+
+def test_token_dropout_mask_matches_spec(spark):
+    import hashlib
+
+    from takuan_spark.operators.text import token_dropout
+
+    text = " ".join(f"w{i}" for i in range(40))
+    docs = _docs(spark, [(text, "en", "s")])
+    row = token_dropout(docs).collect()[0]
+    exp = [
+        f"w{i}"
+        for i in range(40)
+        if int(hashlib.md5(f"0:aug:{i}".encode()).hexdigest()[:8], 16) % 10
+        != 0
+    ]
+    assert row["n_tokens"] == 40
+    assert row["aug_text"] == " ".join(exp)
+    assert row["n_kept"] == len(exp)
