@@ -580,3 +580,69 @@ def test_matryoshka_qc_no_join_no_window(spark, sf_dir):
     # any join or window in this plan means pairwise math crept in
     assert "Join" not in plan and "Window" not in plan
     assert "partial_count" in plan or "partial_avg" in plan
+
+
+def test_dedup_sweep_no_nested_loop_join(spark, sf_dir):
+    """The threshold sweep must be binned suffix sums, never a
+    per-threshold non-equi join against corpus-scale pairs (a
+    BroadcastNestedLoopJoin here would be quadratic-ish at scale)."""
+    plan = plan_of(REGISTRY["ns_dedup_sweep"].builder(spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_drift_grid_join_is_broadcast(spark, sf_dir):
+    """The per-group evaluation grid (groups x distinct values) must
+    build via broadcast — never a shuffle of the corpus against the
+    grid — and the corpus itself is touched by aggregations only."""
+    plan = plan_of(REGISTRY["ns_ks_drift"].builder(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_funnel_is_single_aggregation(spark, sf_dir):
+    """The funnel is ONE pass: no per-stage jobs means no union of
+    scans — exactly one scan of the documents table in the plan."""
+    plan = plan_of(REGISTRY["ns_filter_funnel"].builder(spark, sf_dir))
+    assert tree_of(plan).count("Scan parquet") == 1
+
+
+def test_int8_quant_error_is_scan_plus_take_ordered(spark, sf_dir):
+    """Worst-k selection must be TakeOrderedAndProject over a single
+    scan — no global sort, no shuffle of the full corpus."""
+    plan = plan_of(REGISTRY["ns_int8_quant_error"].builder(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    tree = tree_of(plan)
+    assert "Exchange" not in tree.replace("BroadcastExchange", "")
+
+
+def test_quantile_normalize_value_grid_is_broadcast(spark, sf_dir):
+    """The pooled-value range lookup must join against the broadcast
+    DISTINCT-value grid; the corpus-side window partitions by group
+    (parallel), never a global single-partition ordering."""
+    plan = plan_of(REGISTRY["ns_quantile_normalize"].builder(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    # the only SinglePartition allowed is the tiny value-grid cumsum
+    tree = tree_of(plan)
+    win_parts = re.findall(r"Exchange SinglePartition[^\n]*", tree)
+    assert len(win_parts) <= 1
+
+
+def test_manifest_hash_partial_aggregation(spark, sf_dir):
+    """The commutative hash reduction must map-side combine (partial
+    aggregate before the exchange) — that is what makes the stamp
+    computable in one pass over any partitioning."""
+    plan = plan_of(REGISTRY["ns_manifest_hash"].builder(spark, sf_dir))
+    assert "partial" in plan.lower()
+    assert tree_of(plan).count("Scan parquet") == 1
+
+
+def test_token_dropout_no_shuffle(spark, sf_dir):
+    """Augmentation is per-row array math: the plan must contain no
+    exchange at all before the (presentation-only) final sort."""
+    plan = plan_of(
+        REGISTRY["ns_text_augment"].builder(spark, sf_dir)
+    )
+    tree = tree_of(plan)
+    body = tree.split("Sort")[0]
+    assert "Exchange" not in body
