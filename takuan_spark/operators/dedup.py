@@ -1010,8 +1010,13 @@ def jaccard_threshold_bin(
     ``k/10.0``, and e.g. 0.3 sits just below 3.0 after ``*10`` (so
     floor misbins it) while ``0.3 >= 3/10.0`` is true — binning must
     reproduce the comparison's semantics bit-for-bit or sweep counts
-    drift from a direct filter's."""
-    out = F.lit(lo)
+    drift from a direct filter's. Scores below even the lowest
+    threshold get ``lo - 1`` (outside every sweep bucket), so the
+    helper is total — callers that prefilter never see that value,
+    and a suffix count at >= lo correctly excludes it."""
+    out = F.when(jaccard >= F.lit(lo / 10.0), F.lit(lo)).otherwise(
+        F.lit(lo - 1)
+    )
     for k in range(lo + 1, hi + 1):
         out = F.when(jaccard >= F.lit(k / 10.0), F.lit(k)).otherwise(out)
     return out

@@ -680,7 +680,13 @@ def ns_manifest_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "removes). Pure array expressions, zero shuffles.",
 )
 def ns_text_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.skew import spread
     from takuan_spark.operators.text import token_dropout
 
-    docs = load_table(spark, sf_dir, "documents")
-    return token_dropout(docs).orderBy("doc_id")
+    # spread: the per-token md5 sweep is the cost and the parquet
+    # row-group count (12 at probe scale) would cap parallelism; no
+    # presentation sort — a global orderBy of full augmented texts
+    # more than doubled wall time (3.8 -> 8.8 s at 10x) for an
+    # order-insensitive driver compare.
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return token_dropout(docs)

@@ -516,3 +516,69 @@ def test_containment_of_embedded_doc_is_one(spark, inner, framing):
         for r in containment_pairs(docs, n=3, threshold=0.0).collect()
     }
     assert out[(1, 2)] == 1.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_jaccard_threshold_bin_equals_direct_filter(spark, vals):
+    """The sweep's bin assignment must reproduce the per-threshold
+    double comparison exactly: for every threshold k/10, rows with
+    bin >= k are EXACTLY the rows with value >= k/10.0 (the property
+    floor(v*10) violates at boundary doubles like 0.3)."""
+    from takuan_spark.operators.dedup import jaccard_threshold_bin
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "jaccard double")
+    got = [
+        r["b"]
+        for r in df.select(
+            jaccard_threshold_bin(F.col("jaccard")).alias("b")
+        ).collect()
+    ]
+    for k in range(2, 10):
+        t = k / 10.0
+        assert sum(1 for b in got if b >= k) == sum(
+            1 for v in vals if v >= t
+        )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_ks_drift_matches_naive_ecdf(spark, data):
+    """ks_drift must equal the textbook two-sample statistic computed
+    by a naive per-group ECDF sweep in pure Python (group vs pooled),
+    to the 6dp rounding the operator promises."""
+    from takuan_spark.operators.corpus_stats import ks_drift
+
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source=s, n_chars=v) for i, (s, v) in enumerate(data)]
+    )
+    got = {r["source"]: r["ks_d"] for r in ks_drift(docs).collect()}
+    xs = sorted({v for _, v in data})
+    pooled = [v for _, v in data]
+    for src in {s for s, _ in data}:
+        mine = [v for s, v in data if s == src]
+        d = max(
+            abs(
+                sum(1 for v in mine if v <= x) / len(mine)
+                - sum(1 for v in pooled if v <= x) / len(pooled)
+            )
+            for x in xs
+        )
+        assert abs(got[src] - d) < 1e-6, (src, got[src], d)
