@@ -77,7 +77,11 @@ def quantile_normalize(
     index round-half-up((r-1)*(N-1)/(n-1)) + 1 (singleton groups to
     the pooled median index), and the pooled value at an index is
     looked up by cumulative-count ranges over the DISTINCT value grid
-    — no float ever appears, so engines agree bit-for-bit.
+    — no float ever appears, so engines agree bit-for-bit. Range
+    bound: the rank product (r-1)*(N-1)*2 must fit bigint, which
+    holds to ~2.1e9 rows in the largest group; beyond that, move the
+    index expression to DECIMAL(38,0) (the ks_drift numerator note,
+    one order tighter here because of the doubled product).
 
     Scale shape: the per-group rank is a window partitioned by group
     (parallel across groups); the pooled lookup is a broadcast range

@@ -299,7 +299,6 @@ def matryoshka_energy(
     emb: DataFrame,
     *,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
     label_col: str = "label",
     prefix_dims: int,
     min_ratio: float = 0.5,
@@ -311,9 +310,14 @@ def matryoshka_energy(
     ratio IS the truncation fidelity — computed per row with two
     ordered folds, no shuffle until the per-label rollup.
 
-    Output per label: vector count, mean prefix-energy ratio, and how
+    Output per label: vector count, mean prefix-energy ratio, how
     many vectors fall below ``min_ratio`` (the ones that would lose
-    most from serving the truncated index)."""
+    most from serving the truncated index), and ``n_zero`` — all-zero
+    vectors, whose ratio is undefined (0/0). Those are reported
+    SEPARATELY rather than folded in: a NaN ratio would poison the
+    label mean, and under Spark's NaN-is-greatest ordering it would
+    also dodge the below-min counter — the QC table would go blank
+    exactly where a failed/padded encode should alarm."""
     full = F.aggregate(
         F.transform(
             F.col(vec_col), lambda x: x.cast("double") * x.cast("double")
@@ -329,7 +333,9 @@ def matryoshka_energy(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    ratio = F.round(F.sqrt(prefix) / F.sqrt(full), 6)
+    ratio = F.when(
+        full > 0.0, F.round(F.sqrt(prefix) / F.sqrt(full), 6)
+    )  # NULL for all-zero vectors: excluded from mean and below-min
     per_vec = emb.select(
         F.col(label_col).alias("label"), ratio.alias("ratio")
     )
@@ -338,9 +344,16 @@ def matryoshka_energy(
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
             F.round(F.avg("ratio"), 6).alias("mean_energy_ratio"),
-            F.sum((F.col("ratio") < min_ratio).cast("int"))
+            F.sum(
+                F.coalesce(
+                    (F.col("ratio") < min_ratio).cast("int"), F.lit(0)
+                )
+            )
             .cast("bigint")
             .alias("n_below_min"),
+            F.sum(F.col("ratio").isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_zero"),
         )
     )
 
@@ -445,13 +458,25 @@ def int8_quant_error(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     top_k: int = 20,
+    calibration_q: float = 1.0,
 ) -> DataFrame:
     """Per-vector symmetric int8 quantization round-trip error — the
     QC table behind "can we ship this index at 4x less RAM?": scale =
-    max|x|/127, q = clamp(floor(x/scale + 0.5), -127, 127), and the
-    reported mse is the reconstruction error |x - q*scale|^2 / dim.
-    Returns the ``top_k`` WORST vectors (mse desc, id asc) — the
-    review queue, not the full corpus.
+    |x|'s ``calibration_q`` quantile / 127, q = clamp(floor(x/scale +
+    0.5), -127, 127), and the reported mse is the reconstruction
+    error |x - q*scale|^2 / dim. Returns the ``top_k`` WORST vectors
+    (mse desc, id asc) — the review queue, not the full corpus.
+
+    ``calibration_q = 1.0`` calibrates on the absolute max — then
+    clipping is impossible BY CONSTRUCTION (|x|/scale <= 127) and
+    n_clipped is structurally zero. Production int8 pipelines
+    calibrate on a sub-max quantile (e.g. 0.95) precisely so a few
+    outlier components clip in exchange for finer resolution
+    everywhere else; at sub-max calibration n_clipped is the real
+    alarm for vectors whose tails carry too much mass to clip away.
+    The quantile is nearest-rank (sorted |x| at index
+    floor(q * dim), 1-based) — pure integer indexing, identical in
+    any engine.
 
     Cross-engine determinism: every per-vector number is an ordered
     element fold (array order, not partition order), rounding is
@@ -468,12 +493,24 @@ def int8_quant_error(
     O(dim) array_max) would turn the row's work quadratic in dim —
     measured 3.4 s vs ~1 s at bench scale."""
     v0 = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    absmax = F.array_max(F.transform(F.col("v"), F.abs))
-    scaled = v0.withColumn(
-        "scale",
-        F.when(absmax > 0.0, absmax / F.lit(127.0)).otherwise(F.lit(1.0)),
+    sorted_abs = F.array_sort(F.transform(F.col("v"), F.abs))
+    cal_idx = F.greatest(
+        F.lit(1),
+        F.floor(F.lit(calibration_q) * F.size("v")).cast("int"),
     )
-    s = F.col("scale")
+    cal = F.element_at(sorted_abs, cal_idx)
+    # the working column is "_scale", NOT "scale": the output select
+    # below aliases its ROUNDED form to "scale", and Spark's implicit
+    # lateral-column-alias resolution makes sibling expressions in
+    # that select resolve a same-named reference to the new alias —
+    # the quantization would silently run on the 6dp-rounded scale
+    # while an external mirror uses the exact one (observed: 103/500
+    # vectors off by 1e-6 at the gate scale).
+    scaled = v0.withColumn(
+        "_scale",
+        F.when(cal > 0.0, cal / F.lit(127.0)).otherwise(F.lit(1.0)),
+    )
+    s = F.col("_scale")
     q = F.transform(
         F.col("v"),
         lambda x: F.greatest(

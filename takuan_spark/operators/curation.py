@@ -283,7 +283,13 @@ def filter_funnel(
     Output: (stage, stage_name, survivors, dropped), stage 0 = input."""
     depth = F.lit(len(stages))
     for i in range(len(stages) - 1, -1, -1):
-        depth = F.when(~stages[i][1], F.lit(i)).otherwise(depth)
+        # coalesce: a NULL predicate (e.g. lang = 'en' on NULL lang)
+        # must count as FAILING the stage, exactly as .where(pred)
+        # would drop the row — bare ~NULL is NULL and the row would
+        # otherwise fall through as surviving the whole cascade.
+        depth = F.when(
+            ~F.coalesce(stages[i][1], F.lit(False)), F.lit(i)
+        ).otherwise(depth)
     n = len(stages)
     staged = docs.select(
         depth.alias("_depth"),
@@ -308,16 +314,23 @@ def filter_funnel(
         )
         names.append("exact_dedup")
     one = staged.agg(*aggs)
-    pairs = ", ".join(
-        f"{i}, '{nm}', _s{i}" for i, nm in enumerate(names)
+    # unpivot via explode(array(struct)) rather than a stack() SQL
+    # string: stage names are caller data, and interpolating them into
+    # SQL would break on quotes/commas (injection-by-label).
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(nm).alias("stage_name"),
+                F.col(f"_s{i}").alias("survivors"),
+            )
+            for i, nm in enumerate(names)
+        ]
     )
     lag_w = Window.partitionBy(F.lit(1)).orderBy("stage")
     return (
-        one.select(
-            F.expr(
-                f"stack({len(names)}, {pairs}) AS (stage, stage_name, survivors)"
-            )
-        )
+        one.select(F.explode(rows).alias("_r"))
+        .select("_r.stage", "_r.stage_name", "_r.survivors")
         .select(
             "stage",
             "stage_name",

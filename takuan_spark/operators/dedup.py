@@ -791,11 +791,12 @@ def _local_components(pairs: DataFrame, sym_edges: DataFrame) -> DataFrame:
     rounds. Path compression + union-by-min keeps the invariant that
     every root is its component's minimum id — the same cluster_id the
     distributed iteration converges to."""
-    rows = (
-        sym_edges.where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .collect()
-    )
+    # collect BOTH directions (bounded by the caller's gate): the node
+    # universe must match the distributed path's edges.select("src")
+    # .distinct(), which includes endpoints of degenerate self-pairs —
+    # an src<dst filter here would drop a node that appears only as
+    # (a, a) and break the two paths' answer-identity promise.
+    rows = sym_edges.select("src", "dst").collect()
     parent: dict = {}
 
     def find(x):
@@ -807,6 +808,8 @@ def _local_components(pairs: DataFrame, sym_edges: DataFrame) -> DataFrame:
         return r
 
     for row in rows:
+        if row["src"] == row["dst"]:
+            continue  # self-loop: node enters the universe, no union
         a, b = find(row["src"]), find(row["dst"])
         if a != b:
             # union by MIN so the root is always the smallest member
@@ -988,13 +991,17 @@ def dedup_representatives(
 
     s = score if score is not None else quality_score(F.col(text_col))
     fp = fingerprint(F.col(text_col)).alias("fp")
-    # argmax(score), min-id tiebreak, as one max_by over a sortable
-    # (score, -id) struct: struct comparison is lexicographic, so max
-    # prefers higher score then (via the negated id) lower id.
+    # argmax(score), min-id tiebreak, as one min_by over a sortable
+    # (-score, id) struct: struct comparison is lexicographic, so min
+    # prefers higher score (via the negated NUMERIC score) then the
+    # smaller id COMPARED NATIVELY — negating the id instead would
+    # silently cast string ids to double (NULL key, partition-order-
+    # dependent survivor). Scores are numeric by contract; ids are any
+    # orderable type, same as the rest of the dedup family.
     ranked = df.select(fp, F.col(id_col), s.alias("_s"))
     keep = ranked.groupBy("fp").agg(
-        F.max_by(
-            id_col, F.struct(F.col("_s"), (-F.col(id_col)).alias("_ni"))
+        F.min_by(
+            id_col, F.struct((-F.col("_s")).alias("_ns"), F.col(id_col))
         ).alias(id_col),
         F.count(F.lit(1)).cast("bigint").alias("dup_count"),
     )

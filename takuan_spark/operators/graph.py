@@ -109,16 +109,19 @@ def _oriented(edges: DataFrame, deg: DataFrame) -> DataFrame:
     )
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
-    """One-row global graph statistics: n_nodes, n_edges, n_wedges
-    (sum of d*(d-1)/2 — exact integer), n_triangles via degree-ordered
-    enumeration, and the global clustering coefficient
-    3 * triangles / wedges rounded to 6dp."""
-    # the edge list feeds degrees, orientation, and the edge-count
-    # aggregate — three consumers with no exchange reuse across
-    # branches, so an unmaterialized (possibly expensive) edge
-    # derivation would run three times. Same for the degree frame
-    # (wedge aggregate + both orientation joins).
+def _enumerate_triangles(edges: DataFrame):
+    """Shared degree-ordered triangle enumeration: returns
+    ``(edges, deg, tri)`` where ``tri`` is one row per triangle
+    (corner columns ``w``, ``x``, ``y``), each triangle materialized
+    exactly once from its lowest-rank vertex. Both the global stats
+    and the per-node coefficients consume THIS — a second copy of the
+    wedge/closing construction would let the two triangle counts
+    silently drift apart under a future orientation fix.
+
+    All three frames are materialized: edges feeds degrees,
+    orientation, and count aggregates (no exchange reuse across
+    branches), deg feeds the wedge aggregate and both orientation
+    joins, and the oriented frame self-joins."""
     edges = materialize(edges.select("u", "v"))
     deg = materialize(degrees(edges))
     o = materialize(_oriented(edges, deg))
@@ -127,12 +130,21 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         b,
         (F.col("a.src") == F.col("b.src")) & (F.col("a.kd") < F.col("b.kd")),
     ).select(
-        F.col("a.src").alias("u"),
+        F.col("a.src").alias("w"),
         F.col("a.dst").alias("x"),
         F.col("b.dst").alias("y"),
     )
     closing = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     tri = wedges.join(closing, ["x", "y"], "left_semi")
+    return edges, deg, tri
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """One-row global graph statistics: n_nodes, n_edges, n_wedges
+    (sum of d*(d-1)/2 — exact integer), n_triangles via degree-ordered
+    enumeration, and the global clustering coefficient
+    3 * triangles / wedges rounded to 6dp."""
+    edges, deg, tri = _enumerate_triangles(edges)
     node_stats = deg.agg(
         F.count("*").cast("bigint").alias("n_nodes"),
         F.sum((F.col("d") * (F.col("d") - 1) / F.lit(2)).cast("long"))
@@ -233,22 +245,7 @@ def local_clustering(edges: DataFrame) -> DataFrame:
 
     Output: (node, degree, n_tri, lcc), lcc rounded 6dp.
     """
-    from takuan_spark.operators.skew import materialize
-
-    edges = materialize(edges.select("u", "v"))
-    deg = materialize(degrees(edges))
-    o = materialize(_oriented(edges, deg))
-    a, b = o.alias("a"), o.alias("b")
-    wedges = a.join(
-        b,
-        (F.col("a.src") == F.col("b.src")) & (F.col("a.kd") < F.col("b.kd")),
-    ).select(
-        F.col("a.src").alias("w"),
-        F.col("a.dst").alias("x"),
-        F.col("b.dst").alias("y"),
-    )
-    closing = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-    tri = wedges.join(closing, ["x", "y"], "left_semi")
+    edges, deg, tri = _enumerate_triangles(edges)
     corner_counts = (
         tri.select(
             F.explode(F.array(F.col("w"), F.col("x"), F.col("y"))).alias(

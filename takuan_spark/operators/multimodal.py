@@ -697,8 +697,20 @@ def scene_segments(
     scene detector, reduced to two windows and a groupBy — state per
     row is O(1), media partition independently at any corpus size.
     Output: (id, shot_id, shot_start, shot_end, n_frames,
-    avg_intensity)."""
+    avg_intensity).
+
+    Quarantined (NULL-intensity) frames join the CURRENT shot, and cut
+    detection compares each valid frame against the LAST VALID frame
+    rather than the literal predecessor — a bare lag() would let one
+    corrupt frame NULL-poison both its own comparison and its
+    successor's, silently merging shots across it (a real 10->80 jump
+    straddling a corrupt frame must still cut)."""
     w = Window.partitionBy(id_col).orderBy(frame_col)
+    prev_valid = F.last("intensity", ignorenulls=True).over(
+        Window.partitionBy(id_col)
+        .orderBy(frame_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     cuts = intensities.withColumn(
         "is_cut",
         (
@@ -706,7 +718,7 @@ def scene_segments(
             == 1
         )
         | (
-            F.abs(F.col("intensity") - F.lag("intensity").over(w))
+            F.abs(F.col("intensity") - prev_valid)
             >= threshold
         ),
     )

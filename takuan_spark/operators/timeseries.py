@@ -232,6 +232,7 @@ def mean_shift_changepoints(
     value_col: str = "value",
     window: int = 8,
     z_threshold: float = 2.0,
+    quantum: float = 0.01,
 ) -> DataFrame:
     """Level-shift changepoints per series: points where the mean of
     the ``window`` FOLLOWING values (current row included) departs
@@ -246,6 +247,19 @@ def mean_shift_changepoints(
     rows), so the first/last ``window`` points of a series never fire
     — a changepoint needs evidence on both sides by definition.
 
+    Cross-engine exactness: values quantize to integer multiples of
+    ``quantum`` (floor(v/quantum + 0.5) — lossless when the data has
+    no finer precision, as with 2dp metrics), and every statistic
+    derives from EXACT BIGINT sums of those units: frame means are
+    integer-sum-over-n, the series stddev comes from the integer
+    moments sqrt((n*S2 - S1^2)/(n*(n-1))), and the z comparison runs
+    on doubles built from identical integers. Float window aggregates
+    (stddev_samp / AVG over frames) associate differently per engine
+    (streaming vs segment-tree summation), so a point whose z lands
+    within ~1e-9 of the threshold would otherwise fire in one engine
+    and not the other — the linkage-score micro-unit discipline,
+    applied to windows.
+
     Output: (key, ts, value, mean_before, mean_after, shift_z) for
     firing points, shift_z = |after - before| / series stddev.
     """
@@ -257,33 +271,53 @@ def mean_shift_changepoints(
     whole = w.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    scored = events.select(
+    c = F.floor(F.col(value_col) / F.lit(quantum) + F.lit(0.5)).cast(
+        "long"
+    )
+    quantized = events.select(
+        key_col, ts_col, order_tiebreak, value_col, c.alias("_c")
+    )
+    scored = quantized.select(
         key_col,
         ts_col,
         order_tiebreak,
         value_col,
-        F.avg(value_col).over(before).alias("mean_before"),
+        F.sum("_c").over(before).alias("_sb"),
         F.count(F.lit(1)).over(before).alias("_nb"),
-        F.avg(value_col).over(after).alias("mean_after"),
+        F.sum("_c").over(after).alias("_sa"),
         F.count(F.lit(1)).over(after).alias("_na"),
-        F.stddev_samp(value_col).over(whole).alias("_sd"),
+        F.sum("_c").over(whole).alias("_s1"),
+        F.sum(F.col("_c") * F.col("_c")).over(whole).alias("_s2"),
+        F.count(F.lit(1)).over(whole).alias("_n"),
     )
-    shift_z = F.abs(F.col("mean_after") - F.col("mean_before")) / F.col(
-        "_sd"
+    # integer variance numerator: > 0 iff the series is non-constant
+    var_num = F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1")
+    sd_c = F.sqrt(
+        var_num.cast("double")
+        / (F.col("_n") * (F.col("_n") - 1)).cast("double")
     )
+    shift_c = F.abs(F.col("_sa") - F.col("_sb")).cast("double") / F.lit(
+        float(window)
+    )
+    shift_z = shift_c / sd_c
+    q = F.lit(quantum)
     return (
         scored.where(
             (F.col("_nb") == window)
             & (F.col("_na") == window)
-            & (F.col("_sd") > 0)
+            & (var_num > 0)
             & (shift_z > z_threshold)
         )
         .select(
             key_col,
             ts_col,
             value_col,
-            F.round("mean_before", 6).alias("mean_before"),
-            F.round("mean_after", 6).alias("mean_after"),
+            F.round(
+                F.col("_sb").cast("double") * q / window, 6
+            ).alias("mean_before"),
+            F.round(
+                F.col("_sa").cast("double") * q / window, 6
+            ).alias("mean_after"),
             F.round(shift_z, 6).alias("shift_z"),
         )
     )

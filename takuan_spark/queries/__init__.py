@@ -81,7 +81,7 @@ PRIORITY: list[str] = [
     "ns_record_linkage", "ns_minhash_prod_mode", "ns_blocked_linkage",
     "ns_embedding_neardup_lsh", "ns_decontaminate", "ns_curation_pipeline",
     "q_ewma_anomaly", "q_compaction_bins", "mm_audio_segments",
-    "ns_pca_power_iteration", "ns_dedup_clusters",
+    "ns_pca_power_iteration", "ns_dedup_clusters", "q_graph_triangles",
     # -- 2. new this round (vocabulary/OOV, Zipf, changepoint,
     # quality-dedup survivor, matryoshka QC, PII risk, k-center
     # coreset, local clustering, inter-arrival) ----------------------
@@ -141,7 +141,7 @@ PRIORITY: list[str] = [
     "ns_semdedup", "ns_substring_dedup", "ns_bm25_search",
     "ns_shard_assign", "q_interval_overlap_join", "ns_unicode_normalize",
     "ns_dup_size_histogram", "ns_bm25_batch", "q_sliding_distinct",
-    "ns_hll_distinct", "ns_token_entropy", "q_graph_triangles",
+    "ns_hll_distinct", "ns_token_entropy",
     "q_graph_pagerank", "mm_phash_neardup", "q_quantile_sketch",
     "q_key_skew_profile", "ns_length_outliers", "ns_cluster_purity",
     "q_corr_regression", "q_scd2_intervals", "ns_bpe_merge_candidates",

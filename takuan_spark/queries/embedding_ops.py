@@ -242,19 +242,23 @@ def ns_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH r AS (
         SELECT label,
-               ROUND(
+               CASE WHEN list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+               THEN ROUND(
                    sqrt(list_sum(list_transform(embedding[1:16],
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                    / sqrt(list_sum(list_transform(embedding,
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
-                   6) AS ratio
+                   6) END AS ratio
         FROM embeddings
     )
     SELECT label,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
            ROUND(AVG(ratio), 6) AS mean_energy_ratio,
            CAST(SUM(CASE WHEN ratio < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_below_min
+               AS n_below_min,
+           CAST(SUM(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero
     FROM r
     GROUP BY label
     ORDER BY label
@@ -343,10 +347,14 @@ def ns_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
         SELECT vec_id, x,
-               CASE WHEN list_max(list_transform(x, e -> ABS(e))) > 0
-                    THEN list_max(list_transform(x, e -> ABS(e))) / 127.0
-                    ELSE 1.0 END AS scale
-        FROM v
+               CASE WHEN cal > 0 THEN cal / 127.0 ELSE 1.0 END AS scale
+        FROM (
+            SELECT vec_id, x,
+                   list_sort(list_transform(x, e -> ABS(e)))[
+                       greatest(1, CAST(floor(0.95 * len(x)) AS INT))
+                   ] AS cal
+            FROM v
+        )
     ),
     q AS (
         SELECT vec_id, scale, x,
@@ -368,9 +376,14 @@ def ns_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY mse DESC, vec_id
     LIMIT 20
     """,
-    "Symmetric int8 quantization round-trip QC: per-vector scale "
-    "(max|x|/127), clip count, and reconstruction MSE — the worst-20 "
-    "review queue behind shipping a 4x-smaller index. Deterministic "
+    "Symmetric int8 quantization round-trip QC with sub-max "
+    "calibration (scale = 95th-percentile |x| / 127, nearest-rank): "
+    "outlier components genuinely CLIP — n_clipped is a live alarm, "
+    "not a structurally-zero column (absmax calibration makes "
+    "clipping impossible by construction) — in exchange for finer "
+    "resolution on the body of the distribution, the standard "
+    "production trade. Worst-20 review queue by reconstruction MSE. "
+    "Deterministic "
     "across engines because rounding is floor(x+0.5) (no "
     "engine-specific tie rule), error is an ordered element fold, and "
     "NOTHING aggregates floats across rows — one scan plus a "
@@ -378,4 +391,4 @@ def ns_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ns_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return clustering.int8_quant_error(emb, top_k=20)
+    return clustering.int8_quant_error(emb, top_k=20, calibration_q=0.95)

@@ -273,32 +273,41 @@ def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_mean_shift_changepoint",
     """
-    WITH scored AS (
+    WITH qz AS (
         SELECT user_id, ts, event_id, value,
-               AVG(value) OVER (PARTITION BY user_id
+               CAST(FLOOR(value / 0.01 + 0.5) AS BIGINT) AS c
+        FROM events
+    ),
+    scored AS (
+        SELECT user_id, ts, event_id, value,
+               SUM(c) OVER (PARTITION BY user_id
                     ORDER BY ts, event_id
-                    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
-                   AS mean_before,
+                    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS sb,
                COUNT(*) OVER (PARTITION BY user_id
                     ORDER BY ts, event_id
                     ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS nb,
-               AVG(value) OVER (PARTITION BY user_id
+               SUM(c) OVER (PARTITION BY user_id
                     ORDER BY ts, event_id
-                    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
-                   AS mean_after,
+                    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sa,
                COUNT(*) OVER (PARTITION BY user_id
                     ORDER BY ts, event_id
                     ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS na,
-               stddev_samp(value) OVER (PARTITION BY user_id) AS sd
-        FROM events
+               SUM(c) OVER (PARTITION BY user_id) AS s1,
+               SUM(c * c) OVER (PARTITION BY user_id) AS s2,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM qz
     )
     SELECT user_id, ts, value,
-           ROUND(mean_before, 6) AS mean_before,
-           ROUND(mean_after, 6) AS mean_after,
-           ROUND(abs(mean_after - mean_before) / sd, 6) AS shift_z
+           ROUND(CAST(sb AS DOUBLE) * 0.01 / 8, 6) AS mean_before,
+           ROUND(CAST(sa AS DOUBLE) * 0.01 / 8, 6) AS mean_after,
+           ROUND((CAST(ABS(sa - sb) AS DOUBLE) / 8.0)
+                 / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                        / CAST(n * (n - 1) AS DOUBLE)), 6) AS shift_z
     FROM scored
-    WHERE nb = 8 AND na = 8 AND sd > 0
-      AND abs(mean_after - mean_before) / sd > 1.0
+    WHERE nb = 8 AND na = 8 AND n * s2 - s1 * s1 > 0
+      AND (CAST(ABS(sa - sb) AS DOUBLE) / 8.0)
+          / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE)) > 1.0
     ORDER BY user_id, ts, event_id
     """,
     "Level-shift changepoint detection per user series: fire where "
@@ -308,7 +317,12 @@ def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recursion, so it is ONE window pass with O(window) state per "
     "series in any engine: a projection at 100 TB, no self-join, no "
     "global sort. Series edges never fire (a changepoint needs full "
-    "evidence on both sides).",
+    "evidence on both sides). All statistics derive from exact "
+    "bigint sums of 0.01-quantized values (lossless on this 2dp "
+    "metric): float window aggregates associate differently per "
+    "engine (streaming vs segment-tree summation), and a z landing "
+    "within ~1e-9 of the threshold would fire on one side only — "
+    "the micro-unit discipline applied to windows.",
 )
 def q_mean_shift_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from takuan_spark.operators import clustering, corpus_stats, curation, graph
+from takuan_spark.operators import clustering, corpus_stats, curation, dedup, graph
 from takuan_spark.operators import multimodal as mm
 
 
@@ -457,3 +457,88 @@ def test_token_dropout_mask_matches_spec(spark):
     assert row["n_tokens"] == 40
     assert row["aug_text"] == " ".join(exp)
     assert row["n_kept"] == len(exp)
+
+
+def test_scene_segments_cut_survives_corrupt_frame(spark):
+    # f1 is quarantined; the 10 -> 80 jump between f0 and f2 must
+    # still register as a cut (a bare lag() would NULL it away).
+    rows = [
+        Row(media_id=1, frame_id=0, intensity=10.0),
+        Row(media_id=1, frame_id=1, intensity=None),
+        Row(media_id=1, frame_id=2, intensity=80.0),
+        Row(media_id=1, frame_id=3, intensity=81.0),
+    ]
+    out = mm.scene_segments(spark.createDataFrame(rows), threshold=8.0).collect()
+    spans = [(r["shot_id"], r["shot_start"], r["shot_end"], r["n_frames"]) for r in out]
+    # shot 1 = frames 0-1 (corrupt frame rides along), shot 2 = 2-3
+    assert spans == [(1, 0, 1, 2), (2, 2, 3, 2)]
+
+
+def test_filter_funnel_null_predicate_fails_stage(spark):
+    docs = spark.createDataFrame(
+        [(0, "x", None, "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = curation.filter_funnel(
+        docs, [("lang", F.col("lang") == "en")]
+    ).collect()
+    surv = {r["stage"]: r["survivors"] for r in out}
+    # NULL lang must FAIL the stage, as .where(lang = 'en') would drop it
+    assert surv == {0: 1, 1: 0}
+
+
+def test_dedup_representatives_string_ids(spark):
+    from takuan_spark.operators.dedup import dedup_representatives
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id="b", text="same good text here"),
+            Row(doc_id="a", text="same good text here"),
+            Row(doc_id="c", text="other text entirely"),
+        ]
+    )
+    out = {r["doc_id"]: r["dup_count"] for r in dedup_representatives(df).collect()}
+    # equal scores (identical text) -> min-id tiebreak must pick "a",
+    # comparing ids natively (the old -id tiebreak NULLed on strings)
+    assert out == {"a": 2, "c": 1}
+
+
+def test_dedup_clusters_self_pair_node_parity(spark):
+    # a node appearing ONLY in a self-pair must still get a label in
+    # both solve paths (the fast path once dropped it)
+    pairs = spark.createDataFrame([(5, 5), (1, 2)], "id_a long, id_b long")
+    for gate in [None, dedup.CC_SMALL_GRAPH_MAX_EDGES]:
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.dedup_clusters(pairs, small_graph_max_edges=gate).collect()
+        }
+        assert got == {1: 1, 2: 1, 5: 5}, (gate, got)
+
+
+def test_matryoshka_energy_zero_vector_reported_not_poisoning(spark):
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[3.0, 0.0, 4.0, 0.0], label=1),
+            Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0], label=1),
+        ]
+    )
+    row = clustering.matryoshka_energy(
+        emb, prefix_dims=2, min_ratio=0.9
+    ).collect()[0]
+    # zero vector lands in n_zero, not the mean (3/5 = 0.6 ratio alone)
+    assert row["n_zero"] == 1
+    assert row["mean_energy_ratio"] == 0.6
+    assert row["n_below_min"] == 1  # only the real vector is judged
+
+
+def test_int8_quant_error_submax_calibration_clips(spark):
+    # one big outlier among small values: 0.95-quantile calibration
+    # makes the outlier clip (|x|/scale > 127.5) and n_clipped fire
+    emb = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.01] * 63 + [10.0])]
+    )
+    row = clustering.int8_quant_error(
+        emb, calibration_q=0.95
+    ).collect()[0]
+    assert row["n_clipped"] == 1
+    assert row["mse"] > 0.0
