@@ -662,9 +662,13 @@ def _dup_representative_oracle() -> str:
 )
 def ns_dup_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     from takuan_spark.operators.dedup import dedup_representatives
+    from takuan_spark.operators.skew import spread
     from takuan_spark.operators.text import quality_score
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the quality-score regex sweep dominates and the parquet
+    # row-group count (12 at probe scale) would cap parallelism at 12
+    # of 32 cores (10x probe read 4.1x before; linear after).
+    docs = spread(load_table(spark, sf_dir, "documents"))
     kept = dedup_representatives(docs)
     return kept.select(
         "doc_id",

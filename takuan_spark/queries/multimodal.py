@@ -189,8 +189,14 @@ def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from takuan_spark.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
+    from takuan_spark.operators.skew import spread
+
+    # spread: WAV synth + the stdlib-wave decode are Python per-row
+    # work; without it the parquet row-group count caps Arrow workers
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("media_id")
+        )
     )
     wav_schema = StructType(
         [
@@ -287,9 +293,15 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from takuan_spark.tables import load_table
 
+    from takuan_spark.operators.skew import spread
+
     n_frames = 16
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
+    # spread: frame synth + decode are Python-side per-row work and a
+    # 12-row-group scan would cap the Arrow workers at 12 of 32 cores
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("media_id")
+        )
     )
     frame_schema = StructType(
         [
