@@ -1027,3 +1027,49 @@ def jaccard_threshold_bin(
     for k in range(lo + 1, hi + 1):
         out = F.when(jaccard >= F.lit(k / 10.0), F.lit(k)).otherwise(out)
     return out
+
+
+def source_share_matrix(
+    docs: DataFrame,
+    key: Column,
+    *,
+    source_col: str = "source",
+    max_group: int = 64,
+) -> DataFrame:
+    """Cross-source content-sharing provenance: for every source pair
+    (src_a < src_b), how many DISTINCT content keys the two share —
+    the "who copies from whom" matrix a corpus owner reads before any
+    mixture decision. ``key`` is any deterministic content expression:
+    a full-text fingerprint gives exact-duplicate provenance, a
+    prefix-template key gives shared-boilerplate provenance, a
+    winnowing fingerprint gives near-dup provenance — same plan, same
+    bounds.
+
+    Discovery is an inverted index on the key (one shuffle of key
+    bytes): each key contributes its distinct source set, and the
+    per-key source-pair expansion is bounded by ``max_group`` distinct
+    sources (the ``max_df`` contract: a key present in every source
+    would otherwise expand quadratically in source count — such
+    universal content carries no pairwise provenance signal and is
+    dropped, deterministically). Output: (src_a, src_b,
+    n_shared_keys, example_key) ordered by count desc then pair."""
+    fps = docs.select(
+        key.alias("k"), F.col(source_col).alias("src")
+    ).distinct()
+    sized = fps.groupBy("k").agg(F.count(F.lit(1)).alias("_ns"))
+    multi = sized.where(
+        (F.col("_ns") >= 2) & (F.col("_ns") <= max_group)
+    ).select("k")
+    keyed = fps.join(multi, "k")
+    a = keyed.select("k", F.col("src").alias("src_a"))
+    b = keyed.select("k", F.col("src").alias("src_b"))
+    return (
+        a.join(b, "k")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_keys"),
+            F.min("k").alias("example_key"),
+        )
+        .orderBy(F.desc("n_shared_keys"), "src_a", "src_b")
+    )

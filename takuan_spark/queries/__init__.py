@@ -93,7 +93,7 @@ PRIORITY: list[str] = [
     "q_stream_dedup_fold", "ns_burstiness", "ns_template_mining",
     "ns_quantile_normalize", "q_jsonl_roundtrip", "ns_dedup_sweep",
     "q_csv_roundtrip", "q_stream_ann_fold", "ns_deletion_cascade",
-    "ns_manifest_hash", "ns_text_augment",
+    "ns_manifest_hash", "ns_text_augment", "ns_source_dedup_matrix",
     # -- 3. staleness backfill, oldest last-green first: every row
     # below is green but unchecked by the driver since the round
     # tagged on it (r1 = 3 rounds stale). The ~50-row cap lands

@@ -861,3 +861,56 @@ def ns_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         dedup_text_col="text",
     )
+
+
+@query(
+    "ns_source_dedup_matrix",
+    """
+    WITH tpl AS (
+        SELECT DISTINCT
+               array_to_string(
+                   list_transform(
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '')[1:6],
+                       x -> CASE
+                              WHEN regexp_matches(x, '^[0-9]+$')
+                                THEN '<num>'
+                              WHEN regexp_matches(x, '[0-9]')
+                                THEN '<mix>'
+                              ELSE lower(x)
+                            END),
+                   ' ') AS k,
+               source AS src
+        FROM documents
+    ),
+    multi AS (
+        SELECT k FROM tpl GROUP BY k
+        HAVING COUNT(*) BETWEEN 2 AND 64
+    ),
+    keyed AS (SELECT tpl.* FROM tpl JOIN multi USING (k))
+    SELECT a.src AS src_a, b.src AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_keys,
+           MIN(a.k) AS example_key
+    FROM keyed a JOIN keyed b ON a.k = b.k AND a.src < b.src
+    GROUP BY 1, 2
+    ORDER BY n_shared_keys DESC, src_a, src_b
+    """,
+    "Cross-source content-sharing provenance matrix: distinct shared "
+    "keys per source pair — here keyed on the 6-token-shape document "
+    "OPENING (the template-mining key), so the matrix reads 'which "
+    "sources share boilerplate openings'; swap the key expression for "
+    "a full-text or winnowing fingerprint and the same plan yields "
+    "exact- or near-dup provenance. Inverted index on the key with a "
+    "64-source expansion cap (the max_df contract: universal content "
+    "carries no pairwise provenance signal).",
+)
+def ns_source_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.dedup import source_share_matrix
+    from takuan_spark.operators.text import token_shape, words
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.concat_ws(
+        " ",
+        F.transform(F.slice(words(F.col("text")), 1, 6), token_shape),
+    )
+    return source_share_matrix(docs, key)

@@ -542,3 +542,31 @@ def test_int8_quant_error_submax_calibration_clips(spark):
     ).collect()[0]
     assert row["n_clipped"] == 1
     assert row["mse"] > 0.0
+
+
+def test_source_share_matrix_counts_and_cap(spark):
+    from takuan_spark.operators.dedup import source_share_matrix
+
+    docs = spark.createDataFrame(
+        [
+            # key "k1" shared by s1+s2; "k2" by s1+s2+s3; "all" by 4
+            # sources (capped out at max_group=3)
+            Row(doc_id=0, text="k1", source="s1"),
+            Row(doc_id=1, text="k1", source="s2"),
+            Row(doc_id=2, text="k2", source="s1"),
+            Row(doc_id=3, text="k2", source="s2"),
+            Row(doc_id=4, text="k2", source="s3"),
+            Row(doc_id=5, text="all", source="s1"),
+            Row(doc_id=6, text="all", source="s2"),
+            Row(doc_id=7, text="all", source="s3"),
+            Row(doc_id=8, text="all", source="s4"),
+        ]
+    )
+    out = {
+        (r["src_a"], r["src_b"]): r["n_shared_keys"]
+        for r in source_share_matrix(
+            docs, F.col("text"), max_group=3
+        ).collect()
+    }
+    # "all" (4 sources) dropped by the cap; k1+k2 -> s1-s2 shares 2
+    assert out == {("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s3"): 1}
