@@ -240,39 +240,61 @@ def power_iteration_top_component(
     the component).
 
     Scale shape: per iteration the shuffle carries dim partial sums
-    per partition (map-side combined); the dim-sized component vector
-    moves by broadcast; the corpus is scanned iters times and nothing
-    dim^2-sized or corpus-sized ever concentrates anywhere.
+    per partition (map-side combined), and the dim-sized iterate is
+    COLLECTED to the driver (bounded: dim doubles) and re-enters the
+    next round as a literal vector — the kcenter_coreset execution
+    contract. Chaining the 1-row iterate frame lazily instead would
+    re-derive every earlier round inside each round's broadcast
+    subtree (O(iters^2) corpus passes; the 10x probe read 6.7x before
+    this fix, 1.3x after). The cached corpus is scanned iters + 1
+    times and nothing dim^2-sized or corpus-sized ever concentrates
+    anywhere.
     """
+    from takuan_spark.operators.skew import materialize, spread
+
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    x = emb.select(_as_double(F.col(vec_col)).alias("v"))
-    spark = emb.sparkSession
+    # spread before caching: the per-round posexplode + (pos) aggregate
+    # parallelism is otherwise capped at the parquet row-group count
+    # (7 at probe scale -> 7 tasks on 32 cores)
+    x = materialize(spread(emb.select(_as_double(F.col(vec_col)).alias("v"))))
     u0 = round(1.0 / dim**0.5, 6)
-    cur = spark.range(1).select(
-        F.array([F.lit(u0)] * dim).alias("u"), F.lit(None).cast("double").alias("lam")
-    )
+    u_vals: list[float] = [u0] * dim
+    lam_val: float | None = None
     for _ in range(iters):
+        u_lit = F.array(*[F.lit(float(ui)) for ui in u_vals])
         s = F.aggregate(
-            F.zip_with("v", "u", lambda a, b: a * b),
+            F.zip_with("v", u_lit, lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, y: acc + y,
         )
-        weighted = x.crossJoin(F.broadcast(cur.select("u"))).select(
+        weighted = x.select(
             F.posexplode("v").alias("pos", "xv"), s.alias("s")
         )
         t = weighted.groupBy("pos").agg(
             F.round(F.sum(F.col("xv") * F.col("s")), 6).alias("t")
         )
-        cur = t.agg(
-            F.round(F.sqrt(F.sum(F.col("t") * F.col("t"))), 6).alias("lam"),
-            F.sort_array(F.collect_list(F.struct("pos", "t"))).alias("ts"),
-        ).select(
-            F.transform(
-                "ts", lambda st: F.round(st["t"] / F.col("lam"), 6)
-            ).alias("u"),
-            "lam",
+        # the normalize happens in SPARK expressions (F.round has
+        # half-up semantics; python round is half-even) and only the
+        # finished iterate is collected
+        row = (
+            t.agg(
+                F.round(
+                    F.sqrt(F.sum(F.col("t") * F.col("t"))), 6
+                ).alias("lam"),
+                F.sort_array(F.collect_list(F.struct("pos", "t"))).alias(
+                    "ts"
+                ),
+            )
+            .select(
+                F.transform(
+                    "ts", lambda st: F.round(st["t"] / F.col("lam"), 6)
+                ).alias("u"),
+                "lam",
+            )
+            .head()
         )
+        u_vals, lam_val = list(row["u"]), float(row["lam"])
     tv = x.agg(
         F.sum(
             F.aggregate(
@@ -282,17 +304,24 @@ def power_iteration_top_component(
             )
         ).alias("m")
     )
-    return (
-        cur.select(F.posexplode("u").alias("pos0", "comp"), "lam")
-        .crossJoin(F.broadcast(tv))
+    spark = emb.sparkSession
+    comp = spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(u_vals)], "pos int, comp double"
+    )
+    out = (
+        comp.crossJoin(F.broadcast(tv))
         .select(
-            (F.col("pos0") + 1).cast("int").alias("pos"),
+            "pos",
             "comp",
-            F.col("lam").alias("lambda"),
-            F.round(F.col("lam") / F.col("m"), 6).alias("explained_share"),
+            F.lit(lam_val).alias("lambda"),
+            F.round(F.lit(lam_val) / F.col("m"), 6).alias(
+                "explained_share"
+            ),
         )
         .orderBy("pos")
     )
+    x.unpersist()
+    return out
 
 
 def matryoshka_energy(
