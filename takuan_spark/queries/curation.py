@@ -301,9 +301,13 @@ def ns_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same thing under Java regex and RE2).",
 )
 def ns_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.skew import spread
     from takuan_spark.operators.text import pii_counts, redact_pii
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: three chained PII regex sweeps dominate; the parquet
+    # row-group count would cap them at 12 of 32 cores (10x probe
+    # read 9.8x before, linear after)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     raw = F.concat(
         F.lit("reach "), F.col("source"), F.lit("@example.com or +1555"),
         F.lpad((F.col("doc_id") * 7919 % 1000000).cast("string"), 6, "0"),
@@ -395,10 +399,13 @@ def ns_sample_to_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embarrassingly parallel at any corpus size.",
 )
 def ns_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return curation.chunk_documents(docs, size=64, overlap=16).orderBy(
-        "doc_id", "chunk_id"
-    )
+    from takuan_spark.operators.skew import spread
+
+    # spread past the row-group parallelism cap; no presentation sort
+    # — a global orderBy would shuffle every chunk body for an
+    # order-insensitive driver compare (the ns_text_augment lesson)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return curation.chunk_documents(docs, size=64, overlap=16)
 
 
 def _hash_embed_exprs(col_expr: str, dim: int = 8) -> str:
@@ -477,7 +484,11 @@ def _rag_query_vec(dim: int = 8) -> list[float]:
     "what lets the oracle replay the entire chain.",
 )
 def ns_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from takuan_spark.operators.skew import spread
+
+    # spread: chunking + hash-embedding are per-row expression sweeps
+    # otherwise capped by the parquet row-group count
+    docs = spread(load_table(spark, sf_dir, "documents"))
     chunks = curation.chunk_documents(docs, size=64, overlap=16)
     qv = _rag_query_vec()
     ev = _hash_embed_col(F.col("chunk_text"))

@@ -141,7 +141,11 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grow with k and the state is 64 ints however large the corpus.",
 )
 def ns_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from takuan_spark.operators.skew import spread
+
+    # spread: the pre-shuffle md5-per-token map is the cost and the
+    # row-group count would cap it at 12 of 32 cores
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select("source", F.explode(words(F.col("text"))).alias("tok"))
     return sketches.hll_distinct(
         toks, group_cols=["source"], value_col="tok"
