@@ -135,34 +135,123 @@ def contamination_flags(
     total document frequency (train + bench) exceeds ``max_df`` are
     dropped as contamination evidence — ubiquitous shingles carry no
     overlap signal anyway.
+
+    The df filter is a single window pass over the tagged union of
+    both shingle sets (count over ``partitionBy(sh)``) rather than a
+    separate df aggregation joined back into each side: one shuffle by
+    ``sh`` replaces three (the agg exchange plus a rare-join exchange
+    per side), and the persisted post-filter frame is already
+    hash-partitioned by ``sh``, so the train-x-bench pair join reuses
+    that distribution with no further exchange.
     """
     from takuan_spark.operators.dedup import shingle_df
-    from takuan_spark.operators.skew import materialize
 
     t = shingle_df(train, text_col=text_col, id_col=id_col, n=n).select(
-        F.col(id_col).alias("train_id"), F.xxhash64("shingle").alias("sh")
+        F.col(id_col).alias("_id"), F.xxhash64("shingle").alias("sh"),
+        F.lit(0).alias("_side"),
     )
     b = shingle_df(benchmark, text_col=text_col, id_col=id_col, n=n).select(
-        F.col(id_col).alias("bench_id"), F.xxhash64("shingle").alias("sh")
+        F.col(id_col).alias("_id"), F.xxhash64("shingle").alias("sh"),
+        F.lit(1).alias("_side"),
     )
+    return _contamination_tail(
+        t.unionAll(b), id_col=id_col, min_shared=min_shared, max_df=max_df
+    )
+
+
+def contamination_flags_split(
+    docs: DataFrame,
+    train_pred: Column,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """:func:`contamination_flags` for the common case where train and
+    benchmark are a predicate split of ONE table: shingles the corpus
+    in a single scan (the two-frame form scans and shingles each side
+    separately — at sf0.1 shingle generation is ~70% of the query, so
+    one scan nearly halves it) and tags each shingle row with its side
+    before the shared df-filter + inverted-index join tail.
+    """
+    from takuan_spark.operators.dedup import ngram_array
+
+    side = F.when(train_pred, F.lit(0)).otherwise(F.lit(1))
+    tagged = spread(docs).select(
+        F.col(id_col).alias("_id"),
+        side.alias("_side"),
+        F.explode(
+            F.array_distinct(ngram_array(F.col(text_col), n))
+        ).alias("shingle"),
+    ).select("_id", F.xxhash64("shingle").alias("sh"), "_side")
+    return _contamination_tail(
+        tagged, id_col=id_col, min_shared=min_shared, max_df=max_df
+    )
+
+
+def _contamination_tail(
+    tagged: DataFrame, *, id_col: str, min_shared: int, max_df: int | None
+) -> DataFrame:
+    """Shared tail over a ``(_id, sh, _side)`` shingle frame: optional
+    stop-shingle filter, then the train-x-bench pair generation.
+
+    With ``max_df`` set, everything keyed by ``sh`` happens in ONE
+    exchange: a window count over ``partitionBy(sh)`` applies the df
+    filter, and — still in the same ``sh``-partitioned stage, Catalyst
+    chains the hash aggregate onto the window with no new shuffle —
+    the surviving rows (≤ ``max_df`` per shingle, so every aggregation
+    buffer is bounded) are collected into per-side id lists and
+    exploded into (train, bench) pairs. That replaces the previous
+    persist + split + self-join shape (df agg exchange, two rare-join
+    exchanges, a pair-join exchange, plus the cache build) and at
+    sf0.1 halves the query (2.4 s → 1.2 s, below the pre-cap r4
+    number) while keeping the cap's worst-bucket guarantee.
+
+    Without ``max_df`` the per-shingle lists are unbounded, so the
+    classic two-sided inverted-index join runs instead (the frame is
+    persisted so shingle generation feeds both branches once).
+    """
+    from takuan_spark.operators.skew import materialize
+
     if max_df is not None:
-        t, b = materialize(t), materialize(b)
-        rare = (
-            t.select("sh")
-            .unionAll(b.select("sh"))
-            .groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") <= max_df)
-            .select("sh")
+        kept = tagged.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        ).where(F.col("_df") <= max_df)
+        grouped = (
+            kept.groupBy("sh")
+            .agg(
+                F.collect_list(
+                    F.when(F.col("_side") == 0, F.col("_id"))
+                ).alias("ts"),
+                F.collect_list(
+                    F.when(F.col("_side") == 1, F.col("_id"))
+                ).alias("bs"),
+            )
+            .where((F.size("ts") > 0) & (F.size("bs") > 0))
         )
-        t = t.join(rare, "sh")
-        b = b.join(rare, "sh")
-    shared = (
-        t.join(b, on="sh")
-        .groupBy("train_id", "bench_id")
-        .agg(F.count("*").alias("shared"))
-        .where(F.col("shared") >= min_shared)
-    )
+        shared = (
+            grouped.select(F.explode("ts").alias("train_id"), "bs")
+            .select("train_id", F.explode("bs").alias("bench_id"))
+            .groupBy("train_id", "bench_id")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .where(F.col("shared") >= min_shared)
+        )
+    else:
+        tagged = materialize(tagged)
+        t = tagged.where(F.col("_side") == 0).select(
+            F.col("_id").alias("train_id"), "sh"
+        )
+        b = tagged.where(F.col("_side") == 1).select(
+            F.col("_id").alias("bench_id"), "sh"
+        )
+        shared = (
+            t.join(b, on="sh")
+            .groupBy("train_id", "bench_id")
+            .agg(F.count("*").alias("shared"))
+            .where(F.col("shared") >= min_shared)
+        )
     return (
         shared.groupBy("train_id")
         .agg(

@@ -100,9 +100,9 @@ def ns_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ns_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return curation.contamination_flags(
-        docs.where(F.col("doc_id") % 2 == 1),
-        docs.where(F.col("doc_id") % 2 == 0),
+    return curation.contamination_flags_split(
+        docs,
+        F.col("doc_id") % 2 == 1,
         n=3,
         min_shared=3,
         max_df=64,
