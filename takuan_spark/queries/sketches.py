@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from takuan_spark.operators import sketches
-from takuan_spark.operators.hashing import sql_md5_int
+from takuan_spark.operators.hashing import sql_md5_int, sql_md5_lane_int
 from takuan_spark.operators.text import words
 from takuan_spark.queries import query
 from takuan_spark.tables import load_table
@@ -162,15 +162,13 @@ def ns_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     counters AS (
         SELECT source, row,
-               CAST({sql_md5_int("CAST(row AS VARCHAR) || ':' || tok",
-                                 hex_chars=15)} % 256 AS INT) AS bucket,
+               CAST({sql_md5_lane_int("tok", "row")} % 256 AS INT) AS bucket,
                CAST(COUNT(*) AS BIGINT) AS c
         FROM plane GROUP BY 1, 2, 3
     ),
     probes AS (
         SELECT t.term, r.j AS row,
-               CAST({sql_md5_int("CAST(r.j AS VARCHAR) || ':' || t.term",
-                                 hex_chars=15)} % 256 AS INT) AS bucket
+               CAST({sql_md5_lane_int("t.term", "r.j")} % 256 AS INT) AS bucket
         FROM (VALUES {", ".join(f"('{t}')" for t in _CMS_TERMS)}) AS t(term)
         CROSS JOIN UNNEST(generate_series(0, 3)) AS r(j)
     ),
@@ -219,8 +217,7 @@ def ns_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     grid AS (
         SELECT row,
-               CAST({sql_md5_int("CAST(row AS VARCHAR) || ':' || uid",
-                                 hex_chars=15)} % 256 AS INT) AS bucket,
+               CAST({sql_md5_lane_int("uid", "row")} % 256 AS INT) AS bucket,
                CAST(COUNT(*) AS BIGINT) AS c
         FROM plane GROUP BY 1, 2
     ),
