@@ -881,7 +881,7 @@ def ns_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT
                array_to_string(
                    list_transform(
-                       list_filter(string_split_regex(text, '\s+'),
+                       list_filter(string_split_regex(text, '\\s+'),
                                    x -> x <> '')[1:6],
                        x -> CASE
                               WHEN regexp_matches(x, '^[0-9]+$')
