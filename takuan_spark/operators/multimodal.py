@@ -529,7 +529,7 @@ def frame_rms(
         ]
     )
 
-    def _frames(p) -> list[float] | None:
+    def _frames(p):
         try:
             with wave.open(io.BytesIO(bytes(p))) as w:
                 width = w.getsampwidth()
@@ -543,29 +543,61 @@ def frame_rms(
                 # boundary — quarantine it like any corrupt record
                 raise ValueError("frame_rms expects mono PCM")
             x = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
-            segs = np.array_split(x, n_frames)
-            return [
-                float(np.sqrt((s**2).mean()) / 32768.0) if s.size else 0.0
-                for s in segs
-            ]
+            if x.size and x.size % n_frames == 0:
+                # equal-width frames: ONE reshaped mean, no per-frame
+                # Python loop (the common case — fixed-rate capture)
+                seg = x.reshape(n_frames, -1)
+                return np.sqrt((seg * seg).mean(axis=1)) / 32768.0
+            out = np.zeros(n_frames, dtype=np.float64)
+            for f, s in enumerate(np.array_split(x, n_frames)):
+                if s.size:
+                    out[f] = np.sqrt((s * s).mean()) / 32768.0
+            return out
         except Exception:
             return None
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, frames, rms = [], [], []
+            good_ids, good_vals, bad_ids = [], [], []
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
                 vals = _frames(p) if p is not None else None
                 if vals is None:
-                    ids.append(mid)
-                    frames.append(-1)
-                    rms.append(None)
-                    continue
-                for f, v in enumerate(vals):
-                    ids.append(mid)
-                    frames.append(f)
-                    rms.append(v)
-            yield pd.DataFrame({id_col: ids, "frame": frames, "rms": rms})
+                    bad_ids.append(mid)
+                else:
+                    good_ids.append(mid)
+                    good_vals.append(vals)
+            parts = []
+            if good_ids:
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            id_col: np.repeat(
+                                np.asarray(good_ids, dtype=np.int64), n_frames
+                            ),
+                            "frame": np.tile(
+                                np.arange(n_frames, dtype=np.int32),
+                                len(good_ids),
+                            ),
+                            "rms": np.concatenate(good_vals),
+                        }
+                    )
+                )
+            if bad_ids:
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            id_col: np.asarray(bad_ids, dtype=np.int64),
+                            "frame": np.full(len(bad_ids), -1, dtype=np.int32),
+                            "rms": np.full(len(bad_ids), np.nan),
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+            else:
+                yield pd.DataFrame(
+                    {id_col: [], "frame": [], "rms": []}
+                ).astype({id_col: "int64", "frame": "int32", "rms": "float64"})
 
     return media.select(id_col, payload_col).mapInPandas(
         _decode, schema=out_schema
