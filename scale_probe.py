@@ -183,10 +183,21 @@ def main() -> None:
         spark.catalog.clearCache()
         return dt
 
+    # median of RUNS interleaved (base, probe) pairs per query: a
+    # single-run probe let fixed overhead / a noisy host window set the
+    # ratio for sub-second bases (r5 artifact: ns_fingerprint "4.07x"
+    # on a 0.35 s base — pure first-run JIT; the same class of phantom
+    # that interleaved bench repeats cured for ns_bm25_search in r4).
+    RUNS = max(1, int(os.environ.get("TAKUAN_PROBE_RUNS", "3")))
+
     results = {}
     for name in slowest:
-        base_s = run(name, BASE)
-        probe_s = run(name, PROBE_DIR)
+        bs, ps = [], []
+        for _ in range(RUNS):
+            bs.append(run(name, BASE))
+            ps.append(run(name, PROBE_DIR))
+        base_s = sorted(bs)[len(bs) // 2]
+        probe_s = sorted(ps)[len(ps) // 2]
         ratio = probe_s / base_s if base_s > 0 else float("nan")
         results[name] = {
             "sf0.1_sec": round(base_s, 3),
