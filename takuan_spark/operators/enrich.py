@@ -223,3 +223,65 @@ def geo_dim_from_mmdb(spark, mmdb_path: str, *, reader_factory=None):
     return spark.createDataFrame(
         rows, "ip_lo long, ip_hi long, country_code string, country_name string"
     )
+
+
+def default_rdns_resolver(addr: str) -> str | None:
+    """Production reverse-DNS resolver: first PTR name for ``addr`` via
+    the OS resolver, ``None`` when the lookup fails — the reference's
+    ``names[0]`` / leave-unset-on-error contract
+    (ref: core/aggregator.go:68-75, shipped commented out as "SLOW").
+    """
+    import socket
+
+    try:
+        return socket.gethostbyaddr(addr)[0]
+    except OSError:
+        return None
+
+
+def rdns_enrich(
+    events: DataFrame,
+    *,
+    addr_col: str = "address",
+    out_col: str = "hostname",
+    resolver=None,
+) -> DataFrame:
+    """Reverse-DNS enrichment (O13) — the one reference operator that
+    ships disabled: ``net.LookupAddr`` per buffered event was "SLOW"
+    (ref: core/aggregator.go:68-75), which is exactly the per-row
+    driver-side shape Spark must not reproduce. Spark-first:
+
+    - resolve each DISTINCT address once (one dedup shuffle; at corpus
+      scale distinct IPs are orders of magnitude fewer than events),
+    - batched through an injectable ``resolver(addr) -> str | None``
+      inside ``mapInPandas`` partitions, so lookups run on executors in
+      parallel and a slow resolver never blocks the driver
+      (production: :func:`default_rdns_resolver`; tests and oracle
+      queries inject a deterministic fake),
+    - LEFT join the (address, hostname) map back: every event row
+      survives, ``out_col`` is NULL where resolution failed, mirroring
+      the reference's leave-``Hostname``-unset-on-error guard.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    if resolver is None:
+        resolver = default_rdns_resolver
+
+    def _resolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "_addr": pdf["_addr"],
+                    out_col: [resolver(a) for a in pdf["_addr"]],
+                }
+            )
+
+    mapping = (
+        events.select(F.col(addr_col).cast("string").alias("_addr"))
+        .distinct()
+        .mapInPandas(_resolve, schema=f"_addr string, {out_col} string")
+        .withColumnRenamed("_addr", addr_col)
+    )
+    return events.join(mapping, addr_col, "left")

@@ -61,48 +61,32 @@ def query(name: str, oracle_sql: str | None, description: str = ""):
 # The driver records CORRECTNESS rows for the FIRST ~50 entries of
 # queries() in dict order (verified in r1 and r2: both files hold
 # exactly the first 50 names of that round's ordering), so the dict is
-# ordered explicitly each round as a coverage-rotation schedule. The
-# round-5 rule (VERDICT r4 item 7), applied systematically from the
-# committed CORRECTNESS_r0*.json artifacts:
+# ordered explicitly each round as a coverage-rotation schedule:
 #   1. queries whose implementation or oracle CHANGED this round
 #      (their old green rows no longer certify the current code);
-#   2. queries NEW this round (no row exists yet);
-#   3. staleness backfill — every remaining query ordered by its
-#      LAST-GREEN round ascending (r1 rows are 3 rounds stale), so the
-#      window always re-certifies the oldest evidence first.
-# The full last-green-per-query listing this ordering was derived from
-# is in PLANS.md ("Round 5 — correctness rotation"). Anything past the
-# cap rotates forward next round; every declared query is still
-# oracle-verified locally by tests/test_oracle.py on every run.
+#   2. staleness backfill — every remaining query ordered by its
+#      LAST-GREEN round ascending, so the window always re-certifies
+#      the oldest evidence first. Round 6 applies the r5 verdict's
+#      freshness directive: the window is spent on the r1/r2-stale
+#      blocks (r5's window already re-certified q_cohort_retention
+#      through ns_text_stats, so the r1 block resumes at ns_lang_id);
+#      queries NEW this round queue BEHIND the stale blocks (their
+#      oracle runs in every local pytest; the driver row arrives next
+#      rotation) so new work cannot crowd out the stalest evidence.
+# Anything past the cap rotates forward next round; every declared
+# query is still oracle-verified locally by tests/test_oracle.py.
 PRIORITY: list[str] = [
-    # -- 1. r5: implementation or oracle CHANGED this round (incl. the
-    # two never-green rows ns_record_linkage / ns_minhash_prod_mode:
-    # the rounding fix and the driver-checkable parity restructure) --
-    "ns_record_linkage", "ns_minhash_prod_mode", "ns_blocked_linkage",
-    "ns_embedding_neardup_lsh", "ns_decontaminate", "ns_curation_pipeline",
-    "q_ewma_anomaly", "q_compaction_bins", "mm_audio_segments",
-    "ns_pca_power_iteration", "ns_dedup_clusters", "q_graph_triangles",
-    # -- 2. new this round (vocabulary/OOV, Zipf, changepoint,
-    # quality-dedup survivor, matryoshka QC, PII risk, k-center
-    # coreset, local clustering, inter-arrival) ----------------------
-    "ns_vocab_oov", "ns_zipf_fit", "q_mean_shift_changepoint",
-    "ns_dup_representative", "ns_matryoshka_qc", "ns_pii_risk",
-    "ns_kcenter_coreset", "q_local_clustering", "q_interarrival_stats",
-    "ns_ks_drift", "ns_mad_outliers", "ns_filter_funnel",
-    "ns_int8_quant_error", "q_community_labels", "mm_scene_cuts",
-    "q_stream_dedup_fold", "ns_burstiness", "ns_template_mining",
-    "ns_quantile_normalize", "q_jsonl_roundtrip", "ns_dedup_sweep",
-    "q_csv_roundtrip", "q_stream_ann_fold", "ns_deletion_cascade",
-    "ns_manifest_hash", "ns_text_augment", "ns_source_dedup_matrix",
-    # -- 3. staleness backfill, oldest last-green first: every row
-    # below is green but unchecked by the driver since the round
-    # tagged on it (r1 = 3 rounds stale). The ~50-row cap lands
-    # inside the r1 block; the rest rotate forward next round. -------
-    # r1-stale:
-    "q_cohort_retention", "q_asof_join", "q_stats_agg",
-    "q_pivot_conditional", "mm_media_summary", "mm_feature_extract",
-    "mm_frame_sample", "ns_dedup_exact", "ns_dedup_incremental",
-    "ns_embedding_neardup", "ns_text_stats", "ns_lang_id",
+    # -- 1. r6: implementation CHANGED this round ---------------------
+    # contamination tail restructure:
+    "ns_decontaminate", "ns_curation_pipeline",
+    # CMS lane-hash family (oracle changed with it):
+    "ns_cms_heavy_hitters", "ns_cms_join_size",
+    # frame_rms vectorization:
+    "mm_audio_segments",
+    # new O13 operator (also r6-new, but it closes the §2 table):
+    "takuan_rdns_enrich",
+    # -- 2. r1-stale backfill (last driver-green r1, 5 rounds old) ----
+    "ns_lang_id",
     "ns_quality_score", "ns_stratified_sample", "ns_tfidf_topterms",
     "ns_winnow_fingerprint", "ns_fingerprint", "ns_similarity_topk",
     "ns_knn_join", "q_scalar_subquery", "q_correlated_subquery",
@@ -113,7 +97,8 @@ PRIORITY: list[str] = [
     "q6_forecast_revenue", "q4_order_priority", "q10_returned_items",
     "q14_promo_revenue", "q19_disjunctive_filter", "q_cube",
     "q_pandas_udaf",
-    # r2-stale:
+    # -- 3. r2-stale backfill (the ~50-row cap lands inside this
+    # block; the remainder rotates to the front of r7's window) -------
     "takuan_address_report", "takuan_country_topk", "takuan_rule_filter",
     "takuan_rule_label", "takuan_json_extract", "takuan_hourly_window",
     "takuan_regex_tokenize", "takuan_geo_enrich_join", "q_anti_join",
@@ -130,11 +115,13 @@ PRIORITY: list[str] = [
     "ns_pii_redact", "ns_sample_to_mix", "ns_chunk_documents",
     "ns_rag_pipeline", "q_gap_fill_interpolate", "q_hypertable_rollup",
     "q11_part_value_share",
-    # r3-stale:
+    # -- 4. queries NEW in r6 queue here (behind the stale blocks,
+    # per the crowding-out rule; driver rows arrive r7) ---------------
+    # -- 5. r3-stale: -------------------------------------------------
     "q12_priority_by_returnflag", "q16_supplier_count_by_part",
     "q17_small_quantity_revenue", "q18_large_orders",
     "q20_promo_share_suppliers", "q22_idle_rich_customers",
-    "ns_kmv_distinct", "ns_cms_heavy_hitters", "ns_weighted_sample",
+    "ns_kmv_distinct", "ns_weighted_sample",
     "q_asof_nearest_tolerance", "q_except_all", "q_histogram",
     "q_null_safe_join", "q_percentiles", "q_udtf_tokenize",
     "q_window_range_frame", "q_stateful_alerts", "q_stateful_profile",
@@ -145,10 +132,10 @@ PRIORITY: list[str] = [
     "q_graph_pagerank", "mm_phash_neardup", "q_quantile_sketch",
     "q_key_skew_profile", "ns_length_outliers", "ns_cluster_purity",
     "q_corr_regression", "q_scd2_intervals", "ns_bpe_merge_candidates",
-    "ns_effective_corpus_size", "ns_cms_join_size", "ns_kmv_set_ops",
+    "ns_effective_corpus_size", "ns_kmv_set_ops",
     "q_zorder_locality", "ns_epoch_novelty", "ns_contrastive_triplets",
     "q_sliding_distinct_hll",
-    # r4-green (freshest):
+    # -- 6. r4-green: -------------------------------------------------
     "ns_cluster_sample", "ns_duplication_pareto", "ns_hard_negatives",
     "ns_keyword_tagging", "ns_length_bucketing", "ns_winsorized_stats",
     "q_ntile_deciles", "q_rolling_median", "q_unpivot_metrics",
@@ -164,6 +151,24 @@ PRIORITY: list[str] = [
     "q_salted_join", "ns_score_calibration", "ns_jaccard_neardup",
     "ns_containment_neardup", "ns_dedup_pipeline", "q_bloom_prefilter",
     "q_sliding_window", "q_session_window", "q_funnel",
+    # -- 7. r5-green (freshest evidence, re-certified last) -----------
+    "ns_record_linkage", "ns_minhash_prod_mode", "ns_blocked_linkage",
+    "ns_embedding_neardup_lsh",
+    "q_ewma_anomaly", "q_compaction_bins",
+    "ns_pca_power_iteration", "ns_dedup_clusters", "q_graph_triangles",
+    "ns_vocab_oov", "ns_zipf_fit", "q_mean_shift_changepoint",
+    "ns_dup_representative", "ns_matryoshka_qc", "ns_pii_risk",
+    "ns_kcenter_coreset", "q_local_clustering", "q_interarrival_stats",
+    "ns_ks_drift", "ns_mad_outliers", "ns_filter_funnel",
+    "ns_int8_quant_error", "q_community_labels", "mm_scene_cuts",
+    "q_stream_dedup_fold", "ns_burstiness", "ns_template_mining",
+    "ns_quantile_normalize", "q_jsonl_roundtrip", "ns_dedup_sweep",
+    "q_csv_roundtrip", "q_stream_ann_fold", "ns_deletion_cascade",
+    "ns_manifest_hash", "ns_text_augment", "ns_source_dedup_matrix",
+    "q_cohort_retention", "q_asof_join", "q_stats_agg",
+    "q_pivot_conditional", "mm_media_summary", "mm_feature_extract",
+    "mm_frame_sample", "ns_dedup_exact", "ns_dedup_incremental",
+    "ns_embedding_neardup", "ns_text_stats",
 ]
 
 

@@ -232,3 +232,66 @@ def takuan_geo_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def _fake_rdns(addr: str) -> str | None:
+    """Deterministic stand-in resolver for the driver-checkable rDNS
+    query: hostname is md5-derived from the address, with every 4th
+    address (by digest) simulating NXDOMAIN. The SAME derivation is
+    plain SQL (md5 + substr + modulo), so the oracle re-derives what
+    the executor-side resolver returned — the synth_wav contract,
+    applied to a network lookup."""
+    import hashlib
+
+    h = hashlib.md5(addr.encode()).hexdigest()
+    if int(h[:8], 16) % 4 == 0:
+        return None
+    return f"host-{h[:8]}.example.net"
+
+
+@query(
+    "takuan_rdns_enrich",
+    """
+    WITH ev AS (
+        SELECT '203.0.' || CAST(user_id % 251 AS VARCHAR) || '.'
+               || CAST((user_id // 251) % 251 AS VARCHAR) AS address
+        FROM events
+    ),
+    agg AS (
+        SELECT address, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM ev GROUP BY address
+    )
+    SELECT address,
+           CASE WHEN CAST(concat('0x', substr(md5(address), 1, 8))
+                     AS BIGINT) % 4 = 0 THEN NULL
+                ELSE 'host-' || substr(md5(address), 1, 8)
+                     || '.example.net' END AS hostname,
+           n_events
+    FROM agg
+    ORDER BY address
+    """,
+    "O13 reverse-DNS enrichment (the reference ships it disabled as "
+    "SLOW, core/aggregator.go:68-75): per-address event counts LEFT-"
+    "enriched with hostnames through the real rdns_enrich plumbing — "
+    "distinct-address dedup, executor-side mapInPandas resolver "
+    "batches, left join back with NULL on NXDOMAIN. The injected "
+    "resolver is the md5-deterministic fake so the oracle can "
+    "re-derive every hostname.",
+)
+def takuan_rdns_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.enrich import rdns_enrich
+
+    ev = _events(spark, sf_dir).select(
+        F.concat(
+            F.lit("203.0."),
+            (F.col("user_id") % 251).cast("string"),
+            F.lit("."),
+            (F.expr("user_id DIV 251") % 251).cast("string"),
+        ).alias("address")
+    )
+    agg = ev.groupBy("address").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    return rdns_enrich(agg, resolver=_fake_rdns).select(
+        "address", "hostname", "n_events"
+    ).orderBy("address")
