@@ -237,3 +237,76 @@ def q_stream_ann_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_stream_probe(
         spark, table, qvec, k=10, nlist=16, nprobe=4, seed=777
     )
+
+
+_CMS_FOLD_TERMS = ["1", "7", "13", "42", "999", "424242"]
+
+
+@query(
+    "q_stream_cms_fold",
+    f"""
+    WITH u AS (
+        SELECT event_type, CAST(user_id AS VARCHAR) AS uid FROM events
+    ),
+    cnt AS (
+        SELECT event_type, uid, COUNT(*) AS n FROM u GROUP BY 1, 2
+    ),
+    plane AS (
+        SELECT event_type, uid, n, r.j AS row
+        FROM cnt CROSS JOIN UNNEST(generate_series(0, 3)) AS r(j)
+    ),
+    counters AS (
+        SELECT event_type, row,
+               CAST(CAST(concat('0x', substr(md5(uid), 1 + row * 8, 8)) AS BIGINT) % 256 AS INT) AS bucket,
+               CAST(SUM(n) AS BIGINT) AS c
+        FROM plane GROUP BY 1, 2, 3
+    ),
+    probes AS (
+        SELECT t.term, r.j AS row,
+               CAST(CAST(concat('0x', substr(md5(t.term), 1 + r.j * 8, 8)) AS BIGINT) % 256 AS INT) AS bucket
+        FROM (VALUES {", ".join(f"('{t}')" for t in _CMS_FOLD_TERMS)})
+             AS t(term)
+        CROSS JOIN UNNEST(generate_series(0, 3)) AS r(j)
+    ),
+    grid AS (
+        SELECT g.event_type, p.term, p.row, p.bucket
+        FROM (SELECT DISTINCT event_type FROM counters) g
+        CROSS JOIN probes p
+    )
+    SELECT grid.event_type, grid.term,
+           CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est_count
+    FROM grid LEFT JOIN counters c
+      ON c.event_type = grid.event_type AND c.row = grid.row
+     AND c.bucket = grid.bucket
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "Streaming CMS maintainer, driver-checked: 4 epochs through the "
+    "REAL cms_sketch_sink (per-epoch lane-hashed counter grids) then "
+    "the REAL cms_stream_estimate fold (sum the linear grids, then "
+    "min-over-rows) — green proves epoch-partial-then-merge equals "
+    "the all-at-once sketch, the linearity that lets 100 TB of stream "
+    "history reduce to epochs x depth x width counters per group.",
+)
+def q_stream_cms_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.streaming.sketch_stream import (
+        cms_sketch_sink,
+        cms_stream_estimate,
+    )
+
+    table = _scratch(sf_dir, "cms")
+    ev = load_table(spark, sf_dir, "events")
+    sink = cms_sketch_sink(table, group_cols=["event_type"], value_col="uid")
+    for e, batch in _epoch_batches(ev):
+        sink(
+            batch.select(
+                "event_type", F.col("user_id").cast("string").alias("uid")
+            ),
+            e,
+        )
+    probes = spark.createDataFrame(
+        [(t,) for t in _CMS_FOLD_TERMS], "term string"
+    )
+    return cms_stream_estimate(
+        spark, table, probes, group_cols=["event_type"]
+    ).orderBy("event_type", "term")
