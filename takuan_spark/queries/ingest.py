@@ -174,3 +174,42 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_total") - F.col("_ok")).cast("bigint").alias("n_chars"),
     )
     return good.unionByName(quarantined).orderBy("doc_id")
+
+
+@query(
+    "q_orc_partition_prune",
+    """
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang IN ('en', 'de')
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    "ORC round-trip through a hive-partitioned layout: write the "
+    "documents table as ORC partitioned by lang, read it back with a "
+    "lang predicate, roll up per (lang, source). The read plan prunes "
+    "to the two matching partition directories (PartitionFilters — "
+    "asserted by pytest), the storage behavior that turns a 100 TB "
+    "scan into a per-partition one; ORC itself exercises the second "
+    "columnar format end-to-end (writer + vectorized reader).",
+)
+def q_orc_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "orc")
+    docs = load_table(spark, sf_dir, "documents")
+    (
+        docs.select("doc_id", "text", "source", "n_chars", "lang")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .orc(path)
+    )
+    back = spark.read.orc(path).where(F.col("lang").isin("en", "de"))
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang", "source")
+    )

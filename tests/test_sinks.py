@@ -192,3 +192,14 @@ def test_wap_publish_gates_and_swaps(spark, tmp_path):
     import os
 
     assert os.path.isdir(path + ".staging")
+
+
+def test_orc_partition_prune_reads_only_matching_partitions(spark, sf_dir):
+    from takuan_spark.queries.ingest import q_orc_partition_prune
+
+    df = q_orc_partition_prune(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the lang predicate must land in the partition filters, not as a
+    # post-scan row filter over every partition
+    assert "lang" in plan.split("PartitionFilters")[1][:200]
