@@ -325,3 +325,66 @@ def label_propagation(
             .select("node", "label")
         )
     return labels
+
+
+def kcore_peel(
+    edges: DataFrame, *, k: int = 3, rounds: int = 3
+) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` synchronous rounds of
+    deleting nodes with degree < ``k`` (and their edges), then the
+    surviving (node, degree) list. Fixed-round semantics — this is the
+    deterministic, oracle-expressible prefix of full k-core
+    decomposition (which iterates to fixpoint); community/spam cores
+    stabilize in a handful of rounds on real graphs.
+
+    Each round is degrees → keep-set → two semi-joins, all keyed by
+    node/endpoint — shuffle-partitioned, no driver state. The
+    surviving edge set is MATERIALIZED per round: lazily chained, each
+    round's plan would re-derive every prior round twice through the
+    two semi-join branches (the power-iteration recompute lesson,
+    PLANS.md r5)."""
+    from takuan_spark.operators.skew import materialize
+
+    cur = edges
+    for _ in range(rounds):
+        keep = degrees(cur).where(F.col("d") >= k).select("node")
+        cur = materialize(
+            cur.join(
+                keep.select(F.col("node").alias("u")), "u", "left_semi"
+            ).join(
+                keep.select(F.col("node").alias("v")), "v", "left_semi"
+            )
+        )
+    return degrees(cur).select(
+        "node", F.col("d").cast("bigint").alias("degree")
+    )
+
+
+def kcore_peel_sql(edges_cte: str, *, k: int = 3, rounds: int = 3) -> str:
+    """DuckDB mirror of :func:`kcore_peel`: the fixed rounds unrolled
+    as chained CTEs over an ``e`` edge relation provided by
+    ``edges_cte`` (must define CTE ``e(u, v, ...)``)."""
+    steps = []
+    prev = "e"
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+    d{r} AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM {prev}
+            UNION ALL SELECT v FROM {prev}
+        ) GROUP BY node
+    ),
+    keep{r} AS (SELECT node FROM d{r} WHERE d >= {k}),
+    e{r} AS (
+        SELECT {prev}.* FROM {prev}
+        JOIN keep{r} ka ON {prev}.u = ka.node
+        JOIN keep{r} kb ON {prev}.v = kb.node
+    )""")
+        prev = f"e{r}"
+    return f"""
+    WITH {edges_cte},
+    {",".join(steps)}
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+    ) GROUP BY node
+    """

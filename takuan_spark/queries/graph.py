@@ -263,3 +263,22 @@ def q_community_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, group_col="l_orderkey", item_col="l_partkey", min_count=2
     )
     return graph.label_propagation(edges, rounds=3).orderBy("node")
+
+
+@query(
+    "q_graph_kcore",
+    graph.kcore_peel_sql(_EDGES_CTE, k=3, rounds=3) + "\nORDER BY node",
+    "Bounded k-core peeling (k=3, 3 synchronous rounds) of the part "
+    "co-purchase graph: each round deletes degree<k nodes via two "
+    "node-keyed semi-joins, survivors returned with their in-core "
+    "degree. Rounds are materialized (lazy chaining re-derives every "
+    "prior round through both semi-join branches — the power-"
+    "iteration recompute lesson); fixed-round semantics keep the "
+    "operator deterministic and oracle-unrollable.",
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(
+        li, group_col="l_orderkey", item_col="l_partkey", min_count=2
+    )
+    return graph.kcore_peel(edges, k=3, rounds=3).orderBy("node")

@@ -114,3 +114,31 @@ def test_triangle_stats_huge_ids_no_collision(spark):
     tri = [(base, base + 1), (base + 1, base + 2), (base, base + 2)]
     row = graph.triangle_stats(_edges(spark, tri)).collect()[0]
     assert row["n_triangles"] == 1 and row["n_nodes"] == 3
+
+
+def test_kcore_peel_strips_tail_keeps_clique(spark):
+    from takuan_spark.operators.graph import kcore_peel
+
+    # triangle {1,2,3} with a pendant path 3-4-5: k=2 peeling removes
+    # 5 (deg 1) in round 1, then 4 in round 2; the triangle survives
+    # with every degree exactly 2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "u int, v int"
+    )
+    got = {
+        (r.node, r.degree)
+        for r in kcore_peel(edges, k=2, rounds=3).collect()
+    }
+    assert got == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_kcore_peel_zero_rounds_is_identity_degrees(spark):
+    from takuan_spark.operators.graph import degrees, kcore_peel
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u int, v int")
+    got = {
+        (r.node, r.degree)
+        for r in kcore_peel(edges, k=5, rounds=0).collect()
+    }
+    want = {(r.node, r.d) for r in degrees(edges).collect()}
+    assert got == want
