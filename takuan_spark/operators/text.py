@@ -371,3 +371,45 @@ def token_dropout(
         F.size(kept).cast("int").alias("n_kept"),
         F.concat_ws(" ", kept).alias("aug_text"),
     )
+
+
+#: characters that are frequent in source code and rare in prose —
+#: shared literal between the Spark expression and oracle SQL
+CODE_CHARS_RE = r"[{}()\[\];=<>#_]"
+
+
+def code_likeness(col: Column | str) -> Column:
+    """Heuristic code-vs-prose signal in [0, 1]: the fraction of
+    characters that are code punctuation (braces, brackets,
+    semicolons, operators, ``_``/``#``). Pure codegen expression — the
+    cheap first-stage router that decides which documents get a real
+    (expensive) code classifier in a mixing pipeline."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    stripped = F.length(F.regexp_replace(c, CODE_CHARS_RE, ""))
+    return F.when(n > 0, (n - stripped) / n).otherwise(F.lit(0.0))
+
+
+def code_detect(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.02,
+) -> DataFrame:
+    """Per-document code detection: (id, code_frac, digit_frac,
+    is_code). ``code_frac`` is :func:`code_likeness`; ``digit_frac``
+    complements it (identifiers/literals digit density). One
+    projection, no shuffle — classification happens where the data
+    already is."""
+    c = F.col(text_col)
+    n = F.length(c)
+    digit_frac = F.when(
+        n > 0, (n - F.length(F.regexp_replace(c, r"[0-9]", ""))) / n
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        F.round(code_likeness(c), 6).alias("code_frac"),
+        F.round(digit_frac, 6).alias("digit_frac"),
+        (F.round(code_likeness(c), 6) >= threshold).alias("is_code"),
+    )

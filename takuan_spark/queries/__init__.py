@@ -118,7 +118,7 @@ PRIORITY: list[str] = [
     # -- 4. queries NEW in r6 queue here (behind the stale blocks,
     # per the crowding-out rule; driver rows arrive r7) ---------------
     "q_stream_cms_fold", "ns_domain_stats", "ns_domain_filter",
-    "q_orc_partition_prune", "q_graph_kcore",
+    "q_orc_partition_prune", "q_graph_kcore", "ns_code_detect",
     # -- 5. r3-stale: -------------------------------------------------
     "q12_priority_by_returnflag", "q16_supplier_count_by_part",
     "q17_small_quantity_revenue", "q18_large_orders",

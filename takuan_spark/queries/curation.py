@@ -925,3 +925,56 @@ def ns_source_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.slice(words(F.col("text")), 1, 6), token_shape),
     )
     return source_share_matrix(docs, key)
+
+
+_CODE_SNIPPET = (
+    " def f(x): return arr[0] + y; if (n == 2) { s = n * 3; } #inline"
+)
+
+
+@query(
+    "ns_code_detect",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 4 = 0
+                            THEN '{_CODE_SNIPPET}' ELSE '' END AS t
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               ROUND(CASE WHEN len(t) > 0 THEN
+                   (len(t) - len(regexp_replace(t,
+                        '[{{}}()\\[\\];=<>#_]', '', 'g'))) * 1.0 / len(t)
+                   ELSE 0 END, 6) AS code_frac,
+               ROUND(CASE WHEN len(t) > 0 THEN
+                   (len(t) - len(regexp_replace(t, '[0-9]', '', 'g')))
+                       * 1.0 / len(t)
+                   ELSE 0 END, 6) AS digit_frac
+        FROM d
+    )
+    SELECT doc_id, code_frac, digit_frac,
+           code_frac >= 0.02 AS is_code
+    FROM f
+    ORDER BY doc_id
+    """,
+    "Code-vs-prose routing signal: per-document code-punctuation and "
+    "digit density as pure codegen projections (no shuffle, no UDF) "
+    "with the is_code gate — the cheap first stage that decides which "
+    "documents a mixing pipeline sends to a real code classifier. "
+    "Every 4th doc gets a deterministic code snippet appended so both "
+    "classes exist in the corpus; the oracle re-derives it.",
+)
+def ns_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.text import code_detect
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit(_CODE_SNIPPET)
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return code_detect(docs, threshold=0.02).orderBy("doc_id")
