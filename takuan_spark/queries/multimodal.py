@@ -328,3 +328,81 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = docs.mapInPandas(_synth, schema=frame_schema)
     inten = multimodal.frame_intensity(frames)
     return multimodal.scene_segments(inten, threshold=8.0)
+
+
+@query(
+    "mm_image_resize",
+    """
+    SELECT doc_id AS media_id,
+           CAST(5 AS INT) AS width,
+           CAST(3 AS INT) AS height,
+           CAST(102 AS INT) AS payload_bytes,
+           ROUND(CAST(CAST(concat('0x',
+                     substr(md5(doc_id || ':lvl:0'), 1, 8)) AS BIGINT)
+                 % 256 AS DOUBLE), 6) AS intensity
+    FROM documents
+    ORDER BY media_id
+    """,
+    "Image resize through the REAL codec path: synth one 8x8 BMP per "
+    "doc (frame 0 of the md5 shot trajectory, a uniform gray), "
+    "nearest-neighbor resize to 5x3 inside Arrow batches (decode -> "
+    "sample -> re-encode), then decode the RESIZED payload back for "
+    "its mean intensity. The oracle re-derives everything "
+    "arithmetically: a uniform image stays uniform under NN resize "
+    "(intensity = the md5 shot level) and the 24-bit BMP size is "
+    "54 + height * pad4(3 * width) = 102 bytes — so a wrong stride, "
+    "padding, or sample grid breaks the hash match.",
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from takuan_spark.operators.skew import spread
+    from takuan_spark.tables import load_table
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("media_id")
+        )
+    )
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def _synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        multimodal.synth_video_frame(int(m), 0)
+                        for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    from takuan_spark.operators.skew import materialize
+
+    media = docs.mapInPandas(_synth, schema=schema)
+    # the resized frame feeds BOTH the metadata select and the
+    # intensity decode; unmaterialized, the synth + resize pipeline
+    # would execute once per branch
+    resized = materialize(
+        multimodal.resize_images(media, width=5, height=3)
+    )
+    inten = multimodal.frame_intensity(
+        resized.withColumn("frame_id", F.lit(0))
+    ).select("media_id", F.round("intensity", 6).alias("intensity"))
+    return (
+        resized.select("media_id", "width", "height", "payload_bytes")
+        .join(inten, "media_id")
+        .orderBy("media_id")
+    )

@@ -310,3 +310,40 @@ def q_stream_cms_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_stream_estimate(
         spark, table, probes, group_cols=["event_type"]
     ).orderBy("event_type", "term")
+
+
+@query(
+    "q_stream_hll_fold",
+    sketches.hll_oracle_sql(
+        source_expr="(SELECT event_type, CAST(user_id AS VARCHAR) AS uid "
+                    "FROM events)",
+        group_col="event_type",
+        value_col="uid",
+    )
+    + "\nORDER BY event_type",
+    "Streaming HLL maintainer, driver-checked: 4 epochs through the "
+    "REAL hll_sketch_sink (<= 64 register rows per group per epoch) "
+    "then the REAL hll_stream_estimate fold (cell-wise max, then the "
+    "estimator) — green proves epoch-partial-then-merge equals the "
+    "all-at-once sketch; HLL's max-merge is double-count-immune, the "
+    "property that makes replayed epochs harmless at stream scale.",
+)
+def q_stream_hll_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.streaming.sketch_stream import (
+        hll_sketch_sink,
+        hll_stream_estimate,
+    )
+
+    table = _scratch(sf_dir, "hll")
+    ev = load_table(spark, sf_dir, "events")
+    sink = hll_sketch_sink(table, group_cols=["event_type"], value_col="uid")
+    for e, batch in _epoch_batches(ev):
+        sink(
+            batch.select(
+                "event_type", F.col("user_id").cast("string").alias("uid")
+            ),
+            e,
+        )
+    return hll_stream_estimate(
+        spark, table, group_cols=["event_type"]
+    ).orderBy("event_type")
