@@ -557,3 +557,60 @@ def manifest_hash(
         F.sum(F.length(text_col)).cast("bigint").alias("n_chars_total"),
         F.pmod(F.sum(term), mod).cast("bigint").alias("manifest_hash"),
     )
+
+
+def laplace_noise(
+    key: "F.Column", *, scale: float = 1.0, tag: str = "dp"
+) -> "F.Column":
+    """Deterministic Laplace(``scale``) noise derived from an md5
+    uniform over ``key``: inverse-CDF transform of
+    ``u = (md5_60bit(tag:key) + 0.5) / 2^60``. Deterministic seeding
+    makes the release REPRODUCIBLE and oracle-checkable (a re-run or a
+    second engine produces the identical noisy table); a production
+    deployment that needs fresh randomness per release swaps the tag
+    for a release nonce — the mechanism and its calibration are
+    unchanged."""
+    from takuan_spark.operators.hashing import md5_int
+
+    u = (
+        md5_int(F.concat(F.lit(tag + ":"), key), hex_chars=15).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    centered = u - F.lit(0.5)
+    return (
+        -F.lit(scale)
+        * F.signum(centered)
+        * F.log(1.0 - 2.0 * F.abs(centered))
+    )
+
+
+def dp_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    *,
+    epsilon: float = 1.0,
+    k_min: int = 5,
+    tag: str = "dp",
+) -> DataFrame:
+    """Differentially-private-style histogram release: per-group
+    counts, k-anonymity-suppressed below ``k_min``, plus
+    Laplace(1/epsilon) noise (:func:`laplace_noise`, seeded from the
+    group key). One hash aggregation — partials combine map-side, the
+    shuffle carries groups; noise is a codegen projection. Output:
+    (group..., true_count suppressed-aware, noisy_count rounded 4dp).
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+        .where(F.col("true_count") >= k_min)
+        .select(
+            *group_cols,
+            "true_count",
+            F.round(
+                F.col("true_count")
+                + laplace_noise(key, scale=1.0 / epsilon, tag=tag),
+                4,
+            ).alias("noisy_count"),
+        )
+    )

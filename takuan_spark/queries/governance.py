@@ -379,3 +379,51 @@ def ns_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "g")
     )
+
+
+@query(
+    "ns_dp_histogram",
+    """
+    WITH g AS (
+        SELECT lang,
+               CAST(least(greatest(n_chars // 200, 0), 9) AS BIGINT)
+                   AS lbucket,
+               CAST(COUNT(*) AS BIGINT) AS true_count
+        FROM documents
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 5
+    )
+    SELECT lang, lbucket, true_count,
+           ROUND(true_count
+                 - 1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 4)
+               AS noisy_count
+    FROM (
+        SELECT *,
+               (CAST(concat('0x', substr(md5('dp:' || lang || '|'
+                    || CAST(lbucket AS VARCHAR)), 1, 15)) AS BIGINT)
+                + 0.5) / 1152921504606846976.0 AS u
+        FROM g
+    )
+    ORDER BY lang, lbucket
+    """,
+    "DP-style histogram release over (lang, length-bucket): "
+    "k-suppression below 5, then Laplace(1/epsilon=1) noise from a "
+    "deterministic md5-seeded inverse CDF — reproducible (and "
+    "oracle-checkable) releases; a production nonce swaps in for the "
+    "seed tag without changing the calibration. One map-side-combined "
+    "aggregation; the noise is a codegen projection.",
+)
+def ns_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.corpus_stats import dp_histogram
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.least(
+            F.greatest(F.expr("n_chars DIV 200"), F.lit(0)), F.lit(9)
+        )
+        .cast("bigint")
+        .alias("lbucket"),
+    )
+    return dp_histogram(
+        docs, ["lang", "lbucket"], epsilon=1.0, k_min=5
+    ).orderBy("lang", "lbucket")

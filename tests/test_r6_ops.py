@@ -570,3 +570,19 @@ def test_source_share_matrix_counts_and_cap(spark):
     }
     # "all" (4 sources) dropped by the cap; k1+k2 -> s1-s2 shares 2
     assert out == {("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s3"): 1}
+
+
+def test_dp_histogram_suppresses_and_is_reproducible(spark):
+    from takuan_spark.operators.corpus_stats import dp_histogram
+
+    rows = [("en", 0)] * 7 + [("de", 1)] * 3  # de group under k_min=5
+    df = spark.createDataFrame(rows, "lang string, lbucket int")
+    out1 = dp_histogram(df, ["lang", "lbucket"], k_min=5).collect()
+    out2 = dp_histogram(df, ["lang", "lbucket"], k_min=5).collect()
+    assert out1 == out2  # deterministic release
+    assert [(r.lang, r.true_count) for r in out1] == [("en", 7)]
+    [r] = out1
+    # Laplace(1) noise: nonzero almost surely, bounded displacement
+    # for any u away from the tails
+    assert r.noisy_count != r.true_count
+    assert abs(r.noisy_count - r.true_count) < 50
