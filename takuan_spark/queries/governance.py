@@ -427,3 +427,91 @@ def ns_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_histogram(
         docs, ["lang", "lbucket"], epsilon=1.0, k_min=5
     ).orderBy("lang", "lbucket")
+
+
+@query(
+    "ns_snapshot_diff",
+    """
+    WITH v1 AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fp,
+               source
+        FROM documents WHERE doc_id % 5 <> 0
+    ),
+    v2 AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(
+                        CASE WHEN doc_id % 7 = 0
+                             THEN text || ' rev2' ELSE text END),
+                    '\\s+', ' ', 'g'))) AS fp,
+               source
+        FROM documents WHERE doc_id % 3 <> 0
+    )
+    SELECT COALESCE(v1.source, v2.source) AS source,
+           CAST(SUM(CASE WHEN v1.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS added,
+           CAST(SUM(CASE WHEN v2.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS removed,
+           CAST(SUM(CASE WHEN v1.doc_id IS NOT NULL
+                          AND v2.doc_id IS NOT NULL
+                          AND v1.fp <> v2.fp THEN 1 ELSE 0 END)
+                AS BIGINT) AS changed,
+           CAST(SUM(CASE WHEN v1.fp = v2.fp THEN 1 ELSE 0 END)
+                AS BIGINT) AS unchanged
+    FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+    GROUP BY 1
+    ORDER BY source
+    """,
+    "Corpus release diff: FULL OUTER join of two snapshot versions on "
+    "doc id (v1 = ids not div by 5, v2 = ids not div by 3 with every "
+    "7th text revised — deterministic synth so both engines build "
+    "identical versions), classifying each row added/removed/changed/"
+    "unchanged by normalized-text fingerprint, rolled up per source — "
+    "the what-changed-between-releases audit a dataset card cites. "
+    "One id-keyed shuffle join + one source-keyed aggregation.",
+)
+def ns_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp"), "source"
+    )
+    v2 = (
+        docs.where(F.col("doc_id") % 3 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" rev2")),
+            ).otherwise(F.col("text")),
+        )
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"), "source")
+    )
+    j = v1.alias("a").join(v2.alias("b"), "doc_id", "full_outer")
+    return (
+        j.groupBy(
+            F.coalesce(F.col("a.source"), F.col("b.source")).alias("source")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("a.doc_id").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("added"),
+            F.sum(
+                F.when(F.col("b.doc_id").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("removed"),
+            F.sum(
+                F.when(
+                    F.col("a.doc_id").isNotNull()
+                    & F.col("b.doc_id").isNotNull()
+                    & (F.col("a.fp") != F.col("b.fp")),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("changed"),
+            F.sum(
+                F.when(F.col("a.fp") == F.col("b.fp"), 1).otherwise(0)
+            ).cast("bigint").alias("unchanged"),
+        )
+        .orderBy("source")
+    )
