@@ -1891,3 +1891,59 @@ def ns_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@query(
+    "ns_ann_recall",
+    f"""
+    WITH {_lsh_sigs_cte()},
+    qsig AS (SELECT tbl, sig FROM sigs WHERE vec_id = 0),
+    cand AS (
+        SELECT DISTINCT s.vec_id
+        FROM sigs s JOIN qsig ON s.tbl = qsig.tbl
+        WHERE s.vec_id <> 0 AND bit_count(xor(s.sig, qsig.sig)) <= 1
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    appr AS (
+        SELECT vec_id FROM (
+            SELECT e.vec_id, {_COSINE_EQ} AS sim
+            FROM embeddings e JOIN cand USING (vec_id), q
+        ) ORDER BY sim DESC, vec_id LIMIT 10
+    ),
+    brute AS (
+        SELECT vec_id FROM (
+            SELECT e.vec_id, {_COSINE_EQ} AS sim
+            FROM embeddings e, q WHERE vec_id <> 0
+        ) ORDER BY sim DESC, vec_id LIMIT 10
+    )
+    SELECT CAST(10 AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS ann_hits,
+           ROUND(COUNT(*) / 10.0, 4) AS recall_at_k
+    FROM appr JOIN brute USING (vec_id)
+    """,
+    "ANN index QC: recall@10 of the LSH-bucketed top-k against the "
+    "exact brute-force top-k for the same query vector — the metric "
+    "that decides whether an index's (nbits, tables, radius) operating "
+    "point is shippable. Composes the REAL lsh_bucketed_topk and "
+    "cosine_topk plans; the overlap is a semi-join of two 10-row "
+    "frames.",
+)
+def ns_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    corpus = emb.where(F.col("vec_id") != 0)
+    brute = similarity.cosine_topk(corpus, qvec, k=10).select("vec_id")
+    approx = similarity.lsh_bucketed_topk(
+        corpus, qvec, k=10, nbits=8, tables=4, hamming_radius=1
+    ).select("vec_id")
+    hits = approx.join(brute, "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ann_hits")
+    )
+    return hits.select(
+        F.lit(10).cast("int").alias("k"),
+        "ann_hits",
+        F.round(F.col("ann_hits") / 10.0, 4).alias("recall_at_k"),
+    )
