@@ -347,3 +347,72 @@ def q_stream_hll_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_stream_estimate(
         spark, table, group_cols=["event_type"]
     ).orderBy("event_type")
+
+
+@query(
+    "q_watermark_audit",
+    """
+    WITH e AS (
+        SELECT event_id, ts, CAST(event_id % 4 AS INT) AS ep FROM events
+    ),
+    m AS (SELECT ep, MAX(ts) AS mx FROM e GROUP BY ep),
+    wm AS (
+        SELECT ep,
+               MAX(mx) OVER (ORDER BY ep
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prev_max
+        FROM m
+    ),
+    c AS (
+        SELECT e.ep,
+               CASE WHEN wm.prev_max IS NULL THEN 'ontime'
+                    WHEN e.ts < wm.prev_max - INTERVAL 10 MINUTE
+                        THEN 'dropped'
+                    WHEN e.ts < wm.prev_max THEN 'late'
+                    ELSE 'ontime' END AS status
+        FROM e JOIN wm ON e.ep = wm.ep
+    )
+    SELECT ep, status, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM c GROUP BY ep, status
+    ORDER BY ep, status
+    """,
+    "Watermark late-data audit over the deterministic 4-epoch split: "
+    "the watermark before epoch e is max event time of earlier epochs "
+    "minus the 10-minute delay (Spark's batch-boundary semantics); "
+    "each event classifies ontime / late-but-accepted / dropped and "
+    "the audit reports counts per (epoch, status) — the calibration "
+    "report that picks a delay before turning on "
+    "dropDuplicatesWithinWatermark or windowed-agg state eviction. "
+    "Epoch maxima are a 4-row frame broadcast back onto the events.",
+)
+def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("ep")
+    )
+    m = ev.groupBy("ep").agg(F.max("ts").alias("mx"))
+    wm = m.select(
+        "ep",
+        F.max("mx")
+        .over(
+            Window.orderBy("ep").rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("prev_max"),
+    )
+    c = ev.join(F.broadcast(wm), "ep").select(
+        "ep",
+        F.when(F.col("prev_max").isNull(), F.lit("ontime"))
+        .when(
+            F.col("ts") < F.expr("prev_max - INTERVAL 10 MINUTES"),
+            F.lit("dropped"),
+        )
+        .when(F.col("ts") < F.col("prev_max"), F.lit("late"))
+        .otherwise(F.lit("ontime"))
+        .alias("status"),
+    )
+    return (
+        c.groupBy("ep", "status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .orderBy("ep", "status")
+    )
