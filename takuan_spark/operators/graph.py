@@ -345,7 +345,17 @@ def kcore_peel(
     PLANS.md r5)."""
     from takuan_spark.operators.skew import materialize
 
-    cur = edges
+    # the input edge set feeds round 1's degree aggregate AND both
+    # semi-join branches; materialized so an expensive upstream edge
+    # discovery executes once, not three times. (At sf0.1 the 3.5k-edge
+    # discovery is cheap enough that recompute would beat the cache
+    # barrier by ~1s — the persist is the 100 TB-correct choice, where
+    # discovery is two corpus-scale shuffles.) The per-round keep set
+    # is deliberately NOT persisted: re-aggregating degrees over the
+    # cached edge frame is one cheap pass per branch, while persisting
+    # inserts a job barrier per round — measured strictly worse at
+    # every tested scale.
+    cur = materialize(edges)
     for _ in range(rounds):
         keep = degrees(cur).where(F.col("d") >= k).select("node")
         cur = materialize(
