@@ -1947,3 +1947,91 @@ def ns_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ann_hits",
         F.round(F.col("ann_hits") / 10.0, 4).alias("recall_at_k"),
     )
+
+
+@query(
+    "ns_minhash_recall",
+    f"""
+    WITH {_minhash_pairs_cte(threshold=0.7)},
+    toksj AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    shj0 AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                   AS shingle
+        FROM toksj, UNNEST(generate_series(1, greatest(len(t) - 2, 0)))
+             AS g(i)
+    ),
+    rarej AS (
+        SELECT shingle FROM shj0 GROUP BY shingle HAVING COUNT(*) <= 64
+    ),
+    shj AS (SELECT shj0.* FROM shj0 JOIN rarej USING (shingle)),
+    cntj AS (SELECT doc_id, COUNT(*) AS n_sh FROM shj GROUP BY doc_id),
+    interj AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM shj a JOIN shj b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truthj AS (
+        SELECT id_a, id_b FROM interj
+        JOIN cntj ca ON id_a = ca.doc_id
+        JOIN cntj cb ON id_b = cb.doc_id
+        WHERE ROUND(i * 1.0 / (ca.n_sh + cb.n_sh - i), 6) >= 0.7
+    ),
+    mh_cand AS (SELECT id_a, id_b FROM mh_pairs),
+    qhits AS (SELECT id_a, id_b FROM mh_cand
+               INTERSECT SELECT * FROM truthj)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truthj) AS n_true,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM mh_cand) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM qhits) AS n_hits,
+           ROUND((SELECT COUNT(*) FROM qhits) * 1.0
+                 / greatest((SELECT COUNT(*) FROM truthj), 1), 4) AS recall,
+           ROUND((SELECT COUNT(*) FROM qhits) * 1.0
+                 / greatest((SELECT COUNT(*) FROM mh_cand), 1), 4) AS precision
+    """,
+    "Near-dup index QC: recall and precision of the MinHash-LSH "
+    "candidate pairs (64 hashes, 16 bands, est >= 0.7) against exact "
+    "3-gram Jaccard >= 0.7 — the sweep that decides whether a banding "
+    "operating point is shippable, as a driver row instead of only a "
+    "pytest assertion. Both pair sets come from the REAL operators; "
+    "the overlap is a semi-join of bounded pair frames.",
+)
+def ns_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.skew import materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = materialize(
+        dedup.jaccard_pairs(docs, n=3, threshold=0.7, max_df=64).select(
+            "id_a", "id_b"
+        )
+    )
+    cand = materialize(
+        dedup.minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, threshold=0.7
+        ).select("id_a", "id_b")
+    )
+    hits = cand.join(truth, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    n_cand = cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.greatest(F.col("n_true"), F.lit(1)), 4
+            ).alias("recall"),
+            F.round(
+                F.col("n_hits") / F.greatest(F.col("n_candidates"), F.lit(1)),
+                4,
+            ).alias("precision"),
+        )
+    )
