@@ -68,3 +68,47 @@ def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, t.pos
         """
     )
+
+
+@query(
+    "q_sql_function_surface",
+    r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS INT) AS n_words,
+           ROUND(CASE WHEN length(regexp_replace(text, '\s+', '', 'g')) > 0
+                 THEN length(regexp_replace(text, '[\sA-Za-z0-9_]+', '',
+                                            'g')) * 1.0
+                      / length(regexp_replace(text, '\s+', '', 'g'))
+                 ELSE 0.0 END, 6) AS punct,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           CAST(concat('0x', substr(md5(source), 1, 15)) AS BIGINT)
+               AS src_h
+    FROM documents
+    ORDER BY doc_id
+    """,
+    "The SQL-registered function surface end-to-end: a pure-SQL user "
+    "session (CREATE TEMPORARY FUNCTION takuan_* ... RETURN ..., "
+    "Spark SQL scalar UDFs) computes word counts, punctuation ratio, "
+    "normalized fingerprint, and the md5-60bit hash over documents. "
+    "Bodies INLINE into the plan (no Python-UDF node — plan-asserted "
+    "in tests), so the SQL API costs what the Column API costs.",
+)
+def q_sql_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_fn_docs"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id,
+               takuan_word_count(text) AS n_words,
+               ROUND(takuan_punct_ratio(text), 6) AS punct,
+               takuan_fingerprint(text) AS fp,
+               takuan_md5_int60(source) AS src_h
+        FROM _fn_docs
+        ORDER BY doc_id
+        """
+    )
