@@ -96,9 +96,12 @@ def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sql_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     from takuan_spark.functions import register_sql_functions
+    from takuan_spark.operators.skew import spread
 
     register_sql_functions(spark)
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+    # spread: four full-text regex passes per row are the cost; a
+    # single-row-group scan would cap them at one core
+    spread(load_table(spark, sf_dir, "documents")).createOrReplaceTempView(
         "_fn_docs"
     )
     return spark.sql(
