@@ -406,3 +406,65 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(inten, "media_id")
         .orderBy("media_id")
     )
+
+
+@query(
+    "mm_binaryfile_ingest",
+    """
+    SELECT doc_id AS media_id,
+           CAST(246 AS BIGINT) AS payload_bytes,
+           ROUND(CAST(CAST(concat('0x',
+                     substr(md5(doc_id || ':lvl:0'), 1, 8)) AS BIGINT)
+                 % 256 AS DOUBLE), 6) AS intensity
+    FROM documents
+    WHERE doc_id % 50 = 0
+    ORDER BY media_id
+    """,
+    "Media ingest through Spark's binaryFile source: synth BMPs land "
+    "as individual files, spark.read.format('binaryFile') reads "
+    "(path, length, content), the media id parses from the filename "
+    "with a native regexp, and the REAL BMP decode recovers each "
+    "frame's intensity. The oracle re-derives the md5 shot level and "
+    "the exact 246-byte 8x8 BMP size — filename parsing, the "
+    "source's length metadata, and the decode are all under the "
+    "hash. Every 50th doc keeps the file count file-source-friendly "
+    "at any SF (one file per blob is the binaryFile contract).",
+)
+def mm_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from takuan_spark.queries.ingest import _scratch
+    from takuan_spark.tables import load_table
+
+    path = _scratch(sf_dir, "binmedia")
+    os.makedirs(path, exist_ok=True)
+    ids = [
+        int(r.doc_id)
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 50 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    for m in ids:
+        with open(os.path.join(path, f"media_{m}.bmp"), "wb") as fh:
+            fh.write(multimodal.synth_video_frame(m, 0))
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"media_(\d+)\.bmp$", 1)
+            .cast("bigint")
+            .alias("media_id"),
+            F.col("length").cast("bigint").alias("payload_bytes"),
+            F.col("content").alias("payload"),
+        )
+    )
+    inten = multimodal.frame_intensity(
+        raw.withColumn("frame_id", F.lit(0))
+    ).select("media_id", F.round("intensity", 6).alias("intensity"))
+    return (
+        raw.select("media_id", "payload_bytes")
+        .join(inten, "media_id")
+        .orderBy("media_id")
+    )
