@@ -582,3 +582,105 @@ def test_ks_drift_matches_naive_ecdf(spark, data):
             for x in xs
         )
         assert abs(got[src] - d) < 1e-6, (src, got[src], d)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda e: e[0] < e[1]
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    k=st.integers(2, 4),
+)
+@settings(max_examples=12, deadline=None)
+def test_kcore_peel_matches_reference_peeling(spark, edges, k):
+    """kcore_peel must equal an independent Python peeling of the same
+    number of rounds on random small graphs."""
+    from takuan_spark.operators.graph import kcore_peel
+
+    rounds = 3
+    es = set(edges)
+    for _ in range(rounds):
+        deg: dict[int, int] = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        es = {(u, v) for u, v in es if u in keep and v in keep}
+    want_deg: dict[int, int] = {}
+    for u, v in es:
+        want_deg[u] = want_deg.get(u, 0) + 1
+        want_deg[v] = want_deg.get(v, 0) + 1
+
+    df = spark.createDataFrame(list(edges), "u int, v int")
+    got = {
+        (r.node, r.degree)
+        for r in kcore_peel(df, k=k, rounds=rounds).collect()
+    }
+    assert got == set(want_deg.items())
+
+
+@given(
+    host=st.lists(
+        st.text(alphabet="abc12-", min_size=1, max_size=4).filter(
+            lambda s: not s.startswith("-") and not s.endswith("-")
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_host_suffixes_matches_python_split(spark, host):
+    """host_suffixes must equal the Python dot-suffix enumeration for
+    any label sequence."""
+    from pyspark.sql import Row
+
+    from takuan_spark.operators.web import host_suffixes
+
+    h = ".".join(host)
+    want = [".".join(host[i:]) for i in range(len(host))]
+    [row] = (
+        spark.createDataFrame([Row(h=h)])
+        .select(host_suffixes(F.col("h")).alias("s"))
+        .collect()
+    )
+    assert row.s == want
+
+
+@given(
+    counts=st.lists(
+        st.tuples(st.text(alphabet="ab", min_size=1, max_size=3),
+                  st.integers(1, 5)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_cms_estimate_upper_bounds_truth(spark, counts):
+    """CMS point estimates are upper bounds of true frequencies (the
+    sketch over-counts only on collisions, never under-counts) for any
+    multiset — invariant under the r6 lane-hash family."""
+    from takuan_spark.operators import sketches
+
+    rows = [(t,) for t, c in counts for _ in range(c)]
+    df = spark.createDataFrame(rows, "tok string").withColumn(
+        "g", F.lit("all")
+    )
+    grid = sketches.cms_counters(
+        df, group_cols=["g"], value_col="tok", depth=4, width=64
+    )
+    truth: dict[str, int] = {}
+    for t, c in counts:
+        truth[t] = truth.get(t, 0) + c
+    probes = spark.createDataFrame([(t,) for t in truth], "term string")
+    est = {
+        r.term: r.est_count
+        for r in sketches.cms_estimate(
+            grid, probes, group_cols=["g"], depth=4, width=64
+        ).collect()
+    }
+    for t, c in truth.items():
+        assert est[t] >= c
