@@ -156,10 +156,44 @@ def _run_sql(args) -> int:
                     os.path.join(args.tables, fname)
                 ).createOrReplaceTempView(view)
     df = spark.sql(args.sql)
+    _emit_csv(df)
+    return 0
+
+
+def _emit_csv(df) -> None:
+    """Stream a result to stdout as CSV via ``toLocalIterator`` — the
+    driver holds one partition at a time, never the whole result."""
+    import csv
+    import sys
+
     writer = csv.writer(sys.stdout)
     writer.writerow(df.columns)
     for row in df.toLocalIterator():
         writer.writerow(list(row))
+
+
+def _run_query(args) -> int:
+    """--query: run one registered engine query by name over a table
+    directory (the same builders the driver/bench run) and print CSV."""
+    import sys
+
+    from takuan_spark.queries import REGISTRY, _load
+
+    _load()
+    if args.query not in REGISTRY:
+        close = [n for n in sorted(REGISTRY) if args.query in n][:8]
+        hint = f"; close matches: {', '.join(close)}" if close else ""
+        print(f"error: unknown query {args.query!r}{hint}", file=sys.stderr)
+        return 2
+    if not args.sf_dir or not os.path.isdir(args.sf_dir):
+        print(
+            "error: --query requires --sf-dir pointing at a directory of "
+            "the engine tables (region/nation/.../documents parquet)",
+            file=sys.stderr,
+        )
+        return 2
+    spark = get_spark(app_name=f"takuan-q-{args.query}", master=args.master)
+    _emit_csv(REGISTRY[args.query].builder(spark, args.sf_dir))
     return 0
 
 
@@ -228,6 +262,23 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="directory of parquet files to register as views for --sql",
     )
+    ap.add_argument(
+        "--query",
+        default=None,
+        help="run one registered engine query by name over --sf-dir "
+        "and print CSV to stdout (see --list-queries)",
+    )
+    ap.add_argument(
+        "--sf-dir",
+        default=None,
+        help="table directory for --query (parquet files named "
+        "region/nation/customer/.../documents/embeddings)",
+    )
+    ap.add_argument(
+        "--list-queries",
+        action="store_true",
+        help="list every registered query with its description and exit",
+    )
     ap.add_argument("--master", default="local[*]")
     ap.add_argument(
         "--timeout-secs",
@@ -237,10 +288,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = ap.parse_args(argv)
 
+    if args.list_queries:
+        from takuan_spark.queries import REGISTRY, _load
+
+        _load()
+        for name in sorted(REGISTRY):
+            desc = " ".join((REGISTRY[name].description or "").split())
+            print(f"{name}\t{desc[:120]}")
+        return 0
+    if args.query is not None:
+        return _run_query(args)
     if args.sql is not None:
         return _run_sql(args)
     if args.config is None:
-        ap.error("--config is required for every mode except --sql")
+        ap.error(
+            "--config is required for every mode except --sql/--query/"
+            "--list-queries"
+        )
 
     config = load_config(args.config)
     spark = get_spark(app_name=f"takuan-{config.node_name}", master=args.master)
