@@ -416,3 +416,82 @@ def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
         .orderBy("ep", "status")
     )
+
+
+_HF_LO, _HF_HI, _HF_BINS = 0.0, 600_000.0, 256
+_HF_W = (_HF_HI - _HF_LO) / _HF_BINS
+_HF_QS = (0.5, 0.9, 0.99)
+
+
+@query(
+    "q_stream_hist_fold",
+    f"""
+    WITH hist AS (
+        SELECT o_orderpriority,
+               CAST(least(greatest(floor((o_totalprice - {_HF_LO!r})
+                                         / {_HF_W!r}), 0),
+                          {_HF_BINS - 1}) AS INT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders WHERE o_totalprice IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT o_orderpriority, bin, c,
+               CAST(SUM(c) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY bin) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY bin) - c AS BIGINT) AS cum0,
+               CAST(SUM(c) OVER (PARTITION BY o_orderpriority)
+                    AS BIGINT) AS total
+        FROM hist
+    ),
+    probes AS (SELECT CAST(unnest([{", ".join(repr(q) for q in _HF_QS)}])
+                           AS DOUBLE) AS q)
+    SELECT o_orderpriority, q,
+           floor(({_HF_LO!r} + bin * {_HF_W!r}
+                  + {_HF_W!r} * (q * total - cum0) / c) * 10000.0 + 0.5)
+               / 10000.0 AS est
+    FROM cum, probes
+    WHERE q * total > cum0 AND q * total <= cum
+    ORDER BY o_orderpriority, q
+    """,
+    "Streaming histogram-quantile maintainer, driver-checked: 4 order "
+    "epochs through the REAL hist_sketch_sink (per-epoch 256-bin "
+    "grids) then the REAL hist_stream_quantiles fold (cell-wise sum, "
+    "in-bin interpolation) — the oracle computes quantiles over ALL "
+    "orders at once, so green proves the linear-grid fold is exact. "
+    "Completes driver coverage of all four streaming sketch "
+    "maintainers (KMV, CMS, HLL, histogram).",
+)
+def q_stream_hist_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.streaming.sketch_stream import (
+        hist_sketch_sink,
+        hist_stream_quantiles,
+    )
+
+    table = _scratch(sf_dir, "hist")
+    orders = load_table(spark, sf_dir, "orders")
+    sink = hist_sketch_sink(
+        table,
+        group_cols=["o_orderpriority"],
+        value_col="o_totalprice",
+        lo=_HF_LO,
+        hi=_HF_HI,
+        bins=_HF_BINS,
+    )
+    for e in range(_N_EPOCHS):
+        sink(
+            orders.where(
+                F.pmod(F.col("o_orderkey"), F.lit(_N_EPOCHS)) == e
+            ),
+            e,
+        )
+    return hist_stream_quantiles(
+        spark,
+        table,
+        group_cols=["o_orderpriority"],
+        lo=_HF_LO,
+        hi=_HF_HI,
+        bins=_HF_BINS,
+        qs=_HF_QS,
+    ).orderBy("o_orderpriority", "q")
