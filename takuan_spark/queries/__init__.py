@@ -122,7 +122,8 @@ PRIORITY: list[str] = [
     "q_stream_hll_fold", "mm_image_resize", "ns_dp_histogram",
     "ns_snapshot_diff", "ns_ann_recall", "q_watermark_audit",
     "ns_minhash_recall", "q_sql_function_surface", "mm_binaryfile_ingest",
-    "q_stream_hist_fold",
+    "q_stream_hist_fold", "q_mv_incremental", "q_range_partition_balance",
+    "q_schema_evolution",
     # -- 5. r3-stale: -------------------------------------------------
     "q12_priority_by_returnflag", "q16_supplier_count_by_part",
     "q17_small_quantity_revenue", "q18_large_orders",

@@ -213,3 +213,64 @@ def q_orc_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "q_schema_evolution",
+    """
+    WITH v AS (
+        SELECT CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT)
+                   AS batch,
+               lang,
+               CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END
+                   AS source,
+               CASE WHEN doc_id % 2 = 0 THEN NULL
+                    ELSE n_chars % 97 END AS quality
+        FROM documents
+    )
+    SELECT batch, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(source) AS BIGINT) AS n_source,
+           CAST(COUNT(quality) AS BIGINT) AS n_quality,
+           CAST(COALESCE(SUM(quality), 0) AS BIGINT) AS sum_quality
+    FROM v GROUP BY batch, lang ORDER BY batch, lang
+    """,
+    "Parquet schema evolution under mergeSchema: batch=1 is written "
+    "with the v1 schema (no source, no quality), batch=2 with the "
+    "evolved v2 schema (adds source and a derived quality column); "
+    "the read unions the footers (mergeSchema=true), discovers batch "
+    "as a partition column, and the rollup proves the null-fill "
+    "semantics for pre-evolution files — the lakehouse drift case a "
+    "long-lived 100 TB table hits every time a producer adds a "
+    "column. Footer merging costs one metadata pass; the data scan "
+    "stays columnar and partition-discovered.",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "evolve")
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    v2 = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        (F.col("n_chars") % 97).cast("bigint").alias("quality"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(path, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "batch=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        merged.groupBy(F.col("batch").cast("int").alias("batch"), "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("source").cast("bigint").alias("n_source"),
+            F.count("quality").cast("bigint").alias("n_quality"),
+            F.coalesce(F.sum("quality"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_quality"),
+        )
+        .orderBy("batch", "lang")
+    )

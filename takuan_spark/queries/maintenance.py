@@ -201,3 +201,159 @@ def ns_deletion_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintenance.deletion_cascade(
         docs, F.col("doc_id") % 37 == 0
     )
+
+
+_MV_SPLIT = "1997-01-01"
+
+
+@query(
+    "q_mv_incremental",
+    """
+    SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+               AS ym,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY ym, o_orderstatus
+    ORDER BY ym, o_orderstatus
+    """,
+    "Incremental materialized-view maintenance: the monthly "
+    "(ym, status) -> (count, revenue) rollup is kept as stored partial "
+    "aggregates; a new data partition (orders >= 1997-01-01) is "
+    "aggregated ALONE and merged into the stored view by re-summing "
+    "the algebraic partials — the incremental-ETL identity "
+    "merge(agg(old), agg(delta)) == agg(old UNION delta) that lets a "
+    "100 TB rollup absorb a daily partition by scanning ONLY the "
+    "delta. The oracle is the full recompute, so the driver "
+    "hash-checks that identity end-to-end. Money sums are integer "
+    "cents (floor(x*100+0.5)) — partial re-aggregation must be exact, "
+    "and float partial sums would drift by merge order.",
+)
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast(
+        "int"
+    ).alias("ym")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(ym, "o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(cents).cast("bigint").alias("total_cents"),
+        )
+
+    stored = partial(orders.where(F.col("o_orderdate") < _MV_SPLIT))
+    delta = partial(orders.where(F.col("o_orderdate") >= _MV_SPLIT))
+    return (
+        stored.unionByName(delta)
+        .groupBy("ym", "o_orderstatus")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("total_cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("ym", "o_orderstatus")
+    )
+
+
+_RP_LO, _RP_HI, _RP_BINS = 0.0, 600_000.0, 256
+_RP_W = (_RP_HI - _RP_LO) / _RP_BINS
+#: 7 interior split points -> 8 range partitions
+_RP_QS = tuple(i / 8.0 for i in range(1, 8))
+
+
+@query(
+    "q_range_partition_balance",
+    f"""
+    WITH hist AS (
+        SELECT CAST(least(greatest(floor((o_totalprice - {_RP_LO!r})
+                                         / {_RP_W!r}), 0),
+                          {_RP_BINS - 1}) AS INT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders WHERE o_totalprice IS NOT NULL
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, c,
+               CAST(SUM(c) OVER (ORDER BY bin) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER (ORDER BY bin) - c AS BIGINT) AS cum0,
+               CAST(SUM(c) OVER () AS BIGINT) AS total
+        FROM hist
+    ),
+    probes AS (SELECT CAST(unnest([{", ".join(repr(q) for q in _RP_QS)}])
+                           AS DOUBLE) AS q),
+    bounds AS (
+        SELECT floor(({_RP_LO!r} + bin * {_RP_W!r}
+                      + {_RP_W!r} * (q * total - cum0) / c) * 10000.0
+                     + 0.5) / 10000.0 AS est
+        FROM cum, probes
+        WHERE q * total > cum0 AND q * total <= cum
+    ),
+    barr AS (SELECT list_sort(list(est)) AS bs FROM bounds),
+    assigned AS (
+        SELECT CAST(len(list_filter(bs, b -> o_totalprice >= b)) AS INT)
+                   AS pid,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders, barr WHERE o_totalprice IS NOT NULL
+    )
+    SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents,
+           CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER () AS BIGINT)
+               AS share_ppm
+    FROM assigned GROUP BY pid ORDER BY pid
+    """,
+    "Range-partitioner planning from the mergeable histogram sketch: "
+    "derive the 7 split points a repartitionByRange(8) over "
+    "o_totalprice SHOULD use from the 256-bin sketch (no global sort, "
+    "no sampling pass — the sketch merges across shards), assign every "
+    "row to its range partition via a broadcast boundary array + "
+    "higher-order filter (pure codegen, no row expansion), and report "
+    "per-partition row counts, value bounds, and integer-ppm share — "
+    "the balance audit that tells you whether a layout's partitions "
+    "will skew BEFORE paying for the rewrite. Boundary comparisons "
+    "and shares are engine-exact (4dp boundaries, integer cents, "
+    "integer ppm division).",
+)
+def q_range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators import sketches
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()
+    )
+    hist = sketches.histogram_sketch(
+        orders,
+        group_cols=[],
+        value_col="o_totalprice",
+        lo=_RP_LO,
+        hi=_RP_HI,
+        bins=_RP_BINS,
+    )
+    bounds = sketches.histogram_quantiles(
+        hist, group_cols=[], lo=_RP_LO, hi=_RP_HI, bins=_RP_BINS, qs=_RP_QS
+    )
+    barr = bounds.agg(F.array_sort(F.collect_list("est")).alias("bs"))
+    assigned = orders.crossJoin(F.broadcast(barr)).select(
+        F.size(
+            F.filter("bs", lambda b: F.col("o_totalprice") >= b)
+        )
+        .cast("int")
+        .alias("pid"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    per = assigned.groupBy("pid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("cents").cast("bigint").alias("lo_cents"),
+        F.max("cents").cast("bigint").alias("hi_cents"),
+    )
+    return per.select(
+        "pid",
+        "n_rows",
+        "lo_cents",
+        "hi_cents",
+        F.expr("CAST(n_rows * 1000000 div SUM(n_rows) OVER () AS BIGINT)")
+        .alias("share_ppm"),
+    ).orderBy("pid")
