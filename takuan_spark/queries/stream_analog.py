@@ -495,3 +495,66 @@ def q_stream_hist_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         bins=_HF_BINS,
         qs=_HF_QS,
     ).orderBy("o_orderpriority", "q")
+
+
+@query(
+    "q_stream_session_fold",
+    """
+    WITH seq2 AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM seq2
+    ),
+    iv AS (
+        SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           n_events
+    FROM iv
+    ORDER BY user_id, s_start
+    """,
+    "Streaming session-window maintainer, driver-checked: 4 INTERLEAVED "
+    "epochs (pmod, deliberately not time-contiguous) through the REAL "
+    "session_sink (per-epoch partial session intervals, dynamic "
+    "partition overwrite) then the REAL merged_sessions fold — green "
+    "proves the running-max interval merge reconstructs the exact "
+    "global sessionization from partials of an arbitrary batch split, "
+    "the state-merge algebra Structured Streaming's native "
+    "session_window performs and the only windowed aggregate whose "
+    "partials are not disjoint.",
+)
+def q_stream_session_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.streaming.session_stream import (
+        merged_sessions,
+        session_sink,
+    )
+
+    table = _scratch(sf_dir, "sessions")
+    ev = load_table(spark, sf_dir, "events")
+    sink = session_sink(table)
+    for e, batch in _epoch_batches(ev):
+        sink(batch.select("user_id", "ts"), e)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        merged_sessions(spark, table)
+        .orderBy("user_id", "s_start")
+        .select(
+            "user_id",
+            F.date_format("s_start", fmt).alias("session_start"),
+            F.date_format("s_end", fmt).alias("session_end"),
+            "n_events",
+        )
+    )
