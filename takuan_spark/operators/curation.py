@@ -433,3 +433,99 @@ def filter_funnel(
         )
         .orderBy("stage")
     )
+
+
+#: The published Gopher §A1.1 stopword list (Rae et al. 2021,
+#: "Scaling Language Models: ... Gopher", appendix A1.1): a document
+#: must contain at least two of these to pass the stopword rule.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    word_lo: int = 50,
+    word_hi: int = 100_000,
+    stopwords: list[str] | None = None,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Per-document pass/fail flags for the Gopher quality-rule battery
+    (Rae et al. 2021, appendix A1.1 — the public heuristic set behind
+    MassiveWeb, reused by RefinedWeb/FineWeb):
+
+    - ``gr_word_count``    — word count in [word_lo, word_hi]
+    - ``gr_mean_word_len`` — mean word length in [3, 10]
+    - ``gr_symbol_ratio``  — ('#' + '...') occurrences / words <= 1/10
+    - ``gr_alpha_words``   — words containing a letter >= 4/5 of words
+    - ``gr_stopwords``     — >= ``min_stopword_hits`` distinct stopwords
+    - ``gr_top_word_mass`` — chars in the heaviest repeated word <= 1/5
+      of non-space chars (the repetition proxy; cf. ``repetition_stats``
+      for the duplicate-word/bigram-fraction variants)
+
+    Every ratio threshold is an integer cross-multiplication
+    (``10*sym <= words``, ``5*alpha >= 4*words``, ...) so the flags are
+    exact and hash-identical across engines — no float division on the
+    comparison path.
+
+    Scale shape: five rules are pure codegen over one projection; the
+    heaviest-word mass is ONE Arrow-batched pandas pass emitting a
+    single integer per document (same zero-shuffle rationale as
+    ``repetition_stats`` — the exploded groupBy formulation would push
+    ~corpus-size token rows through two wide exchanges to reduce each
+    doc back to one int). No shuffle anywhere: output stays partitioned
+    like the input, and the battery report aggregates 6 booleans.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    sw = list(stopwords if stopwords is not None else GOPHER_STOPWORDS)
+
+    def _top_word_mass_fn(texts):
+        import re
+        from collections import Counter
+
+        # ASCII \s split, identical to text.words() / repetition_stats
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        out = []
+        for s in texts:
+            toks = [t for t in ws.split(s or "") if t]
+            if not toks:
+                out.append(0)
+                continue
+            c = Counter(toks)
+            out.append(max(n * len(w) for w, n in c.items()))
+        return pd.Series(out, dtype="int64")
+
+    top_word_mass = pandas_udf(_top_word_mass_fn, "long")
+
+    t = F.col(text_col)
+    w = words(t)
+    n_words = F.size(w)
+    chars_ns = F.length(F.regexp_replace(t, r"\s+", ""))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = F.floor(
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    )
+    n_sym = n_hash + n_ell
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    sw_hits = None
+    for s in sw:
+        hit = F.array_contains(w, s).cast("int")
+        sw_hits = hit if sw_hits is None else sw_hits + hit
+    mass = top_word_mass(t)
+    return docs.select(
+        id_col,
+        (n_words.between(word_lo, word_hi)).alias("gr_word_count"),
+        (
+            (n_words > 0)
+            & chars_ns.between(3 * n_words, 10 * n_words)
+        ).alias("gr_mean_word_len"),
+        ((n_words > 0) & (10 * n_sym <= n_words)).alias("gr_symbol_ratio"),
+        ((n_words > 0) & (5 * n_alpha >= 4 * n_words)).alias(
+            "gr_alpha_words"
+        ),
+        (sw_hits >= min_stopword_hits).alias("gr_stopwords"),
+        ((chars_ns > 0) & (5 * mass <= chars_ns)).alias("gr_top_word_mass"),
+    )

@@ -123,7 +123,7 @@ PRIORITY: list[str] = [
     "ns_snapshot_diff", "ns_ann_recall", "q_watermark_audit",
     "ns_minhash_recall", "q_sql_function_surface", "mm_binaryfile_ingest",
     "q_stream_hist_fold", "q_mv_incremental", "q_range_partition_balance",
-    "q_schema_evolution", "q_stream_session_fold",
+    "q_schema_evolution", "q_stream_session_fold", "ns_gopher_rules",
     # -- 5. r3-stale: -------------------------------------------------
     "q12_priority_by_returnflag", "q16_supplier_count_by_part",
     "q17_small_quantity_revenue", "q18_large_orders",

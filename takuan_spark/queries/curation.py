@@ -978,3 +978,134 @@ def ns_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return code_detect(docs, threshold=0.02).orderBy("doc_id")
+
+
+_GOPHER_RULE_COLS = [
+    ("r1_word_count", "gr_word_count"),
+    ("r2_mean_word_len", "gr_mean_word_len"),
+    ("r3_symbol_ratio", "gr_symbol_ratio"),
+    ("r4_alpha_words", "gr_alpha_words"),
+    ("r5_stopwords", "gr_stopwords"),
+    ("r6_top_word_mass", "gr_top_word_mass"),
+]
+
+
+@query(
+    "ns_gopher_rules",
+    """
+    WITH base AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               len(w) AS n_words,
+               length(regexp_replace(text, '\\s+', '', 'g')) AS chars_ns,
+               (length(text) - length(replace(text, '#', '')))
+                 + (length(text) - length(replace(text, '...', ''))) // 3
+                 AS n_sym,
+               len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                 AS n_alpha,
+               (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(w, 'a') THEN 1 ELSE 0 END)
+                 AS sw_hits
+        FROM base
+    ),
+    tops AS (
+        SELECT doc_id, MAX(cnt * length(word)) AS top_mass
+        FROM (
+            SELECT doc_id, word, COUNT(*) AS cnt
+            FROM (SELECT doc_id, unnest(w) AS word FROM base)
+            GROUP BY doc_id, word
+        )
+        GROUP BY doc_id
+    ),
+    flags AS (
+        SELECT
+            COALESCE(n_words BETWEEN 50 AND 100000, FALSE) AS r1,
+            COALESCE(n_words > 0
+                     AND chars_ns BETWEEN 3 * n_words AND 10 * n_words,
+                     FALSE) AS r2,
+            COALESCE(n_words > 0 AND 10 * n_sym <= n_words, FALSE) AS r3,
+            COALESCE(n_words > 0 AND 5 * n_alpha >= 4 * n_words, FALSE)
+                AS r4,
+            COALESCE(sw_hits >= 2, FALSE) AS r5,
+            COALESCE(chars_ns > 0 AND 5 * COALESCE(top_mass, 0) <= chars_ns,
+                     FALSE) AS r6
+        FROM feat LEFT JOIN tops USING (doc_id)
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(SUM(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+               CAST(SUM(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+               CAST(SUM(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+               CAST(SUM(CASE WHEN NOT r5 THEN 1 ELSE 0 END) AS BIGINT) AS f5,
+               CAST(SUM(CASE WHEN NOT r6 THEN 1 ELSE 0 END) AS BIGINT) AS f6,
+               CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 AND r6
+                        THEN 1 ELSE 0 END) AS BIGINT) AS ap
+        FROM flags
+    )
+    SELECT 'r1_word_count' AS rule, f1 AS n_fail, n - f1 AS n_pass FROM agg
+    UNION ALL
+    SELECT 'r2_mean_word_len', f2, n - f2 FROM agg
+    UNION ALL
+    SELECT 'r3_symbol_ratio', f3, n - f3 FROM agg
+    UNION ALL
+    SELECT 'r4_alpha_words', f4, n - f4 FROM agg
+    UNION ALL
+    SELECT 'r5_stopwords', f5, n - f5 FROM agg
+    UNION ALL
+    SELECT 'r6_top_word_mass', f6, n - f6 FROM agg
+    UNION ALL
+    SELECT 'zz_all_pass', n - ap, ap FROM agg
+    ORDER BY rule
+    """,
+    "The Gopher quality-rule battery (Rae et al. 2021 A1.1) as a "
+    "per-rule pass/fail report plus the all-rules survivor row — the "
+    "independent-rule view that complements ns_filter_funnel's "
+    "cumulative attrition. The operator defaults to the published "
+    "8-word stopword list; this instantiation uses the corpus' article "
+    "set {the, a} so the stopword rule discriminates on the synthetic "
+    "vocabulary. All thresholds are integer cross-multiplications — "
+    "exact, hash-stable flags in both engines.",
+)
+def ns_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flags = curation.gopher_rules(docs, stopwords=["the", "a"])
+    all_pass = None
+    for _, c in _GOPHER_RULE_COLS:
+        cc = F.coalesce(F.col(c), F.lit(False))
+        all_pass = cc if all_pass is None else all_pass & cc
+    aggs = [F.count("*").alias("n")]
+    for nm, c in _GOPHER_RULE_COLS:
+        aggs.append(
+            F.sum(
+                (~F.coalesce(F.col(c), F.lit(False))).cast("bigint")
+            ).alias(nm)
+        )
+    aggs.append(F.sum(all_pass.cast("bigint")).alias("zz_pass"))
+    one = flags.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(nm).alias("rule"), F.col(nm).alias("n_fail")
+            )
+            for nm, _ in _GOPHER_RULE_COLS
+        ],
+        F.struct(
+            F.lit("zz_all_pass").alias("rule"),
+            (F.col("n") - F.col("zz_pass")).alias("n_fail"),
+        ),
+    )
+    return (
+        one.select(F.col("n"), F.explode(rows).alias("_r"))
+        .select(
+            F.col("_r.rule").alias("rule"),
+            F.col("_r.n_fail").cast("bigint").alias("n_fail"),
+            (F.col("n") - F.col("_r.n_fail")).cast("bigint").alias("n_pass"),
+        )
+        .orderBy("rule")
+    )

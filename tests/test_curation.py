@@ -146,3 +146,55 @@ def test_chunk_documents_overlap_and_tail(spark):
     import pytest
     with pytest.raises(ValueError):
         chunk_documents(df, size=4, overlap=4)
+
+
+def test_gopher_rules_each_rule_and_boundaries(spark):
+    from takuan_spark.operators.curation import gopher_rules
+
+    long_ok = " ".join(["the", "of"] + ["word"] * 8 + ["vary%d" % i for i in range(42)])
+    docs = _docs(
+        spark,
+        [
+            # 52 words, stopwords {the, of}, varied vocab: passes all
+            (1, "en", long_ok),
+            # 3 words: fails word_count; passes stopword (the+of)
+            (2, "en", "the of cat"),
+            # symbol-heavy: '#' per word -> ratio 1 > 1/10
+            (3, "en", " ".join(["#x"] * 60 + ["the", "of"])),
+            # numeric words: alpha fraction 2/62 < 4/5
+            (4, "en", " ".join(["123"] * 60 + ["the", "of"])),
+            # one word repeated: top word mass = all chars > 1/5
+            (5, "en", " ".join(["dup"] * 60 + ["the", "of"])),
+            # no stopwords at all
+            (6, "en", " ".join("w%d" % i for i in range(60))),
+            # empty text: every guarded rule fails
+            (7, "en", ""),
+        ],
+    )
+    got = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert all(got[1][c] for c in got[1].asDict() if c.startswith("gr_"))
+    assert not got[2]["gr_word_count"] and got[2]["gr_stopwords"]
+    assert not got[3]["gr_symbol_ratio"] and got[3]["gr_word_count"]
+    assert not got[4]["gr_alpha_words"]
+    assert not got[5]["gr_top_word_mass"]
+    assert not got[6]["gr_stopwords"]
+    for c in ("gr_word_count", "gr_mean_word_len", "gr_symbol_ratio",
+              "gr_alpha_words", "gr_top_word_mass"):
+        assert not got[7][c]
+
+
+def test_gopher_rules_integer_threshold_boundaries(spark):
+    from takuan_spark.operators.curation import gopher_rules
+
+    # exact 1/5 top-word mass: 5x'zzzz' (mass 20) + 20x4-char words
+    # -> chars_ns 100, 5*20 == 100, <= passes on the boundary
+    at_cap = " ".join(["zzzz"] * 5 + ["q%03d" % i for i in range(20)])
+    # 6x'zzz' (mass 18) + 20x3-char -> chars_ns 78, 5*18 = 90 > 78 fails
+    over = " ".join(["zzz"] * 6 + ["q%02d" % i for i in range(20)])
+    docs = _docs(spark, [(1, "en", at_cap), (2, "en", over)])
+    got = {
+        r["doc_id"]: r
+        for r in gopher_rules(docs, word_lo=1).collect()
+    }
+    assert got[1]["gr_top_word_mass"]
+    assert not got[2]["gr_top_word_mass"]
