@@ -2035,3 +2035,146 @@ def ns_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+#: (bands, rows) grid for a 16-permutation MinHash signature; s50 is
+#: the S-curve threshold (1/b)^(1/r) — where the detection curve rises
+#: steeply (p there = 1-(1-1/b)^b, ~0.63 for large b) — precomputed in
+#: Python and inlined as the SAME literal in both engines (no
+#: cross-engine pow).
+_LSH_TUNE_GRID = [
+    (16, 1, 0.0625),
+    (8, 2, 0.3536),
+    (4, 4, 0.7071),
+    (2, 8, 0.917),
+    (1, 16, 1.0),
+]
+_LSH_TUNE_TAU = 0.7
+
+
+def _lsh_detect_sql(s: str, r: int, b: int) -> str:
+    """1 - (1 - s^r)^b as explicit left-associated multiplication
+    chains: both engines execute the identical IEEE-754 op sequence,
+    so the doubles agree bit-for-bit before rounding."""
+    sr = " * ".join([s] * r)
+    miss = f"(1.0 - ({sr}))"
+    mb = " * ".join([miss] * b)
+    return f"(1.0 - ({mb}))"
+
+
+def _lsh_detect_col(s, r: int, b: int):
+    sr = s
+    for _ in range(r - 1):
+        sr = sr * s
+    miss = F.lit(1.0) - sr
+    mb = miss
+    for _ in range(b - 1):
+        mb = mb * miss
+    return F.lit(1.0) - mb
+
+
+def _lsh_tune_arm_sql(b: int, r: int, s50: float) -> str:
+    p = _lsh_detect_sql("jaccard", r, b)
+    return f"""
+    SELECT {b} AS bands, {r} AS rows_per_band, {s50} AS s50,
+           ROUND(SUM(CASE WHEN jaccard >= {_LSH_TUNE_TAU} THEN {p} END)
+                 / NULLIF(SUM(CASE WHEN jaccard >= {_LSH_TUNE_TAU}
+                              THEN 1 ELSE 0 END), 0), 4) AS exp_recall,
+           ROUND(COALESCE(SUM(CASE WHEN jaccard < {_LSH_TUNE_TAU}
+                              THEN {p} END), 0), 4) AS exp_fp_mass,
+           CAST(SUM(CASE WHEN jaccard >= {_LSH_TUNE_TAU} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true_pairs
+    FROM pairs"""
+
+
+_LSH_TUNE_SQL = (
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    sh0 AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks,
+             UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+    ),
+    rare AS (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 64
+    ),
+    sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT ROUND(i * 1.0 / (ca.n_sh + cb.n_sh - i), 6) AS jaccard
+        FROM inter
+        JOIN cnt ca ON id_a = ca.doc_id
+        JOIN cnt cb ON id_b = cb.doc_id
+    )
+    """
+    + "\n    UNION ALL".join(
+        _lsh_tune_arm_sql(b, r, s50) for b, r, s50 in _LSH_TUNE_GRID
+    )
+    + "\n    ORDER BY bands DESC"
+)
+
+
+@query(
+    "ns_lsh_band_tuning",
+    _LSH_TUNE_SQL,
+    "MinHash-LSH index planner: for every (bands, rows) split of a "
+    "16-permutation signature, the S-curve threshold and the EXPECTED "
+    "recall / false-candidate mass at tau=0.7, evaluated against the "
+    "corpus' OBSERVED pair-similarity distribution (the max_df-guarded "
+    "inverted-index pairs, one pass, 5 configs aggregated together). "
+    "This is the table an operator reads to pick b x r before building "
+    "the index — the MMDS ch.3 tuning analysis as a query. Detection "
+    "probabilities are literal multiplication chains, identical IEEE "
+    "op order in both engines.",
+)
+def ns_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, n=3, threshold=0.0, max_df=64
+    ).select("jaccard")
+    tau = _LSH_TUNE_TAU
+    aggs = [
+        F.sum((F.col("jaccard") >= tau).cast("bigint")).alias("n_true")
+    ]
+    for b, r, _ in _LSH_TUNE_GRID:
+        p = _lsh_detect_col(F.col("jaccard"), r, b)
+        aggs.append(
+            F.sum(F.when(F.col("jaccard") >= tau, p)).alias(f"tp_{b}_{r}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("jaccard") < tau, p)).alias(f"fp_{b}_{r}")
+        )
+    one = pairs.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.lit(s50).alias("s50"),
+                F.round(
+                    F.col(f"tp_{b}_{r}")
+                    / F.when(F.col("n_true") > 0, F.col("n_true")),
+                    4,
+                ).alias("exp_recall"),
+                F.round(
+                    F.coalesce(F.col(f"fp_{b}_{r}"), F.lit(0.0)), 4
+                ).alias("exp_fp_mass"),
+                F.col("n_true").alias("n_true_pairs"),
+            )
+            for b, r, s50 in _LSH_TUNE_GRID
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("_r"))
+        .select("_r.*")
+        .orderBy(F.desc("bands"))
+    )

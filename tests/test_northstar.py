@@ -829,3 +829,43 @@ def test_minhash_family_parity_and_bloom_prod(spark, sf_dir):
         bloom.bloom_build(keys, key_col="k", family="fnv")
     with _pytest.raises(ValueError, match="family"):
         dedup.minhash_signatures(docs, family="fnv")
+
+
+def test_lsh_detect_chain_matches_closed_form(spark):
+    from takuan_spark.queries.northstar import (
+        _LSH_TUNE_GRID,
+        _lsh_detect_col,
+        _lsh_detect_sql,
+    )
+
+    sims = [0.0, 0.1, 0.3536, 0.5, 0.7071, 0.9, 1.0]
+    df = spark.createDataFrame([(s,) for s in sims], "s double")
+    for b, r, s50 in _LSH_TUNE_GRID:
+        got = [
+            row[0]
+            for row in df.select(
+                _lsh_detect_col(F.col("s"), r, b)
+            ).collect()
+        ]
+        want = [1.0 - (1.0 - s**r) ** b for s in sims]
+        assert got == pytest.approx(want, abs=1e-12), (b, r)
+        # endpoints are exact: p(0)=0, p(1)=1
+        assert got[0] == 0.0 and got[-1] == 1.0
+        # at the threshold s50=(1/b)^(1/r): s50^r = 1/b exactly, so
+        # p(s50) = 1-(1-1/b)^b (-> 1-1/e for large b; = 1 when b=1)
+        mid = 1.0 - (1.0 - s50**r) ** b
+        assert abs(mid - (1.0 - (1.0 - 1.0 / b) ** b)) < 1e-3, (b, r)
+        # the SQL chain is the same expression text both engines run
+        import duckdb
+
+        ddb = duckdb.connect().execute(
+            # literal decimals would multiply as DECIMAL and overflow
+            # scale; the real oracle feeds a DOUBLE column
+            "SELECT " + ", ".join(
+                _lsh_detect_sql(f"CAST({s!r} AS DOUBLE)", r, b)
+                for s in sims
+            )
+        ).fetchone()
+        assert list(ddb) == pytest.approx(want, abs=1e-12)
+        # bit-identical cross-engine (the hash-stability claim)
+        assert list(ddb) == got
