@@ -692,3 +692,72 @@ def ns_duplication_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 10)
         .orderBy("rnk")
     )
+
+
+@query(
+    "ns_sft_mask_stats",
+    """
+    WITH base AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '')) AS n_words
+        FROM documents
+    ),
+    conv AS (
+        SELECT doc_id, source, n_words,
+               CAST(CEIL(n_words / 16.0) AS BIGINT) AS n_turns,
+               (n_words // 32) * 16
+                 + GREATEST(0, n_words % 32 - 16) AS tok_assistant
+        FROM base
+        WHERE n_words > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_convs,
+           CAST(SUM(n_turns) AS BIGINT) AS n_turns,
+           CAST(SUM(n_words) AS BIGINT) AS tokens_total,
+           CAST(SUM(tok_assistant) AS BIGINT) AS tokens_assistant,
+           ROUND(SUM(tok_assistant) * 1.0 / SUM(n_words), 4) AS mask_ratio
+    FROM conv
+    GROUP BY source
+    ORDER BY source
+    """,
+    "Instruction-data loss-mask accounting: documents become "
+    "deterministic multi-turn conversations (16-word turns, user-first "
+    "alternation — the stand-in for a chat-template parser; the "
+    "accounting math is the real part) and the report totals the "
+    "tokens a loss mask would train on (assistant turns only) per "
+    "source. Assistant-token counts are CLOSED-FORM integer "
+    "arithmetic — (n//32)*16 + max(0, n%32-16) — so no turn explode "
+    "ever runs: per-conversation accounting costs one projection at "
+    "any corpus size, the shape that matters when the SFT mix is "
+    "re-audited per training run.",
+)
+def ns_sft_mask_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(words(F.col("text")))
+    conv = docs.select(
+        "source",
+        n_words.alias("n_words"),
+        F.ceil(n_words / 16.0).cast("bigint").alias("n_turns"),
+        (
+            (n_words - n_words % 32) / F.lit(2)
+            + F.greatest(F.lit(0), n_words % 32 - 16)
+        )
+        .cast("bigint")
+        .alias("tok_assistant"),
+    ).where(F.col("n_words") > 0)
+    return (
+        conv.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_convs"),
+            F.sum("n_turns").cast("bigint").alias("n_turns"),
+            F.sum("n_words").cast("bigint").alias("tokens_total"),
+            F.sum("tok_assistant").cast("bigint").alias("tokens_assistant"),
+            F.round(
+                F.sum("tok_assistant") * 1.0 / F.sum("n_words"), 4
+            ).alias("mask_ratio"),
+        )
+        .orderBy("source")
+    )

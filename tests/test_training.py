@@ -334,3 +334,35 @@ def test_bm25_batch_agrees_with_single_query_scores(spark):
             for r in retrieval.bm25_topk(sdf, terms, k=10).collect()
         }
         assert {d: s for (q, d), s in got.items() if q == qid} == single
+
+
+def test_sft_mask_closed_form_matches_turn_walk(spark):
+    # the closed-form assistant-token count must equal literally
+    # walking 16-word turns with user-first alternation
+    def walk(n):
+        return sum(
+            min(16, n - t * 16)
+            for t in range(-(-n // 16))
+            if t % 2 == 1
+        )
+
+    rows = [(i, "s", " ".join(["w"] * i)) for i in range(1, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    from takuan_spark.operators.text import words
+    from pyspark.sql import functions as F
+
+    n_words = F.size(words(F.col("text")))
+    got = {
+        r["doc_id"]: r["tok"]
+        for r in df.select(
+            "doc_id",
+            (
+                (n_words - n_words % 32) / F.lit(2)
+                + F.greatest(F.lit(0), n_words % 32 - 16)
+            )
+            .cast("bigint")
+            .alias("tok"),
+        ).collect()
+    }
+    for n in range(1, 100):
+        assert got[n] == walk(n), n
