@@ -761,3 +761,81 @@ def ns_sft_mask_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_PACK_EFF_LENGTHS = [64, 128, 256, 512]
+
+
+@query(
+    "ns_pack_efficiency",
+    """
+    WITH per_doc AS (
+        SELECT lang,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '')) AS n_tok
+        FROM documents
+    ),
+    grid AS (
+        SELECT lang, n_tok, v.L AS context_len
+        FROM per_doc
+        CROSS JOIN (VALUES (64), (128), (256), (512)) AS v(L)
+    )
+    SELECT lang,
+           context_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+           CAST((SUM(n_tok) + context_len - 1) // context_len AS BIGINT)
+               AS packed_seqs,
+           CAST(SUM((n_tok + context_len - 1) // context_len) AS BIGINT)
+               AS padded_seqs,
+           CAST((SUM(n_tok) + context_len - 1) // context_len
+                * context_len - SUM(n_tok) AS BIGINT) AS packed_pad,
+           CAST(SUM((n_tok + context_len - 1) // context_len)
+                * context_len - SUM(n_tok) AS BIGINT) AS padded_pad,
+           ROUND(1.0 - ((SUM(n_tok) + context_len - 1) // context_len)
+                 * 1.0
+                 / SUM((n_tok + context_len - 1) // context_len), 4)
+               AS saved_ratio
+    FROM grid
+    GROUP BY lang, context_len
+    ORDER BY lang, context_len
+    """,
+    "Context-length planner: per stratum and candidate context length, "
+    "the sequence count and padding mass under concat-then-chunk "
+    "packing (ns_pack_sequences' semantics — padding only in each "
+    "stratum's final bin) vs the pad-every-doc baseline, and the "
+    "fraction of training sequences packing saves. Pure integer "
+    "arithmetic per doc ((n+L-1)//L), one combiner-friendly "
+    "aggregation keyed by (stratum, L) — the 4-length grid costs one "
+    "pass at any corpus size; this is the table read before "
+    "committing a context length to a training run.",
+)
+def ns_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(words(F.col("text")))
+    grid = docs.select(
+        "lang",
+        n_tok.alias("n_tok"),
+        F.explode(
+            F.array(*[F.lit(c) for c in _PACK_EFF_LENGTHS])
+        ).alias("context_len"),
+    )
+    L = F.col("context_len")
+    tot = F.sum("n_tok")
+    packed = F.floor((tot + L - 1) / L)
+    padded = F.sum(F.floor((F.col("n_tok") + L - 1) / L))
+    return (
+        grid.groupBy("lang", "context_len")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            tot.cast("bigint").alias("tokens_total"),
+            packed.cast("bigint").alias("packed_seqs"),
+            padded.cast("bigint").alias("padded_seqs"),
+            (packed * L - tot).cast("bigint").alias("packed_pad"),
+            (padded * L - tot).cast("bigint").alias("padded_pad"),
+            F.round(1.0 - packed * 1.0 / padded, 4).alias("saved_ratio"),
+        )
+        .orderBy("lang", "context_len")
+    )

@@ -366,3 +366,32 @@ def test_sft_mask_closed_form_matches_turn_walk(spark):
     }
     for n in range(1, 100):
         assert got[n] == walk(n), n
+
+
+def test_pack_efficiency_known_values(spark):
+    from takuan_spark.queries.training import ns_pack_efficiency
+    import pandas as pd
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        pd.DataFrame(
+            [
+                # lang en: docs of 10 and 70 words -> T=80
+                {"doc_id": 1, "lang": "en", "source": "s",
+                 "text": " ".join(["w"] * 10), "n_chars": 0},
+                {"doc_id": 2, "lang": "en", "source": "s",
+                 "text": " ".join(["w"] * 70), "n_chars": 0},
+            ]
+        ).to_parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            (r["lang"], r["context_len"]): r
+            for r in ns_pack_efficiency(spark, d).collect()
+        }
+    r64 = got[("en", 64)]
+    # packed: ceil(80/64)=2; padded: ceil(10/64)+ceil(70/64)=1+2=3
+    assert r64["packed_seqs"] == 2 and r64["padded_seqs"] == 3
+    assert r64["packed_pad"] == 2 * 64 - 80
+    assert r64["padded_pad"] == 3 * 64 - 80
+    assert r64["saved_ratio"] == round(1 - 2 / 3, 4)
+    r512 = got[("en", 512)]
+    assert r512["packed_seqs"] == 1 and r512["padded_seqs"] == 2
