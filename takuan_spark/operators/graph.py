@@ -398,3 +398,74 @@ def kcore_peel_sql(edges_cte: str, *, k: int = 3, rounds: int = 3) -> str:
         SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
     ) GROUP BY node
     """
+
+
+#: Hub cap for link-prediction wedge centers: a center of degree d
+#: spawns d^2/2 wedges, so hubs above this degree never enumerate
+#: (the max_df/max_bucket discipline applied to graphs). Shared with
+#: the oracle SQL so both engines prune identically.
+LP_MAX_CENTER_DEGREE = 64
+
+
+def link_prediction(
+    edges: DataFrame,
+    *,
+    max_center_degree: int = LP_MAX_CENTER_DEGREE,
+    k: int = 20,
+) -> DataFrame:
+    """Common-neighbor Jaccard link prediction: score non-adjacent node
+    pairs by |N(a) & N(b)| / |N(a) | N(b)| and return the top ``k``
+    candidate links (deterministic total order: score desc, a, b).
+
+    Scale shape: candidate pairs are enumerated as WEDGES through a
+    shared neighbor, so only nodes at distance 2 ever meet — never
+    all-pairs. Wedge count is sum(d(x)^2) over centers, so hubs are
+    capped: only centers with degree <= ``max_center_degree`` spawn
+    wedges (the same stop-key discipline as max_df/max_bucket in the
+    dedup family). Common-neighbor counts are therefore a lower bound
+    when a pair's only shared neighbors are hubs — the documented
+    dropped-mass contract; endpoint degrees in the denominator stay
+    exact. One wedge self-join + one count aggregate + an anti-join
+    against the edge set; top-k is TakeOrderedAndProject.
+    """
+    e = materialize(edges.select("u", "v"))
+    adj = e.select(F.col("u").alias("x"), F.col("v").alias("n")).unionAll(
+        e.select(F.col("v").alias("x"), F.col("u").alias("n"))
+    )
+    deg = adj.groupBy(F.col("x").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    centers = deg.where(F.col("d") <= max_center_degree).select(
+        F.col("node").alias("x")
+    )
+    cadj = adj.join(centers, "x")
+    left = cadj.select("x", F.col("n").alias("a"))
+    right = cadj.select("x", F.col("n").alias("b"))
+    cn = (
+        left.join(right, "x")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cn"))
+    )
+    cand = (
+        cn.join(
+            e.select(F.col("u").alias("a"), F.col("v").alias("b")),
+            ["a", "b"],
+            "left_anti",
+        )
+        .join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    )
+    return (
+        cand.select(
+            "a",
+            "b",
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            F.round(
+                F.col("cn") * 1.0 / (F.col("da") + F.col("db") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "a", "b")
+        .limit(k)
+    )

@@ -282,3 +282,56 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, group_col="l_orderkey", item_col="l_partkey", min_count=2
     )
     return graph.kcore_peel(edges, k=3, rounds=3).orderBy("node")
+
+
+@query(
+    "q_graph_link_prediction",
+    f"""
+    WITH {_EDGES_CTE},
+    adj AS (
+        SELECT u AS x, v AS n FROM e UNION ALL SELECT v, u FROM e
+    ),
+    deg AS (SELECT x AS node, COUNT(*) AS d FROM adj GROUP BY 1),
+    centers AS (
+        SELECT node FROM deg WHERE d <= {graph.LP_MAX_CENTER_DEGREE}
+    ),
+    cadj AS (
+        SELECT adj.x, adj.n FROM adj JOIN centers ON adj.x = centers.node
+    ),
+    cn AS (
+        SELECT a.n AS a, b.n AS b, COUNT(*) AS cn
+        FROM cadj a JOIN cadj b ON a.x = b.x AND a.n < b.n
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT cn.a, cn.b, cn.cn, da.d AS da, db.d AS db
+        FROM cn
+        JOIN deg da ON cn.a = da.node
+        JOIN deg db ON cn.b = db.node
+        WHERE NOT EXISTS (
+            SELECT 1 FROM e WHERE e.u = cn.a AND e.v = cn.b
+        )
+    )
+    SELECT a, b, CAST(cn AS BIGINT) AS common_neighbors,
+           ROUND(cn * 1.0 / (da + db - cn), 6) AS jaccard
+    FROM cand
+    ORDER BY jaccard DESC, a, b
+    LIMIT 20
+    """,
+    "Link prediction over the part co-purchase graph: top-20 "
+    "non-adjacent pairs by common-neighbor Jaccard. Candidates are "
+    "enumerated as wedges through shared neighbors (distance-2 only, "
+    "never all-pairs) with hub centers capped at degree "
+    "64 — the same stop-key discipline as max_df in the dedup family; "
+    "counts through dropped hubs are the documented lower-bound "
+    "contract. Anti-join removes existing edges; top-k is "
+    "TakeOrderedAndProject with a total (score, a, b) order.",
+)
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(
+        li, group_col="l_orderkey", item_col="l_partkey", min_count=2
+    )
+    return graph.link_prediction(
+        edges, max_center_degree=graph.LP_MAX_CENTER_DEGREE, k=20
+    )

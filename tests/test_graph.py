@@ -142,3 +142,29 @@ def test_kcore_peel_zero_rounds_is_identity_degrees(spark):
     }
     want = {(r.node, r.d) for r in degrees(edges).collect()}
     assert got == want
+
+
+def test_link_prediction_known_graph(spark):
+    # 1-2, 1-3, 2-3, 2-4, 3-4, 4-5: non-adjacent (1,4) shares {2,3};
+    # (2,5) and (3,5) share {4}; (1,5) shares nothing.
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5)])
+    got = [tuple(r) for r in graph.link_prediction(e).collect()]
+    assert got == [
+        (1, 4, 2, round(2 / 3, 6)),
+        (2, 5, 1, round(1 / 3, 6)),
+        (3, 5, 1, round(1 / 3, 6)),
+    ]
+
+
+def test_link_prediction_hub_cap_drops_wedges(spark):
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5)])
+    # max degree in this graph is 3: a cap of 1 allows only node 5
+    # (degree 1) as a wedge center, and it has no wedge
+    assert graph.link_prediction(e, max_center_degree=1).count() == 0
+    # cap >= max degree changes nothing
+    full = [tuple(r) for r in graph.link_prediction(e).collect()]
+    uncapped = [
+        tuple(r)
+        for r in graph.link_prediction(e, max_center_degree=10**9).collect()
+    ]
+    assert full == uncapped
