@@ -416,3 +416,115 @@ def q_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("r").cast("int").alias("r"))
     )
     return sketches.hll_estimate(merged, group_cols=["day"]).orderBy("day")
+
+
+@query(
+    "ns_quantile_sketch_error",
+    f"""
+    WITH hist AS (
+        SELECT o_orderpriority,
+               CAST(least(greatest(floor((o_totalprice - {_HQ_LO!r})
+                                         / {_HQ_W!r}), 0),
+                          {_HQ_BINS - 1}) AS INT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders WHERE o_totalprice IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT o_orderpriority, bin, c,
+               CAST(SUM(c) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY bin) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY bin) - c AS BIGINT) AS cum0,
+               CAST(SUM(c) OVER (PARTITION BY o_orderpriority)
+                    AS BIGINT) AS total
+        FROM hist
+    ),
+    probes AS (SELECT CAST(unnest([{", ".join(repr(q) for q in _HQ_QS)}])
+                           AS DOUBLE) AS q),
+    est AS (
+        SELECT o_orderpriority, q,
+               floor(({_HQ_LO!r} + bin * {_HQ_W!r}
+                      + {_HQ_W!r} * (q * total - cum0) / c) * 10000.0
+                     + 0.5) / 10000.0 AS est
+        FROM cum, probes
+        WHERE q * total > cum0 AND q * total <= cum
+    ),
+    exact0 AS (
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice,
+                             [{", ".join(repr(q) for q in _HQ_QS)}]) AS exs
+        FROM orders WHERE o_totalprice IS NOT NULL
+        GROUP BY 1
+    ),
+    exact AS (
+        SELECT o_orderpriority,
+               CAST([{", ".join(repr(q) for q in _HQ_QS)}][i]
+                    AS DOUBLE) AS q,
+               floor(exs[i] * 100.0 + 0.5) / 100.0 AS exact
+        FROM exact0, UNNEST(generate_series(1, {len(_HQ_QS)})) AS g(i)
+    )
+    SELECT e.o_orderpriority, e.q, e.est, x.exact,
+           floor(abs(e.est - x.exact) * 100.0 + 0.5) / 100.0 AS abs_err,
+           floor(abs(e.est - x.exact) * 100.0 + 0.5) / 100.0
+               <= {_HQ_W!r} AS within_bin_width
+    FROM est e JOIN exact x
+      ON e.o_orderpriority = x.o_orderpriority AND e.q = x.q
+    ORDER BY e.o_orderpriority, e.q
+    """,
+    "Sketch error audit: the 256-bin histogram-sketch quantile "
+    "estimate (q_quantile_sketch's exact machinery) joined against "
+    "the TRUE interpolated percentile per (priority, q), with the "
+    "absolute error and the <= bin-width acceptance bound — the QC "
+    "row that prices the sketch before it replaces exact percentiles "
+    "at scale (the same ships-with-its-error-audit discipline as "
+    "ns_ann_recall / ns_minhash_recall). The exact side costs the "
+    "whole-group sort the sketch avoids; running both IS the audit.",
+)
+def ns_quantile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()
+    )
+    hist = sketches.histogram_sketch(
+        orders,
+        group_cols=["o_orderpriority"],
+        value_col="o_totalprice",
+        lo=_HQ_LO,
+        hi=_HQ_HI,
+        bins=_HQ_BINS,
+    )
+    est = sketches.histogram_quantiles(
+        hist,
+        group_cols=["o_orderpriority"],
+        lo=_HQ_LO,
+        hi=_HQ_HI,
+        bins=_HQ_BINS,
+        qs=_HQ_QS,
+    )
+    qs_arr = F.array(*[F.lit(float(q)) for q in _HQ_QS])
+    exact = (
+        orders.groupBy("o_orderpriority")
+        .agg(F.percentile("o_totalprice", qs_arr).alias("ex"))
+        .select(
+            "o_orderpriority",
+            F.explode(F.arrays_zip(qs_arr.alias("q"), F.col("ex").alias("v"))).alias("z"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("z.q").alias("q"),
+            (F.floor(F.col("z.v") * 100.0 + 0.5) / 100.0).alias("exact"),
+        )
+    )
+    err = F.floor(F.abs(F.col("est") - F.col("exact")) * 100.0 + 0.5) / 100.0
+    return (
+        est.join(exact, ["o_orderpriority", "q"])
+        .select(
+            "o_orderpriority",
+            "q",
+            "est",
+            "exact",
+            err.alias("abs_err"),
+            (err <= F.lit(_HQ_W)).alias("within_bin_width"),
+        )
+        .orderBy("o_orderpriority", "q")
+    )
