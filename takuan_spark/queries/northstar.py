@@ -2178,3 +2178,136 @@ def ns_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("_r.*")
         .orderBy(F.desc("bands"))
     )
+
+
+_SIMHASH_TUNE_RADII = list(range(0, 7))
+
+
+@query(
+    "ns_simhash_radius_tuning",
+    f"""
+    WITH toks0 AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    sh0 AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks0,
+             UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+    ),
+    rare AS (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 64
+    ),
+    shx AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
+    cntx AS (SELECT doc_id, COUNT(*) AS n_sh FROM shx GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM shx a JOIN shx b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b,
+               ROUND(i * 1.0 / (ca.n_sh + cb.n_sh - i), 6) AS jaccard
+        FROM inter
+        JOIN cntx ca ON id_a = ca.doc_id
+        JOIN cntx cb ON id_b = cb.doc_id
+    ),
+    wt AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')) AS tok
+        FROM documents
+    ),
+    th AS (SELECT doc_id, {sql_md5_int('tok', hex_chars=15)} AS h FROM wt),
+    bs AS (
+        SELECT doc_id, g.i AS i, COUNT(*) AS n, SUM((h >> g.i) & 1) AS s
+        FROM th CROSS JOIN UNNEST(generate_series(0, 59)) AS g(i)
+        GROUP BY doc_id, g.i
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN 2 * s > n THEN (CAST(1 AS BIGINT) << i)
+                             ELSE 0 END) AS BIGINT) AS sh
+        FROM bs GROUP BY doc_id
+    ),
+    ph AS (
+        SELECT p.jaccard,
+               CAST(bit_count(xor(sa.sh, sb.sh)) AS INT) AS hamming
+        FROM pairs p
+        JOIN sig sa ON p.id_a = sa.doc_id
+        JOIN sig sb ON p.id_b = sb.doc_id
+    ),
+    grid AS (SELECT g.r FROM UNNEST(generate_series(0, 6)) AS g(r))
+    SELECT r AS radius,
+           CAST(SUM(CASE WHEN hamming <= r THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_candidates,
+           CAST(SUM(CASE WHEN hamming <= r AND jaccard >= 0.7
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           ROUND(SUM(CASE WHEN hamming <= r AND jaccard >= 0.7
+                     THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(SUM(CASE WHEN jaccard >= 0.7
+                              THEN 1 ELSE 0 END), 0), 4) AS recall,
+           ROUND(SUM(CASE WHEN hamming <= r AND jaccard >= 0.7
+                     THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(SUM(CASE WHEN hamming <= r THEN 1 ELSE 0 END),
+                          0), 4) AS precision
+    FROM ph CROSS JOIN grid
+    GROUP BY r
+    ORDER BY radius
+    """,
+    "SimHash radius calibration: for Hamming cutoffs 0..6 over the "
+    "60-bit md5-derived SimHash, candidate count, recall and precision "
+    "of true near-dups (Jaccard >= 0.7) measured on the corpus' "
+    "observed pair-similarity distribution — the companion planner to "
+    "ns_lsh_band_tuning (bands x rows for MinHash; radius for "
+    "SimHash). One pass: every observed pair carries its hamming + "
+    "jaccard, the 7-radius grid is a broadcast explode, counts are "
+    "conditional aggregates.",
+)
+def ns_simhash_radius_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.0, max_df=64)
+    sig = dedup.simhash(docs, bits=60)
+    ph = (
+        pairs.join(
+            sig.select(F.col("doc_id").alias("id_a"),
+                       F.col("simhash").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("id_b"),
+                       F.col("simhash").alias("sh_b")),
+            "id_b",
+        )
+        .select(
+            "jaccard",
+            dedup.hamming_distance(
+                F.col("sh_a"), F.col("sh_b")
+            ).cast("int").alias("hamming"),
+        )
+    )
+    grid = ph.withColumn(
+        "radius",
+        F.explode(F.array(*[F.lit(r) for r in _SIMHASH_TUNE_RADII])),
+    )
+    within = (F.col("hamming") <= F.col("radius")).cast("bigint")
+    true_p = (F.col("jaccard") >= 0.7).cast("bigint")
+    return (
+        grid.groupBy("radius")
+        .agg(
+            F.sum(within).cast("bigint").alias("n_candidates"),
+            F.sum(within * true_p).cast("bigint").alias("n_true"),
+            F.round(
+                F.sum(within * true_p) * 1.0
+                / F.when(F.sum(true_p) > 0, F.sum(true_p)),
+                4,
+            ).alias("recall"),
+            F.round(
+                F.sum(within * true_p) * 1.0
+                / F.when(F.sum(within) > 0, F.sum(within)),
+                4,
+            ).alias("precision"),
+        )
+        .orderBy("radius")
+    )
