@@ -2311,3 +2311,74 @@ def ns_simhash_radius_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("radius")
     )
+
+
+_VOCAB_COVERAGE_KS = [4, 8, 16, 32]
+
+
+@query(
+    "ns_vocab_coverage",
+    """
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    ranked AS (
+        SELECT tok, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rn
+        FROM cnt
+    ),
+    grid AS (SELECT g.k FROM UNNEST([4, 8, 16, 32]) AS g(k))
+    SELECT k AS vocab_k,
+           CAST(SUM(CASE WHEN rn <= k THEN 1 ELSE 0 END) AS BIGINT)
+               AS vocab_used,
+           CAST(SUM(CASE WHEN rn <= k THEN c ELSE 0 END) AS BIGINT)
+               AS covered_tokens,
+           CAST(SUM(c) AS BIGINT) AS total_tokens,
+           ROUND(SUM(CASE WHEN rn <= k THEN c ELSE 0 END) * 1.0
+                 / SUM(c), 6) AS coverage
+    FROM ranked CROSS JOIN grid
+    GROUP BY k
+    ORDER BY vocab_k
+    """,
+    "Vocabulary-size planner: token-mass coverage at top-k vocab "
+    "cutoffs (k = 4/8/16/32), ranked by frequency with a deterministic "
+    "(count desc, token) tiebreak — the curve read before fixing a "
+    "tokenizer vocab size (complements ns_vocab_oov, which rates ONE "
+    "fixed vocab). Scale shape: the count shuffle is combiner-reduced "
+    "to vocab-sized state, and the rank window runs over DISTINCT "
+    "tokens only — vocab-sized, not corpus-sized, the same bound every "
+    "BPE trainer accepts; the k grid is conditional aggregates in one "
+    "pass.",
+)
+def ns_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(text.words(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(F.lit(1)).orderBy(F.desc("c"), F.asc("tok"))
+    )
+    ranked = cnt.select("c", rn.alias("rn")).withColumn(
+        "vocab_k",
+        F.explode(F.array(*[F.lit(k) for k in _VOCAB_COVERAGE_KS])),
+    )
+    ink = (F.col("rn") <= F.col("vocab_k")).cast("bigint")
+    return (
+        ranked.groupBy("vocab_k")
+        .agg(
+            F.sum(ink).cast("bigint").alias("vocab_used"),
+            F.sum(ink * F.col("c")).cast("bigint").alias("covered_tokens"),
+            F.sum("c").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum(ink * F.col("c")) * 1.0 / F.sum("c"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("vocab_k")
+    )
