@@ -558,3 +558,48 @@ def q_stream_session_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "q_stream_moments_fold",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice) / COUNT(*), 4) AS mean,
+           ROUND(sqrt((SUM(o_totalprice * o_totalprice)
+                       - SUM(o_totalprice) * SUM(o_totalprice) / COUNT(*))
+                      / NULLIF(COUNT(*) - 1, 0)), 4) AS std
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "Streaming moments maintainer, driver-checked: 4 epochs of orders "
+    "through the REAL moments_sink (per-epoch power sums n/s1/s2, "
+    "dynamic partition overwrite) then the REAL merged_moments fold — "
+    "green proves the parallel-variance algebra: partials merge by "
+    "plain addition and the power-sum identity recovers mean and "
+    "sample std equal to the all-at-once computation (the oracle "
+    "derives both from the same identity over raw rows; 4-decimal "
+    "rounding absorbs IEEE summation-order jitter).",
+)
+def q_stream_moments_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.streaming.moments_stream import (
+        merged_moments,
+        moments_sink,
+    )
+
+    table = _scratch(sf_dir, "moments")
+    orders = load_table(spark, sf_dir, "orders")
+    sink = moments_sink(
+        table, group_cols=["o_orderpriority"], value_col="o_totalprice"
+    )
+    for e in range(_N_EPOCHS):
+        sink(
+            orders.where(
+                F.pmod(F.col("o_orderkey"), F.lit(_N_EPOCHS)) == e
+            ),
+            e,
+        )
+    return merged_moments(
+        spark, table, group_cols=["o_orderpriority"]
+    ).orderBy("o_orderpriority")
