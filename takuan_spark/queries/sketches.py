@@ -528,3 +528,81 @@ def ns_quantile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "q")
     )
+
+
+@query(
+    "ns_cardinality_sketch_error",
+    f"""
+    WITH {_TOKS_CTE},
+    kmv AS (SELECT * FROM (
+        {sketches.kmv_oracle_sql(source_expr="toks", group_col="source",
+                                 value_col="tok", k=16)}
+    )),
+    hll AS (SELECT * FROM (
+        {sketches.hll_oracle_sql(source_expr="toks", group_col="source",
+                                 value_col="tok")}
+    )),
+    exact AS (
+        SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT)
+                   AS exact_distinct
+        FROM toks GROUP BY 1
+    )
+    SELECT 'hll' AS sketch, h.source,
+           CAST(h.est_distinct AS DOUBLE) AS est_distinct,
+           e.exact_distinct,
+           ROUND(abs(h.est_distinct - e.exact_distinct)
+                 / e.exact_distinct, 4) AS rel_err
+    FROM hll h JOIN exact e USING (source)
+    UNION ALL
+    SELECT 'kmv', k.source, CAST(k.est_distinct AS DOUBLE),
+           e.exact_distinct,
+           ROUND(abs(k.est_distinct - e.exact_distinct) * 1.0
+                 / e.exact_distinct, 4)
+    FROM kmv k JOIN exact e USING (source)
+    ORDER BY sketch, source
+    """,
+    "Cardinality-sketch error panel: KMV (k=16, estimator path) and "
+    "HLL (m=64) distinct-token estimates joined against the exact "
+    "per-source distinct count, with relative error — the audit that "
+    "prices each sketch before it replaces COUNT(DISTINCT) at scale "
+    "(completing the error-audit discipline across the sketch family "
+    "alongside ns_quantile_sketch_error). The exact side costs the "
+    "distinct shuffle the sketches avoid; running both IS the audit.",
+)
+def ns_cardinality_sketch_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(words(F.col("text"))).alias("tok")
+    )
+    exact = toks.groupBy("source").agg(
+        F.count_distinct("tok").cast("bigint").alias("exact_distinct")
+    )
+    kmv = sketches.kmv_distinct(
+        toks, group_cols=["source"], value_col="tok", k=16
+    ).select("source", "est_distinct")
+    hll = sketches.hll_distinct(
+        toks, group_cols=["source"], value_col="tok"
+    ).select("source", "est_distinct")
+
+    def _panel(est: DataFrame, label: str) -> DataFrame:
+        j = est.join(exact, "source")
+        return j.select(
+            F.lit(label).alias("sketch"),
+            "source",
+            F.col("est_distinct").cast("double").alias("est_distinct"),
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                * 1.0
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+
+    return (
+        _panel(hll, "hll")
+        .unionAll(_panel(kmv, "kmv"))
+        .orderBy("sketch", "source")
+    )
