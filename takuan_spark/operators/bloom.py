@@ -49,6 +49,26 @@ def _bucket(key: Column, j: int, mbits: int, family: str = "md5") -> Column:
     ).cast("int")
 
 
+def bloom_buckets(
+    keys: DataFrame,
+    *,
+    key_col: str,
+    mbits: int = 1024,
+    k: int = 3,
+    family: str = "md5",
+) -> DataFrame:
+    """``(b int)`` occupied-bucket rows (duplicates included) for a key
+    set under ``k`` hash functions — the pre-aggregation form shared by
+    :func:`bloom_build` and the streaming bucket sink."""
+    return keys.where(F.col(key_col).isNotNull()).select(
+        F.explode(
+            F.array(
+                *[_bucket(F.col(key_col), j, mbits, family) for j in range(k)]
+            )
+        ).alias("b")
+    )
+
+
 def bloom_build(
     keys: DataFrame,
     *,
@@ -61,12 +81,8 @@ def bloom_build(
     ids occupied by the key set under ``k`` hash functions. Bounded by
     ``mbits`` whatever the key count — that bound is what makes it
     broadcastable when the dim is too big to broadcast raw."""
-    buckets = keys.where(F.col(key_col).isNotNull()).select(
-        F.explode(
-            F.array(
-                *[_bucket(F.col(key_col), j, mbits, family) for j in range(k)]
-            )
-        ).alias("b")
+    buckets = bloom_buckets(
+        keys, key_col=key_col, mbits=mbits, k=k, family=family
     )
     return buckets.agg(F.sort_array(F.collect_set("b")).alias("bloom"))
 

@@ -84,3 +84,90 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         (F.col("n_bloom_pass") - F.col("n_exact")).alias("n_false_pos"),
     )
+
+
+_BLOOM_FOLD_SQL = f"""
+    WITH eu AS (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    occupied AS (
+        SELECT DISTINCT b
+        FROM eu, UNNEST([{_BUCKETS_EU}]) AS u(b)
+    ),
+    bl AS (SELECT list_sort(list(b)) AS bloom FROM occupied),
+    pass AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_bloom_pass
+        FROM lineitem, bl
+        WHERE {_FACT_PRED}
+    ),
+    exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM eu)
+    )
+    SELECT n_bloom_pass, n_exact,
+           n_bloom_pass - n_exact AS n_false_pos
+    FROM pass, exact
+"""
+
+
+@query(
+    "q_stream_bloom_fold",
+    # the batch prefilter's oracle verbatim: the epoch split of the dim
+    # keys is invisible to the folded bucket union (OR-merge algebra)
+    _BLOOM_FOLD_SQL,
+    "Streaming Bloom-filter maintainer, driver-checked: the EUROPE "
+    "supplier keys arrive in 4 epochs through the REAL "
+    "bloom_bucket_sink (distinct occupied buckets per epoch, <= mbits "
+    "rows each, dynamic partition overwrite) and the REAL merged_bloom "
+    "fold rebuilds the filter by distinct-union — green proves the "
+    "OR-merge algebra: the maintained filter passes the IDENTICAL "
+    "fact-row set (false positives included) as the batch-built "
+    "filter, so a runtime-filtered join can keep its dim filter fresh "
+    "per batch without ever rebuilding from key history.",
+)
+def q_stream_bloom_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from takuan_spark.streaming.bloom_stream import (
+        bloom_bucket_sink,
+        merged_bloom,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    table = os.path.join(tempfile.gettempdir(), f"takuan_bloom_fold_{tag}")
+    shutil.rmtree(table, ignore_errors=True)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey")
+    )
+    sink = bloom_bucket_sink(
+        table, key_col="s_suppkey", mbits=_MBITS, k=_K
+    )
+    for e in range(4):
+        sink(eu.where(F.pmod(F.col("s_suppkey"), F.lit(4)) == e), e)
+    bl = merged_bloom(spark, table)
+    passed = bloom.bloom_prefilter(
+        li.select("l_suppkey"), bl, key_col="l_suppkey", mbits=_MBITS, k=_K
+    ).agg(F.count("*").alias("n_bloom_pass"))
+    exact = (
+        li.select("l_suppkey")
+        .join(eu, li.l_suppkey == eu.s_suppkey, "left_semi")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return passed.crossJoin(exact).select(
+        "n_bloom_pass",
+        "n_exact",
+        (F.col("n_bloom_pass") - F.col("n_exact")).alias("n_false_pos"),
+    )
