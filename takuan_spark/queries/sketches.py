@@ -606,3 +606,91 @@ def ns_cardinality_sketch_error(
         .unionAll(_panel(kmv, "kmv"))
         .orderBy("sketch", "source")
     )
+
+
+@query(
+    "ns_cms_error",
+    f"""
+    WITH {_TOKS_CTE},
+    plane AS (
+        SELECT source, tok, r.j AS row
+        FROM toks CROSS JOIN UNNEST(generate_series(0, 3)) AS r(j)
+    ),
+    counters AS (
+        SELECT source, row,
+               CAST({sql_md5_lane_int("tok", "row")} % 256 AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM plane GROUP BY 1, 2, 3
+    ),
+    probes AS (
+        SELECT t.term, r.j AS row,
+               CAST({sql_md5_lane_int("t.term", "r.j")} % 256 AS INT) AS bucket
+        FROM (VALUES {", ".join(f"('{t}')" for t in _CMS_TERMS)}) AS t(term)
+        CROSS JOIN UNNEST(generate_series(0, 3)) AS r(j)
+    ),
+    grid AS (
+        SELECT g.source, p.term, p.row, p.bucket
+        FROM (SELECT DISTINCT source FROM counters) g CROSS JOIN probes p
+    ),
+    est AS (
+        SELECT grid.source, grid.term,
+               CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est_count
+        FROM grid LEFT JOIN counters c
+          ON c.source = grid.source AND c.row = grid.row
+         AND c.bucket = grid.bucket
+        GROUP BY grid.source, grid.term
+    ),
+    exact AS (
+        SELECT source, tok AS term, CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM toks
+        WHERE tok IN ({", ".join(f"'{t}'" for t in _CMS_TERMS)})
+        GROUP BY 1, 2
+    )
+    SELECT e.source, e.term, e.est_count,
+           COALESCE(x.exact_count, 0) AS exact_count,
+           e.est_count - COALESCE(x.exact_count, 0) AS overcount,
+           e.est_count >= COALESCE(x.exact_count, 0) AS one_sided_ok
+    FROM est e LEFT JOIN exact x
+      ON e.source = x.source AND e.term = x.term
+    ORDER BY e.source, e.term
+    """,
+    "CMS error audit: the 4x256 count-min point estimates for the 10 "
+    "probe terms joined against exact term counts — overcount "
+    "(collision mass) per (source, term) and the one-sided guarantee "
+    "(CMS never underestimates) checked as a column. Completes the "
+    "error-audit set for every sketch family (quantile, cardinality, "
+    "frequency). Absent terms estimate from collisions alone; exact "
+    "side defaults 0 via LEFT join.",
+)
+def ns_cms_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(words(F.col("text"))).alias("tok")
+    )
+    counters = sketches.cms_counters(
+        toks, group_cols=["source"], value_col="tok", depth=4, width=256
+    )
+    probes = docs.sparkSession.createDataFrame(
+        [(t,) for t in _CMS_TERMS], "term string"
+    )
+    est = sketches.cms_estimate(
+        counters, probes, group_cols=["source"], depth=4, width=256
+    )
+    exact = (
+        toks.where(F.col("tok").isin(_CMS_TERMS))
+        .groupBy("source", F.col("tok").alias("term"))
+        .agg(F.count("*").cast("bigint").alias("exact_count"))
+    )
+    ex = F.coalesce(F.col("exact_count"), F.lit(0).cast("bigint"))
+    return (
+        est.join(exact, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            "est_count",
+            ex.alias("exact_count"),
+            (F.col("est_count") - ex).cast("bigint").alias("overcount"),
+            (F.col("est_count") >= ex).alias("one_sided_ok"),
+        )
+        .orderBy("source", "term")
+    )
