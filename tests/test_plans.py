@@ -649,3 +649,72 @@ def test_token_dropout_no_wide_shuffle(spark, sf_dir):
     assert "Sort" not in tree_of(plan)
     parts = re.findall(r"Arguments: (\w+Partitioning)", plan)
     assert parts and set(parts) == {"RoundRobinPartitioning"}, parts
+
+
+def test_gopher_rules_flags_have_no_shuffle(spark, sf_dir):
+    from takuan_spark.operators.curation import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(gopher_rules(docs, stopwords=["the", "a"]))
+    # five codegen rules + one Arrow pass: a pure projection — the
+    # per-doc flags must not shuffle anything
+    assert "Exchange" not in tree_of(plan)
+    # and the battery report itself adds exactly the one 8-row agg
+    qplan = plan_of(REGISTRY["ns_gopher_rules"].builder(spark, sf_dir))
+    assert tree_of(qplan).count("Exchange") == 1
+
+
+def test_sft_mask_stats_single_exchange_and_pruned_scan(spark, sf_dir):
+    plan = plan_of(REGISTRY["ns_sft_mask_stats"].builder(spark, sf_dir))
+    # closed-form arithmetic -> one groupBy(source) agg exchange plus
+    # only the final orderBy's range exchange
+    assert tree_of(plan).count("Exchange") == 2
+    assert plan.count("rangepartitioning") == 1
+    read_schema = re.search(r"ReadSchema: ([^\n]+)", plan).group(1)
+    assert "text" in read_schema and "lang" not in read_schema
+    assert "partial_sum" in plan  # map-side combine
+
+
+def test_pack_efficiency_single_combiner_exchange(spark, sf_dir):
+    plan = plan_of(REGISTRY["ns_pack_efficiency"].builder(spark, sf_dir))
+    # explode(4 lengths) then ONE (lang, L)-keyed agg with map-side
+    # combine; the only other exchange is the final orderBy's
+    assert tree_of(plan).count("Exchange") == 2
+    assert plan.count("rangepartitioning") == 1
+    assert "partial_sum" in plan
+
+
+def test_link_prediction_wedge_join_not_cartesian(spark, sf_dir):
+    from takuan_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(
+        li, group_col="l_orderkey", item_col="l_partkey", min_count=2
+    )
+    plan = plan_of(graph.link_prediction(edges))
+    t = tree_of(plan)
+    # wedges come from an equi-join on the shared center, candidates
+    # are anti-joined against edges, and top-k never global-sorts
+    assert "CartesianProduct" not in t and "BroadcastNestedLoopJoin" not in t
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in t
+
+
+def test_moments_fold_reader_is_one_aggregation(spark, sf_dir, tmp_path):
+    from takuan_spark.streaming.moments_stream import (
+        merged_moments,
+        moments_sink,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    table = str(tmp_path / "moments")
+    sink = moments_sink(
+        table, group_cols=["o_orderpriority"], value_col="o_totalprice"
+    )
+    sink(orders, 0)
+    plan = plan_of(
+        merged_moments(spark, table, group_cols=["o_orderpriority"])
+    )
+    # the fold reads (group x epoch) partials and does ONE agg exchange
+    assert tree_of(plan).count("Exchange") == 1
+    assert "partial_sum" in plan
