@@ -405,3 +405,51 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mx").alias("max_gap_secs"),
         F.round(F.sqrt(var) / (sxd / nd), 6).alias("gap_cv"),
     ).orderBy("user_id")
+
+
+@query(
+    "q_seasonality_profile",
+    """
+    WITH hourly AS (
+        SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS total
+        FROM hourly GROUP BY 1
+    )
+    SELECT h.event_type, h.hour, h.n_events,
+           ROUND(h.n_events * 1.0 / t.total, 6) AS hour_share,
+           ROUND(h.n_events * 24.0 / t.total, 4) AS lift_vs_uniform
+    FROM hourly h JOIN tot t USING (event_type)
+    ORDER BY h.event_type, h.hour
+    """,
+    "Diurnal seasonality profile: per (event_type, hour-of-day) event "
+    "count, share of the type's volume, and lift vs a uniform 24-hour "
+    "baseline — the seasonal-naive decomposition read before tuning "
+    "windowed alert thresholds. Two combiner-friendly aggregations "
+    "(the second over the 24-row-per-type grid); ratios derive from "
+    "exact integer counts so the doubles round identically in both "
+    "engines.",
+)
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour")
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    total = F.sum("n_events").over(
+        Window.partitionBy("event_type")
+    )
+    return hourly.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round(F.col("n_events") * 1.0 / total, 6).alias("hour_share"),
+        F.round(F.col("n_events") * 24.0 / total, 4).alias(
+            "lift_vs_uniform"
+        ),
+    ).orderBy("event_type", "hour")
