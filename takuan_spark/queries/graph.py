@@ -335,3 +335,49 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.link_prediction(
         edges, max_center_degree=graph.LP_MAX_CENTER_DEGREE, k=20
     )
+
+
+@query(
+    "q_graph_adamic_adar",
+    f"""
+    WITH {_EDGES_CTE},
+    adj AS (
+        SELECT u AS x, v AS n FROM e UNION ALL SELECT v, u FROM e
+    ),
+    deg AS (SELECT x AS node, COUNT(*) AS d FROM adj GROUP BY 1),
+    centers AS (
+        SELECT node, d FROM deg WHERE d <= {graph.LP_MAX_CENTER_DEGREE}
+    ),
+    cadj AS (
+        SELECT adj.x, centers.d AS dx, adj.n
+        FROM adj JOIN centers ON adj.x = centers.node
+    ),
+    scored AS (
+        SELECT a.n AS a, b.n AS b,
+               CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+               ROUND(SUM(1.0 / ln(CAST(a.dx AS DOUBLE))), 4) AS aa_score
+        FROM cadj a JOIN cadj b ON a.x = b.x AND a.n < b.n
+        GROUP BY 1, 2
+    )
+    SELECT s.a, s.b, s.common_neighbors, s.aa_score
+    FROM scored s
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = s.a AND e.v = s.b)
+    ORDER BY s.aa_score DESC, s.a, s.b
+    LIMIT 20
+    """,
+    "Adamic-Adar link prediction over the part co-purchase graph: "
+    "non-adjacent pairs scored by sum(1/ln(deg(z))) over shared "
+    "neighbors — rare shared neighbors outweigh hubs, the weighted "
+    "sibling of q_graph_link_prediction on the same hub-capped wedge "
+    "machinery (the center's degree rides the wedge row; a wedge "
+    "center always has degree >= 2 so ln never hits 0). Top-20 with a "
+    "total (score, a, b) order.",
+)
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(
+        li, group_col="l_orderkey", item_col="l_partkey", min_count=2
+    )
+    return graph.adamic_adar(
+        edges, max_center_degree=graph.LP_MAX_CENTER_DEGREE, k=20
+    )

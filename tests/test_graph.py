@@ -168,3 +168,19 @@ def test_link_prediction_hub_cap_drops_wedges(spark):
         for r in graph.link_prediction(e, max_center_degree=10**9).collect()
     ]
     assert full == uncapped
+
+
+def test_adamic_adar_known_graph(spark):
+    import math
+
+    # same fixture as link prediction: (1,4) shares {2,3} with
+    # deg(2)=deg(3)=3; (2,5)/(3,5) share {4} with deg(4)=3
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5)])
+    got = [tuple(r) for r in graph.adamic_adar(e).collect()]
+    aa2 = round(2 / math.log(3), 4)
+    aa1 = round(1 / math.log(3), 4)
+    assert got == [
+        (1, 4, 2, aa2),
+        (2, 5, 1, aa1),
+        (3, 5, 1, aa1),
+    ]
