@@ -130,6 +130,7 @@ PRIORITY: list[str] = [
     "q_stream_moments_fold", "ns_cardinality_sketch_error",
     "q_stream_bloom_fold", "ns_cms_error", "ns_minhash_estimate_error",
     "q_seasonality_profile", "q_graph_adamic_adar",
+    "q_stream_minhash_fold",
     # -- 5. r3-stale: -------------------------------------------------
     "q12_priority_by_returnflag", "q16_supplier_count_by_part",
     "q17_small_quantity_revenue", "q18_large_orders",

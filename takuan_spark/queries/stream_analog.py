@@ -603,3 +603,84 @@ def q_stream_moments_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged_moments(
         spark, table, group_cols=["o_orderpriority"]
     ).orderBy("o_orderpriority")
+
+
+_MHF_NH = 64
+
+
+def _mhf_oracle() -> str:
+    from takuan_spark.operators.hashing import MERSENNE31, affine_params
+    from takuan_spark.operators.hashing import sql_md5_int as _md5
+
+    ab_rows = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(affine_params(_MHF_NH))
+    )
+    return f"""
+    WITH toks AS (
+        SELECT source, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks,
+             UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+    ),
+    ab(i, a, b) AS (SELECT * FROM (VALUES {ab_rows}) v(i, a, b)),
+    hs AS (
+        SELECT source, ab.i AS i,
+               MIN((ab.a * {_md5('shingle')} + ab.b) % {MERSENNE31}) AS mh
+        FROM sh CROSS JOIN ab
+        GROUP BY source, ab.i
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           ROUND(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                 / {_MHF_NH}.0, 6) AS est_jaccard
+    FROM hs a JOIN hs b ON a.i = b.i AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+
+
+@query(
+    "q_stream_minhash_fold",
+    _mhf_oracle(),
+    "Streaming MinHash signature maintainer, driver-checked: documents "
+    "arrive in 4 epochs through the REAL minhash_sink (per-epoch "
+    "per-source signature partials — groups x 64 ints, never shingle-"
+    "scale) and the REAL merged_signatures fold takes the element-wise "
+    "MIN, completing the maintainer family's merge-algebra taxonomy "
+    "(sum, max, set-union, interval-union, grid-sum, min). The "
+    "returned pairwise source Jaccard estimates derive from merged "
+    "signatures alone; the oracle recomputes global signatures from "
+    "all shingles with the same md5+affine family — green proves "
+    "min-merge reconstructs the exact global signature.",
+)
+def q_stream_minhash_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.streaming.minhash_stream import (
+        merged_signatures,
+        minhash_sink,
+        signature_pair_similarity,
+    )
+
+    table = _scratch(sf_dir, "minhash_sig")
+    docs = load_table(spark, sf_dir, "documents")
+    sink = minhash_sink(
+        table, group_col="source", num_hashes=_MHF_NH
+    )
+    for e in range(_N_EPOCHS):
+        sink(
+            docs.where(F.pmod(F.col("doc_id"), F.lit(_N_EPOCHS)) == e), e
+        )
+    sigs = merged_signatures(spark, table, group_col="source")
+    return (
+        signature_pair_similarity(
+            sigs, group_col="source", num_hashes=_MHF_NH
+        )
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            "est_jaccard",
+        )
+        .orderBy("source_a", "source_b")
+    )
