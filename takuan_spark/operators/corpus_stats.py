@@ -591,16 +591,28 @@ def dp_histogram(
     epsilon: float = 1.0,
     k_min: int = 5,
     tag: str = "dp",
+    release: bool = False,
 ) -> DataFrame:
     """Differentially-private-style histogram release: per-group
     counts, k-anonymity-suppressed below ``k_min``, plus
     Laplace(1/epsilon) noise (:func:`laplace_noise`, seeded from the
     group key). One hash aggregation — partials combine map-side, the
-    shuffle carries groups; noise is a codegen projection. Output:
-    (group..., true_count suppressed-aware, noisy_count rounded 4dp).
+    shuffle carries groups; noise is a codegen projection.
+
+    ``release=False`` (the oracle/audit shape) outputs
+    (group..., true_count, noisy_count rounded 4dp) — NOT a private
+    release: it carries the exact count next to the noisy one, and the
+    deterministic noise is a pure function of the group key, so anyone
+    holding the tag reconstructs true counts exactly. It exists so the
+    driver can hash-check the mechanism's calibration. A REAL release
+    must (a) pass ``release=True``, which projects ``true_count`` out,
+    and (b) swap ``tag`` for a secret per-release nonce so the noise is
+    unpredictable to the recipient — only then does the Laplace
+    mechanism's epsilon guarantee apply (modulo the k_min suppression,
+    which leaks a below-threshold predicate like any k-anonymity gate).
     """
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
-    return (
+    audited = (
         df.groupBy(*group_cols)
         .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
         .where(F.col("true_count") >= k_min)
@@ -614,3 +626,4 @@ def dp_histogram(
             ).alias("noisy_count"),
         )
     )
+    return audited.drop("true_count") if release else audited

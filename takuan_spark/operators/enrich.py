@@ -233,9 +233,11 @@ def default_rdns_resolver(addr: str) -> str | None:
     """
     import socket
 
+    if addr is None:
+        return None
     try:
         return socket.gethostbyaddr(addr)[0]
-    except OSError:
+    except (OSError, UnicodeError):
         return None
 
 
@@ -274,12 +276,24 @@ def rdns_enrich(
             yield pd.DataFrame(
                 {
                     "_addr": pdf["_addr"],
-                    out_col: [resolver(a) for a in pdf["_addr"]],
+                    # None guard: a NULL address must not reach an
+                    # arbitrary injected resolver (socket.gethostbyaddr
+                    # raises TypeError on None, aborting the stage) —
+                    # the contract is leave-hostname-unset-on-error.
+                    out_col: [
+                        None if a is None else resolver(a)
+                        for a in pdf["_addr"]
+                    ],
                 }
             )
 
     mapping = (
+        # NULL keys are excluded from the resolve map entirely: the
+        # LEFT join below already yields a NULL hostname for NULL
+        # addresses, and shipping a null row into the resolver batch
+        # crashed the whole job under the default resolver.
         events.select(F.col(addr_col).cast("string").alias("_addr"))
+        .where(F.col("_addr").isNotNull())
         .distinct()
         .mapInPandas(_resolve, schema=f"_addr string, {out_col} string")
         .withColumnRenamed("_addr", addr_col)

@@ -67,9 +67,12 @@ def md5_lane_int(
 
 def sql_md5_lane_int(expr: str, lane_expr: str, *, hex_chars: int = 8) -> str:
     """DuckDB spelling of :func:`md5_lane_int`; ``lane_expr`` may be any
-    SQL integer expression (e.g. the unnested row index)."""
+    SQL integer expression (e.g. the unnested row index). ``expr`` is
+    CAST to VARCHAR first — a no-op for string columns, and the mirror
+    of the Spark side's ``cast("string")`` for numeric value columns
+    (both engines render integers identically, so the digests agree)."""
     return (
-        f"CAST(concat('0x', substr(md5({expr}), "
+        f"CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), "
         f"1 + ({lane_expr}) * {hex_chars}, {hex_chars})) AS BIGINT)"
     )
 

@@ -485,6 +485,11 @@ def cms_counters(
 
     The counter grid is depth x width rows per group — fixed-size
     state whatever the distinct cardinality."""
+    if depth > 32:
+        raise ValueError(
+            "depth > 32 leaves zero md5 hex chars per lane (the 32-char "
+            "digest is cut into depth disjoint lanes)"
+        )
     groups = list(group_cols)
     hexc = min(8, 32 // depth)
     lanes = F.array(
@@ -507,7 +512,11 @@ def cms_counters(
         exploded.select(*groups, F.col(value_col).alias("v"))
         .groupBy(*groups, "v")
         .agg(F.count(F.lit(1)).alias("_n"))
-        .withColumn("_d", F.md5("v"))
+        # cast("string") so numeric value columns analyze (md5 requires
+        # BINARY input); a no-op for string columns, so existing hashes
+        # are unchanged, and a numeric value hashes identically to its
+        # decimal-string probe
+        .withColumn("_d", F.md5(F.col("v").cast("string")))
         .select(*groups, "_n", F.explode(lanes).alias("rb"))
         .select(
             *groups,
@@ -557,6 +566,11 @@ def cms_estimate(
     # Catalyst won't reuse the subplan, so unmaterialized the corpus
     # explode + aggregation would execute twice. The grid is depth x
     # width rows per group — cache-sized by construction.
+    if depth > 32:
+        raise ValueError(
+            "depth > 32 leaves zero md5 hex chars per lane (the 32-char "
+            "digest is cut into depth disjoint lanes)"
+        )
     counters = materialize(counters)
     hexc = min(8, 32 // depth)
     lanes = F.array(
@@ -564,7 +578,9 @@ def cms_estimate(
             F.struct(
                 F.lit(j).alias("row"),
                 (
-                    md5_lane_int(F.col("term"), j, hex_chars=hexc)
+                    md5_lane_int(
+                        F.col("term").cast("string"), j, hex_chars=hexc
+                    )
                     % F.lit(width)
                 )
                 .cast("int")

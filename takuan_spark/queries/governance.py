@@ -406,12 +406,15 @@ def ns_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ORDER BY lang, lbucket
     """,
-    "DP-style histogram release over (lang, length-bucket): "
+    "DP-style histogram AUDIT over (lang, length-bucket): "
     "k-suppression below 5, then Laplace(1/epsilon=1) noise from a "
-    "deterministic md5-seeded inverse CDF — reproducible (and "
-    "oracle-checkable) releases; a production nonce swaps in for the "
-    "seed tag without changing the calibration. One map-side-combined "
-    "aggregation; the noise is a codegen projection.",
+    "deterministic md5-seeded inverse CDF. This is the release=False "
+    "audit shape — true_count ships next to noisy_count precisely so "
+    "the driver can hash-check the mechanism, which also means this "
+    "output is NOT private; a real release uses release=True (drops "
+    "true_count) plus a secret per-release nonce for the seed tag "
+    "(operators/corpus_stats.py:dp_histogram docstring). One "
+    "map-side-combined aggregation; the noise is a codegen projection.",
 )
 def ns_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from takuan_spark.operators.corpus_stats import dp_histogram

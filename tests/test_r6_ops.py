@@ -586,3 +586,18 @@ def test_dp_histogram_suppresses_and_is_reproducible(spark):
     # for any u away from the tails
     assert r.noisy_count != r.true_count
     assert abs(r.noisy_count - r.true_count) < 50
+
+
+def test_dp_histogram_release_mode_drops_true_count(spark):
+    # release=True is the actually-publishable projection: the exact
+    # count never leaves the pipeline (the audit shape keeps it only
+    # for the oracle/driver hash check).
+    from takuan_spark.operators.corpus_stats import dp_histogram
+
+    df = spark.createDataFrame(
+        [("en", 0)] * 7, "lang string, lbucket int"
+    )
+    out = dp_histogram(df, ["lang", "lbucket"], k_min=5, release=True)
+    assert out.columns == ["lang", "lbucket", "noisy_count"]
+    audit = dp_histogram(df, ["lang", "lbucket"], k_min=5)
+    assert out.collect()[0].noisy_count == audit.collect()[0].noisy_count

@@ -64,3 +64,28 @@ def test_default_resolver_returns_none_on_failure():
     # a resolver error (herror/gaierror/timeout) must map to None,
     # never raise — the reference's err-guard leaves Hostname unset.
     assert default_rdns_resolver("invalid-not-an-ip") is None
+
+
+def test_default_resolver_none_address():
+    assert default_rdns_resolver(None) is None
+
+
+def test_rdns_null_address_does_not_crash(spark):
+    # NULL addresses must never reach the resolver (a strict resolver
+    # like socket.gethostbyaddr raises TypeError on None, aborting the
+    # stage); the left join leaves hostname NULL for them.
+    def strict(addr: str) -> str:
+        assert addr is not None, "resolver saw a NULL address"
+        return f"ptr-{addr.replace('.', '-')}.example.net"
+
+    ev = spark.createDataFrame(
+        [
+            Row(event_id=1, address="10.0.0.1"),
+            Row(event_id=2, address=None),
+        ]
+    )
+    got = {
+        (r.event_id, r.hostname)
+        for r in rdns_enrich(ev, resolver=strict).collect()
+    }
+    assert got == {(1, "ptr-10-0-0-1.example.net"), (2, None)}

@@ -78,6 +78,45 @@ def test_cms_estimate_upper_bounds_and_zero_for_absent(spark):
     assert out["never-seen"] == 0
 
 
+def test_cms_numeric_value_column_matches_string_probes(spark):
+    # F.md5 requires string/binary input: the counters must cast the
+    # value column, so an INT value column analyzes and hashes
+    # identically to its decimal-string probe.
+    rows = [("s", 42)] * 9 + [("s", 7)] * 3
+    toks = spark.createDataFrame(rows, "source string, tok int")
+    counters = sketches.cms_counters(
+        toks, group_cols=["source"], value_col="tok", depth=4, width=256
+    )
+    probes = spark.createDataFrame([("42",), ("7",)], "term string")
+    out = {
+        r["term"]: r["est_count"]
+        for r in sketches.cms_estimate(
+            counters, probes, group_cols=["source"], depth=4, width=256
+        ).collect()
+    }
+    assert out == {"42": 9, "7": 3}
+
+
+def test_cms_depth_over_32_raises(spark):
+    # depth > 32 would slice zero-length md5 lanes (conv('') -> NULL
+    # buckets, silent sketch corruption) — both entry points refuse.
+    import pytest
+
+    toks = spark.createDataFrame([("s", "a")], "source string, tok string")
+    with pytest.raises(ValueError, match="depth"):
+        sketches.cms_counters(
+            toks, group_cols=["source"], value_col="tok", depth=33, width=8
+        )
+    counters = sketches.cms_counters(
+        toks, group_cols=["source"], value_col="tok", depth=4, width=8
+    )
+    probes = spark.createDataFrame([("a",)], "term string")
+    with pytest.raises(ValueError, match="depth"):
+        sketches.cms_estimate(
+            counters, probes, group_cols=["source"], depth=33, width=8
+        )
+
+
 def test_hll_partition_invariant_and_merge(spark):
     # The estimate must not depend on input partitioning (integer
     # fixed-point harmonic sum), and merging two half-sketches must
