@@ -646,11 +646,19 @@ def _mhf_oracle() -> str:
     "q_stream_minhash_fold",
     _mhf_oracle(),
     "Streaming MinHash signature maintainer, driver-checked: documents "
-    "arrive in 4 epochs through the REAL minhash_sink (per-epoch "
-    "per-source signature partials — groups x 64 ints, never shingle-"
-    "scale) and the REAL merged_signatures fold takes the element-wise "
-    "MIN, completing the maintainer family's merge-algebra taxonomy "
-    "(sum, max, set-union, interval-union, grid-sum, min). The "
+    "are split into 4 epochs, each epoch's signature partials (the "
+    "REAL fold_signature_partials the sink runs — groups x 64 ints, "
+    "never shingle-scale) land in their own dynamically-overwritten "
+    "partition, and the REAL merged_signatures fold takes the element-"
+    "wise MIN, completing the maintainer family's merge-algebra "
+    "taxonomy (sum, max, set-union, interval-union, grid-sum, min). "
+    "The 4-epoch state is BACKFILLED in one job: the corpus is "
+    "shingle-hashed exactly once and one (epoch, source)-grouped "
+    "aggregation emits every epoch's partials (identical rows to "
+    "per-epoch re-shingling — min never crosses group boundaries; "
+    "pytest-proved) into one partitioned write, the at-scale shape "
+    "for bootstrapping maintainer state from history (the incremental "
+    "sink path is stream-tested in tests/test_minhash_stream.py). The "
     "returned pairwise source Jaccard estimates derive from merged "
     "signatures alone; the oracle recomputes global signatures from "
     "all shingles with the same md5+affine family — green proves "
@@ -658,20 +666,32 @@ def _mhf_oracle() -> str:
 )
 def q_stream_minhash_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from takuan_spark.streaming.minhash_stream import (
+        fold_signature_partials,
         merged_signatures,
-        minhash_sink,
+        shingle_hashes,
         signature_pair_similarity,
     )
 
     table = _scratch(sf_dir, "minhash_sig")
-    docs = load_table(spark, sf_dir, "documents")
-    sink = minhash_sink(
-        table, group_col="source", num_hashes=_MHF_NH
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_epoch", F.pmod(F.col("doc_id"), F.lit(_N_EPOCHS))
     )
-    for e in range(_N_EPOCHS):
-        sink(
-            docs.where(F.pmod(F.col("doc_id"), F.lit(_N_EPOCHS)) == e), e
+    # ONE shingle+md5 pass, ONE grouped aggregation over (epoch,
+    # source), ONE partitioned write — the epoch-partition layout (and
+    # every row in it) is exactly what _N_EPOCHS incremental sink
+    # batches would have produced.
+    (
+        fold_signature_partials(
+            shingle_hashes(docs, group_col="source", extra_cols=("_epoch",)),
+            group_col="source",
+            num_hashes=_MHF_NH,
+            extra_group_cols=("_epoch",),
         )
+        .withColumnRenamed("_epoch", "epoch")
+        .write.mode("overwrite")
+        .partitionBy("epoch")
+        .parquet(table)
+    )
     sigs = merged_signatures(spark, table, group_col="source")
     return (
         signature_pair_similarity(

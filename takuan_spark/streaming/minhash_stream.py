@@ -31,33 +31,59 @@ from takuan_spark.operators.hashing import MERSENNE31, affine_params, md5_int
 from takuan_spark.operators.skew import spread
 
 
-def partial_group_signatures(
+def shingle_hashes(
     batch: DataFrame,
     *,
     group_col: str,
     text_col: str = "text",
-    num_hashes: int = 64,
     n: int = 3,
-    seed: int = 42,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Per-batch signature partials: (group, i, mh) — the per-group
-    minimum of each affine map over the batch's shingles. Duplicated
-    shingles cannot move a minimum, so no distinct pass is needed."""
-    params = affine_params(num_hashes, seed=seed)
+    """The corpus-scale pass: (group[, extra...], h) — one md5 per
+    shingle. Split out of :func:`partial_group_signatures` so a caller
+    that folds SEVERAL epoch partials from the same input (the batch
+    analog query) hashes the corpus exactly once and splits the cheap
+    hashed frame, instead of re-shingling per epoch. ``extra_cols``
+    carries split keys (e.g. an epoch tag) through the explode."""
+    cols = [group_col, *extra_cols]
     # spread: the md5-per-shingle map is the cost and the source
     # table's row-group count would cap it at ~2 of 32 cores
     # (measured 9.3 s -> the spread form below; same guard as
     # ns_hll_distinct)
-    sh = spread(batch.select(group_col, text_col)).select(
-        group_col,
-        F.explode(ngram_array(F.col(text_col), n)).alias("shingle"),
-    ).select(group_col, md5_int("shingle").alias("h"))
+    return (
+        spread(batch.select(*cols, text_col))
+        .select(
+            *cols,
+            F.explode(ngram_array(F.col(text_col), n)).alias("shingle"),
+        )
+        .select(*cols, md5_int("shingle").alias("h"))
+    )
+
+
+def fold_signature_partials(
+    hashed: DataFrame,
+    *,
+    group_col: str,
+    num_hashes: int = 64,
+    seed: int = 42,
+    extra_group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Signature partials (extra..., group, i, mh) from a pre-hashed
+    shingle frame (:func:`shingle_hashes` output): the per-group
+    minimum of each affine map. Duplicated shingles cannot move a
+    minimum, so no distinct pass is needed. ``extra_group_cols``
+    (e.g. an epoch tag) lets a batch backfill fold EVERY epoch's
+    partials in one grouped aggregation — the per-(epoch, group) rows
+    are identical to folding each epoch separately, because min never
+    crosses group boundaries."""
+    gcols = [*extra_group_cols, group_col]
+    params = affine_params(num_hashes, seed=seed)
     # 64 min-aggregate EXPRESSIONS over the shingle rows, never a
     # 64-way row explode (the same shape argument as
     # dedup.minhash_signatures: lane-exploding multiplies the shuffle
     # input by num_hashes; measured 6.6x at the 10x probe before this
     # form) — then unpivot the tiny per-group wide row to (group, i, mh)
-    wide = sh.groupBy(group_col).agg(
+    wide = hashed.groupBy(*gcols).agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).alias(
                 f"m{i}"
@@ -75,8 +101,28 @@ def partial_group_signatures(
             ]
         )
     )
-    return wide.select(group_col, lanes.alias("l")).select(
-        group_col, "l.i", "l.mh"
+    return wide.select(*gcols, lanes.alias("l")).select(
+        *gcols, "l.i", "l.mh"
+    )
+
+
+def partial_group_signatures(
+    batch: DataFrame,
+    *,
+    group_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-batch signature partials: (group, i, mh) — shingle-hash the
+    batch (:func:`shingle_hashes`) then min-fold the affine maps
+    (:func:`fold_signature_partials`)."""
+    return fold_signature_partials(
+        shingle_hashes(batch, group_col=group_col, text_col=text_col, n=n),
+        group_col=group_col,
+        num_hashes=num_hashes,
+        seed=seed,
     )
 
 

@@ -93,6 +93,47 @@ def test_replayed_epoch_does_not_change_signatures(spark, env):
     )
 
 
+def test_hash_once_epoch_folds_equal_reshingled_partials(spark):
+    # The batch-analog query shingle-hashes the corpus ONCE and folds
+    # per-epoch slices of the hashed frame; the partials must be
+    # identical to re-shingling each epoch's documents from text
+    # (what the streaming sink does batch-by-batch).
+    from pyspark.sql import functions as F
+
+    from takuan_spark.streaming.minhash_stream import (
+        fold_signature_partials,
+        shingle_hashes,
+    )
+
+    rows = [
+        ("a", i, f"tok{i} tok{i+1} tok{i+2} tok{i+3} tok{i%3}")
+        for i in range(8)
+    ] + [("b", i, f"w{i} w{i+2} w{i+4} w{i+6}") for i in range(8)]
+    docs = spark.createDataFrame(
+        rows, "source string, doc_id long, text string"
+    ).withColumn("_epoch", F.pmod(F.col("doc_id"), F.lit(2)))
+    hashed = shingle_hashes(docs, group_col="source", extra_cols=("_epoch",))
+    # the one-job backfill: all epochs' partials from one aggregation
+    backfill = fold_signature_partials(
+        hashed,
+        group_col="source",
+        num_hashes=NH,
+        extra_group_cols=("_epoch",),
+    )
+    for e in range(2):
+        from_backfill = _sig_rows(
+            backfill.where(F.col("_epoch") == e).drop("_epoch")
+        )
+        from_text = _sig_rows(
+            partial_group_signatures(
+                docs.where(F.col("_epoch") == e).select("source", "text"),
+                group_col="source",
+                num_hashes=NH,
+            )
+        )
+        assert from_backfill == from_text
+
+
 def test_split_invariance(spark, env):
     rows = [("a", f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(6)]
     one, two = _docs(rows[:3]), _docs(rows[3:])
