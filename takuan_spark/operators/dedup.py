@@ -581,9 +581,6 @@ def minhash_lsh_pairs(
     and filtered at ``threshold``. Only same-bucket documents are ever
     joined — the self-join key is (band_index, band_hash).
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows = num_hashes // bands
     sig = materialize(
         minhash_signatures(
             df,
@@ -594,6 +591,31 @@ def minhash_lsh_pairs(
             family=family,
         )
     )
+    return minhash_band_pairs(
+        sig,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    )
+
+
+def minhash_band_pairs(
+    sig: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The banding half of :func:`minhash_lsh_pairs`, starting from an
+    existing signature frame (id, signature array<long>) — e.g. one
+    persisted by :func:`minhash_qc_build` or maintained by the
+    streaming fold. Only same-bucket documents are ever joined; the
+    self-join key is (band_index, band_hash)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
     band_entries = F.array(
         *[
             F.struct(
@@ -624,6 +646,80 @@ def minhash_lsh_pairs(
     return cand.select(
         "id_a", "id_b", F.round(est, 6).alias("est_jaccard")
     ).where(F.col("est_jaccard") >= threshold)
+
+
+def minhash_qc_build(
+    docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = 64,
+    min_threshold: float = 0.2,
+    num_hashes: int = 64,
+    seed: int = 42,
+    rebuild: bool = False,
+    source_id: str | None = None,
+) -> None:
+    """Build the persisted QC artifact the MinHash audit family shares:
+
+    - ``{path}/exact_pairs``: capped exact Jaccard pairs
+      (:func:`jaccard_pairs`, same ``max_df`` contract) at
+      ``jaccard >= min_threshold`` — the floor of every consumer's
+      threshold, so each audit filters the persisted frame instead of
+      re-running pair discovery (rounded-then-compared, identical rows
+      to a direct build at any higher threshold);
+    - ``{path}/signatures``: md5-family MinHash signatures
+      (:func:`minhash_signatures`) — the estimator input and, via
+      :func:`minhash_band_pairs`, the LSH candidate source.
+
+    The QC queries (recall, estimator error, production-family parity)
+    each previously rebuilt overlapping exact-pair sets and signatures
+    from the raw corpus — ~17 s of suite time recomputing identical
+    frames. At 100 TB this is also the honest deployment shape: pair
+    discovery and signatures are index-grade artifacts built once per
+    corpus snapshot; audits consume them. Marker-idempotent like
+    :func:`takuan_spark.operators.similarity.ivf_build`: a matching
+    ``_BUILT.json`` (params + ``source_id``) skips the build, and a
+    regenerated corpus invalidates it."""
+    import os
+
+    from takuan_spark.operators.similarity import (
+        _write_index_marker,
+        current_marker,
+    )
+
+    key = {
+        "op": "minhash_qc",
+        "n": n,
+        "max_df": max_df,
+        "min_j": min_threshold,
+        "nh": num_hashes,
+        "seed": seed,
+        "src": source_id,
+    }
+    if not rebuild and current_marker(path, key) is not None:
+        return
+    os.makedirs(path, exist_ok=True)
+    jaccard_pairs(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        threshold=min_threshold,
+        max_df=max_df,
+    ).write.mode("overwrite").parquet(os.path.join(path, "exact_pairs"))
+    minhash_signatures(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        n=n,
+        seed=seed,
+        family="md5",
+    ).write.mode("overwrite").parquet(os.path.join(path, "signatures"))
+    _write_index_marker(path, key, {})
 
 
 # -------------------------------------------------------------- simhash

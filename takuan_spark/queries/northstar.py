@@ -63,6 +63,31 @@ def _source_id(sf_dir: str, table: str = "embeddings") -> str:
 
 
 
+def _minhash_qc_tables(spark, sf_dir: str):
+    """Build-or-read the shared MinHash QC artifact for ``sf_dir``
+    (operators/dedup.py:minhash_qc_build) and return its two frames:
+    (exact_pairs >= 0.2 with max_df=64, md5 signatures with 64
+    hashes). All three MinHash QC queries consume these instead of
+    re-running pair discovery + signature computation from raw text."""
+    from takuan_spark.operators import dedup as _dedup
+    from takuan_spark.tables import load_table as _lt
+
+    path = f"{_SCRATCH}/minhash_qc_{sf_dir.strip('/').split('/')[-1]}"
+    _dedup.minhash_qc_build(
+        _lt(spark, sf_dir, "documents"),
+        path,
+        n=3,
+        max_df=64,
+        min_threshold=0.2,
+        num_hashes=64,
+        source_id=_source_id(sf_dir, "documents"),
+    )
+    return (
+        spark.read.parquet(f"{path}/exact_pairs"),
+        spark.read.parquet(f"{path}/signatures"),
+    )
+
+
 def _sql_list(vec: list[float]) -> str:
     """A float64 list literal whose DuckDB parse round-trips to the exact
     same doubles Python embeds in the Spark plan (repr is shortest
@@ -1995,21 +2020,22 @@ def ns_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "candidate pairs (64 hashes, 16 bands, est >= 0.7) against exact "
     "3-gram Jaccard >= 0.7 — the sweep that decides whether a banding "
     "operating point is shippable, as a driver row instead of only a "
-    "pytest assertion. Both pair sets come from the REAL operators; "
-    "the overlap is a semi-join of bounded pair frames.",
+    "pytest assertion. Both pair sets come from the REAL operators "
+    "via the shared persisted QC artifact (minhash_qc_build: exact "
+    "pairs + signatures built once per corpus snapshot, audits "
+    "consume them); the overlap is a semi-join of bounded pair "
+    "frames.",
 )
 def ns_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from takuan_spark.operators.skew import materialize
 
-    docs = load_table(spark, sf_dir, "documents")
+    exact, sigs = _minhash_qc_tables(spark, sf_dir)
     truth = materialize(
-        dedup.jaccard_pairs(docs, n=3, threshold=0.7, max_df=64).select(
-            "id_a", "id_b"
-        )
+        exact.where(F.col("jaccard") >= 0.7).select("id_a", "id_b")
     )
     cand = materialize(
-        dedup.minhash_lsh_pairs(
-            docs, num_hashes=64, bands=16, threshold=0.7
+        dedup.minhash_band_pairs(
+            sigs, num_hashes=64, bands=16, threshold=0.7
         ).select("id_a", "id_b")
     )
     hits = cand.join(truth, ["id_a", "id_b"], "left_semi").agg(
@@ -2450,15 +2476,13 @@ _MH_ERR_NH = 64
     "MinHash as an estimator, complementing ns_minhash_recall (the "
     "audit for MinHash as an INDEX). Signatures use full shingle sets "
     "(the estimator's contract); the exact side uses the max_df-capped "
-    "pair discovery. Every approximation in the engine now ships a "
-    "driver-checkable error row.",
+    "pair discovery. Both frames come from the shared persisted QC "
+    "artifact (minhash_qc_build). Every approximation in the engine "
+    "ships a driver-checkable error row.",
 )
 def ns_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(
-        docs, n=3, threshold=0.2, max_df=64
-    ).withColumnRenamed("jaccard", "exact_j")
-    sigs = dedup.minhash_signatures(docs, num_hashes=_MH_ERR_NH)
+    exact, sigs = _minhash_qc_tables(spark, sf_dir)
+    pairs = exact.withColumnRenamed("jaccard", "exact_j")
     j = (
         pairs.join(
             sigs.select(F.col("doc_id").alias("id_a"),

@@ -118,15 +118,20 @@ def _minhash_prod_oracle() -> str:
     "hash check instead of hiding behind a rows-only row.",
 )
 def ns_minhash_prod_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.queries.northstar import _minhash_qc_tables
+
     docs = load_table(spark, sf_dir, "documents")
-
-    def pairs(family: str, flag: str) -> DataFrame:
-        return dedup.minhash_lsh_pairs(
-            docs, num_hashes=64, bands=16, threshold=0.7, family=family
-        ).select("id_a", "id_b", F.lit(1).alias(flag))
-
-    md5 = pairs("md5", "in_md5")
-    xx = pairs("xxhash64", "in_xx")
+    # md5 side from the shared persisted QC artifact (signatures built
+    # once per corpus snapshot, banding from the persisted frame); the
+    # xxhash64 side is computed fresh — it IS the production cost under
+    # measurement.
+    _, sigs = _minhash_qc_tables(spark, sf_dir)
+    md5 = dedup.minhash_band_pairs(
+        sigs, num_hashes=64, bands=16, threshold=0.7
+    ).select("id_a", "id_b", F.lit(1).alias("in_md5"))
+    xx = dedup.minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, threshold=0.7, family="xxhash64"
+    ).select("id_a", "id_b", F.lit(1).alias("in_xx"))
     return (
         md5.join(xx, ["id_a", "id_b"], "full_outer")
         .select(

@@ -64,6 +64,65 @@ def test_minhash_recovers_exact_jaccard_pairs(spark, sf_dir):
         assert abs(mh[pair] - j) < 0.25, (pair, mh[pair], j)
 
 
+def test_minhash_qc_build_artifact_matches_direct_builds(spark, tmp_path):
+    """The persisted QC artifact (exact pairs + signatures) the audit
+    family shares must equal direct operator builds, filter correctly
+    at higher thresholds, and skip rebuilds via the marker."""
+    import os
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i j"),
+        (3, "a b c d e f z z z z"),
+        (4, "totally different words over here now friend"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    path = str(tmp_path / "qc")
+    dedup.minhash_qc_build(docs, path, min_threshold=0.2, num_hashes=16)
+    exact = spark.read.parquet(f"{path}/exact_pairs")
+    sigs = spark.read.parquet(f"{path}/signatures")
+
+    direct_02 = sorted(
+        tuple(r) for r in dedup.jaccard_pairs(
+            docs, threshold=0.2, max_df=64
+        ).collect()
+    )
+    assert sorted(tuple(r) for r in exact.collect()) == direct_02
+    # a >= 0.9 consumer filters the persisted frame to the same rows a
+    # direct 0.9 build yields (rounded-then-compared in both paths)
+    from pyspark.sql import functions as F
+
+    assert sorted(
+        tuple(r) for r in exact.where(F.col("jaccard") >= 0.9).collect()
+    ) == sorted(
+        tuple(r)
+        for r in dedup.jaccard_pairs(docs, threshold=0.9, max_df=64).collect()
+    )
+    direct_sigs = sorted(
+        (r["doc_id"], tuple(r["signature"]))
+        for r in dedup.minhash_signatures(docs, num_hashes=16).collect()
+    )
+    assert sorted(
+        (r["doc_id"], tuple(r["signature"])) for r in sigs.collect()
+    ) == direct_sigs
+    # banding from the persisted signatures == the from-text LSH path
+    assert sorted(
+        tuple(r)
+        for r in dedup.minhash_band_pairs(
+            sigs, num_hashes=16, bands=4, threshold=0.5
+        ).collect()
+    ) == sorted(
+        tuple(r)
+        for r in dedup.minhash_lsh_pairs(
+            docs, num_hashes=16, bands=4, threshold=0.5
+        ).collect()
+    )
+    # marker-idempotent: a second build with the same params is a no-op
+    mtime = os.path.getmtime(f"{path}/_BUILT.json")
+    dedup.minhash_qc_build(docs, path, min_threshold=0.2, num_hashes=16)
+    assert os.path.getmtime(f"{path}/_BUILT.json") == mtime
+
+
 def test_minhash_signature_shape(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
