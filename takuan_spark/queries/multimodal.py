@@ -428,7 +428,11 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the exact 246-byte 8x8 BMP size — filename parsing, the "
     "source's length metadata, and the decode are all under the "
     "hash. Every 50th doc keeps the file count file-source-friendly "
-    "at any SF (one file per blob is the binaryFile contract).",
+    "at any SF (one file per blob is the binaryFile contract). "
+    "Fixture synthesis runs on EXECUTORS via foreachPartition — no "
+    "collect-then-loop on the driver, so blob generation scales with "
+    "the cluster (local mode shares one filesystem; a cluster "
+    "deployment points the path at shared storage).",
 )
 def mm_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -438,16 +442,27 @@ def mm_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _scratch(sf_dir, "binmedia")
     os.makedirs(path, exist_ok=True)
-    ids = [
-        int(r.doc_id)
-        for r in load_table(spark, sf_dir, "documents")
+
+    def _write_blobs(rows) -> None:
+        # runs on executors: each task writes only its partition's
+        # blobs (idempotent per file — a retried task rewrites the
+        # same deterministic bytes)
+        import os as _osx
+
+        from takuan_spark.operators.multimodal import synth_video_frame
+
+        _osx.makedirs(path, exist_ok=True)
+        for r in rows:
+            m = int(r.doc_id)
+            with open(_osx.path.join(path, f"media_{m}.bmp"), "wb") as fh:
+                fh.write(synth_video_frame(m, 0))
+
+    (
+        load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 50 == 0)
         .select("doc_id")
-        .collect()
-    ]
-    for m in ids:
-        with open(os.path.join(path, f"media_{m}.bmp"), "wb") as fh:
-            fh.write(multimodal.synth_video_frame(m, 0))
+        .foreachPartition(_write_blobs)
+    )
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.bmp")
