@@ -502,6 +502,61 @@ def synth_wav(doc_id: int, *, n_frames: int = 32, frame_samples: int = 256,
     return buf.getvalue()
 
 
+def wav_frame_rms(payload, *, n_frames: int = 32):
+    """Per-payload WAV decode → ``n_frames`` full-scale-normalized RMS
+    values (np.float64 array), or None for a corrupt/unsupported
+    payload. The single-payload core of :func:`frame_rms`, exposed so
+    a fixture-synthesizing query can fuse synth + decode into ONE
+    Python stage (the blob never crosses the JVM boundary — the same
+    shape a storage-read pipeline has, where binaryFile feeds one
+    decode stage)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(bytes(payload))) as w:
+            width = w.getsampwidth()
+            channels = w.getnchannels()
+            raw = w.readframes(w.getnframes())
+        if width != 2:
+            raise ValueError("frame_rms expects 16-bit PCM")
+        if channels != 1:
+            # a stereo payload would silently decode as a
+            # doubled-length mono stream and shift every frame
+            # boundary — quarantine it like any corrupt record
+            raise ValueError("frame_rms expects mono PCM")
+        x = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
+        if x.size and x.size % n_frames == 0:
+            # equal-width frames: ONE reshaped mean, no per-frame
+            # Python loop (the common case — fixed-rate capture)
+            seg = x.reshape(n_frames, -1)
+            return np.sqrt((seg * seg).mean(axis=1)) / 32768.0
+        out = np.zeros(n_frames, dtype=np.float64)
+        for f, s in enumerate(np.array_split(x, n_frames)):
+            if s.size:
+                out[f] = np.sqrt((s * s).mean()) / 32768.0
+        return out
+    except Exception:
+        return None
+
+
+def bmp_mean_intensity(payload) -> float | None:
+    """Per-payload BMP decode → mean of all channel bytes, or None for
+    a corrupt payload. The single-payload core of
+    :func:`frame_intensity` (same fusion rationale as
+    :func:`wav_frame_rms`)."""
+    import numpy as np
+
+    try:
+        return float(
+            np.asarray(bmp_pixels(bytes(payload)), dtype=np.float64).mean()
+        )
+    except Exception:
+        return None
+
+
 def frame_rms(
     media: DataFrame,
     *,
@@ -530,31 +585,7 @@ def frame_rms(
     )
 
     def _frames(p):
-        try:
-            with wave.open(io.BytesIO(bytes(p))) as w:
-                width = w.getsampwidth()
-                channels = w.getnchannels()
-                raw = w.readframes(w.getnframes())
-            if width != 2:
-                raise ValueError("frame_rms expects 16-bit PCM")
-            if channels != 1:
-                # a stereo payload would silently decode as a
-                # doubled-length mono stream and shift every frame
-                # boundary — quarantine it like any corrupt record
-                raise ValueError("frame_rms expects mono PCM")
-            x = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
-            if x.size and x.size % n_frames == 0:
-                # equal-width frames: ONE reshaped mean, no per-frame
-                # Python loop (the common case — fixed-rate capture)
-                seg = x.reshape(n_frames, -1)
-                return np.sqrt((seg * seg).mean(axis=1)) / 32768.0
-            out = np.zeros(n_frames, dtype=np.float64)
-            for f, s in enumerate(np.array_split(x, n_frames)):
-                if s.size:
-                    out[f] = np.sqrt((s * s).mean()) / 32768.0
-            return out
-        except Exception:
-            return None
+        return wav_frame_rms(p, n_frames=n_frames)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -691,16 +722,11 @@ def frame_intensity(
     )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
-            vals = []
-            for p in pdf[payload_col]:
-                try:
-                    img = bmp_pixels(bytes(p))
-                    vals.append(float(np.asarray(img, dtype=np.float64).mean()))
-                except Exception:
-                    vals.append(None)
+            vals = [
+                bmp_mean_intensity(p) if p is not None else None
+                for p in pdf[payload_col]
+            ]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],

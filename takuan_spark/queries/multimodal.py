@@ -172,16 +172,22 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Audio activity segmentation over a REAL PCM decode: deterministic "
     "16-bit WAVs are synthesized per doc (md5-derived loud frames, "
     "square wave = exact 0.5 RMS), the stdlib wave reader decodes "
-    "per-frame RMS inside an Arrow mapInPandas, and maximal loud runs "
-    "merge via gaps-and-islands — pure DataFrame ops after the codec. "
-    "The oracle re-derives the loudness plan arithmetically, so the "
-    "decode path itself is value-checked end-to-end (the "
-    "mm_feature_extract pattern applied to a real codec).",
+    "per-frame RMS, and maximal loud runs merge via gaps-and-islands "
+    "— pure DataFrame ops after the codec. Synth and decode are FUSED "
+    "into one Arrow mapInPandas stage: the 16 KB WAV blobs never "
+    "cross the JVM boundary (two chained Python stages shipped ~1 GB "
+    "of blobs through Arrow twice at sf0.1 — the measured source of "
+    "the query's contention hypersensitivity), matching the "
+    "storage-read production shape where binaryFile feeds a single "
+    "decode stage (mm_binaryfile_ingest exercises that path). The "
+    "oracle re-derives the loudness plan arithmetically, so the "
+    "decode path itself is value-checked end-to-end.",
 )
 def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.types import (
-        BinaryType,
+        FloatType,
+        IntegerType,
         LongType,
         StructField,
         StructType,
@@ -198,26 +204,39 @@ def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("media_id")
         )
     )
-    wav_schema = StructType(
+    n_frames = 32
+    rms_schema = StructType(
         [
             StructField("media_id", LongType(), False),
-            StructField("payload", BinaryType(), True),
+            StructField("frame", IntegerType(), False),
+            StructField("rms", FloatType(), True),
         ]
     )
 
-    def _synth(batches):
+    def _synth_rms(batches):
+        import numpy as np
+
+        from takuan_spark.operators.multimodal import synth_wav, wav_frame_rms
+
         for pdf in batches:
+            ids = pdf["media_id"].to_numpy(dtype="int64")
+            vals = [
+                wav_frame_rms(synth_wav(int(m)), n_frames=n_frames)
+                for m in ids
+            ]
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "payload": [
-                        multimodal.synth_wav(int(m)) for m in pdf["media_id"]
-                    ],
+                    "media_id": np.repeat(ids, n_frames),
+                    "frame": np.tile(
+                        np.arange(n_frames, dtype=np.int32), len(ids)
+                    ),
+                    "rms": np.concatenate(vals)
+                    if vals
+                    else np.array([], dtype=np.float64),
                 }
             )
 
-    wavs = docs.mapInPandas(_synth, schema=wav_schema)
-    frames = multimodal.frame_rms(wavs, n_frames=32)
+    frames = docs.mapInPandas(_synth_rms, schema=rms_schema)
     return multimodal.audio_segments(frames, threshold=0.25).select(
         "media_id",
         "seg_start",
@@ -274,17 +293,20 @@ def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Video shot segmentation over a REAL image decode: 16 "
     "deterministic BMP frames per doc follow an md5-derived "
     "piecewise-constant intensity trajectory, the real BMP reader "
-    "decodes per-frame mean intensity inside an Arrow mapInPandas, "
-    "and cuts are frame-differencing jumps >= 8 rolled into shots "
-    "via two windows — the mm_audio_segments contract applied to "
-    "the temporal image axis. The oracle re-derives the trajectory "
+    "decodes per-frame mean intensity, and cuts are "
+    "frame-differencing jumps >= 8 rolled into shots via two windows "
+    "— the mm_audio_segments contract applied to the temporal image "
+    "axis. Synth and decode are FUSED into one Arrow mapInPandas "
+    "stage (the per-frame BMP blobs never cross the JVM boundary — "
+    "same rationale and storage-read equivalence as "
+    "mm_audio_segments). The oracle re-derives the trajectory "
     "arithmetically (md5 + a last_value-ignore-nulls carry), so the "
     "decode path itself is value-checked end-to-end.",
 )
 def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.types import (
-        BinaryType,
+        DoubleType,
         IntegerType,
         LongType,
         StructField,
@@ -303,30 +325,40 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("media_id")
         )
     )
-    frame_schema = StructType(
+    inten_schema = StructType(
         [
             StructField("media_id", LongType(), False),
             StructField("frame_id", IntegerType(), False),
-            StructField("payload", BinaryType(), True),
+            StructField("intensity", DoubleType(), True),
         ]
     )
 
-    def _synth(batches):
+    def _synth_intensity(batches):
+        import numpy as np
+
+        from takuan_spark.operators.multimodal import (
+            bmp_mean_intensity,
+            synth_video_frame,
+        )
+
         for pdf in batches:
-            ids, fids, payloads = [], [], []
-            for m in pdf["media_id"]:
-                for f in range(n_frames):
-                    ids.append(int(m))
-                    fids.append(f)
-                    payloads.append(
-                        multimodal.synth_video_frame(int(m), f)
-                    )
+            ids = pdf["media_id"].to_numpy(dtype="int64")
+            vals = [
+                bmp_mean_intensity(synth_video_frame(int(m), f))
+                for m in ids
+                for f in range(n_frames)
+            ]
             yield pd.DataFrame(
-                {"media_id": ids, "frame_id": fids, "payload": payloads}
+                {
+                    "media_id": np.repeat(ids, n_frames),
+                    "frame_id": np.tile(
+                        np.arange(n_frames, dtype=np.int32), len(ids)
+                    ),
+                    "intensity": pd.array(vals, dtype="float64"),
+                }
             )
 
-    frames = docs.mapInPandas(_synth, schema=frame_schema)
-    inten = multimodal.frame_intensity(frames)
+    inten = docs.mapInPandas(_synth_intensity, schema=inten_schema)
     return multimodal.scene_segments(inten, threshold=8.0)
 
 
