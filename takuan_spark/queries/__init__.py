@@ -66,90 +66,75 @@ def query(name: str, oracle_sql: str | None, description: str = ""):
 #      (their old green rows no longer certify the current code);
 #   2. staleness backfill — every remaining query ordered by its
 #      LAST-GREEN round ascending, so the window always re-certifies
-#      the oldest evidence first. Round 6 applies the r5 verdict's
-#      freshness directive: the window is spent on the r1/r2-stale
-#      blocks (r5's window already re-certified q_cohort_retention
-#      through ns_text_stats, so the r1 block resumes at ns_lang_id);
-#      queries NEW this round queue BEHIND the stale blocks (their
-#      oracle runs in every local pytest; the driver row arrives next
-#      rotation) so new work cannot crowd out the stalest evidence.
+#      the oldest evidence first. Round 7 applies the r6 verdict's
+#      directive: the window = the 14 r7-changed queries + the 31
+#      rows still on r2 evidence + the five streaming maintainer
+#      folds (with the cms/minhash folds in the changed set, all
+#      SEVEN folds land this round); the 24 still-never-certified
+#      r6 queries head the post-window order so the class empties
+#      in the r8 window.
 # Anything past the cap rotates forward next round; every declared
 # query is still oracle-verified locally by tests/test_oracle.py.
 PRIORITY: list[str] = [
-    # -- 1. r6: implementation CHANGED this round ---------------------
-    # contamination tail restructure:
-    "ns_decontaminate", "ns_curation_pipeline",
-    # CMS lane-hash family (oracle changed with it):
-    "ns_cms_heavy_hitters", "ns_cms_join_size",
-    # frame_rms vectorization:
-    "mm_audio_segments",
-    # new O13 operator (also r6-new, but it closes the §2 table):
-    "takuan_rdns_enrich",
-    # -- 2. r1-stale backfill (last driver-green r1, 5 rounds old) ----
-    "ns_lang_id",
-    "ns_quality_score", "ns_stratified_sample", "ns_tfidf_topterms",
-    "ns_winnow_fingerprint", "ns_fingerprint", "ns_similarity_topk",
-    "ns_knn_join", "q_scalar_subquery", "q_correlated_subquery",
-    "q_array_functions", "q_full_outer_join", "q_ip_range_join",
-    "q_ip_range_join_bucketed", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier_volume", "q_top_customers",
-    "q_grouping_sets", "q_window_lag_lead", "q_window_rank", "q_rollup",
-    "q6_forecast_revenue", "q4_order_priority", "q10_returned_items",
-    "q14_promo_revenue", "q19_disjunctive_filter", "q_cube",
-    "q_pandas_udaf",
-    # -- 3. r2-stale backfill (the ~50-row cap lands inside this
-    # block; the remainder rotates to the front of r7's window) -------
-    "takuan_address_report", "takuan_country_topk", "takuan_rule_filter",
-    "takuan_rule_label", "takuan_json_extract", "takuan_hourly_window",
-    "takuan_regex_tokenize", "takuan_geo_enrich_join", "q_anti_join",
-    "q_semi_join", "q_set_ops", "q_union_distinct", "q_string_functions",
-    "q_date_functions", "q_math_functions", "q_distinct_count",
-    "q_first_value_per_group", "ns_minhash_lsh_neardup",
-    "ns_simhash_neardup", "ns_lsh_similarity_topk", "ns_ivf_topk",
-    "ns_ivf_probe", "ns_lsh_probe", "q2_min_cost_supplier",
-    "q13_customer_distribution", "q21_suppliers_kept_waiting",
-    "ns_repetition_filter", "ns_pack_sequences", "ns_embedding_centroids",
-    "ns_random_projection", "q_salted_agg", "q7_nation_volume_shipping",
-    "q8_market_share", "q9_product_type_profit", "q15_top_supplier",
-    "ns_pq_topk", "ns_pq_probe", "ns_pq_rerank", "ns_ivfpq_probe",
-    "ns_pii_redact", "ns_sample_to_mix", "ns_chunk_documents",
-    "ns_rag_pipeline", "q_gap_fill_interpolate", "q_hypertable_rollup",
+    # -- 1. r7: implementation/oracle CHANGED this round (incl. the
+    # new q_stream_window_fold and the restructured MinHash QC/fold
+    # family, the fused media queries, the CMS cast fix, and the
+    # rdns null guard) ------------------------------------------------
+    "q_stream_window_fold", "q_stream_minhash_fold", "ns_minhash_recall",
+    "ns_minhash_estimate_error", "ns_minhash_prod_mode",
+    "mm_audio_segments", "mm_scene_cuts", "mm_binaryfile_ingest",
+    "takuan_rdns_enrich", "ns_cms_heavy_hitters", "ns_cms_join_size",
+    "q_stream_cms_fold", "ns_cms_error", "ns_dp_histogram",
+    # -- 2. r2-stale remainder (the r6 window certified through
+    # q_math_functions; these are the last rows whose newest driver
+    # evidence is round 2) --------------------------------------------
+    "q_distinct_count", "q_first_value_per_group",
+    "ns_minhash_lsh_neardup", "ns_simhash_neardup",
+    "ns_lsh_similarity_topk", "ns_ivf_topk", "ns_ivf_probe",
+    "ns_lsh_probe", "q2_min_cost_supplier", "q13_customer_distribution",
+    "q21_suppliers_kept_waiting", "ns_repetition_filter",
+    "ns_pack_sequences", "ns_embedding_centroids", "ns_random_projection",
+    "q_salted_agg", "q7_nation_volume_shipping", "q8_market_share",
+    "q9_product_type_profit", "q15_top_supplier", "ns_pq_topk",
+    "ns_pq_probe", "ns_pq_rerank", "ns_ivfpq_probe", "ns_pii_redact",
+    "ns_sample_to_mix", "ns_chunk_documents", "ns_rag_pipeline",
+    "q_gap_fill_interpolate", "q_hypertable_rollup",
     "q11_part_value_share",
-    # -- 4. queries NEW in r6 queue here (behind the stale blocks,
-    # per the crowding-out rule; driver rows arrive r7) ---------------
-    "q_stream_cms_fold", "ns_domain_stats", "ns_domain_filter",
-    "q_orc_partition_prune", "q_graph_kcore", "ns_code_detect",
-    "q_stream_hll_fold", "mm_image_resize", "ns_dp_histogram",
+    # -- 3. never-driver-certified r6 block, led by the remaining
+    # streaming maintainer folds — with the cms/minhash folds in
+    # section 1 all SEVEN folds are inside this window ----------------
+    "q_stream_bloom_fold", "q_stream_moments_fold",
+    "q_stream_session_fold", "q_stream_hist_fold", "q_stream_hll_fold",
+    # -- 4. never-certified r6 remainder (24; heads the r8 window so
+    # the class empties next round) -----------------------------------
+    "ns_domain_stats", "ns_domain_filter", "q_orc_partition_prune",
+    "q_graph_kcore", "ns_code_detect", "mm_image_resize",
     "ns_snapshot_diff", "ns_ann_recall", "q_watermark_audit",
-    "ns_minhash_recall", "q_sql_function_surface", "mm_binaryfile_ingest",
-    "q_stream_hist_fold", "q_mv_incremental", "q_range_partition_balance",
-    "q_schema_evolution", "q_stream_session_fold", "ns_gopher_rules",
+    "q_sql_function_surface", "q_mv_incremental",
+    "q_range_partition_balance", "q_schema_evolution", "ns_gopher_rules",
     "ns_lsh_band_tuning", "ns_sft_mask_stats", "ns_pack_efficiency",
     "q_graph_link_prediction", "ns_quantile_sketch_error",
     "ns_simhash_radius_tuning", "ns_vocab_coverage",
-    "q_stream_moments_fold", "ns_cardinality_sketch_error",
-    "q_stream_bloom_fold", "ns_cms_error", "ns_minhash_estimate_error",
-    "q_seasonality_profile", "q_graph_adamic_adar",
-    "q_stream_minhash_fold",
-    # -- 5. r3-stale: -------------------------------------------------
+    "ns_cardinality_sketch_error", "q_seasonality_profile",
+    "q_graph_adamic_adar",
+    # -- 5. r3-stale: ---------------------------------------------------
     "q12_priority_by_returnflag", "q16_supplier_count_by_part",
     "q17_small_quantity_revenue", "q18_large_orders",
     "q20_promo_share_suppliers", "q22_idle_rich_customers",
-    "ns_kmv_distinct", "ns_weighted_sample",
-    "q_asof_nearest_tolerance", "q_except_all", "q_histogram",
-    "q_null_safe_join", "q_percentiles", "q_udtf_tokenize",
-    "q_window_range_frame", "q_stateful_alerts", "q_stateful_profile",
-    "ns_semdedup", "ns_substring_dedup", "ns_bm25_search",
-    "ns_shard_assign", "q_interval_overlap_join", "ns_unicode_normalize",
-    "ns_dup_size_histogram", "ns_bm25_batch", "q_sliding_distinct",
-    "ns_hll_distinct", "ns_token_entropy",
+    "ns_kmv_distinct", "ns_weighted_sample", "q_asof_nearest_tolerance",
+    "q_except_all", "q_histogram", "q_null_safe_join", "q_percentiles",
+    "q_udtf_tokenize", "q_window_range_frame", "q_stateful_alerts",
+    "q_stateful_profile", "ns_semdedup", "ns_substring_dedup",
+    "ns_bm25_search", "ns_shard_assign", "q_interval_overlap_join",
+    "ns_unicode_normalize", "ns_dup_size_histogram", "ns_bm25_batch",
+    "q_sliding_distinct", "ns_hll_distinct", "ns_token_entropy",
     "q_graph_pagerank", "mm_phash_neardup", "q_quantile_sketch",
     "q_key_skew_profile", "ns_length_outliers", "ns_cluster_purity",
     "q_corr_regression", "q_scd2_intervals", "ns_bpe_merge_candidates",
-    "ns_effective_corpus_size", "ns_kmv_set_ops",
-    "q_zorder_locality", "ns_epoch_novelty", "ns_contrastive_triplets",
+    "ns_effective_corpus_size", "ns_kmv_set_ops", "q_zorder_locality",
+    "ns_epoch_novelty", "ns_contrastive_triplets",
     "q_sliding_distinct_hll",
-    # -- 6. r4-green: -------------------------------------------------
+    # -- 6. r4-green: ---------------------------------------------------
     "ns_cluster_sample", "ns_duplication_pareto", "ns_hard_negatives",
     "ns_keyword_tagging", "ns_length_bucketing", "ns_winsorized_stats",
     "q_ntile_deciles", "q_rolling_median", "q_unpivot_metrics",
@@ -165,24 +150,39 @@ PRIORITY: list[str] = [
     "q_salted_join", "ns_score_calibration", "ns_jaccard_neardup",
     "ns_containment_neardup", "ns_dedup_pipeline", "q_bloom_prefilter",
     "q_sliding_window", "q_session_window", "q_funnel",
-    # -- 7. r5-green (freshest evidence, re-certified last) -----------
-    "ns_record_linkage", "ns_minhash_prod_mode", "ns_blocked_linkage",
-    "ns_embedding_neardup_lsh",
-    "q_ewma_anomaly", "q_compaction_bins",
-    "ns_pca_power_iteration", "ns_dedup_clusters", "q_graph_triangles",
-    "ns_vocab_oov", "ns_zipf_fit", "q_mean_shift_changepoint",
-    "ns_dup_representative", "ns_matryoshka_qc", "ns_pii_risk",
-    "ns_kcenter_coreset", "q_local_clustering", "q_interarrival_stats",
-    "ns_ks_drift", "ns_mad_outliers", "ns_filter_funnel",
-    "ns_int8_quant_error", "q_community_labels", "mm_scene_cuts",
-    "q_stream_dedup_fold", "ns_burstiness", "ns_template_mining",
-    "ns_quantile_normalize", "q_jsonl_roundtrip", "ns_dedup_sweep",
-    "q_csv_roundtrip", "q_stream_ann_fold", "ns_deletion_cascade",
-    "ns_manifest_hash", "ns_text_augment", "ns_source_dedup_matrix",
-    "q_cohort_retention", "q_asof_join", "q_stats_agg",
-    "q_pivot_conditional", "mm_media_summary", "mm_feature_extract",
-    "mm_frame_sample", "ns_dedup_exact", "ns_dedup_incremental",
-    "ns_embedding_neardup", "ns_text_stats",
+    # -- 7. r5-green: ---------------------------------------------------
+    "ns_record_linkage", "ns_blocked_linkage", "ns_embedding_neardup_lsh",
+    "q_ewma_anomaly", "q_compaction_bins", "ns_pca_power_iteration",
+    "ns_dedup_clusters", "q_graph_triangles", "ns_vocab_oov",
+    "ns_zipf_fit", "q_mean_shift_changepoint", "ns_dup_representative",
+    "ns_matryoshka_qc", "ns_pii_risk", "ns_kcenter_coreset",
+    "q_local_clustering", "q_interarrival_stats", "ns_ks_drift",
+    "ns_mad_outliers", "ns_filter_funnel", "ns_int8_quant_error",
+    "q_community_labels", "q_stream_dedup_fold", "ns_burstiness",
+    "ns_template_mining", "ns_quantile_normalize", "q_jsonl_roundtrip",
+    "ns_dedup_sweep", "q_csv_roundtrip", "q_stream_ann_fold",
+    "ns_deletion_cascade", "ns_manifest_hash", "ns_text_augment",
+    "ns_source_dedup_matrix", "q_cohort_retention", "q_asof_join",
+    "q_stats_agg", "q_pivot_conditional", "mm_media_summary",
+    "mm_feature_extract", "mm_frame_sample", "ns_dedup_exact",
+    "ns_dedup_incremental", "ns_embedding_neardup", "ns_text_stats",
+    # -- 8. r6-green (freshest evidence, re-certified last) -------------
+    "ns_decontaminate", "ns_curation_pipeline", "ns_lang_id",
+    "ns_quality_score", "ns_stratified_sample", "ns_tfidf_topterms",
+    "ns_winnow_fingerprint", "ns_fingerprint", "ns_similarity_topk",
+    "ns_knn_join", "q_scalar_subquery", "q_correlated_subquery",
+    "q_array_functions", "q_full_outer_join", "q_ip_range_join",
+    "q_ip_range_join_bucketed", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume", "q_top_customers",
+    "q_grouping_sets", "q_window_lag_lead", "q_window_rank", "q_rollup",
+    "q6_forecast_revenue", "q4_order_priority", "q10_returned_items",
+    "q14_promo_revenue", "q19_disjunctive_filter", "q_cube",
+    "q_pandas_udaf", "takuan_address_report", "takuan_country_topk",
+    "takuan_rule_filter", "takuan_rule_label", "takuan_json_extract",
+    "takuan_hourly_window", "takuan_regex_tokenize",
+    "takuan_geo_enrich_join", "q_anti_join", "q_semi_join", "q_set_ops",
+    "q_union_distinct", "q_string_functions", "q_date_functions",
+    "q_math_functions",
 ]
 
 
