@@ -1126,3 +1126,104 @@ def auto_nbits(
         return 1
     need = math.ceil(math.log2(max(n_rows / target_occupancy, 1.0)))
     return max(1, min(max_nbits, need))
+
+
+def bitext_margin_mining(
+    embeddings: DataFrame,
+    *,
+    nlist: int = 16,
+    k: int = 2,
+    top_n: int = 20,
+    max_cell: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 777,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    BIDIRECTIONAL ratio margin): mine aligned pairs between two
+    corpora by scoring each candidate's cosine against the mean of
+    BOTH endpoints' average top-k similarities — the margin
+    denominator cancels hubness, which raw cosine thresholds cannot
+    (a "hub" target that is everyone's neighbor carries a high top-k
+    average of its own, so every pair through it is discounted; a
+    forward-only ratio misses exactly this case, pytest-demonstrated).
+
+    Sides: even ``id_col`` = source corpus X, odd = target corpus Y
+    (the caller's two-language split over the shared embedding space).
+    Scale shape: candidates are generated ONLY within a coarse
+    quantizer cell (the fixed deterministic IVF quantizer —
+    :func:`fixed_centroids` / :func:`ivf_assign_fixed`), so the
+    quadratic stage is per-cell like SemDeDup's, never corpus-wide;
+    at 100 TB the cells are the shard grain and each cell's X x Y
+    block is one bounded join bucket. Scoring is ``dot_unrolled`` on
+    unit-normalized vectors — codegen'd, fold order identical to the
+    SQL oracle's ``list_sum``.
+
+    ``max_cell`` is the per-(cell, side) participant cap (lowest
+    ``max_cell`` ids kept, a deterministic total order): without it a
+    10x corpus makes every cell's X x Y block 100x — the measured 22x
+    probe ratio that motivated it. It is the max_df/max_bucket=64
+    discipline applied to quantizer cells; the production knob is
+    nlist scaling with corpus size so cells stay small, and the cap is
+    the safety net that bounds the worst block at max_cell^2 whatever
+    nlist is chosen.
+
+    Output: top ``top_n`` mined (x_id, y_id, sim, margin) by margin,
+    margin = sim / ((avgk_x + avgk_y) / 2) where avgk_s is side s's
+    average top-k within-cell similarity, rounded 4dp with
+    (x_id, y_id) tiebreaks."""
+    from pyspark.sql import Window
+
+    dim = len(
+        embeddings.select(vec_col).head()[0]
+    )
+    cents = fixed_centroids(dim, nlist=nlist, seed=seed)
+    assigned = ivf_assign_fixed(embeddings, cents, vec_col=vec_col).select(
+        F.col(id_col), "cell", normalized(F.col(vec_col)).alias("nv")
+    )
+    wcell = Window.partitionBy(
+        "cell", F.pmod(F.col(id_col), F.lit(2))
+    ).orderBy(id_col)
+    assigned = (
+        assigned.withColumn("_cr", F.row_number().over(wcell))
+        .where(F.col("_cr") <= max_cell)
+        .drop("_cr")
+    )
+    x = assigned.where(F.pmod(F.col(id_col), F.lit(2)) == 0).select(
+        F.col(id_col).alias("x_id"), "cell", F.col("nv").alias("xv")
+    )
+    y = assigned.where(F.pmod(F.col(id_col), F.lit(2)) == 1).select(
+        F.col(id_col).alias("y_id"), "cell", F.col("nv").alias("yv")
+    )
+    pairs = x.join(y, "cell").select(
+        "x_id",
+        "y_id",
+        F.round(dot_unrolled(F.col("xv"), F.col("yv"), dim), 6).alias("sim"),
+    )
+    from takuan_spark.operators.skew import materialize
+
+    pairs = materialize(pairs)
+
+    def _side_avg(key: str, other: str) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(F.desc("sim"), F.asc(other))
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .groupBy(key)
+            .agg(F.round(F.avg("sim"), 6).alias(f"avgk_{key}"))
+        )
+
+    denom = (F.col("avgk_x_id") + F.col("avgk_y_id")) / 2.0
+    return (
+        pairs.join(_side_avg("x_id", "y_id"), "x_id")
+        .join(_side_avg("y_id", "x_id"), "y_id")
+        .where(denom > 0)
+        .select(
+            "x_id",
+            "y_id",
+            "sim",
+            F.round(F.col("sim") / denom, 4).alias("margin"),
+        )
+        .orderBy(F.desc("margin"), "x_id", "y_id")
+        .limit(top_n)
+    )

@@ -117,6 +117,9 @@ PRIORITY: list[str] = [
     "ns_simhash_radius_tuning", "ns_vocab_coverage",
     "ns_cardinality_sketch_error", "q_seasonality_profile",
     "q_graph_adamic_adar",
+    # queries NEW in r7 queue here (behind the never-certified
+    # backfill, per the crowding-out rule; driver rows arrive r8):
+    "ns_bitext_mining", "q_native_sketch_parity",
     # -- 5. r3-stale: ---------------------------------------------------
     "q12_priority_by_returnflag", "q16_supplier_count_by_part",
     "q17_small_quantity_revenue", "q18_large_orders",

@@ -392,3 +392,117 @@ def ns_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ns_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return clustering.int8_quant_error(emb, top_k=20, calibration_q=0.95)
+
+
+# --------------------------------------------------------- bitext mining
+
+_BTX_NLIST = 16
+_BTX_K = 2
+_BTX_TOPN = 20
+_BTX_MAXCELL = 64
+
+
+def _bitext_sql() -> str:
+    from takuan_spark.operators import similarity as _sim
+    from takuan_spark.queries.northstar import _sql_list
+
+    cents = _sim.fixed_centroids(_DIM, nlist=_BTX_NLIST, seed=777)
+    cent_rows = ", ".join(
+        f"({j}, CAST({_sql_list(c)} AS DOUBLE[]))" for j, c in enumerate(cents)
+    )
+    return f"""
+    WITH cents(cell, cv) AS (SELECT * FROM (VALUES {cent_rows}) v(cell, cv)),
+    emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dots AS (
+        SELECT e.vec_id, c.cell,
+               ROUND(list_dot_product(e.v, c.cv), 6) AS d
+        FROM emb e CROSS JOIN cents c
+    ),
+    assign0 AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d DESC, cell) AS rn
+            FROM dots
+        ) WHERE rn = 1
+    ),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY cell, vec_id % 2
+                                      ORDER BY vec_id) AS cr
+            FROM assign0
+        ) WHERE cr <= {_BTX_MAXCELL}
+    ),
+    nv AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(list_sum(
+                   list_transform(v, z -> z * z)))) AS nv
+        FROM emb
+    ),
+    pairs AS (
+        SELECT xa.vec_id AS x_id, ya.vec_id AS y_id,
+               ROUND(list_sum(list_transform(list_zip(xn.nv, yn.nv),
+                        p -> p[1] * p[2])), 6) AS sim
+        FROM assign xa
+        JOIN nv xn ON xn.vec_id = xa.vec_id
+        JOIN assign ya ON ya.cell = xa.cell AND ya.vec_id % 2 = 1
+        JOIN nv yn ON yn.vec_id = ya.vec_id
+        WHERE xa.vec_id % 2 = 0
+    ),
+    kx AS (
+        SELECT x_id, ROUND(AVG(sim), 6) AS avgk_x FROM (
+            SELECT x_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY x_id
+                                      ORDER BY sim DESC, y_id) AS rn
+            FROM pairs
+        ) WHERE rn <= {_BTX_K} GROUP BY x_id
+    ),
+    ky AS (
+        SELECT y_id, ROUND(AVG(sim), 6) AS avgk_y FROM (
+            SELECT y_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY y_id
+                                      ORDER BY sim DESC, x_id) AS rn
+            FROM pairs
+        ) WHERE rn <= {_BTX_K} GROUP BY y_id
+    )
+    SELECT x_id, y_id, sim,
+           ROUND(sim / ((avgk_x + avgk_y) / 2), 4) AS margin
+    FROM pairs JOIN kx USING (x_id) JOIN ky USING (y_id)
+    WHERE (avgk_x + avgk_y) / 2 > 0
+    ORDER BY margin DESC, x_id, y_id
+    LIMIT {_BTX_TOPN}
+    """
+
+
+@query(
+    "ns_bitext_mining",
+    _bitext_sql(),
+    "Margin-based bitext mining (Artetxe & Schwenk 2019, "
+    "bidirectional ratio): even vec_ids are the source corpus, odd "
+    "the target; each within-cell candidate pair is scored by cosine "
+    "DIVIDED by the mean of both endpoints' average top-2 within-cell "
+    "cosines — the margin that cancels "
+    "hubness, which a raw cosine threshold cannot. Candidates come "
+    "only from the fixed IVF quantizer's cells (the SemDeDup "
+    "discipline: quadratic work per cell, never corpus-wide; cells "
+    "are the shard grain at 100 TB) with a max_cell=64 per-side "
+    "participant cap — the max_df/max_bucket discipline for cells, "
+    "bounding the worst block at 64x64 (uncapped, the 10x probe "
+    "measured 22x). Scoring is codegen'd dot_unrolled on unit "
+    "vectors with the oracle's exact fold order. Returns the top-20 "
+    "mined pairs by margin.",
+)
+def ns_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.bitext_margin_mining(
+        emb,
+        nlist=_BTX_NLIST,
+        k=_BTX_K,
+        top_n=_BTX_TOPN,
+        max_cell=_BTX_MAXCELL,
+    )

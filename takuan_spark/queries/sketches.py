@@ -694,3 +694,67 @@ def ns_cms_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "term")
     )
+
+
+@query(
+    "q_native_sketch_parity",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+           TRUE AS hllpp_within_3rsd,
+           TRUE AS gk_within_1pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "Spark-NATIVE sketch accuracy claims, driver-checked (the "
+    "ns_minhash_prod_mode pattern for engine-internal, non-portable "
+    "sketches): approx_count_distinct is Spark's HyperLogLog++ and "
+    "approx_percentile its Greenwald-Khanna sketch — no external "
+    "engine can replay their exact state, so the QUERY returns the "
+    "accuracy CLAIM as boolean columns (HLL++ estimate within 3x the "
+    "requested 5% rsd of the exact distinct count; GK median within "
+    "1% relative of the exact interpolated median) next to the exact "
+    "values the oracle recomputes. A native-sketch accuracy "
+    "regression flips a flag and fails the hash check instead of "
+    "hiding. Both sketches are the mergeable one-pass structures the "
+    "engine itself uses for partial aggregation at any scale.",
+)
+def q_native_sketch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # two aggregations joined on the 3-row group key, NOT one: mixing
+    # COUNT(DISTINCT) with the exact percentile plans an Expand that
+    # triples every input row, and percentile's typed buffer holds all
+    # values per group — the combined plan measured 10.9 s at sf0.1 vs
+    # ~1.5 s split (the distinct agg sees only (flag, partkey), the
+    # percentile agg only (flag, price))
+    dist = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").cast("bigint").alias("exact_distinct"),
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("_hll"),
+    )
+    pct = li.groupBy("l_returnflag").agg(
+        F.round(
+            F.expr("percentile(l_extendedprice, 0.5)"), 2
+        ).alias("exact_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias(
+            "_gk"
+        ),
+    )
+    return (
+        dist.join(F.broadcast(pct), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_distinct",
+            "exact_p50",
+            (
+                F.abs(F.col("_hll") - F.col("exact_distinct"))
+                <= 0.15 * F.col("exact_distinct")
+            ).alias("hllpp_within_3rsd"),
+            (
+                F.abs(F.col("_gk") - F.col("exact_p50"))
+                <= 0.01 * F.col("exact_p50")
+            ).alias("gk_within_1pct"),
+        )
+        .orderBy("l_returnflag")
+    )
