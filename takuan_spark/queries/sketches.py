@@ -699,14 +699,23 @@ def ns_cms_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_native_sketch_parity",
     """
-    SELECT l_returnflag,
-           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
-           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+    WITH med AS (
+        SELECT l_returnflag, l_extendedprice AS exact_p50 FROM (
+            SELECT l_returnflag, l_extendedprice,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_extendedprice) AS rn,
+                   COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+            FROM lineitem
+        ) WHERE rn = (cnt + 1) // 2
+    )
+    SELECT d.l_returnflag,
+           CAST(COUNT(DISTINCT d.l_partkey) AS BIGINT) AS exact_distinct,
+           MIN(m.exact_p50) AS exact_p50,
            TRUE AS hllpp_within_3rsd,
            TRUE AS gk_within_1pct
-    FROM lineitem
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag
+    FROM lineitem d JOIN med m ON m.l_returnflag = d.l_returnflag
+    GROUP BY d.l_returnflag
+    ORDER BY d.l_returnflag
     """,
     "Spark-NATIVE sketch accuracy claims, driver-checked (the "
     "ns_minhash_prod_mode pattern for engine-internal, non-portable "
@@ -715,31 +724,49 @@ def ns_cms_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engine can replay their exact state, so the QUERY returns the "
     "accuracy CLAIM as boolean columns (HLL++ estimate within 3x the "
     "requested 5% rsd of the exact distinct count; GK median within "
-    "1% relative of the exact interpolated median) next to the exact "
-    "values the oracle recomputes. A native-sketch accuracy "
+    "1% relative of the exact DISCRETE lower median — an actual data "
+    "element, because the interpolated median's arithmetic rounds "
+    "differently across engines at half-ulp boundaries) next to the "
+    "exact values the oracle recomputes. A native-sketch accuracy "
     "regression flips a flag and fails the hash check instead of "
     "hiding. Both sketches are the mergeable one-pass structures the "
     "engine itself uses for partial aggregation at any scale.",
 )
 def q_native_sketch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     # two aggregations joined on the 3-row group key, NOT one: mixing
-    # COUNT(DISTINCT) with the exact percentile plans an Expand that
-    # triples every input row, and percentile's typed buffer holds all
-    # values per group — the combined plan measured 10.9 s at sf0.1 vs
-    # ~1.5 s split (the distinct agg sees only (flag, partkey), the
-    # percentile agg only (flag, price))
+    # COUNT(DISTINCT) with the exact median plans an Expand that
+    # triples every input row through the exact side's buffers — the
+    # combined plan measured 10.9 s at sf0.1 vs ~1.5 s split (the
+    # distinct agg sees only (flag, partkey), the median side only
+    # (flag, price))
     dist = li.groupBy("l_returnflag").agg(
         F.count_distinct("l_partkey").cast("bigint").alias("exact_distinct"),
         F.approx_count_distinct("l_partkey", rsd=0.05).alias("_hll"),
     )
-    pct = li.groupBy("l_returnflag").agg(
-        F.round(
-            F.expr("percentile(l_extendedprice, 0.5)"), 2
-        ).alias("exact_p50"),
-        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias(
-            "_gk"
-        ),
+    # exact side = the DISCRETE lower median (row (cnt+1)//2 of the
+    # per-group price order): an actual element, so both engines see
+    # the identical parquet double — the per-group sort is the audit's
+    # deliberate cost, approx_percentile is the production path
+    wo = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wp = Window.partitionBy("l_returnflag")
+    med = (
+        li.select("l_returnflag", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(wo))
+        .withColumn("cnt", F.count(F.lit(1)).over(wp))
+        .where(F.expr("rn = (cnt + 1) div 2"))
+        .select("l_returnflag", F.col("l_extendedprice").alias("exact_p50"))
+    )
+    pct = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias(
+                "_gk"
+            )
+        )
+        .join(med, "l_returnflag")
     )
     return (
         dist.join(F.broadcast(pct), "l_returnflag")
