@@ -337,3 +337,48 @@ def test_streaming_detector_matches_batch_analog(spark, stream_env):
     )
     assert got_stream == got_batch
     assert len(got_stream) == 6  # 8-event burst alerts from its 3rd event
+
+
+def test_session_window_epoch_split_crosses_boundaries(sf_dir):
+    """Non-vacuity guard for q_stream_session_window: the time-quartile
+    epoch split must put at least one 3-hour-gap user session on BOTH
+    sides of a batch boundary, otherwise the registered query's oracle
+    green would not be exercising cross-batch session merge in state."""
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.sql(
+        f"""
+        WITH ev AS (
+            SELECT user_id, ts FROM read_parquet('{sf_dir}/events.parquet')
+        ),
+        span AS (SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM ev),
+        seq AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 3 HOUR
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session,
+                   -- epoch = which time quartile the event falls in
+                   LEAST(CAST(3 AS BIGINT), CAST(FLOOR(
+                       4.0 * EXTRACT(EPOCH FROM ts - span.lo)
+                           / NULLIF(EXTRACT(EPOCH FROM span.hi - span.lo), 0)
+                   ) AS BIGINT)) AS epoch
+            FROM ev, span
+        ),
+        sess AS (
+            SELECT user_id,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id,
+                   epoch
+            FROM seq
+        )
+        SELECT COUNT(*) FROM (
+            SELECT user_id, session_id
+            FROM sess GROUP BY user_id, session_id
+            HAVING COUNT(DISTINCT epoch) > 1
+        )
+        """
+    ).fetchone()[0]
+    con.close()
+    assert n > 0, "no session spans an epoch boundary; merge path untested"
