@@ -121,7 +121,12 @@ def main() -> None:
         )
         # operators that materialize sketch frames persist them; drop
         # between runs so later passes measure the same work and
-        # memory stays flat across the suite.
+        # memory stays flat across the suite. release_materialized also
+        # drains the Python-side tracking list the queries' wrapper
+        # maintains (operators/skew.py).
+        from takuan_spark.operators.skew import release_materialized
+
+        release_materialized()
         spark.catalog.clearCache()
 
     # warm the JVM/codegen paths and the Python-UDF worker pool once so

@@ -180,6 +180,9 @@ def main() -> None:
             "overwrite"
         ).save()
         dt = time.perf_counter() - t0
+        from takuan_spark.operators.skew import release_materialized
+
+        release_materialized()
         spark.catalog.clearCache()
         return dt
 

@@ -49,6 +49,17 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+#: Frames persisted via :func:`materialize` since the last
+#: :func:`release_materialized` call. A registered query's persisted
+#: frames must outlive its (lazy) return value — the caller's action is
+#: what consumes the cache — so release happens at the NEXT query's
+#: entry (queries/__init__.py wraps every registry builder) and in the
+#: bench/probe harnesses after each action. Without this, a shared
+#: session running the 250+-query suite accumulates every query's
+#: sketch/signature caches for its whole lifetime.
+_MATERIALIZED: list[DataFrame] = []
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Persist a small derived frame that feeds BOTH sides of a
     self-join.
@@ -60,10 +71,35 @@ def materialize(df: DataFrame) -> DataFrame:
     at-scale practice of materializing the signature table before the
     join. MEMORY_AND_DISK: sketch frames are tiny relative to their
     inputs (constant bytes per document).
+
+    Every persisted frame is tracked; :func:`release_materialized`
+    (called automatically when the next registered query starts)
+    unpersists them so cached frames never outlive the query that
+    created them by more than one query boundary.
     """
     from pyspark import StorageLevel
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _MATERIALIZED.append(df)
+    return df
+
+
+def release_materialized() -> int:
+    """Unpersist every frame :func:`materialize` has tracked since the
+    last release; returns how many were released. Unpersisting an
+    already-released frame (e.g. one an operator dropped early, like
+    dedup_clusters' edge cache) is a safe no-op."""
+    n = 0
+    while _MATERIALIZED:
+        df = _MATERIALIZED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            # a frame whose session is already stopped cannot be (and
+            # does not need to be) unpersisted
+            pass
+    return n
 
 
 def salted_agg(

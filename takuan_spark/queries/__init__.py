@@ -46,13 +46,41 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def _released(fn: QueryFn) -> QueryFn:
+    """Release the PREVIOUS query's materialize() caches when this one
+    starts. Builders return lazy frames whose persisted inputs are only
+    consumed by the caller's later action, so release-on-return would
+    recompute exactly what materialize() exists to share — the earliest
+    safe point is the next query's entry. Harness actions (bench.py,
+    scale_probe.py) additionally clear per action; this wrapper covers
+    long-lived sessions the harness doesn't own (the driver's
+    correctness run, pytest's shared session)."""
+    import functools
+
+    from takuan_spark.operators.skew import release_materialized
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_materialized()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def query(name: str, oracle_sql: str | None, description: str = ""):
-    """Register a (spark builder, oracle sql) pair under ``name``."""
+    """Register a (spark builder, oracle sql) pair under ``name``.
+
+    The REGISTRY holds the builder wrapped by :func:`_released` (cache
+    hygiene at query boundaries); the decorator returns the RAW
+    function, so operators and tests composing builders directly are
+    untouched."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name, fn, oracle_sql, description or fn.__doc__ or "")
+        REGISTRY[name] = QuerySpec(
+            name, _released(fn), oracle_sql, description or fn.__doc__ or ""
+        )
         return fn
 
     return deco

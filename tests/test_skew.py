@@ -155,3 +155,32 @@ def test_key_skew_profile_empty_input(spark):
     assert row["n_keys"] == 0 and row["total"] == 0
     assert row["max_share"] is None and row["topk_share"] is None
     assert row["norm_entropy"] is None
+
+
+def test_release_materialized_unpersists_tracked_frames(spark):
+    from takuan_spark.operators.skew import materialize, release_materialized
+
+    release_materialized()  # drain anything a prior test left behind
+    df = materialize(spark.range(10))
+    df.count()
+    assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    assert release_materialized() >= 1
+    assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+
+
+def test_registry_builder_releases_previous_query_caches(spark):
+    """The REGISTRY wrapper must drop the previous query's materialize()
+    caches when the next query starts (cache hygiene in sessions the
+    harness doesn't own, e.g. the driver's correctness run)."""
+    from takuan_spark.operators.skew import materialize, release_materialized
+    from takuan_spark.queries import REGISTRY, _load
+
+    _load()
+    release_materialized()
+    leftover = materialize(spark.range(5))
+    leftover.count()
+    assert leftover.storageLevel.useMemory or leftover.storageLevel.useDisk
+    REGISTRY["q_distinct_count"].builder(spark, "/root/testdata/sf0.001")
+    assert not (
+        leftover.storageLevel.useMemory or leftover.storageLevel.useDisk
+    )
