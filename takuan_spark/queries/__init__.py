@@ -94,47 +94,25 @@ def query(name: str, oracle_sql: str | None, description: str = ""):
 #      (their old green rows no longer certify the current code);
 #   2. staleness backfill — every remaining query ordered by its
 #      LAST-GREEN round ascending, so the window always re-certifies
-#      the oldest evidence first. Round 7 applies the r6 verdict's
-#      directive: the window = the 14 r7-changed queries + the 31
-#      rows still on r2 evidence + the five streaming maintainer
-#      folds (with the cms/minhash folds in the changed set, all
-#      SEVEN folds land this round); the 24 still-never-certified
-#      r6 queries head the post-window order so the class empties
-#      in the r8 window.
+#      the oldest evidence first. Round 8 applies the r7 verdict's
+#      directive: the window = the 5 r8 changed/new queries + all 26
+#      never-driver-certified queries (emptying that class — after
+#      this round every registered query has at least one driver-green
+#      row) + the 19 oldest r3-stale rows. The remaining 24 r3-stale
+#      rows below are the planned head of the r9 window.
 # Anything past the cap rotates forward next round; every declared
 # query is still oracle-verified locally by tests/test_oracle.py.
 PRIORITY: list[str] = [
-    # -- 1. r7: implementation/oracle CHANGED this round (incl. the
-    # new q_stream_window_fold and the restructured MinHash QC/fold
-    # family, the fused media queries, the CMS cast fix, and the
-    # rdns null guard) ------------------------------------------------
-    "q_stream_window_fold", "q_stream_minhash_fold", "ns_minhash_recall",
-    "ns_minhash_estimate_error", "ns_minhash_prod_mode",
-    "mm_audio_segments", "mm_scene_cuts", "mm_binaryfile_ingest",
-    "takuan_rdns_enrich", "ns_cms_heavy_hitters", "ns_cms_join_size",
-    "q_stream_cms_fold", "ns_cms_error", "ns_dp_histogram",
-    # -- 2. r2-stale remainder (the r6 window certified through
-    # q_math_functions; these are the last rows whose newest driver
-    # evidence is round 2) --------------------------------------------
-    "q_distinct_count", "q_first_value_per_group",
-    "ns_minhash_lsh_neardup", "ns_simhash_neardup",
-    "ns_lsh_similarity_topk", "ns_ivf_topk", "ns_ivf_probe",
-    "ns_lsh_probe", "q2_min_cost_supplier", "q13_customer_distribution",
-    "q21_suppliers_kept_waiting", "ns_repetition_filter",
-    "ns_pack_sequences", "ns_embedding_centroids", "ns_random_projection",
-    "q_salted_agg", "q7_nation_volume_shipping", "q8_market_share",
-    "q9_product_type_profit", "q15_top_supplier", "ns_pq_topk",
-    "ns_pq_probe", "ns_pq_rerank", "ns_ivfpq_probe", "ns_pii_redact",
-    "ns_sample_to_mix", "ns_chunk_documents", "ns_rag_pipeline",
-    "q_gap_fill_interpolate", "q_hypertable_rollup",
-    "q11_part_value_share",
-    # -- 3. never-driver-certified r6 block, led by the remaining
-    # streaming maintainer folds — with the cms/minhash folds in
-    # section 1 all SEVEN folds are inside this window ----------------
-    "q_stream_bloom_fold", "q_stream_moments_fold",
-    "q_stream_session_fold", "q_stream_hist_fold", "q_stream_hll_fold",
-    # -- 4. never-certified r6 remainder (24; heads the r8 window so
-    # the class empties next round) -----------------------------------
+    # -- 1. r8: implementation CHANGED this round (the dedup verify
+    # family now consumes the persisted MinHash QC artifact) plus the
+    # NEW real-engine session-window query — new + changed head the
+    # window so every green row certifies current code -----------------
+    "ns_dedup_sweep", "ns_dedup_clusters", "ns_jaccard_neardup",
+    "ns_minhash_lsh_neardup", "q_stream_session_window",
+    # -- 2. never-driver-certified class (the r7 verdict's top item:
+    # 24 r6-new queries + the 2 r7-new ones). With sections 1-3 all
+    # inside the 50-row window, CORRECTNESS_r08 gives every registered
+    # query at least one driver-green row — full-registry coverage ----
     "ns_domain_stats", "ns_domain_filter", "q_orc_partition_prune",
     "q_graph_kcore", "ns_code_detect", "mm_image_resize",
     "ns_snapshot_diff", "ns_ann_recall", "q_watermark_audit",
@@ -144,28 +122,31 @@ PRIORITY: list[str] = [
     "q_graph_link_prediction", "ns_quantile_sketch_error",
     "ns_simhash_radius_tuning", "ns_vocab_coverage",
     "ns_cardinality_sketch_error", "q_seasonality_profile",
-    "q_graph_adamic_adar",
-    # queries NEW in r7 queue here (behind the never-certified
-    # backfill, per the crowding-out rule; driver rows arrive r8):
-    "ns_bitext_mining", "q_native_sketch_parity",
-    # -- 5. r3-stale: ---------------------------------------------------
+    "q_graph_adamic_adar", "ns_bitext_mining", "q_native_sketch_parity",
+    # -- 3. r3-stale head: fills the window to exactly 50 (5 + 26 + 19),
+    # oldest evidence first (mm_phash_neardup and ns_bm25_search are
+    # the oldest r3 rows per the r7 verdict) ---------------------------
+    "mm_phash_neardup", "ns_bm25_search",
     "q12_priority_by_returnflag", "q16_supplier_count_by_part",
     "q17_small_quantity_revenue", "q18_large_orders",
     "q20_promo_share_suppliers", "q22_idle_rich_customers",
     "ns_kmv_distinct", "ns_weighted_sample", "q_asof_nearest_tolerance",
     "q_except_all", "q_histogram", "q_null_safe_join", "q_percentiles",
     "q_udtf_tokenize", "q_window_range_frame", "q_stateful_alerts",
-    "q_stateful_profile", "ns_semdedup", "ns_substring_dedup",
-    "ns_bm25_search", "ns_shard_assign", "q_interval_overlap_join",
-    "ns_unicode_normalize", "ns_dup_size_histogram", "ns_bm25_batch",
-    "q_sliding_distinct", "ns_hll_distinct", "ns_token_entropy",
-    "q_graph_pagerank", "mm_phash_neardup", "q_quantile_sketch",
-    "q_key_skew_profile", "ns_length_outliers", "ns_cluster_purity",
-    "q_corr_regression", "q_scd2_intervals", "ns_bpe_merge_candidates",
-    "ns_effective_corpus_size", "ns_kmv_set_ops", "q_zorder_locality",
-    "ns_epoch_novelty", "ns_contrastive_triplets",
-    "q_sliding_distinct_hll",
-    # -- 6. r4-green: ---------------------------------------------------
+    "q_stateful_profile",
+    # -- 4. r3-stale remainder (24) — the PLANNED HEAD OF THE r9
+    # WINDOW: next round = r9 changes + these, then the r4-green block
+    # below continues the backfill in staleness order ------------------
+    "ns_semdedup", "ns_substring_dedup", "ns_shard_assign",
+    "q_interval_overlap_join", "ns_unicode_normalize",
+    "ns_dup_size_histogram", "ns_bm25_batch", "q_sliding_distinct",
+    "ns_hll_distinct", "ns_token_entropy", "q_graph_pagerank",
+    "q_quantile_sketch", "q_key_skew_profile", "ns_length_outliers",
+    "ns_cluster_purity", "q_corr_regression", "q_scd2_intervals",
+    "ns_bpe_merge_candidates", "ns_effective_corpus_size",
+    "ns_kmv_set_ops", "q_zorder_locality", "ns_epoch_novelty",
+    "ns_contrastive_triplets", "q_sliding_distinct_hll",
+    # -- 5. r4-green: ---------------------------------------------------
     "ns_cluster_sample", "ns_duplication_pareto", "ns_hard_negatives",
     "ns_keyword_tagging", "ns_length_bucketing", "ns_winsorized_stats",
     "q_ntile_deciles", "q_rolling_median", "q_unpivot_metrics",
@@ -178,26 +159,26 @@ PRIORITY: list[str] = [
     "ns_mixture_schedule", "q_event_dedup_window",
     "q_zonemap_prune_compare", "ns_leakage_safe_split", "ns_k_anonymity",
     "ns_tokenizer_fertility", "ns_boilerplate_strip", "q_dq_audit",
-    "q_salted_join", "ns_score_calibration", "ns_jaccard_neardup",
+    "q_salted_join", "ns_score_calibration",
     "ns_containment_neardup", "ns_dedup_pipeline", "q_bloom_prefilter",
     "q_sliding_window", "q_session_window", "q_funnel",
-    # -- 7. r5-green: ---------------------------------------------------
+    # -- 6. r5-green: ---------------------------------------------------
     "ns_record_linkage", "ns_blocked_linkage", "ns_embedding_neardup_lsh",
     "q_ewma_anomaly", "q_compaction_bins", "ns_pca_power_iteration",
-    "ns_dedup_clusters", "q_graph_triangles", "ns_vocab_oov",
+    "q_graph_triangles", "ns_vocab_oov",
     "ns_zipf_fit", "q_mean_shift_changepoint", "ns_dup_representative",
     "ns_matryoshka_qc", "ns_pii_risk", "ns_kcenter_coreset",
     "q_local_clustering", "q_interarrival_stats", "ns_ks_drift",
     "ns_mad_outliers", "ns_filter_funnel", "ns_int8_quant_error",
     "q_community_labels", "q_stream_dedup_fold", "ns_burstiness",
     "ns_template_mining", "ns_quantile_normalize", "q_jsonl_roundtrip",
-    "ns_dedup_sweep", "q_csv_roundtrip", "q_stream_ann_fold",
+    "q_csv_roundtrip", "q_stream_ann_fold",
     "ns_deletion_cascade", "ns_manifest_hash", "ns_text_augment",
     "ns_source_dedup_matrix", "q_cohort_retention", "q_asof_join",
     "q_stats_agg", "q_pivot_conditional", "mm_media_summary",
     "mm_feature_extract", "mm_frame_sample", "ns_dedup_exact",
     "ns_dedup_incremental", "ns_embedding_neardup", "ns_text_stats",
-    # -- 8. r6-green (freshest evidence, re-certified last) -------------
+    # -- 7. r6-green: ---------------------------------------------------
     "ns_decontaminate", "ns_curation_pipeline", "ns_lang_id",
     "ns_quality_score", "ns_stratified_sample", "ns_tfidf_topterms",
     "ns_winnow_fingerprint", "ns_fingerprint", "ns_similarity_topk",
@@ -214,6 +195,26 @@ PRIORITY: list[str] = [
     "takuan_geo_enrich_join", "q_anti_join", "q_semi_join", "q_set_ops",
     "q_union_distinct", "q_string_functions", "q_date_functions",
     "q_math_functions",
+    # -- 8. r7-green (freshest evidence, re-certified last) -------------
+    "q_stream_window_fold", "q_stream_minhash_fold", "ns_minhash_recall",
+    "ns_minhash_estimate_error", "ns_minhash_prod_mode",
+    "mm_audio_segments", "mm_scene_cuts", "mm_binaryfile_ingest",
+    "takuan_rdns_enrich", "ns_cms_heavy_hitters", "ns_cms_join_size",
+    "q_stream_cms_fold", "ns_cms_error", "ns_dp_histogram",
+    "q_distinct_count", "q_first_value_per_group",
+    "ns_simhash_neardup",
+    "ns_lsh_similarity_topk", "ns_ivf_topk", "ns_ivf_probe",
+    "ns_lsh_probe", "q2_min_cost_supplier", "q13_customer_distribution",
+    "q21_suppliers_kept_waiting", "ns_repetition_filter",
+    "ns_pack_sequences", "ns_embedding_centroids", "ns_random_projection",
+    "q_salted_agg", "q7_nation_volume_shipping", "q8_market_share",
+    "q9_product_type_profit", "q15_top_supplier", "ns_pq_topk",
+    "ns_pq_probe", "ns_pq_rerank", "ns_ivfpq_probe", "ns_pii_redact",
+    "ns_sample_to_mix", "ns_chunk_documents", "ns_rag_pipeline",
+    "q_gap_fill_interpolate", "q_hypertable_rollup",
+    "q11_part_value_share",
+    "q_stream_bloom_fold", "q_stream_moments_fold",
+    "q_stream_session_fold", "q_stream_hist_fold", "q_stream_hll_fold",
 ]
 
 
