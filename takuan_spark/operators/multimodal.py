@@ -77,6 +77,25 @@ def fake_decoder(payload: bytes) -> list[float]:
     return [h[i] / 255.0 for i in range(FEATURE_DIM)]
 
 
+#: Fingerprint width for the image near-dup path. A 16-bit hash banded
+#: into 4-bit slices saturates structurally: 16 possible values per
+#: band means candidate mass grows ~N^2/16 per band regardless of plan
+#: (the 10x probe measured 8.2x on mm_phash_neardup before this was
+#: widened). 60 bits in 15-bit slices is the ns_simhash_neardup
+#: discipline — 32768 values per band — and stays clear of BIGINT
+#: overflow (2^59 max weight).
+FINGERPRINT_DIM = 60
+
+
+def fake_fingerprint_decoder(payload: bytes) -> list[float]:
+    """FINGERPRINT_DIM levels for the wide image fingerprint, one per
+    leading sha256 hex digit (values 0..15 encoded as v/255 so
+    :func:`ahash`'s round(255*f) quantization inverts them exactly —
+    the same engine-portable contract as :func:`fake_decoder`)."""
+    hx = hashlib.sha256(payload or b"").hexdigest()
+    return [int(c, 16) / 255.0 for c in hx[:FINGERPRINT_DIM]]
+
+
 def wav_decoder(payload: bytes) -> list[float]:
     """REAL audio decode — PCM WAV needs only the stdlib ``wave``
     module plus numpy, so this path is fully implemented (the
@@ -300,6 +319,46 @@ def ahash(features_col, *, dim: int = FEATURE_DIM):
     return F.aggregate(bits, F.lit(0).cast("bigint"), lambda a, x: a + x)
 
 
+def ahash_frame(
+    feats: DataFrame,
+    *,
+    id_col: str = "media_id",
+    features_col: str = "features",
+    dim: int = FEATURE_DIM,
+    hash_col: str = "phash",
+) -> DataFrame:
+    """(id, ``dim``-bit aHash fingerprint) as an exploded
+    window+groupBy plan — bit-identical to :func:`ahash` (same integer
+    q_i = round(255*f_i) levels, same dim*q_i > sum q decisions) but
+    built for WIDE fingerprints: higher-order-function lambdas evaluate
+    interpreted (the measured ~3.4x penalty that moved
+    minhash_signatures to explode+groupBy), so :func:`ahash`'s
+    per-element zip_with/aggregate cost grows with dim while this
+    shape stays in whole-stage codegen. One shuffle: the window's
+    per-id partition feeds the grouped bit sum directly."""
+    from pyspark.sql import Window
+
+    q = F.round(F.col("f").cast("double") * 255).cast("bigint")
+    exploded = feats.select(
+        F.col(id_col), F.posexplode(features_col).alias("i", "f")
+    ).select(id_col, "i", q.alias("q"))
+    total = F.sum("q").over(Window.partitionBy(id_col))
+    # 2^(dim-1-i) via double pow: exact for dim <= 53 bits per weight
+    # (dim <= 60 keeps every weight below 2^59, inside the exact-double
+    # integer range), and shiftleft cannot take a per-row shift amount.
+    weight = F.pow(
+        F.lit(2.0), (F.lit(dim - 1) - F.col("i")).cast("double")
+    ).cast("bigint")
+    bit = F.when(F.lit(dim) * F.col("q") > F.col("total"), weight).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    return (
+        exploded.withColumn("total", total)
+        .groupBy(id_col)
+        .agg(F.sum(bit).cast("bigint").alias(hash_col))
+    )
+
+
 def phash_pairs(
     hashed: DataFrame,
     *,
@@ -308,6 +367,7 @@ def phash_pairs(
     dim: int = FEATURE_DIM,
     bands: int = 4,
     max_distance: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate media pairs by fingerprint hamming distance, with
     BANDED discovery: the ``dim``-bit hash splits into ``bands`` equal
@@ -315,6 +375,15 @@ def phash_pairs(
     pigeonhole-complete for ``max_distance < bands`` — and only
     candidates pay the exact ``bit_count(xor)`` check. Never all-pairs:
     the shuffle keys are (band index, slice value) ints.
+
+    ``max_bucket`` is the worst-bucket guard (the max_df/max_block/
+    max_cell=64 discipline): a (band, slice) bucket larger than the cap
+    is a degenerate discriminator — a slice value shared by that many
+    fingerprints contributes ~bucket^2 candidates and almost no true
+    near-dups — and is dropped from discovery. A pair can still be
+    found through any of its other bands (capping trades bounded recall
+    for the quadratic worst bucket, exactly like stop-shingles). None
+    disables the cap.
 
     Output: (id_a, id_b, hamming), id_a < id_b, deduplicated across
     bands."""
@@ -346,6 +415,17 @@ def phash_pairs(
         F.col(hash_col).alias("h"),
         F.posexplode(slices).alias("band", "slice"),
     )
+    if max_bucket is not None:
+        # bucket census is at most bands x 2^(dim/bands) rows (and at
+        # most bands x corpus) — a small aggregate AQE broadcasts; the
+        # join prunes saturated buckets before any pair materializes.
+        small = (
+            sliced.groupBy("band", "slice")
+            .agg(F.count(F.lit(1)).alias("_bc"))
+            .where(F.col("_bc") <= max_bucket)
+            .drop("_bc")
+        )
+        sliced = sliced.join(small, ["band", "slice"])
     right = sliced.select(
         F.col("id").alias("id_b"),
         F.col("h").alias("h_b"),

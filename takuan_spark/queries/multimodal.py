@@ -77,25 +77,29 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     qb AS (
         SELECT media_id, g.i AS i,
-               ((strpos('0123456789abcdef', substr(hx, 2*g.i-1, 1)) - 1) * 16
-                + (strpos('0123456789abcdef', substr(hx, 2*g.i, 1)) - 1)) AS q
-        FROM hx, UNNEST(range(1, {multimodal.FEATURE_DIM + 1})) AS g(i)
+               (strpos('0123456789abcdef', substr(hx, g.i, 1)) - 1) AS q
+        FROM hx, UNNEST(range(1, {multimodal.FINGERPRINT_DIM + 1})) AS g(i)
     ),
     ph AS (
         SELECT media_id,
-               CAST(SUM(CASE WHEN {multimodal.FEATURE_DIM} * q > s
-                             THEN CAST(power(2, {multimodal.FEATURE_DIM} - i)
+               CAST(SUM(CASE WHEN {multimodal.FINGERPRINT_DIM} * q > s
+                             THEN CAST(power(2, {multimodal.FINGERPRINT_DIM} - i)
                                        AS BIGINT)
                              ELSE 0 END) AS BIGINT) AS phash
         FROM (SELECT media_id, i, q,
                      SUM(q) OVER (PARTITION BY media_id) AS s FROM qb)
         GROUP BY media_id
     ),
-    sl AS (
+    sl0 AS (
         SELECT media_id, phash, CAST(b.b AS INT) AS band,
-               (phash >> (CAST(b.b AS INT) * 4)) & 15 AS slice
+               (phash >> (CAST(b.b AS INT) * 15)) & 32767 AS slice
         FROM ph, UNNEST(range(0, 4)) AS b(b)
     ),
+    keepb AS (
+        SELECT band, slice FROM sl0 GROUP BY band, slice
+        HAVING COUNT(*) <= 64
+    ),
+    sl AS (SELECT sl0.* FROM sl0 JOIN keepb USING (band, slice)),
     cand AS (
         SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b,
                a.phash AS ha, c.phash AS hb
@@ -108,19 +112,31 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
     "Perceptual-hash image near-dup: decode (Arrow mapInPandas) -> "
-    "16-bit average hash whose bit decisions are INTEGER comparisons "
-    "(16*q_i > sum q — no float sum ever decides a bit) -> banded "
-    "hamming discovery (4 x 4-bit slices, pigeonhole-complete for "
-    "distance <= 2) -> exact bit_count(xor) on candidates only. The "
-    "shuffle carries (band, slice) ints, never payloads or features.",
+    "60-bit average hash whose bit decisions are INTEGER comparisons "
+    "(60*q_i > sum q — no float sum ever decides a bit) -> banded "
+    "hamming discovery (4 x 15-bit slices, pigeonhole-complete for "
+    "distance <= 2, max_bucket=64 saturated-slice guard) -> exact "
+    "bit_count(xor) on candidates only. The 16-bit hash this replaced "
+    "saturated structurally (16 values per band slice -> candidate "
+    "mass ~N^2/16; the honest 10x probe read 8.2x) — 15-bit slices "
+    "are the ns_simhash_neardup width, and the cap bounds whatever "
+    "still collides. The shuffle carries (band, slice) ints, never "
+    "payloads or features.",
 )
 def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = load_media(spark, sf_dir).where(F.col("kind") == "image")
-    feats = multimodal.extract_features(media, decoder=multimodal.fake_decoder)
-    hashed = feats.select(
-        "media_id", multimodal.ahash(F.col("features")).alias("phash")
+    feats = multimodal.extract_features(
+        media, decoder=multimodal.fake_fingerprint_decoder
     )
-    return multimodal.phash_pairs(hashed).orderBy("id_a", "id_b")
+    hashed = multimodal.ahash_frame(
+        feats, dim=multimodal.FINGERPRINT_DIM
+    )
+    return multimodal.phash_pairs(
+        hashed,
+        dim=multimodal.FINGERPRINT_DIM,
+        bands=4,
+        max_bucket=64,
+    ).orderBy("id_a", "id_b")
 
 
 @query(

@@ -729,6 +729,43 @@ def test_ahash_integer_bit_decisions(spark):
     assert h == 0b1111_0000_0000_0000
 
 
+def test_ahash_frame_matches_ahash(spark):
+    """The wide-fingerprint explode+window+groupBy plan must be
+    bit-identical to the per-row HOF ahash for any dim (same integer
+    levels, same dim*q > sum decisions)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.randrange(16) / 255.0 for _ in range(60)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "media_id long, features array<float>")
+    hof = {
+        r["media_id"]: r["h"]
+        for r in df.select(
+            "media_id", multimodal.ahash(F.col("features"), dim=60).alias("h")
+        ).collect()
+    }
+    grouped = {
+        r["media_id"]: r["phash"]
+        for r in multimodal.ahash_frame(df, dim=60).collect()
+    }
+    assert hof == grouped
+
+
+def test_phash_pairs_max_bucket_drops_saturated_slices(spark):
+    # 70 fingerprints sharing every band slice (all-identical hashes)
+    # exceed max_bucket=64 -> zero candidates survive the guard; with
+    # the cap off, all 70*69/2 pairs appear at hamming 0.
+    rows = [(i, 0b1010) for i in range(70)]
+    df = spark.createDataFrame(rows, "media_id long, phash long")
+    capped = multimodal.phash_pairs(df, max_bucket=64).count()
+    uncapped = multimodal.phash_pairs(df).count()
+    assert capped == 0
+    assert uncapped == 70 * 69 // 2
+
+
 def test_phash_pairs_banded_discovery(spark):
     # a/b identical (hamming 0), c differs in 2 bits (<= max_distance,
     # found via an untouched band), d differs everywhere (dropped).
