@@ -10,11 +10,17 @@ preserved at 10x rather than distorted:
 - fact/dim keys (orderkey, custkey, doc_id, ...) are offset by
   ``replica * (max_key + 1)`` so referential integrity holds and join
   fan-outs stay constant per row;
-- ``documents.text`` is deterministically word-shuffled per replica
-  (seeded Fisher-Yates) so replicas are DISTINCT texts: the probe is
-  "10 independent sf0.1 corpora", not "every doc now has 10 near-dup
-  copies" (which would inflate near-dup candidate pairs ~quadratically
-  per duplicate group and mis-attribute the growth to the plan);
+- ``documents.text`` is deterministically word-shuffled AND every 4th
+  word is replica-tagged per replica, so replicas are DISTINCT texts
+  under BOTH order-sensitive (shingle) and order-invariant (token-bag:
+  SimHash, TF) fingerprints: the probe is "10 independent sf0.1
+  corpora", not "every doc now has 10 near-dup copies" (which would
+  inflate near-dup candidate pairs ~quadratically per duplicate group
+  and mis-attribute the growth to the plan — the shuffle alone left
+  SimHash signatures IDENTICAL across replicas, measured as a phantom
+  319x on ns_simhash_neardup at 100x). The tagging also grows the
+  vocabulary with corpus size, which is what real corpora do (Heaps'
+  law);
 - ``embeddings.embedding`` is rolled by ``replica`` positions (norms
   preserved, directions distinct) for the same reason;
 - region/nation stay single-copy (fixed-size at every TPC-H SF).
@@ -56,7 +62,10 @@ def build_probe_corpus() -> None:
     import duckdb
 
     os.makedirs(PROBE_DIR, exist_ok=True)
-    marker = os.path.join(PROBE_DIR, f".built_r{REPLICAS}")
+    # v2: replica texts are token-tagged as well as shuffled (see
+    # module docstring) — the version in the marker forces a rebuild of
+    # corpora created by earlier scale_probe versions.
+    marker = os.path.join(PROBE_DIR, f".built_r{REPLICAS}_v2")
     if os.path.exists(marker):
         print(f"probe corpus already built at {PROBE_DIR}", flush=True)
         return
@@ -112,12 +121,20 @@ def _build_documents(src: str) -> None:
         if i > 0:
             rng = random.Random(97 + i)
 
-            def shuffle_words(s: str) -> str:
+            def perturb_words(s: str, tag: str = f"r{i}") -> str:
                 w = s.split(" ")
                 rng.shuffle(w)
+                # tag every 4th token: the token MULTISET (not just the
+                # order) must differ across replicas, or order-invariant
+                # fingerprints (SimHash) see exact duplicate groups of
+                # size = replica count and pair mass goes quadratic in
+                # replicas instead of linear in corpus
+                w = [
+                    t + tag if p % 4 == 0 else t for p, t in enumerate(w)
+                ]
                 return " ".join(w)
 
-            rep["text"] = rep["text"].map(shuffle_words)
+            rep["text"] = rep["text"].map(perturb_words)
         out.append(rep)
     pd.concat(out, ignore_index=True).to_parquet(
         f"{PROBE_DIR}/documents.parquet", index=False
