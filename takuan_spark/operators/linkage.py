@@ -15,18 +15,28 @@ scale-correct Spark shape:
   (operators/dedup.py:minhash_lsh_pairs) when no blocking key exists.
 
 Token sets compare as DISTINCT sets (array_intersect/array_union), so
-repeated words don't inflate agreement."""
+repeated words don't inflate agreement — and as 60-bit md5 INTS, not
+strings: the token arrays ride the block-key shuffle and feed the
+per-pair intersect/union, so fixed 8-byte elements cut both the
+exchange volume and the set-op comparisons (the posting-list
+discipline from operators/retrieval.py). Set Jaccard over the hashed
+sets equals string-set Jaccard up to md5 collisions (~0 at any real
+vocabulary, and the oracle applies the identical hash, so the
+comparison stays bit-exact regardless)."""
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from takuan_spark.operators.hashing import md5_int
 from takuan_spark.operators.text import words
 
 
 def _tok_set(text: Column) -> Column:
-    return F.array_distinct(words(text))
+    return F.array_distinct(
+        F.transform(words(text), lambda t: md5_int(t, hex_chars=15))
+    )
 
 
 def blocked_pairs(
@@ -66,8 +76,15 @@ def blocked_pairs(
     path in operators/dedup.py), not a bigger quadratic.
     ``max_block=None`` disables the guard.
     """
+    from takuan_spark.operators.skew import materialize, spread
+
     block = ["lang", "lb"] + (["tok0"] if prefix_token else [])
-    keyed = docs.select(
+    # spread: the tokenize+hash projection is the per-row CPU cost and
+    # must run as wide as the cluster, not at the source file's
+    # row-group granularity (a pandas-written parquet can put most
+    # rows in one split — measured: one straggler task carrying an
+    # 11-idle-core stage at probe scale).
+    keyed = spread(docs).select(
         F.col(id_col).alias("id"),
         F.col(lang_col).alias("lang"),
         F.floor(F.col(len_col) / len_band).cast("int").alias("lb"),
@@ -79,13 +96,23 @@ def blocked_pairs(
         _tok_set(F.col(text_col)).alias("ts"),
     )
     if max_block is not None:
-        small = (
-            keyed.groupBy(*block)
-            .agg(F.count(F.lit(1)).alias("_bc"))
+        # block census as a WINDOW count, not an aggregate + join: the
+        # join form re-ran the tokenize+hash projection for the census
+        # branch — a second full corpus pass that was 90% of wall
+        # clock at the 100x probe scale (124.8 -> ~41 s). The window
+        # shuffles once on the block key, which is also the self-join
+        # key below, and the cached frame keeps that partitioning.
+        from pyspark.sql import Window
+
+        bc = F.count(F.lit(1)).over(Window.partitionBy(*block))
+        keyed = (
+            keyed.withColumn("_bc", bc)
             .where(F.col("_bc") <= max_block)
             .drop("_bc")
         )
-        keyed = keyed.join(small, block)
+    # the keyed frame feeds both sides of the block self-join below;
+    # unmaterialized, the tokenize+hash projection runs once per side
+    keyed = materialize(keyed)
     a = keyed.select(
         F.col("id").alias("id_a"), *block, F.col("ts").alias("ts_a")
     )

@@ -11,8 +11,9 @@ from takuan_spark.queries import query
 from takuan_spark.queries.northstar import _minhash_pairs_cte
 from takuan_spark.tables import load_table
 
-_TS = r"""list_distinct(list_filter(string_split_regex(text, '\s+'),
-                                    x -> x <> ''))"""
+_TS = r"""list_distinct(list_transform(
+    list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+    t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)))"""
 
 
 @query(
