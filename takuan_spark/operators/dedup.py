@@ -722,6 +722,55 @@ def minhash_qc_build(
     _write_index_marker(path, key, {})
 
 
+def pair_distribution_build(
+    docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = 64,
+    rebuild: bool = False,
+    source_id: str | None = None,
+) -> None:
+    """Persist the corpus' FULL observed pair-similarity distribution:
+    every max_df-capped inverted-index pair down to jaccard >= 0.0
+    (i.e. every bucket-sharing pair). This is the PLANNER-CALIBRATION
+    artifact: the LSH band-tuning and SimHash radius-tuning queries
+    evaluate candidate index configurations against the observed
+    distribution, which needs the sub-threshold mass the production
+    pair index (:func:`minhash_qc_build`, floor 0.2) deliberately
+    drops — so it is a separate artifact with a separate lifecycle
+    (rebuilt when re-tuning, not per corpus snapshot), and the
+    certified QC consumers stay untouched. Marker-idempotent with
+    ``source_id`` invalidation, like the QC build."""
+    import os
+
+    from takuan_spark.operators.similarity import (
+        _write_index_marker,
+        current_marker,
+    )
+
+    key = {
+        "op": "pair_distribution",
+        "n": n,
+        "max_df": max_df,
+        "src": source_id,
+    }
+    if not rebuild and current_marker(path, key) is not None:
+        return
+    os.makedirs(path, exist_ok=True)
+    jaccard_pairs(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        threshold=0.0,
+        max_df=max_df,
+    ).write.mode("overwrite").parquet(os.path.join(path, "pairs"))
+    _write_index_marker(path, key, {})
+
+
 # -------------------------------------------------------------- simhash
 
 def simhash(

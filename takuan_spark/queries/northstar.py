@@ -88,6 +88,27 @@ def _minhash_qc_tables(spark, sf_dir: str):
     )
 
 
+def _pair_distribution_table(spark, sf_dir: str):
+    """Build-or-read the planner-calibration artifact
+    (operators/dedup.py:pair_distribution_build): EVERY max_df-capped
+    inverted-index pair at jaccard >= 0.0 — the observed similarity
+    distribution the index-tuning planners evaluate configurations
+    against (they need the sub-threshold mass the production QC
+    artifact's 0.2 floor drops)."""
+    from takuan_spark.operators import dedup as _dedup
+    from takuan_spark.tables import load_table as _lt
+
+    path = f"{_SCRATCH}/pair_dist_{sf_dir.strip('/').split('/')[-1]}"
+    _dedup.pair_distribution_build(
+        _lt(spark, sf_dir, "documents"),
+        path,
+        n=3,
+        max_df=64,
+        source_id=_source_id(sf_dir, "documents"),
+    )
+    return spark.read.parquet(f"{path}/pairs")
+
+
 def _sql_list(vec: list[float]) -> str:
     """A float64 list literal whose DuckDB parse round-trips to the exact
     same doubles Python embeds in the Spark plan (repr is shortest
@@ -2180,17 +2201,16 @@ _LSH_TUNE_SQL = (
     "16-permutation signature, the S-curve threshold and the EXPECTED "
     "recall / false-candidate mass at tau=0.7, evaluated against the "
     "corpus' OBSERVED pair-similarity distribution (the max_df-guarded "
-    "inverted-index pairs, one pass, 5 configs aggregated together). "
+    "inverted-index pairs, read from the persisted planner-calibration "
+    "artifact pair_distribution_build; 5 configs aggregated in one "
+    "pass over it). "
     "This is the table an operator reads to pick b x r before building "
     "the index — the MMDS ch.3 tuning analysis as a query. Detection "
     "probabilities are literal multiplication chains, identical IEEE "
     "op order in both engines.",
 )
 def ns_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(
-        docs, n=3, threshold=0.0, max_df=64
-    ).select("jaccard")
+    pairs = _pair_distribution_table(spark, sf_dir).select("jaccard")
     tau = _LSH_TUNE_TAU
     aggs = [
         F.sum((F.col("jaccard") >= tau).cast("bigint")).alias("n_true")
@@ -2309,7 +2329,8 @@ _SIMHASH_TUNE_RADII = list(range(0, 7))
     "SimHash radius calibration: for Hamming cutoffs 0..6 over the "
     "60-bit md5-derived SimHash, candidate count, recall and precision "
     "of true near-dups (Jaccard >= 0.7) measured on the corpus' "
-    "observed pair-similarity distribution — the companion planner to "
+    "observed pair-similarity distribution (the persisted "
+    "planner-calibration artifact) — the companion planner to "
     "ns_lsh_band_tuning (bands x rows for MinHash; radius for "
     "SimHash). One pass: every observed pair carries its hamming + "
     "jaccard, the 7-radius grid is a broadcast explode, counts are "
@@ -2317,7 +2338,7 @@ _SIMHASH_TUNE_RADII = list(range(0, 7))
 )
 def ns_simhash_radius_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, n=3, threshold=0.0, max_df=64)
+    pairs = _pair_distribution_table(spark, sf_dir)
     sig = dedup.simhash(docs, bits=60)
     ph = (
         pairs.join(
