@@ -89,16 +89,29 @@ def release_materialized() -> int:
     last release; returns how many were released. Unpersisting an
     already-released frame (e.g. one an operator dropped early, like
     dedup_clusters' edge cache) is a safe no-op."""
+    import warnings
+
     n = 0
     while _MATERIALIZED:
         df = _MATERIALIZED.pop()
         try:
             df.unpersist()
             n += 1
-        except Exception:
+        except Exception as exc:
             # a frame whose session is already stopped cannot be (and
-            # does not need to be) unpersisted
-            pass
+            # does not need to be) unpersisted — that exact case is
+            # expected during teardown. Anything else (a broken JVM
+            # connection mid-suite, a Py4J protocol error) is a real
+            # signal: surface it as a warning rather than swallowing,
+            # but keep draining so one bad frame cannot pin the rest.
+            msg = str(exc).lower()
+            if not ("stopped" in msg or "cancelled" in msg):
+                warnings.warn(
+                    f"release_materialized: unpersist failed with a "
+                    f"non-stopped-session error: {exc!r}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     return n
 
 

@@ -94,51 +94,27 @@ def query(name: str, oracle_sql: str | None, description: str = ""):
 #      (their old green rows no longer certify the current code);
 #   2. staleness backfill — every remaining query ordered by its
 #      LAST-GREEN round ascending, so the window always re-certifies
-#      the oldest evidence first. Round 8 applies the r7 verdict's
-#      directive: the window = the 8 r8 changed/new queries + all 26
-#      never-driver-certified queries (emptying that class — after
-#      this round every registered query has at least one driver-green
-#      row) + the 16 oldest r3-stale rows. The remaining 27 r3-stale
-#      rows below are the planned head of the r9 window.
+#      the oldest evidence first. Round 9 applies the r8 verdict's
+#      directive: the window = the 4 r9 changed/new queries (the new
+#      real-engine q_stream_late_drop, the two other real-engine
+#      streaming rows it shares protocol code with, and the
+#      artifact-served ns_decontaminate) + all 27 remaining r3-stale
+#      rows (retiring the r3 evidence class — after this round the
+#      oldest driver evidence is r4) + the 19 oldest r4-green rows.
 # Anything past the cap rotates forward next round; every declared
 # query is still oracle-verified locally by tests/test_oracle.py.
 PRIORITY: list[str] = [
-    # -- 1. r8: implementation CHANGED this round (the dedup verify
-    # family now consumes the persisted MinHash QC artifact) plus the
-    # NEW real-engine session-window query — new + changed head the
-    # window so every green row certifies current code -----------------
-    "ns_dedup_sweep", "ns_dedup_clusters", "ns_jaccard_neardup",
-    "ns_minhash_lsh_neardup", "q_stream_session_window",
-    "ns_blocked_linkage", "ns_record_linkage", "ns_containment_neardup",
-    # -- 2. never-driver-certified class (the r7 verdict's top item:
-    # 24 r6-new queries + the 2 r7-new ones). With sections 1-3 all
-    # inside the 50-row window, CORRECTNESS_r08 gives every registered
-    # query at least one driver-green row — full-registry coverage ----
-    "ns_domain_stats", "ns_domain_filter", "q_orc_partition_prune",
-    "q_graph_kcore", "ns_code_detect", "mm_image_resize",
-    "ns_snapshot_diff", "ns_ann_recall", "q_watermark_audit",
-    "q_sql_function_surface", "q_mv_incremental",
-    "q_range_partition_balance", "q_schema_evolution", "ns_gopher_rules",
-    "ns_lsh_band_tuning", "ns_sft_mask_stats", "ns_pack_efficiency",
-    "q_graph_link_prediction", "ns_quantile_sketch_error",
-    "ns_simhash_radius_tuning", "ns_vocab_coverage",
-    "ns_cardinality_sketch_error", "q_seasonality_profile",
-    "q_graph_adamic_adar", "ns_bitext_mining", "q_native_sketch_parity",
-    # -- 3. r3-stale head: fills the window to exactly 50 (8 + 26 + 16),
-    # oldest evidence first (mm_phash_neardup and ns_bm25_search are
-    # the oldest r3 rows per the r7 verdict) ---------------------------
-    "mm_phash_neardup", "ns_bm25_search",
-    "q12_priority_by_returnflag", "q16_supplier_count_by_part",
-    "q17_small_quantity_revenue", "q18_large_orders",
-    "q20_promo_share_suppliers", "q22_idle_rich_customers",
-    "ns_kmv_distinct", "ns_weighted_sample", "q_asof_nearest_tolerance",
-    "q_except_all", "q_histogram", "q_null_safe_join", "q_percentiles",
-    "q_udtf_tokenize",
-    # -- 4. r3-stale remainder (27) — the PLANNED HEAD OF THE r9
-    # WINDOW: next round = r9 changes + these, then the r4-green block
-    # below continues the backfill in staleness order. (q_stateful_*
-    # were displaced from the r8 window by the two changed linkage
-    # queries — changed code outranks stale evidence.) -----------------
+    # -- 1. r9: CHANGED/NEW this round — q_stream_late_drop is the new
+    # real-engine watermark-drop query; the two other real-engine
+    # streaming rows share its epoch-file writer and gained the
+    # awaitTermination timeout assert (ADVICE r8); ns_decontaminate now
+    # consumes the pair-distribution artifact. New + changed head the
+    # window so every green row certifies current code ----------------
+    "q_stream_late_drop", "q_stream_window_fold", "q_stream_session_window",
+    "ns_decontaminate",
+    # -- 2. r3-stale remainder (27) — the planned r9 head from the r8
+    # verdict: the oldest driver evidence in the registry; green here
+    # retires the r3 class entirely (oldest evidence becomes r4) ------
     "q_window_range_frame", "q_stateful_alerts", "q_stateful_profile",
     "ns_semdedup", "ns_substring_dedup", "ns_shard_assign",
     "q_interval_overlap_join", "ns_unicode_normalize",
@@ -146,78 +122,97 @@ PRIORITY: list[str] = [
     "ns_hll_distinct", "ns_token_entropy", "q_graph_pagerank",
     "q_quantile_sketch", "q_key_skew_profile", "ns_length_outliers",
     "ns_cluster_purity", "q_corr_regression", "q_scd2_intervals",
-    "ns_bpe_merge_candidates", "ns_effective_corpus_size",
-    "ns_kmv_set_ops", "q_zorder_locality", "ns_epoch_novelty",
-    "ns_contrastive_triplets", "q_sliding_distinct_hll",
-    # -- 5. r4-green: ---------------------------------------------------
+    "ns_bpe_merge_candidates", "ns_effective_corpus_size", "ns_kmv_set_ops",
+    "q_zorder_locality", "ns_epoch_novelty", "ns_contrastive_triplets",
+    "q_sliding_distinct_hll",
+    # -- 3. r4-green head: fills the window to exactly 50 (4 + 27 + 19),
+    # oldest remaining evidence first ---------------------------------
     "ns_cluster_sample", "ns_duplication_pareto", "ns_hard_negatives",
     "ns_keyword_tagging", "ns_length_bucketing", "ns_winsorized_stats",
     "q_ntile_deciles", "q_rolling_median", "q_unpivot_metrics",
-    "q_stream_report_fold", "q_stream_sketch_fold",
-    "q_bloom_prefilter_prod", "ns_kmeans_clusters", "ns_kmeans_assign",
-    "ns_token_pmi", "ns_source_overlap", "ns_ngram_lm_stats",
-    "ns_perplexity_filter", "q_cdc_merge", "q_cdc_latest",
-    "ns_dataset_card", "ns_importance_weights", "q_touch_attribution",
-    "ns_quantile_bins", "ns_class_rebalance", "ns_embedding_qc",
-    "ns_mixture_schedule", "q_event_dedup_window",
+    "q_stream_report_fold", "q_stream_sketch_fold", "q_bloom_prefilter_prod",
+    "ns_kmeans_clusters", "ns_kmeans_assign", "ns_token_pmi",
+    "ns_source_overlap", "ns_ngram_lm_stats", "ns_perplexity_filter",
+    "q_cdc_merge",
+    # -- 4. r4-green remainder (next round's backfill head) -----------
+    "q_cdc_latest", "ns_dataset_card", "ns_importance_weights",
+    "q_touch_attribution", "ns_quantile_bins", "ns_class_rebalance",
+    "ns_embedding_qc", "ns_mixture_schedule", "q_event_dedup_window",
     "q_zonemap_prune_compare", "ns_leakage_safe_split", "ns_k_anonymity",
     "ns_tokenizer_fertility", "ns_boilerplate_strip", "q_dq_audit",
-    "q_salted_join", "ns_score_calibration",
-    "ns_dedup_pipeline", "q_bloom_prefilter",
-    "q_sliding_window", "q_session_window", "q_funnel",
-    # -- 6. r5-green: ---------------------------------------------------
-    "ns_embedding_neardup_lsh",
-    "q_ewma_anomaly", "q_compaction_bins", "ns_pca_power_iteration",
-    "q_graph_triangles", "ns_vocab_oov",
+    "q_salted_join", "ns_score_calibration", "ns_dedup_pipeline",
+    "q_bloom_prefilter", "q_sliding_window", "q_session_window", "q_funnel",
+    # -- 5. r5-green: --------------------------------------------------
+    "ns_embedding_neardup_lsh", "q_ewma_anomaly", "q_compaction_bins",
+    "ns_pca_power_iteration", "q_graph_triangles", "ns_vocab_oov",
     "ns_zipf_fit", "q_mean_shift_changepoint", "ns_dup_representative",
     "ns_matryoshka_qc", "ns_pii_risk", "ns_kcenter_coreset",
     "q_local_clustering", "q_interarrival_stats", "ns_ks_drift",
     "ns_mad_outliers", "ns_filter_funnel", "ns_int8_quant_error",
     "q_community_labels", "q_stream_dedup_fold", "ns_burstiness",
     "ns_template_mining", "ns_quantile_normalize", "q_jsonl_roundtrip",
-    "q_csv_roundtrip", "q_stream_ann_fold",
-    "ns_deletion_cascade", "ns_manifest_hash", "ns_text_augment",
-    "ns_source_dedup_matrix", "q_cohort_retention", "q_asof_join",
-    "q_stats_agg", "q_pivot_conditional", "mm_media_summary",
-    "mm_feature_extract", "mm_frame_sample", "ns_dedup_exact",
-    "ns_dedup_incremental", "ns_embedding_neardup", "ns_text_stats",
-    # -- 7. r6-green: ---------------------------------------------------
-    "ns_decontaminate", "ns_curation_pipeline", "ns_lang_id",
-    "ns_quality_score", "ns_stratified_sample", "ns_tfidf_topterms",
-    "ns_winnow_fingerprint", "ns_fingerprint", "ns_similarity_topk",
-    "ns_knn_join", "q_scalar_subquery", "q_correlated_subquery",
-    "q_array_functions", "q_full_outer_join", "q_ip_range_join",
-    "q_ip_range_join_bucketed", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier_volume", "q_top_customers",
-    "q_grouping_sets", "q_window_lag_lead", "q_window_rank", "q_rollup",
-    "q6_forecast_revenue", "q4_order_priority", "q10_returned_items",
-    "q14_promo_revenue", "q19_disjunctive_filter", "q_cube",
-    "q_pandas_udaf", "takuan_address_report", "takuan_country_topk",
-    "takuan_rule_filter", "takuan_rule_label", "takuan_json_extract",
-    "takuan_hourly_window", "takuan_regex_tokenize",
+    "q_csv_roundtrip", "q_stream_ann_fold", "ns_deletion_cascade",
+    "ns_manifest_hash", "ns_text_augment", "ns_source_dedup_matrix",
+    "q_cohort_retention", "q_asof_join", "q_stats_agg",
+    "q_pivot_conditional", "mm_media_summary", "mm_feature_extract",
+    "mm_frame_sample", "ns_dedup_exact", "ns_dedup_incremental",
+    "ns_embedding_neardup", "ns_text_stats",
+    # -- 6. r6-green: --------------------------------------------------
+    "ns_curation_pipeline", "ns_lang_id", "ns_quality_score",
+    "ns_stratified_sample", "ns_tfidf_topterms", "ns_winnow_fingerprint",
+    "ns_fingerprint", "ns_similarity_topk", "ns_knn_join",
+    "q_scalar_subquery", "q_correlated_subquery", "q_array_functions",
+    "q_full_outer_join", "q_ip_range_join", "q_ip_range_join_bucketed",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q_top_customers", "q_grouping_sets", "q_window_lag_lead",
+    "q_window_rank", "q_rollup", "q6_forecast_revenue", "q4_order_priority",
+    "q10_returned_items", "q14_promo_revenue", "q19_disjunctive_filter",
+    "q_cube", "q_pandas_udaf", "takuan_address_report",
+    "takuan_country_topk", "takuan_rule_filter", "takuan_rule_label",
+    "takuan_json_extract", "takuan_hourly_window", "takuan_regex_tokenize",
     "takuan_geo_enrich_join", "q_anti_join", "q_semi_join", "q_set_ops",
     "q_union_distinct", "q_string_functions", "q_date_functions",
     "q_math_functions",
-    # -- 8. r7-green (freshest evidence, re-certified last) -------------
-    "q_stream_window_fold", "q_stream_minhash_fold", "ns_minhash_recall",
-    "ns_minhash_estimate_error", "ns_minhash_prod_mode",
-    "mm_audio_segments", "mm_scene_cuts", "mm_binaryfile_ingest",
-    "takuan_rdns_enrich", "ns_cms_heavy_hitters", "ns_cms_join_size",
-    "q_stream_cms_fold", "ns_cms_error", "ns_dp_histogram",
-    "q_distinct_count", "q_first_value_per_group",
-    "ns_simhash_neardup",
-    "ns_lsh_similarity_topk", "ns_ivf_topk", "ns_ivf_probe",
-    "ns_lsh_probe", "q2_min_cost_supplier", "q13_customer_distribution",
+    # -- 7. r7-green: --------------------------------------------------
+    "q_stream_minhash_fold", "ns_minhash_recall",
+    "ns_minhash_estimate_error", "ns_minhash_prod_mode", "mm_audio_segments",
+    "mm_scene_cuts", "mm_binaryfile_ingest", "takuan_rdns_enrich",
+    "ns_cms_heavy_hitters", "ns_cms_join_size", "q_stream_cms_fold",
+    "ns_cms_error", "ns_dp_histogram", "q_distinct_count",
+    "q_first_value_per_group", "ns_simhash_neardup",
+    "ns_lsh_similarity_topk", "ns_ivf_topk", "ns_ivf_probe", "ns_lsh_probe",
+    "q2_min_cost_supplier", "q13_customer_distribution",
     "q21_suppliers_kept_waiting", "ns_repetition_filter",
     "ns_pack_sequences", "ns_embedding_centroids", "ns_random_projection",
     "q_salted_agg", "q7_nation_volume_shipping", "q8_market_share",
     "q9_product_type_profit", "q15_top_supplier", "ns_pq_topk",
     "ns_pq_probe", "ns_pq_rerank", "ns_ivfpq_probe", "ns_pii_redact",
     "ns_sample_to_mix", "ns_chunk_documents", "ns_rag_pipeline",
-    "q_gap_fill_interpolate", "q_hypertable_rollup",
-    "q11_part_value_share",
-    "q_stream_bloom_fold", "q_stream_moments_fold",
-    "q_stream_session_fold", "q_stream_hist_fold", "q_stream_hll_fold",
+    "q_gap_fill_interpolate", "q_hypertable_rollup", "q11_part_value_share",
+    "q_stream_bloom_fold", "q_stream_moments_fold", "q_stream_session_fold",
+    "q_stream_hist_fold", "q_stream_hll_fold",
+    # -- 8. r8-green (freshest evidence, re-certified last): the r8
+    # window in its original order — r3-stale head, the emptied
+    # never-certified class, then the r8-changed dedup/linkage family -
+    "mm_phash_neardup", "ns_bm25_search", "q12_priority_by_returnflag",
+    "q16_supplier_count_by_part", "q17_small_quantity_revenue",
+    "q18_large_orders", "q20_promo_share_suppliers",
+    "q22_idle_rich_customers", "ns_kmv_distinct", "ns_weighted_sample",
+    "q_asof_nearest_tolerance", "q_except_all", "q_histogram",
+    "q_null_safe_join", "q_percentiles", "q_udtf_tokenize",
+    "ns_domain_stats", "ns_domain_filter", "q_orc_partition_prune",
+    "q_graph_kcore", "ns_code_detect", "mm_image_resize", "ns_snapshot_diff",
+    "ns_ann_recall", "q_watermark_audit", "q_sql_function_surface",
+    "q_mv_incremental", "q_range_partition_balance", "q_schema_evolution",
+    "ns_gopher_rules", "ns_lsh_band_tuning", "ns_sft_mask_stats",
+    "ns_pack_efficiency", "q_graph_link_prediction",
+    "ns_quantile_sketch_error", "ns_simhash_radius_tuning",
+    "ns_vocab_coverage", "ns_cardinality_sketch_error",
+    "q_seasonality_profile", "q_graph_adamic_adar", "ns_bitext_mining",
+    "q_native_sketch_parity",
+    "ns_dedup_sweep", "ns_dedup_clusters", "ns_jaccard_neardup",
+    "ns_minhash_lsh_neardup", "ns_blocked_linkage", "ns_record_linkage",
+    "ns_containment_neardup",
 ]
 
 

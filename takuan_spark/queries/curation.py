@@ -92,21 +92,46 @@ def ns_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Benchmark decontamination: odd-id docs are the training set, "
     "even-id docs the held-out benchmark; flag training docs sharing "
-    ">= 3 distinct 3-gram shingles with any benchmark doc. Inverted-"
-    "index join on hashed shingles with the max_df=64 stop-shingle "
-    "guard (a shingle in d_t train and d_b bench docs emits d_t*d_b "
-    "join rows; ubiquitous shingles carry no overlap signal) — "
-    "linear, never all-pairs, even under Zipfian boilerplate.",
+    ">= 3 distinct 3-gram shingles with any benchmark doc. Served "
+    "from the persisted pair-distribution artifact "
+    "(operators/dedup.py pair_distribution_build) — its contract is "
+    "EXACTLY this query's: n=3 distinct-per-doc xxhash64 shingles, "
+    "whole-corpus max_df=64 stop-shingle cap, raw intersection "
+    "counts down to 1 shared shingle (no jaccard floor, unlike the "
+    "0.2-floor QC artifact, so the shared>=3 threshold — far below "
+    "any jaccard cut — loses nothing). Decontamination reduces to a "
+    "parity filter + threshold over the artifact's (id_a, id_b, "
+    "inter) rows; tests/test_curation.py pins row-identity against "
+    "the direct contamination_flags_split build. The from-scratch "
+    "inverted-index path (the at-scale shape when no pair index "
+    "exists) stays certified via contamination_flags' own tests.",
 )
 def ns_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return curation.contamination_flags_split(
-        docs,
-        F.col("doc_id") % 2 == 1,
-        n=3,
-        min_shared=3,
-        max_df=64,
-    ).orderBy("doc_id")
+    from takuan_spark.queries.northstar import _pair_distribution_table
+
+    pairs = _pair_distribution_table(spark, sf_dir)
+    a_odd = F.col("id_a") % 2 == 1
+    b_odd = F.col("id_b") % 2 == 1
+    # contamination evidence = pairs crossing the parity split with
+    # >= 3 shared capped shingles; orient each pair (train, bench)
+    cross = (
+        pairs.where(a_odd != b_odd)
+        .where(F.col("inter") >= 3)
+        .select(
+            F.when(a_odd, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_id"),
+            F.col("inter"),
+        )
+    )
+    return (
+        cross.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bench_hits"),
+            F.max("inter").cast("bigint").alias("max_shared"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -913,7 +938,11 @@ def ns_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a full-text or winnowing fingerprint and the same plan yields "
     "exact- or near-dup provenance. Inverted index on the key with a "
     "64-source expansion cap (the max_df contract: universal content "
-    "carries no pairwise provenance signal).",
+    "carries no pairwise provenance signal). NOT served from the "
+    "pair-distribution artifact: that artifact is keyed on 3-gram "
+    "shingles per doc_id, this matrix on 6-token-shape openings per "
+    "SOURCE — different key, different unit, so the contracts do not "
+    "line up and the query keeps its own single-pass index.",
 )
 def ns_source_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from takuan_spark.operators.dedup import source_share_matrix

@@ -65,6 +65,36 @@ def _epoch_batches(ev: DataFrame):
         yield e, ev.where(F.pmod(F.col("event_id"), F.lit(_N_EPOCHS)) == e)
 
 
+def _await_or_die(q, timeout_secs: int) -> None:
+    """awaitTermination with the timeout treated as a FAILURE: an
+    availableNow stream that has not terminated means the sink is
+    partial, and reading it would return silently truncated results —
+    a slow run must surface as an error, never a wrong answer."""
+    if not q.awaitTermination(timeout_secs):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} still running after "
+            f"{timeout_secs}s; aborting instead of reading a partial sink"
+        )
+
+
+def _write_epoch_file(
+    base: str, src: str, df: DataFrame, name: str, mtime: float
+) -> None:
+    """One epoch = one parquet FILE (the unit ``maxFilesPerTrigger=1``
+    batches by), mtime-stamped so the file source replays arrival order
+    — the shared arrival protocol of the real-engine streaming queries
+    (q_stream_window_fold / q_stream_session_window / q_stream_late_drop)."""
+    import glob as _glob
+
+    tmp = f"{base}/_tmp_{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    dest = os.path.join(src, f"{name}.parquet")
+    shutil.move(_glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dest)
+    shutil.rmtree(tmp)
+    os.utime(dest, (mtime, mtime))
+
+
 @query(
     "q_stream_report_fold",
     """
@@ -635,7 +665,6 @@ def q_stream_moments_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_window_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime
-    import glob as _glob
 
     from takuan_spark.streaming.windows import windowed_counts
 
@@ -650,14 +679,7 @@ def q_stream_window_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _one_file(df: DataFrame, name: str, mtime: float) -> None:
-        """One epoch = one parquet FILE (the unit maxFilesPerTrigger
-        batches by), mtime-ordered so the source replays arrival order."""
-        tmp = f"{base}/_tmp_{name}"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        dest = os.path.join(src, f"{name}.parquet")
-        shutil.move(_glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dest)
-        shutil.rmtree(tmp)
-        os.utime(dest, (mtime, mtime))
+        _write_epoch_file(base, src, df, name, mtime)
 
     # time-quartile epochs: batch boundaries respect event-time order
     # (a pmod split would interleave times across batches and the
@@ -718,7 +740,7 @@ def q_stream_window_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _await_or_die(q, 600)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     fmt = "yyyy-MM-dd HH:mm:ss"
@@ -783,7 +805,6 @@ def q_stream_window_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime
-    import glob as _glob
 
     from takuan_spark.streaming.windows import sessionized_counts
 
@@ -798,16 +819,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _one_file(df: DataFrame, name: str, mtime: float) -> None:
-        # one epoch = one parquet FILE (the unit maxFilesPerTrigger
-        # batches by), mtime-ordered so the source replays arrival
-        # order — the same protocol as q_stream_window_fold, kept
-        # local so that query's certified code path is untouched.
-        tmp = f"{base}/_tmp_{name}"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        dest = os.path.join(src, f"{name}.parquet")
-        shutil.move(_glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dest)
-        shutil.rmtree(tmp)
-        os.utime(dest, (mtime, mtime))
+        _write_epoch_file(base, src, df, name, mtime)
 
     # time-quartile epochs: in-order batches mean an event continuing a
     # cross-boundary session always arrives while that session is still
@@ -863,7 +875,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _await_or_die(q, 600)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     fmt = "yyyy-MM-dd HH:mm:ss"
@@ -877,6 +889,157 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("bigint").alias("n_events"),
         )
         .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "q_stream_late_drop",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
+                    '%Y-%m-%d %H:%M:%S') AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY 1, 3
+    """,
+    "Late-data DROP at the watermark boundary under the REAL "
+    "Structured Streaming engine — the behavior the two other "
+    "real-engine rows (window finalization, in-state session merge) "
+    "leave unexercised: after the 4 in-order epoch files, a 5th file "
+    "replays one event per first-quartile (hour, event_type) window; "
+    "by then the watermark sits 1 hour behind the corpus maximum "
+    "(~22 days ahead of every replayed window at every SF — "
+    "tests/test_stateful.py pins the margin), so the engine must "
+    "drop each replayed row instead of re-opening evicted window "
+    "state. The replay is one-row-per-group deliberately: "
+    "numRowsDroppedByWatermark counts rows reaching the STATE "
+    "operator, i.e. after map-side partial aggregation, whose output "
+    "grain is (group x scan partition) — a multi-row replay would "
+    "make the metric depend on partition layout (measured: 844 "
+    "partials from 2505 raw rows over 819 groups), while one row per "
+    "group makes partial output = replay rows under ANY layout. The "
+    "query asserts sum(numRowsDroppedByWatermark) == replay rows "
+    "from the engine's own progress events, raising otherwise, and "
+    "returns the hourly counts, which the clean-corpus oracle only "
+    "matches if NO replayed row reached state: an absorbed replay "
+    "inflates a count or, for finalized windows in append mode, "
+    "emits a duplicate (window, key) row; both hash-red. This is the "
+    "eviction half of the bounded-state contract a 100 TB/day stream "
+    "depends on: state stays watermark-horizon x keys because "
+    "anything older is refused, not re-opened.",
+)
+def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from takuan_spark.streaming.windows import windowed_counts
+
+    base = _scratch(sf_dir, "late_drop")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    os.makedirs(src)
+    # cast as in q_stream_window_fold: withWatermark rejects
+    # TIMESTAMP_NTZ; the UTC-pinned session keeps calendar hours.
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
+    span = (hi - lo) / _N_EPOCHS
+    t0 = 1_600_000_000.0
+    first_q = (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(lo + span))
+    for e in range(_N_EPOCHS):
+        elo = lo + span * e
+        cond = (F.col("ts") >= F.lit(elo)) & (F.col("ts") < F.lit(elo + span))
+        if e == _N_EPOCHS - 1:
+            cond = F.col("ts") >= F.lit(elo)
+        _write_epoch_file(base, src, ev.where(cond), f"e{e}", t0 + 10 * e)
+    # the LATE file: one replayed event per first-quartile (hour,
+    # event_type) window, arriving after epoch 3 has pushed the
+    # watermark to (corpus max - 1 hour). Every replayed row's window
+    # end is >= 3 epoch spans behind that watermark, so the engine must
+    # drop all of them; the per-group grain makes the drop metric exact
+    # (see the registration docstring), and n_late is counted up front
+    # for the accounting assertion below.
+    late = (
+        ev.where(first_q)
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("_h"), "event_type"
+        )
+        .agg(F.min("ts").alias("ts"))
+        .select("ts", "event_type")
+    )
+    n_late = late.count()
+    if n_late == 0:
+        raise RuntimeError("empty first quartile; late-drop test vacuous")
+    _write_epoch_file(base, src, late, "late", t0 + 50)
+    # sentinels as in q_stream_window_fold: sentinel-1 advances the
+    # watermark past every real hour, sentinel-2's batch flushes them.
+    for i, days in enumerate((10, 20)):
+        sentinel_ts = (hi + datetime.timedelta(days=days)).isoformat(" ")
+        _write_epoch_file(
+            base,
+            src,
+            spark.range(1).select(
+                F.lit(sentinel_ts).cast("timestamp").alias("ts"),
+                F.lit("__sentinel__").alias("event_type"),
+            ),
+            f"s{i}",
+            t0 + 100 + 10 * i,
+        )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # state = (hours-in-horizon x event types) — size the state-store
+    # count to key cardinality exactly as the other real-engine rows
+    # (measured 16.9 -> 4.5 s on q_stream_window_fold).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            windowed_counts(
+                stream,
+                time_col="ts",
+                key_cols=("event_type",),
+                window="1 hour",
+                watermark="1 hour",
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_die(q, 600)
+        # the engine's own accounting: every replayed row must have
+        # been dropped at the watermark, none absorbed into state.
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        if dropped != n_late:
+            raise RuntimeError(
+                f"watermark drop accounting mismatch: engine dropped "
+                f"{dropped} rows, replay file held {n_late}"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        spark.read.parquet(sink)
+        .where(F.col("event_type") != "__sentinel__")
+        .select(
+            F.date_format("window_start", fmt).alias("window_start"),
+            F.date_format("window_end", fmt).alias("window_end"),
+            "event_type",
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+        .orderBy("window_start", "event_type")
     )
 
 

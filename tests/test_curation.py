@@ -198,3 +198,35 @@ def test_gopher_rules_integer_threshold_boundaries(spark):
     }
     assert got[1]["gr_top_word_mass"]
     assert not got[2]["gr_top_word_mass"]
+
+
+def test_decontaminate_artifact_matches_direct_build(spark, sf_dir):
+    """ns_decontaminate (r9) serves contamination flags from the
+    persisted pair-distribution artifact; its rows must be IDENTICAL to
+    the direct contamination_flags_split inverted-index build under the
+    same contract (n=3, min_shared=3, max_df=64, odd/even split) — the
+    reuse is only sound because the artifact's distinct-shingle, whole-
+    corpus-df, xxhash64 index is the same index the direct path builds."""
+    from pyspark.sql import functions as F
+
+    from takuan_spark.operators.curation import contamination_flags_split
+    from takuan_spark.queries import REGISTRY, _load
+    from takuan_spark.tables import load_table
+
+    _load()
+    direct = sorted(
+        tuple(r)
+        for r in contamination_flags_split(
+            load_table(spark, sf_dir, "documents"),
+            F.col("doc_id") % 2 == 1,
+            n=3,
+            min_shared=3,
+            max_df=64,
+        ).collect()
+    )
+    via_artifact = sorted(
+        tuple(r)
+        for r in REGISTRY["ns_decontaminate"].builder(spark, sf_dir).collect()
+    )
+    assert via_artifact == direct
+    assert direct, "no contaminated docs at this SF; comparison vacuous"

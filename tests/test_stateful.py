@@ -382,3 +382,40 @@ def test_session_window_epoch_split_crosses_boundaries(sf_dir):
     ).fetchone()[0]
     con.close()
     assert n > 0, "no session spans an epoch boundary; merge path untested"
+
+
+def test_late_drop_replay_margin():
+    """Non-vacuity guard for q_stream_late_drop: at EVERY shipped SF the
+    replayed first-quartile windows must end far behind the watermark
+    the 4 in-order epochs leave (corpus max - 1 hour), and the replay
+    must be non-empty — otherwise the drop-accounting assertion inside
+    the query would pass vacuously (0 == 0) and its oracle green would
+    not be exercising the watermark-refusal path at all."""
+    import glob
+
+    import duckdb
+
+    sf_dirs = sorted(glob.glob("/root/testdata/sf*"))
+    assert sf_dirs
+    con = duckdb.connect()
+    for d in sf_dirs:
+        n_late, margin_hours = con.sql(
+            f"""
+            WITH span AS (
+                SELECT MIN(ts) AS lo, MAX(ts) AS hi
+                FROM read_parquet('{d}/events.parquet')
+            )
+            SELECT
+                (SELECT COUNT(*) FROM read_parquet('{d}/events.parquet'), span
+                 WHERE ts < lo + (hi - lo) / 4),
+                EXTRACT(EPOCH FROM (hi - INTERVAL 1 HOUR)
+                        - (lo + (hi - lo) / 4 + INTERVAL 1 HOUR)) / 3600.0
+            FROM span
+            """
+        ).fetchone()
+        assert n_late > 0, f"{d}: empty first quartile; replay vacuous"
+        # window_end of the latest replayed row vs the watermark: demand
+        # a >= 24 h buffer so hour-truncation and delay semantics can
+        # never put a replayed window inside the live horizon.
+        assert margin_hours >= 24, f"{d}: replay margin only {margin_hours}h"
+    con.close()
