@@ -30,6 +30,18 @@ engine time, not toPandas serialization. A synthetic log-pipeline case
 (200k sshd/nginx lines through the config-compiled parse→rules→report
 plan) is included as `log_pipeline` since that is the reference's actual
 hot path.
+
+Calibration block: suite totals on identical code moved 268–308 s
+across runs in round 8 — environment drift, not plans — so
+round-over-round comparison needs a mechanical normalizer. CALIBRATION
+names ~6 plan-frozen queries (chosen for <=1.06 max/median run spread
+and coverage of the cost bands: pure-codegen projection, window, text
+explode+agg, shuffle-heavy TF-IDF, iterative graph join); their medians
+are copied into a "calibration" block in BENCH_DETAIL.json and their
+sum into the compact stdout line as "calib_sec". The normalized
+round-over-round delta is (total_now / total_prev) /
+(calib_now / calib_prev): if the calibration set moved by the same
+factor as the suite, the change is environment, not code.
 """
 
 from __future__ import annotations
@@ -46,6 +58,19 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_LOG_LINES = int(os.environ.get("TAKUAN_BENCH_LOG_LINES", "200000"))
 REPEATS = max(1, int(os.environ.get("TAKUAN_BENCH_REPEATS", "3")))
+
+#: Plan-frozen queries whose medians normalize cross-round totals (see
+#: module docstring). Only change this set when one of them changes
+#: plan — and then say so in PLANS.md, since it breaks normalization
+#: continuity for that round.
+CALIBRATION = [
+    "q1_pricing_summary",    # parquet scan + hash agg (codegen)
+    "q_date_functions",      # pure projection, no shuffle
+    "q_window_rank",         # window function over one exchange
+    "ns_text_stats",         # text explode + agg
+    "ns_tfidf_topterms",     # shuffle-heavy multi-stage agg
+    "q_graph_triangles",     # iterative self-join, multi-second band
+]
 
 
 def _family(name: str) -> str:
@@ -162,6 +187,8 @@ def main() -> None:
     # Full per-query detail: one dump to a repo file (the per-round
     # artifact tail-captures ~2000 chars of stdout, which >100 query
     # names cannot fit) plus an early stdout line for log readers.
+    calibration = {n: timings[n] for n in CALIBRATION if n in timings}
+    calib_total = round(sum(calibration.values()), 3)
     detail = {
         "metric": "takuan_spark full query suite, sec (noop sink, median)",
         "value": total,
@@ -169,6 +196,8 @@ def main() -> None:
         "repeats": REPEATS,
         "queries": timings,
         "runs": raw_runs,
+        "calibration": calibration,
+        "calibration_total": calib_total,
         "sf": sf_val,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
@@ -201,6 +230,7 @@ def main() -> None:
                 "p50_sec": round(vals[len(vals) // 2], 3),
                 "p95_sec": round(vals[int(len(vals) * 0.95)], 3),
                 "max_sec": vals[-1],
+                "calib_sec": calib_total,
                 "families": families,
                 "slowest": slowest,
                 "detail": "BENCH_DETAIL.json",

@@ -109,6 +109,103 @@ def _pair_distribution_table(spark, sf_dir: str):
     return spark.read.parquet(f"{path}/pairs")
 
 
+def _artifact_path(kind: str, sf_dir: str) -> str:
+    return f"{_SCRATCH}/{kind}_{sf_dir.strip('/').split('/')[-1]}"
+
+
+def _rebuild_minhash_qc(spark, sf_dir: str) -> None:
+    from takuan_spark.operators import dedup as _dedup
+    from takuan_spark.tables import load_table as _lt
+
+    _dedup.minhash_qc_build(
+        _lt(spark, sf_dir, "documents"),
+        _artifact_path("minhash_qc", sf_dir),
+        n=3, max_df=64, min_threshold=0.2, num_hashes=64,
+        source_id=_source_id(sf_dir, "documents"), rebuild=True,
+    )
+
+
+def _rebuild_pair_distribution(spark, sf_dir: str) -> None:
+    from takuan_spark.operators import dedup as _dedup
+    from takuan_spark.tables import load_table as _lt
+
+    _dedup.pair_distribution_build(
+        _lt(spark, sf_dir, "documents"),
+        _artifact_path("pair_dist", sf_dir),
+        n=3, max_df=64,
+        source_id=_source_id(sf_dir, "documents"), rebuild=True,
+    )
+
+
+def _rebuild_ivf(spark, sf_dir: str) -> None:
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    similarity.ivf_build(
+        emb, _artifact_path("ivf_index", sf_dir), nlist=16,
+        source_id=_source_id(sf_dir), rebuild=True,
+    )
+
+
+def _rebuild_pq(spark, sf_dir: str) -> None:
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    similarity.pq_build(
+        emb, _artifact_path("pq_index", sf_dir), m=8, ksub=16,
+        source_id=_source_id(sf_dir), rebuild=True,
+    )
+
+
+def _rebuild_ivfpq(spark, sf_dir: str) -> None:
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    similarity.ivfpq_build(
+        emb, _artifact_path("ivfpq_index", sf_dir), nlist=16, m=8, ksub=16,
+        source_id=_source_id(sf_dir), rebuild=True,
+    )
+
+
+def _rebuild_lsh_index(spark, sf_dir: str) -> None:
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    similarity.lsh_index_build(
+        emb, _artifact_path("lsh_index", sf_dir), nbits=8, tables=4,
+        source_id=_source_id(sf_dir), rebuild=True,
+    )
+
+
+#: Force-rebuild hooks for every persisted artifact the registered
+#: queries consume, with the EXACT parameters the consuming queries
+#: use. scale_probe.py times these per scale: marker idempotence means
+#: a build otherwise lands only in the first timed run and the
+#: median-of-3 drops it, so without explicit build timing a superlinear
+#: build would read as linear in the probe artifact (ADVICE r8).
+ARTIFACT_BUILDS = {
+    "minhash_qc": _rebuild_minhash_qc,
+    "pair_distribution": _rebuild_pair_distribution,
+    "ivf_index": _rebuild_ivf,
+    "pq_index": _rebuild_pq,
+    "ivfpq_index": _rebuild_ivfpq,
+    "lsh_index": _rebuild_lsh_index,
+}
+
+#: Which persisted artifacts each registered query consumes (queries
+#: not listed build nothing). Kept next to ARTIFACT_BUILDS so adding a
+#: consumer is a one-line diff in the same place.
+ARTIFACT_CONSUMERS: dict[str, tuple[str, ...]] = {
+    "ns_jaccard_neardup": ("minhash_qc",),
+    "ns_minhash_lsh_neardup": ("minhash_qc",),
+    "ns_dedup_clusters": ("minhash_qc",),
+    "ns_dedup_sweep": ("minhash_qc",),
+    "ns_minhash_recall": ("minhash_qc",),
+    "ns_minhash_estimate_error": ("minhash_qc",),
+    "ns_minhash_prod_mode": ("minhash_qc",),
+    "ns_containment_neardup": ("pair_distribution",),
+    "ns_lsh_band_tuning": ("pair_distribution",),
+    "ns_simhash_radius_tuning": ("pair_distribution",),
+    "ns_decontaminate": ("pair_distribution",),
+    "ns_ivf_probe": ("ivf_index",),
+    "ns_pq_probe": ("pq_index",),
+    "ns_ivfpq_probe": ("pq_index", "ivfpq_index"),
+    "ns_lsh_probe": ("lsh_index",),
+}
+
+
 def _sql_list(vec: list[float]) -> str:
     """A float64 list literal whose DuckDB parse round-trips to the exact
     same doubles Python embeds in the Spark plan (repr is shortest
