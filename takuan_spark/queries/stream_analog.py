@@ -95,6 +95,111 @@ def _write_epoch_file(
     os.utime(dest, (mtime, mtime))
 
 
+def _epoch_index(time_col: str, lo, span_us: int, n_epochs: int):
+    """Integer time-quartile index of an event: which of the
+    ``n_epochs`` equal spans of [lo, hi] its timestamp falls in, the
+    last span open-ended (``least`` absorbs the <= 2 us rounding of the
+    Python timedelta division). Pure integer div — exactly the
+    boundaries the per-epoch ``ts >= lit(elo)`` conditions used."""
+    import datetime
+
+    lo_us = (lo - datetime.datetime(1970, 1, 1)) // datetime.timedelta(
+        microseconds=1
+    )
+    return F.least(
+        F.lit(n_epochs - 1),
+        F.expr(f"(unix_micros({time_col}) - {lo_us}L) div {span_us}L"),
+    ).cast("int")
+
+
+def _write_epoch_files_one_job(
+    base: str,
+    src: str,
+    ev: DataFrame,
+    *,
+    time_col: str,
+    lo,
+    hi,
+    n_epochs: int,
+    t0: float,
+) -> int:
+    """All ``n_epochs`` time-quartile epoch files in ONE Spark job.
+
+    The per-epoch ``where + coalesce(1) + write`` loop submitted one
+    job per epoch; with the sentinel writes that made ~7 driver-side
+    job submissions before the stream even started, and the streaming
+    bench tail turned out to be jitter ACROSS those submissions, not a
+    slow engine phase (tools/stream_tail_probe.py: slow runs inflate
+    every durationMs phase AND the outside-trigger time uniformly).
+    Here each row is labeled with its epoch, hash-repartitioned on the
+    label (every epoch's rows land in exactly one task, so each
+    partition directory holds exactly one file), written once, and the
+    part files are moved to their mtime-stamped single-file names.
+    Returns span_us so callers can reuse the exact epoch boundaries."""
+    import datetime
+    import glob as _glob
+
+    span_us = max(
+        1,
+        ((hi - lo) / n_epochs) // datetime.timedelta(microseconds=1),
+    )
+    tmp = f"{base}/_epochs"
+    (
+        ev.withColumn(
+            "_ep", _epoch_index(time_col, lo, span_us, n_epochs)
+        )
+        .repartition(n_epochs, "_ep")
+        .write.partitionBy("_ep")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    for e in range(n_epochs):
+        parts = _glob.glob(os.path.join(tmp, f"_ep={e}", "part-*.parquet"))
+        if not parts:
+            # an empty epoch writes no directory; an absent file is the
+            # correct arrival-protocol representation (an empty batch
+            # would not advance the watermark either)
+            continue
+        assert len(parts) == 1, f"epoch {e}: {len(parts)} files"
+        dest = os.path.join(src, f"e{e}.parquet")
+        shutil.move(parts[0], dest)
+        os.utime(dest, (t0 + 10 * e, t0 + 10 * e))
+    shutil.rmtree(tmp)
+    return span_us
+
+
+def _write_sentinel_files(
+    src: str, hi, t0: float, key_name: str, key_value, key_type: str
+) -> None:
+    """The two far-future watermark-flush sentinels, written with
+    pyarrow directly — sentinel frames are 1 row, and even the
+    range+lit Spark write is a whole job submission per sentinel (the
+    jitter surface the one-job epoch write exists to shrink). The
+    arrow schema mirrors what Spark's parquet writer produces for a
+    (timestamp, key) frame in the UTC-pinned session, so the stream's
+    schema enforcement sees identical files."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    arrow_key = {"string": pa.string(), "bigint": pa.int64()}[key_type]
+    for i, days in enumerate((10, 20)):
+        ts = (hi + datetime.timedelta(days=days)).replace(
+            tzinfo=datetime.timezone.utc
+        )
+        table = pa.table(
+            {
+                "ts": pa.array([ts], type=pa.timestamp("us", tz="UTC")),
+                key_name: pa.array([key_value], type=arrow_key),
+            }
+        )
+        dest = os.path.join(src, f"s{i}.parquet")
+        pq.write_table(table, dest)
+        mt = t0 + 100 + 10 * i
+        os.utime(dest, (mt, mt))
+
+
 @query(
     "q_stream_report_fold",
     """
@@ -664,8 +769,6 @@ def q_stream_moments_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(state is watermark-horizon x keys, never history).",
 )
 def q_stream_window_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import datetime
-
     from takuan_spark.streaming.windows import windowed_counts
 
     base = _scratch(sf_dir, "window")
@@ -678,38 +781,21 @@ def q_stream_window_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp").alias("ts"), "event_type"
     )
 
-    def _one_file(df: DataFrame, name: str, mtime: float) -> None:
-        _write_epoch_file(base, src, df, name, mtime)
-
     # time-quartile epochs: batch boundaries respect event-time order
     # (a pmod split would interleave times across batches and the
     # watermark would drop the tail as late — the audit here is the
     # in-order protocol, not late-data accounting, which
-    # q_watermark_audit covers)
+    # q_stream_late_drop exercises on the real engine). One Spark job
+    # writes all four files; the two far-future sentinels (batch N's
+    # max event time only becomes the watermark in batch N+1, so
+    # sentinel-1 advances it past every real hour and sentinel-2's
+    # batch performs the final flush) are pyarrow writes, no job.
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
-    span = (hi - lo) / _N_EPOCHS
     t0 = 1_600_000_000.0
-    for e in range(_N_EPOCHS):
-        elo = lo + span * e
-        cond = (F.col("ts") >= F.lit(elo)) & (F.col("ts") < F.lit(elo + span))
-        if e == _N_EPOCHS - 1:
-            cond = F.col("ts") >= F.lit(elo)
-        _one_file(ev.where(cond), f"e{e}", t0 + 10 * e)
-    # two sentinels: batch N's max event time only becomes the
-    # watermark in batch N+1, so sentinel-1 advances it past every
-    # real hour and sentinel-2's batch performs the final flush.
-    # (range+lit, not createDataFrame: the Python->JVM row conversion
-    # of a single timestamp row measured ~4.5 s per sentinel)
-    for i, days in enumerate((10, 20)):
-        sentinel_ts = (hi + datetime.timedelta(days=days)).isoformat(" ")
-        _one_file(
-            spark.range(1).select(
-                F.lit(sentinel_ts).cast("timestamp").alias("ts"),
-                F.lit("__sentinel__").alias("event_type"),
-            ),
-            f"s{i}",
-            t0 + 100 + 10 * i,
-        )
+    _write_epoch_files_one_job(
+        base, src, ev, time_col="ts", lo=lo, hi=hi, n_epochs=_N_EPOCHS, t0=t0
+    )
+    _write_sentinel_files(src, hi, t0, "event_type", "__sentinel__", "string")
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -804,8 +890,6 @@ def q_stream_window_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the watermark horizon, never history.",
 )
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import datetime
-
     from takuan_spark.streaming.windows import sessionized_counts
 
     base = _scratch(sf_dir, "session_window")
@@ -818,36 +902,20 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp").alias("ts"), "user_id"
     )
 
-    def _one_file(df: DataFrame, name: str, mtime: float) -> None:
-        _write_epoch_file(base, src, df, name, mtime)
-
     # time-quartile epochs: in-order batches mean an event continuing a
     # cross-boundary session always arrives while that session is still
     # open — its last event is within gap of the boundary, so its end
     # (last + gap) is past the batch-max-minus-delay watermark for any
     # delay >= 0 — and is never late (its ts >= the previous batch max).
+    # One job writes all four files; the two sentinels under a reserved
+    # user id (sentinel-1 advances the watermark past every real
+    # session end, sentinel-2's batch flushes them) are pyarrow writes.
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
-    span = (hi - lo) / _N_EPOCHS
     t0 = 1_600_000_000.0
-    for e in range(_N_EPOCHS):
-        elo = lo + span * e
-        cond = (F.col("ts") >= F.lit(elo)) & (F.col("ts") < F.lit(elo + span))
-        if e == _N_EPOCHS - 1:
-            cond = F.col("ts") >= F.lit(elo)
-        _one_file(ev.where(cond), f"e{e}", t0 + 10 * e)
-    # two sentinels under a reserved user id: batch N's max event time
-    # becomes the watermark in batch N+1, so sentinel-1 advances it
-    # past every real session end and sentinel-2's batch flushes them.
-    for i, days in enumerate((10, 20)):
-        sentinel_ts = (hi + datetime.timedelta(days=days)).isoformat(" ")
-        _one_file(
-            spark.range(1).select(
-                F.lit(sentinel_ts).cast("timestamp").alias("ts"),
-                F.lit(-1).cast("bigint").alias("user_id"),
-            ),
-            f"s{i}",
-            t0 + 100 + 10 * i,
-        )
+    _write_epoch_files_one_job(
+        base, src, ev, time_col="ts", lo=lo, hi=hi, n_epochs=_N_EPOCHS, t0=t0
+    )
+    _write_sentinel_files(src, hi, t0, "user_id", -1, "bigint")
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -932,8 +1000,6 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anything older is refused, not re-opened.",
 )
 def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import datetime
-
     from takuan_spark.streaming.windows import windowed_counts
 
     base = _scratch(sf_dir, "late_drop")
@@ -945,48 +1011,36 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp").alias("ts"), "event_type"
     )
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
-    span = (hi - lo) / _N_EPOCHS
     t0 = 1_600_000_000.0
-    first_q = (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(lo + span))
-    for e in range(_N_EPOCHS):
-        elo = lo + span * e
-        cond = (F.col("ts") >= F.lit(elo)) & (F.col("ts") < F.lit(elo + span))
-        if e == _N_EPOCHS - 1:
-            cond = F.col("ts") >= F.lit(elo)
-        _write_epoch_file(base, src, ev.where(cond), f"e{e}", t0 + 10 * e)
+    span_us = _write_epoch_files_one_job(
+        base, src, ev, time_col="ts", lo=lo, hi=hi, n_epochs=_N_EPOCHS, t0=t0
+    )
     # the LATE file: one replayed event per first-quartile (hour,
     # event_type) window, arriving after epoch 3 has pushed the
     # watermark to (corpus max - 1 hour). Every replayed row's window
     # end is >= 3 epoch spans behind that watermark, so the engine must
     # drop all of them; the per-group grain makes the drop metric exact
-    # (see the registration docstring), and n_late is counted up front
-    # for the accounting assertion below.
+    # (see the registration docstring). The first-quartile predicate is
+    # the SAME integer epoch index the file split used, so the replay
+    # is exactly epoch 0's windows; n_late comes from the written
+    # file's parquet footer (no extra count job).
     late = (
-        ev.where(first_q)
+        ev.where(_epoch_index("ts", lo, span_us, _N_EPOCHS) == 0)
         .groupBy(
             F.date_trunc("hour", "ts").alias("_h"), "event_type"
         )
         .agg(F.min("ts").alias("ts"))
         .select("ts", "event_type")
     )
-    n_late = late.count()
+    _write_epoch_file(base, src, late, "late", t0 + 50)
+    import pyarrow.parquet as _pq
+
+    n_late = _pq.read_metadata(os.path.join(src, "late.parquet")).num_rows
     if n_late == 0:
         raise RuntimeError("empty first quartile; late-drop test vacuous")
-    _write_epoch_file(base, src, late, "late", t0 + 50)
     # sentinels as in q_stream_window_fold: sentinel-1 advances the
     # watermark past every real hour, sentinel-2's batch flushes them.
-    for i, days in enumerate((10, 20)):
-        sentinel_ts = (hi + datetime.timedelta(days=days)).isoformat(" ")
-        _write_epoch_file(
-            base,
-            src,
-            spark.range(1).select(
-                F.lit(sentinel_ts).cast("timestamp").alias("ts"),
-                F.lit("__sentinel__").alias("event_type"),
-            ),
-            f"s{i}",
-            t0 + 100 + 10 * i,
-        )
+    _write_sentinel_files(src, hi, t0, "event_type", "__sentinel__", "string")
 
     stream = (
         spark.readStream.schema(ev.schema)
