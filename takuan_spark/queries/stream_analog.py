@@ -1097,6 +1097,112 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_stream_dedup_replay",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events
+    ORDER BY event_id
+    """,
+    "Cross-batch exact dedup under the REAL Structured Streaming "
+    "engine (dropDuplicatesWithinWatermark — the streaming tier of "
+    "the dedup family, previously certified only by pytest streams): "
+    "after epoch-0's file, a replay file re-sends every epoch-0 event "
+    "from the last 30 minutes before epoch-0's max — inside the "
+    "1-hour watermark horizon, so the engine must suppress each "
+    "replay FROM KEY STATE, not drop it as late (the query asserts "
+    "numRowsDroppedByWatermark == 0 across all batches from the "
+    "progress events, so state suppression is the only mechanism "
+    "that can explain a green row), and the replay is non-empty at "
+    "any SF because epoch-0's max event always qualifies. The sink "
+    "must then hold exactly one row per event_id — an unsuppressed "
+    "replay duplicates a row and hash-reds against the oracle. This "
+    "is the log-shipper redelivery contract at 100 TB/day "
+    "(SURVEY.md O2: rotations/reconnects re-send recent lines): "
+    "state is one entry per key inside the watermark horizon — "
+    "arrival rate x horizon, never history — and replays landing "
+    "within the horizon are absorbed exactly once.",
+)
+def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.streaming.windows import deduped_stream
+
+    base = _scratch(sf_dir, "dedup_replay")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "user_id",
+        "event_type",
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
+    t0 = 1_600_000_000.0
+    span_us = _write_epoch_files_one_job(
+        base, src, ev, time_col="ts", lo=lo, hi=hi, n_epochs=_N_EPOCHS, t0=t0
+    )
+    # the REPLAY file, mtime-ordered between e0 and e1: every epoch-0
+    # event from the last 30 minutes before epoch-0's actual max. The
+    # watermark when it is processed is (max_e0 - 1 hour), so every
+    # replayed row sits >= 30 minutes ABOVE the watermark — never
+    # late-droppable, and its original's key state (evicted only once
+    # the watermark passes the event time) is still live. Non-empty by
+    # construction: the max event itself qualifies.
+    in_e0 = _epoch_index("ts", lo, span_us, _N_EPOCHS) == 0
+    max_e0 = ev.where(in_e0).agg(F.max("ts")).head()[0]
+    replay = ev.where(
+        in_e0 & (F.col("ts") > F.lit(max_e0) - F.expr("INTERVAL 30 MINUTES"))
+    )
+    _write_epoch_file(base, src, replay, "d0", t0 + 5)
+    import pyarrow.parquet as _pq
+
+    n_replay = _pq.read_metadata(os.path.join(src, "d0.parquet")).num_rows
+    if n_replay == 0:
+        raise RuntimeError("empty replay file; dedup test vacuous")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # dedup state = one entry per event_id inside the horizon — scope
+    # the state-store count like the other real-engine rows.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            deduped_stream(
+                stream,
+                key_cols=("event_id",),
+                time_col="ts",
+                watermark="1 hour",
+            )
+            .select("event_id", "user_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_die(q, 600)
+        # no row may have been dropped as late: if any was, a green
+        # oracle row could be explained by the watermark filter instead
+        # of dedup state — the behavior under test.
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        if dropped != 0:
+            raise RuntimeError(
+                f"{dropped} rows dropped at the watermark; the replay "
+                f"protocol guarantees none should be"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(sink).orderBy("event_id")
+
+
 _MHF_NH = 64
 
 
