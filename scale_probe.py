@@ -63,9 +63,17 @@ def build_probe_corpus() -> None:
 
     os.makedirs(PROBE_DIR, exist_ok=True)
     # v2: replica texts are token-tagged as well as shuffled (see
-    # module docstring) — the version in the marker forces a rebuild of
-    # corpora created by earlier scale_probe versions.
-    marker = os.path.join(PROBE_DIR, f".built_r{REPLICAS}_v2")
+    # module docstring). v3: documents/embeddings are written with
+    # bounded row groups (16384 rows) — pandas/pyarrow's default wrote
+    # ONE row group (500k rows / 176 MB at 100x), and a parquet row
+    # group is the minimum scan split, so every probe-corpus scan of
+    # those tables ran as ONE task and every narrow codegen chain
+    # fused into it ran single-threaded: the probe was measuring the
+    # fixture's file layout, not the plan (real corpora arrive as many
+    # files/row groups). Content is IDENTICAL to v2 row-for-row; only
+    # split boundaries change. The version in the marker forces a
+    # rebuild of corpora created by earlier scale_probe versions.
+    marker = os.path.join(PROBE_DIR, f".built_r{REPLICAS}_v3")
     if os.path.exists(marker):
         print(f"probe corpus already built at {PROBE_DIR}", flush=True)
         return
@@ -137,7 +145,7 @@ def _build_documents(src: str) -> None:
             rep["text"] = rep["text"].map(perturb_words)
         out.append(rep)
     pd.concat(out, ignore_index=True).to_parquet(
-        f"{PROBE_DIR}/documents.parquet", index=False
+        f"{PROBE_DIR}/documents.parquet", index=False, row_group_size=16384
     )
     print(f"built documents x{REPLICAS} (word-shuffled replicas)", flush=True)
 
@@ -159,7 +167,7 @@ def _build_embeddings(src: str) -> None:
             )
         out.append(rep)
     pd.concat(out, ignore_index=True).to_parquet(
-        f"{PROBE_DIR}/embeddings.parquet", index=False
+        f"{PROBE_DIR}/embeddings.parquet", index=False, row_group_size=16384
     )
     print(f"built embeddings x{REPLICAS} (rolled replicas)", flush=True)
 
