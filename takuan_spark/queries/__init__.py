@@ -105,14 +105,16 @@ def query(name: str, oracle_sql: str | None, description: str = ""):
 # query is still oracle-verified locally by tests/test_oracle.py.
 PRIORITY: list[str] = [
     # -- 1. r9: CHANGED/NEW this round — q_stream_late_drop (real-engine
-    # watermark drop) and q_stream_dedup_replay (real-engine cross-batch
-    # dedup of an in-horizon replay) are new; the two other real-engine
-    # streaming rows share their one-job epoch-file writer and gained
-    # the awaitTermination timeout assert (ADVICE r8); ns_decontaminate
-    # now consumes the pair-distribution artifact. New + changed head
-    # the window so every green row certifies current code -------------
-    "q_stream_late_drop", "q_stream_dedup_replay", "q_stream_window_fold",
-    "q_stream_session_window", "ns_decontaminate",
+    # watermark drop), q_stream_dedup_replay (real-engine cross-batch
+    # dedup of an in-horizon replay), and q_stream_interval_join
+    # (real-engine stream-stream join state) are new; the two other
+    # real-engine streaming rows share their one-job epoch-file writer
+    # and gained the awaitTermination timeout assert (ADVICE r8);
+    # ns_decontaminate now consumes the pair-distribution artifact.
+    # New + changed head the window so every green row certifies
+    # current code ------------------------------------------------------
+    "q_stream_late_drop", "q_stream_dedup_replay", "q_stream_interval_join",
+    "q_stream_window_fold", "q_stream_session_window", "ns_decontaminate",
     # -- 2. r3-stale remainder (27) — the planned r9 head from the r8
     # verdict: the oldest driver evidence in the registry; green here
     # retires the r3 class entirely (oldest evidence becomes r4) ------
@@ -126,16 +128,16 @@ PRIORITY: list[str] = [
     "ns_bpe_merge_candidates", "ns_effective_corpus_size", "ns_kmv_set_ops",
     "q_zorder_locality", "ns_epoch_novelty", "ns_contrastive_triplets",
     "q_sliding_distinct_hll",
-    # -- 3. r4-green head: fills the window to exactly 50 (5 + 27 + 18),
+    # -- 3. r4-green head: fills the window to exactly 50 (6 + 27 + 17),
     # oldest remaining evidence first ---------------------------------
     "ns_cluster_sample", "ns_duplication_pareto", "ns_hard_negatives",
     "ns_keyword_tagging", "ns_length_bucketing", "ns_winsorized_stats",
     "q_ntile_deciles", "q_rolling_median", "q_unpivot_metrics",
     "q_stream_report_fold", "q_stream_sketch_fold", "q_bloom_prefilter_prod",
     "ns_kmeans_clusters", "ns_kmeans_assign", "ns_token_pmi",
-    "ns_source_overlap", "ns_ngram_lm_stats", "ns_perplexity_filter",
+    "ns_source_overlap", "ns_ngram_lm_stats",
     # -- 4. r4-green remainder (next round's backfill head) -----------
-    "q_cdc_merge",
+    "ns_perplexity_filter", "q_cdc_merge",
     "q_cdc_latest", "ns_dataset_card", "ns_importance_weights",
     "q_touch_attribution", "ns_quantile_bins", "ns_class_rebalance",
     "ns_embedding_qc", "ns_mixture_schedule", "q_event_dedup_window",

@@ -1203,6 +1203,117 @@ def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).orderBy("event_id")
 
 
+@query(
+    "q_stream_interval_join",
+    """
+    SELECT l.event_id AS l_id, r.event_id AS r_id
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click' AND r.event_type = 'view'
+     AND r.ts BETWEEN l.ts - INTERVAL 24 HOUR AND l.ts
+    ORDER BY 1, 2
+    """,
+    "Stream-stream interval join under the REAL Structured Streaming "
+    "engine — the last stateful behavior class not yet under the "
+    "driver gate (aggregation, session merge, watermark drop, and "
+    "key-state dedup have real-engine rows; JOIN state did not): "
+    "clicks and views arrive as two separate file sources, each as 4 "
+    "time-aligned epoch files (one file per source per micro-batch), "
+    "through the actual streaming/windows.py interval_join plan — "
+    "both sides watermarked, the join time-bounded in both "
+    "directions (view in [click - 24h, click]), which is what lets "
+    "the engine evict buffered rows once the min-of-sources "
+    "watermark passes their interval instead of holding both streams "
+    "forever. Cross-batch pairs (a view buffered in join state until "
+    "its click arrives in a LATER batch) exist at every SF "
+    "(tests/test_stateful.py pins 3/60/425 boundary-straddling pairs "
+    "at sf0.001/0.01/0.1); in-order arrival per source means no row "
+    "is ever behind the min watermark, asserted as "
+    "numRowsDroppedByWatermark == 0 from the progress events. Green "
+    "against the batch interval-join oracle proves streaming join "
+    "state loses nothing and emits each qualifying pair exactly "
+    "once — at 100 TB/day the state bound is arrival rate x "
+    "(interval + watermark horizon) per side, never history.",
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.streaming.windows import interval_join
+
+    base = _scratch(sf_dir, "interval_join")
+    src_l, src_r = f"{base}/src_l", f"{base}/src_r"
+    sink, ckpt = f"{base}/sink", f"{base}/ckpt"
+    os.makedirs(src_l)
+    os.makedirs(src_r)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "user_id",
+        "event_type",
+    )
+    # epoch boundaries from the FULL table so both sides' files are
+    # time-ALIGNED (batch k carries the same time span from each
+    # source) and match the non-vacuity test's epoch definition.
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
+    t0 = 1_600_000_000.0
+    clicks = ev.where(F.col("event_type") == "click").drop("event_type")
+    views = ev.where(F.col("event_type") == "view").drop("event_type")
+    _write_epoch_files_one_job(
+        base, src_l, clicks, time_col="ts", lo=lo, hi=hi,
+        n_epochs=_N_EPOCHS, t0=t0,
+    )
+    _write_epoch_files_one_job(
+        base, src_r, views, time_col="ts", lo=lo, hi=hi,
+        n_epochs=_N_EPOCHS, t0=t0,
+    )
+
+    def _source(path: str):
+        return (
+            spark.readStream.schema(clicks.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        joined = interval_join(
+            _source(src_l),
+            _source(src_r),
+            on="user_id",
+            left_time="ts",
+            right_time="ts",
+            max_delay="24 hours",
+            watermark="1 hour",
+        ).select(
+            F.col("l.event_id").alias("l_id"),
+            F.col("r.event_id").alias("r_id"),
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_die(q, 600)
+        # in-order arrival per source + min-of-sources watermark means
+        # nothing may be late; a drop here would mean missed pairs
+        # explained by eviction rather than join semantics.
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        if dropped != 0:
+            raise RuntimeError(
+                f"{dropped} rows dropped at the watermark; the in-order "
+                f"two-source protocol guarantees none should be"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(sink).orderBy("l_id", "r_id")
+
+
 _MHF_NH = 64
 
 

@@ -419,3 +419,43 @@ def test_late_drop_replay_margin():
         # never put a replayed window inside the live horizon.
         assert margin_hours >= 24, f"{d}: replay margin only {margin_hours}h"
     con.close()
+
+
+def test_interval_join_pairs_cross_epoch_batches():
+    """Non-vacuity guard for q_stream_interval_join: at EVERY shipped
+    SF, some (click, view) pair within the 24 h join interval must
+    straddle a time-quartile epoch boundary — the view then sits in
+    join state across a micro-batch boundary until its click arrives,
+    which is the cross-batch buffering behavior under test (same-batch
+    matches alone would certify nothing a batch join doesn't)."""
+    import glob
+
+    import duckdb
+
+    con = duckdb.connect()
+    for d in sorted(glob.glob("/root/testdata/sf*")):
+        pairs, cross = con.sql(
+            f"""
+            WITH span AS (SELECT MIN(ts) lo, MAX(ts) hi
+                          FROM read_parquet('{d}/events.parquet')),
+            ev AS (
+              SELECT *, LEAST(3, CAST(FLOOR(
+                  4.0 * EXTRACT(EPOCH FROM ts - span.lo)
+                  / NULLIF(EXTRACT(EPOCH FROM span.hi - span.lo), 0)
+              ) AS BIGINT)) AS ep
+              FROM read_parquet('{d}/events.parquet'), span
+            )
+            SELECT COUNT(*), COALESCE(SUM(CASE WHEN l.ep <> r.ep
+                                               THEN 1 ELSE 0 END), 0)
+            FROM ev l JOIN ev r
+              ON l.user_id = r.user_id
+             AND l.event_type = 'click' AND r.event_type = 'view'
+             AND r.ts BETWEEN l.ts - INTERVAL 24 HOUR AND l.ts
+            """
+        ).fetchone()
+        assert pairs > 0, f"{d}: no interval-join pairs at all"
+        assert cross > 0, (
+            f"{d}: no pair crosses an epoch boundary; cross-batch join "
+            f"state untested"
+        )
+    con.close()
