@@ -1314,6 +1314,137 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).orderBy("l_id", "r_id")
 
 
+@query(
+    "q_stream_custom_state",
+    """
+    WITH d AS (
+        SELECT user_id, epoch_us(ts) AS t_us,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts)) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(t_us) AS BIGINT) AS first_us,
+           CAST(MAX(t_us) AS BIGINT) AS last_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM d
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "ARBITRARY per-key state under the REAL Structured Streaming "
+    "engine (applyInPandasWithState + EventTimeTimeout) — the custom-"
+    "stateful-operator tier the five other real-engine rows leave "
+    "uncovered: they all exercise BUILT-IN state (windowed agg, "
+    "session merge, watermark drop, key-state dedup, join buffers), "
+    "while this row runs a user-defined Arrow-batched fold whose "
+    "semantics no built-in streaming aggregate expresses: per-user "
+    "MAX INTER-ARRIVAL GAP, an order-dependent fold needing the "
+    "previous event time (sequential state, not a commutative monoid "
+    "over rows). Events arrive as 4 time-ordered epoch files; state "
+    "per user is four int64s regardless of event count; every user "
+    "with events in more than one epoch exercises cross-batch state "
+    "carry, and tests/test_stateful.py pins that at EVERY SF some "
+    "user's true max gap straddles an epoch boundary — an "
+    "implementation that lost state between micro-batches would "
+    "compute a smaller gap there and hash-red against the lag() "
+    "oracle (forgotten counts would red n_events for every "
+    "multi-epoch user too). Results flush via event-time timeout once "
+    "two sentinel files under a reserved user advance the watermark "
+    "past the flush point; numRowsDroppedByWatermark == 0 is asserted "
+    "so the in-order protocol (not late-drop) explains every row. At "
+    "100 TB/day the state store is O(active keys) x four longs, "
+    "key-partitioned across executors, no driver state — the "
+    "deployment shape for detectors and per-entity lifecycle folds "
+    "the built-in operators cannot express.",
+)
+def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from takuan_spark.streaming.stateful import interarrival_stats
+
+    base = _scratch(sf_dir, "custom_state")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    os.makedirs(src)
+    # cast as in q_stream_window_fold: withWatermark rejects
+    # TIMESTAMP_NTZ; the UTC-pinned session keeps wall-clock values.
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    # time-quartile epochs: batches arrive in event-time order, so a
+    # user's per-batch sorted times concatenate to the globally sorted
+    # sequence and the cross-batch gap is exactly (batch-first minus
+    # carried last). One job writes all four files; sentinels under the
+    # reserved user advance the watermark past flush_at (sentinel-1)
+    # and trigger the timeout sweep (sentinel-2's batch).
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
+    t0 = 1_600_000_000.0
+    _write_epoch_files_one_job(
+        base, src, ev, time_col="ts", lo=lo, hi=hi, n_epochs=_N_EPOCHS, t0=t0
+    )
+    _write_sentinel_files(src, hi, t0, "user_id", -1, "bigint")
+    # flush one day past the last real event: no in-stream watermark
+    # (<= hi - delay) can reach it, so no user flushes while it may
+    # still receive events; sentinel-1 (hi + 10 d) advances the
+    # watermark far past it, and sentinel-2's batch runs the sweep.
+    flush_at_ms = int(
+        (hi + datetime.timedelta(days=1))
+        .replace(tzinfo=datetime.timezone.utc)
+        .timestamp()
+        * 1000
+    )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # 16, not the 4 the JVM-side stateful rows use: here per-BATCH cost
+    # is dominated by per-GROUP Python invocations (one pandas call per
+    # user per micro-batch), which parallelize across state partitions,
+    # while the built-in rows' cost was per-STORE overhead that 4
+    # minimized (measured medians at sf0.1: 4 -> 10.7 s, 8 -> 9.0,
+    # 16 -> 8.2, 32 -> 10.7).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            interarrival_stats(
+                stream,
+                key_col="user_id",
+                time_col="ts",
+                watermark="1 hour",
+                flush_at_ms=flush_at_ms,
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_die(q, 600)
+        # in-order arrival means nothing may be late: a dropped row
+        # would mean a gap silently computed over a thinned sequence.
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        if dropped != 0:
+            raise RuntimeError(
+                f"{dropped} rows dropped at the watermark; the in-order "
+                f"epoch protocol guarantees none should be"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.read.parquet(sink)
+        .where(F.col("user_id") >= 0)
+        .orderBy("user_id")
+    )
+
+
 _MHF_NH = 64
 
 

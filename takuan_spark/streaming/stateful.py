@@ -120,6 +120,136 @@ def make_update_fn(
     return update
 
 
+def gap_output_schema(key_col: str) -> StructType:
+    """Output schema of :func:`interarrival_stats` for a bigint key."""
+    return StructType(
+        [
+            StructField(key_col, LongType(), False),
+            StructField("n_events", LongType(), False),
+            StructField("first_us", LongType(), False),
+            StructField("last_us", LongType(), False),
+            StructField("max_gap_us", LongType(), True),
+        ]
+    )
+
+
+# state: running ordered fold over one key's event times (micros)
+_GAP_STATE_SCHEMA = StructType(
+    [
+        StructField("first_us", LongType(), True),
+        StructField("last_us", LongType(), True),
+        StructField("max_gap_us", LongType(), True),
+        StructField("n", LongType(), True),
+    ]
+)
+
+
+def make_gap_update_fn(key_col: str, flush_at_ms: int):
+    """Per-group update function for :func:`interarrival_stats`,
+    module-level so the carry/flush semantics are unit-testable with a
+    fake GroupState (no streaming query needed).
+
+    Each call folds the batch's event times (int64 micros, pre-computed
+    in the ``ts_us`` column so no pandas datetime-unit ambiguity can
+    leak in) into (first, last, max_gap, n) state, sorted WITHIN the
+    batch; correctness across batches relies on the arrival protocol
+    delivering batches in event-time order, which is exactly what the
+    caller's time-quartile epoch files guarantee. Emission happens only
+    on event-time timeout — the append-mode-compatible pattern — armed
+    at ``flush_at_ms`` (past the whole corpus, so no key flushes while
+    it may still receive events) and clamped above the current
+    watermark because Spark rejects a timeout at or behind it (the
+    sentinel key's own re-arm in the final batch would otherwise
+    throw)."""
+
+    def update(
+        key: tuple[int],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        if state.hasTimedOut:
+            first_us, last_us, max_gap_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        key_col: uid,
+                        "n_events": n,
+                        "first_us": first_us,
+                        "last_us": last_us,
+                        "max_gap_us": max_gap_us,
+                    }
+                ]
+            )
+            return
+        times: list[int] = []
+        for pdf in pdfs:
+            times.extend(int(x) for x in pdf["ts_us"])
+        times.sort()
+        if state.exists:
+            first_us, last_us, max_gap_us, n = state.get
+        else:
+            first_us = last_us = max_gap_us = None
+            n = 0
+        for t in times:
+            if last_us is not None:
+                gap = t - last_us
+                if max_gap_us is None or gap > max_gap_us:
+                    max_gap_us = gap
+            if first_us is None:
+                first_us = t
+            last_us = t
+            n += 1
+        state.update((first_us, last_us, max_gap_us, n))
+        state.setTimeoutTimestamp(
+            max(flush_at_ms, state.getCurrentWatermarkMs() + 1)
+        )
+
+    return update
+
+
+def interarrival_stats(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+    flush_at_ms: int,
+) -> DataFrame:
+    """Per-key ordered interarrival fold under the real streaming engine:
+    n_events, first/last event time (micros) and the MAX gap between
+    consecutive events — an ORDER-DEPENDENT fold no built-in streaming
+    aggregate expresses (max-gap needs the previous event time, i.e.
+    sequential state, not a commutative monoid over rows), which is the
+    class ``applyInPandasWithState`` exists for.
+
+    State per key is four int64s regardless of event count — at
+    100 TB/day the store is O(active keys), partitioned by the grouping
+    key across executors like any shuffle, with no driver state. Results
+    flush via EventTimeTimeout once the watermark passes ``flush_at_ms``
+    (epoch millis; callers pick a point past the last real event and
+    advance the watermark there with sentinel rows under a reserved
+    key). A live deployment would instead re-arm a rolling idle timeout
+    per key, as :func:`brute_force_alerts` does."""
+    update = make_gap_update_fn(key_col, flush_at_ms)
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark(time_col, watermark)
+        .withColumn("ts_us", F.unix_micros(time_col))
+        .select(key_col, time_col, "ts_us")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=gap_output_schema(key_col),
+            stateStructType=_GAP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def brute_force_alerts(
     events: DataFrame,
     *,

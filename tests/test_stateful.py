@@ -122,6 +122,12 @@ class _FakeState:
     def setTimeoutDuration(self, ms):
         self.timeout_ms = ms
 
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ts_ms = ms
+
+    def getCurrentWatermarkMs(self):
+        return getattr(self, "watermark_ms", 0)
+
 
 def test_update_fn_evicts_on_timeout_and_bounds_state_by_time():
     from takuan_spark.streaming.stateful import make_update_fn
@@ -157,6 +163,103 @@ def test_update_fn_evicts_on_timeout_and_bounds_state_by_time():
     list(fn(("5.6.7.8",), iter([pdf2]), st2))
     kept2 = [int(x) for x in st2.get[0].split(",") if x]
     assert kept2 == [int((base + pd.Timedelta(seconds=120)).timestamp())]
+
+
+def test_gap_update_fn_carries_state_and_flushes_on_timeout():
+    from takuan_spark.streaming.stateful import make_gap_update_fn
+
+    flush_ms = 1_000_000_000
+    fn = make_gap_update_fn("user_id", flush_ms)
+
+    # batch 1: events at 0s, 10s (micros) — no emission, state carried
+    st = _FakeState()
+    out = list(fn((7,), iter([pd.DataFrame({"ts_us": [10_000_000, 0]})]), st))
+    assert out == []
+    assert st.get == (0, 10_000_000, 10_000_000, 2)
+    assert st.timeout_ts_ms == flush_ms
+
+    # batch 2: event at 100s — the 90s CROSS-BATCH gap must come from
+    # carried state (batch-local lag would see a single event, gap None)
+    out = list(fn((7,), iter([pd.DataFrame({"ts_us": [100_000_000]})]), st))
+    assert out == []
+    assert st.get == (0, 100_000_000, 90_000_000, 3)
+
+    # the timeout re-arm must clamp ABOVE the current watermark: Spark
+    # rejects a timeout at/behind it, and the sentinel key's final-batch
+    # re-arm runs with the watermark already past flush_at_ms
+    st.watermark_ms = flush_ms + 500
+    list(fn((7,), iter([pd.DataFrame({"ts_us": [200_000_000]})]), st))
+    assert st.timeout_ts_ms == flush_ms + 501
+
+    # timeout: emit the final row, remove state
+    st2 = _FakeState(value=(0, 100_000_000, 90_000_000, 3), timed_out=True)
+    (row_df,) = list(fn((7,), iter([]), st2))
+    assert st2.removed
+    assert row_df.iloc[0].to_dict() == {
+        "user_id": 7,
+        "n_events": 3,
+        "first_us": 0,
+        "last_us": 100_000_000,
+        "max_gap_us": 90_000_000,
+    }
+
+    # single-event key: max_gap stays NULL (matches the lag() oracle)
+    st3 = _FakeState()
+    list(fn((9,), iter([pd.DataFrame({"ts_us": [5]})]), st3))
+    assert st3.get == (5, 5, None, 1)
+
+
+def test_custom_state_max_gap_crosses_epoch_batches():
+    """Non-vacuity guard for q_stream_custom_state: at EVERY shipped SF
+    some user's TRUE max inter-arrival gap must sit between two events
+    in DIFFERENT time-quartile epochs — strictly larger than any of
+    that user's within-epoch gaps — so an implementation that lost
+    applyInPandasWithState state between micro-batches would compute a
+    smaller max gap there and hash-red against the lag() oracle."""
+    import glob
+
+    import duckdb
+
+    con = duckdb.connect()
+    for sf_dir in sorted(glob.glob("/root/testdata/sf*")):
+        n = con.sql(
+            f"""
+            WITH span AS (
+                SELECT MIN(ts) AS lo, MAX(ts) AS hi
+                FROM read_parquet('{sf_dir}/events.parquet')
+            ),
+            ev AS (
+                SELECT user_id, ts, LEAST(CAST(3 AS BIGINT), CAST(FLOOR(
+                    4.0 * EXTRACT(EPOCH FROM ts - span.lo)
+                        / NULLIF(EXTRACT(EPOCH FROM span.hi - span.lo), 0)
+                ) AS BIGINT)) AS ep
+                FROM read_parquet('{sf_dir}/events.parquet'), span
+            ),
+            gaps AS (
+                SELECT user_id,
+                       ts - lag(ts) OVER w AS gap,
+                       ep,
+                       lag(ep) OVER w AS prev_ep
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT COUNT(*) FROM (
+                SELECT user_id,
+                       MAX(CASE WHEN ep <> prev_ep THEN gap END) AS cross_gap,
+                       MAX(CASE WHEN ep = prev_ep THEN gap END) AS within_gap
+                FROM gaps
+                WHERE gap IS NOT NULL
+                GROUP BY user_id
+                HAVING cross_gap > COALESCE(within_gap,
+                                            INTERVAL '-1' SECOND)
+            )
+            """
+        ).fetchone()[0]
+        assert n > 0, (
+            f"{sf_dir}: no user's max gap straddles an epoch boundary; "
+            f"cross-batch state carry untested"
+        )
+    con.close()
 
 
 def test_windowed_counts_streaming_with_watermark(spark, stream_env):
