@@ -107,15 +107,17 @@ PRIORITY: list[str] = [
     # -- 1. r9: CHANGED/NEW this round — q_stream_late_drop (real-engine
     # watermark drop), q_stream_dedup_replay (real-engine cross-batch
     # dedup of an in-horizon replay), q_stream_interval_join
-    # (real-engine stream-stream join state), and q_stream_custom_state
-    # (real-engine applyInPandasWithState custom fold) are new; the two
-    # other real-engine streaming rows share their one-job epoch-file
-    # writer and gained the awaitTermination timeout assert (ADVICE r8);
+    # (real-engine stream-stream join state), q_stream_custom_state
+    # (real-engine applyInPandasWithState custom fold), and
+    # q_stream_rocksdb_state (the window_fold protocol on the RocksDB
+    # state backend) are new; the other real-engine streaming rows
+    # share their one-job epoch-file writer and gained the
+    # awaitTermination timeout assert (ADVICE r8);
     # ns_decontaminate now consumes the pair-distribution artifact.
     # New + changed head the window so every green row certifies
     # current code ------------------------------------------------------
     "q_stream_late_drop", "q_stream_dedup_replay", "q_stream_interval_join",
-    "q_stream_custom_state",
+    "q_stream_custom_state", "q_stream_rocksdb_state",
     "q_stream_window_fold", "q_stream_session_window", "ns_decontaminate",
     # -- 2. r3-stale remainder (27) — the planned r9 head from the r8
     # verdict: the oldest driver evidence in the registry; green here
@@ -130,9 +132,10 @@ PRIORITY: list[str] = [
     "ns_bpe_merge_candidates", "ns_effective_corpus_size", "ns_kmv_set_ops",
     "q_zorder_locality", "ns_epoch_novelty", "ns_contrastive_triplets",
     "q_sliding_distinct_hll",
-    # -- 3. r4-green head: fills the window to exactly 50 (7 + 27 + 16),
-    # oldest remaining evidence first (ns_ngram_lm_stats rotated past
-    # the cap when q_stream_custom_state joined the changed/new head) --
+    # -- 3. r4-green head: fills the window to exactly 50 (8 + 27 + 15),
+    # oldest remaining evidence first (ns_source_overlap and
+    # ns_ngram_lm_stats rotated past the cap when q_stream_custom_state
+    # and q_stream_rocksdb_state joined the changed/new head) ----------
     "ns_cluster_sample", "ns_duplication_pareto", "ns_hard_negatives",
     "ns_keyword_tagging", "ns_length_bucketing", "ns_winsorized_stats",
     "q_ntile_deciles", "q_rolling_median", "q_unpivot_metrics",

@@ -262,6 +262,77 @@ def test_custom_state_max_gap_crosses_epoch_batches():
     con.close()
 
 
+def test_rocksdb_state_store_matches_default_backend(spark, tmp_path):
+    """The q_stream_rocksdb_state contract in miniature: the same
+    watermarked windowed aggregation over the same chunks must produce
+    identical finalized windows on the RocksDB provider as on the
+    default HDFS-backed (in-heap) provider, and the RocksDB run must
+    surface rocksdb* custom metrics in its progress events (proof the
+    conf took effect — without it the test would compare the default
+    backend to itself)."""
+    rows = (
+        [("a", f"2026-08-13 06:10:{i:02d}", "ssh", "r1") for i in range(4)]
+        + [("b", "2026-08-13 07:05:00", "ssh", "r1")]
+        + [("z", "2026-08-13 12:00:00", "ssh", "r1")]  # watermark closer
+    )
+    results = {}
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    for backend, provider in (("default", None), ("rocksdb", rocksdb)):
+        src = tmp_path / backend / "src"
+        src.mkdir(parents=True)
+        _write_events_chunk(src / "c1.parquet", rows)
+        prev = spark.conf.get(provider_key, None)
+        if provider:
+            spark.conf.set(provider_key, provider)
+        try:
+            schema = (
+                "address string, created_at timestamp, "
+                "sensor string, rule string"
+            )
+            stream = spark.readStream.schema(schema).parquet(str(src))
+            q = (
+                windowed_counts(
+                    stream, window="1 hour", watermark="1 hour"
+                )
+                .writeStream.format("parquet")
+                .option("path", str(tmp_path / backend / "out"))
+                .option(
+                    "checkpointLocation", str(tmp_path / backend / "ckpt")
+                )
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(180)
+            if provider:
+                assert any(
+                    "rocksdb" in k.lower()
+                    for p in q.recentProgress
+                    for op in p.get("stateOperators", [])
+                    for k in op.get("customMetrics", {})
+                ), "RocksDB provider conf did not take effect"
+        finally:
+            if provider:
+                if prev is None:
+                    spark.conf.unset(provider_key)
+                else:
+                    spark.conf.set(provider_key, prev)
+        results[backend] = sorted(
+            map(
+                tuple,
+                spark.read.parquet(str(tmp_path / backend / "out"))
+                .select("window_start", "cnt")
+                .collect(),
+            )
+        )
+    assert results["default"] == results["rocksdb"]
+    assert results["default"]  # non-empty: at least one finalized window
+
+
 def test_windowed_counts_streaming_with_watermark(spark, stream_env):
     """Append-mode watermark semantics: a window is emitted only once the
     watermark (max event time - delay) passes its end; open windows stay
