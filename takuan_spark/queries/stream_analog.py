@@ -923,6 +923,167 @@ def q_stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q_stream_checkpoint_restart uses SEVEN epochs and DAY windows, not
+# the shared 4/hour protocol: the events corpus spans ~30 days minus
+# ~46 s, so every k/4 (and k/2, k/5...) span fraction lands within
+# seconds of a midnight hour boundary and the window containing the
+# restart would have almost no events on one side — the straddle the
+# row exists to test would be vacuous (measured: the 2/4 boundary sits
+# 12 s before midnight; 0-1 events land in that sliver). 2/7 of the
+# span lands mid-afternoon, mid-hour; all 5 event types straddle the
+# boundary day at every shipped SF (pinned in tests/test_stateful.py).
+_RESTART_EPOCHS = 7
+_RESTART_AFTER = 2
+
+
+@query(
+    "q_stream_checkpoint_restart",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           strftime(date_trunc('day', ts) + INTERVAL 1 DAY,
+                    '%Y-%m-%d %H:%M:%S') AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    ORDER BY 1, 3
+    """,
+    "Checkpoint RESTART recovery under the REAL Structured Streaming "
+    "engine — the stateful-lifecycle behavior no other row exercises: "
+    "every real-engine row so far runs ONE query start-to-finish, so "
+    "state reload from a checkpoint (the mechanism that makes a "
+    "100 TB/day stream survive deploys, crashes, and rescheduling) is "
+    "certified nowhere. Daily windowed counts drain 2 of 7 epoch "
+    "files and STOP (availableNow); a brand-new query object then "
+    "starts on the SAME checkpoint with the remaining 5 epochs + "
+    "sentinels present. The query asserts from the engine's own "
+    "progress events that run 2 RESUMED (its first batchId continues "
+    "past run 1's last instead of restarting at 0), that run 1 "
+    "flushed finalized rows (so re-emission is detectable), and that "
+    "run 2 appended more. Correctness teeth: the day window "
+    "containing the restart boundary is still OPEN when run 1 stops "
+    "(its end is above the watermark by construction) and at every SF "
+    "every event type has events on BOTH sides of the boundary "
+    "(pinned in tests/test_stateful.py), so its run-1 events exist "
+    "only as checkpointed state — a restart that lost state emits "
+    "that window with only its run-2 count, a restart that re-read "
+    "run 1's files double-counts every flushed window, and a restart "
+    "that re-emitted finalized windows duplicates rows; all hash-red "
+    "against the whole-corpus calendar-bucket oracle. The boundary "
+    "sits at 2/7 of the span because the corpus is ~30 days minus "
+    "seconds: every small-denominator fraction lands within seconds "
+    "of midnight, leaving one side of the straddling window nearly "
+    "empty (the 2/4 point is 12 s before a day boundary).",
+)
+def q_stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.streaming.windows import windowed_counts
+
+    base = _scratch(sf_dir, "ckpt_restart")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    stage = f"{base}/stage"
+    os.makedirs(src)
+    os.makedirs(stage)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    # all nine files (7 time-septile epochs + 2 sentinels) are staged
+    # up front; the restart boundary is WHICH of them are visible to
+    # each run. shutil.move preserves mtimes, so arrival order within
+    # each run stays the protocol's.
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
+    t0 = 1_600_000_000.0
+    _write_epoch_files_one_job(
+        base, stage, ev, time_col="ts", lo=lo, hi=hi,
+        n_epochs=_RESTART_EPOCHS, t0=t0,
+    )
+    _write_sentinel_files(
+        stage, hi, t0, "event_type", "__sentinel__", "string"
+    )
+    run2_files = [
+        f"e{k}.parquet" for k in range(_RESTART_AFTER, _RESTART_EPOCHS)
+    ] + ["s0.parquet", "s1.parquet"]
+    for k in range(_RESTART_AFTER):
+        shutil.move(
+            os.path.join(stage, f"e{k}.parquet"),
+            os.path.join(src, f"e{k}.parquet"),
+        )
+
+    def _start():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            windowed_counts(
+                stream,
+                time_col="ts",
+                key_cols=("event_type",),
+                window="1 day",
+                watermark="1 hour",
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q1 = _start()
+        _await_or_die(q1, 600)
+        last_b1 = max(p["batchId"] for p in q1.recentProgress)
+        n1 = spark.read.parquet(sink).count()
+        if n1 == 0:
+            raise RuntimeError(
+                "run 1 flushed nothing before the restart; the recovery "
+                "path would be vacuous (no finalized rows to NOT re-emit)"
+            )
+
+        # the restart boundary: the remaining epochs + sentinels become
+        # visible only to the SECOND query object, which recovers
+        # offsets + state from the checkpoint of the first. Offset
+        # resumption is asserted mechanically below; STATE recovery is
+        # detected by the oracle — the open boundary-day window's
+        # run-1 events exist only in checkpointed state, so losing it
+        # under-counts that window and re-reading run 1's files
+        # double-counts every run-1 row; both hash-red.
+        for name in run2_files:
+            shutil.move(os.path.join(stage, name), os.path.join(src, name))
+        q2 = _start()
+        _await_or_die(q2, 600)
+
+        first_b2 = min(p["batchId"] for p in q2.recentProgress)
+        if first_b2 <= last_b1:
+            raise RuntimeError(
+                f"restart did not resume offsets: run 2 began at batch "
+                f"{first_b2}, run 1 ended at {last_b1}"
+            )
+        if spark.read.parquet(sink).count() <= n1:
+            raise RuntimeError(
+                "run 2 appended nothing; the post-restart epochs were "
+                "not consumed"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        spark.read.parquet(sink)
+        .where(F.col("event_type") != "__sentinel__")
+        .select(
+            F.date_format("window_start", fmt).alias("window_start"),
+            F.date_format("window_end", fmt).alias("window_end"),
+            "event_type",
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 @query(
     "q_stream_session_window",
     """

@@ -262,6 +262,73 @@ def test_custom_state_max_gap_crosses_epoch_batches():
     con.close()
 
 
+def test_checkpoint_restart_boundary_window_straddles_runs():
+    """Non-vacuity guard for q_stream_checkpoint_restart: at EVERY
+    shipped SF some (day, event_type) window must have events on BOTH
+    sides of the restart boundary (2 of 7 span-septiles — chosen
+    because the corpus spans ~30 days minus seconds, so every
+    small-denominator span fraction lands within seconds of midnight
+    and one side of the straddling window would be nearly empty).
+    That window is still open when run 1 stops (its end is inside the
+    watermark horizon of e1's max by construction), so its run-1 events
+    exist only in checkpointed state — a restart that lost state emits
+    it with only the run-2 count and hash-reds against the oracle. If
+    no window straddled the boundary, a state-dropping restart would
+    pass and the row would certify nothing beyond two disjoint runs.
+    Also pins that run 1 flushes finalized rows (days fully behind the
+    boundary exist), so re-emission after restart is detectable."""
+    import glob
+
+    import duckdb
+
+    from takuan_spark.queries.stream_analog import (
+        _RESTART_AFTER,
+        _RESTART_EPOCHS,
+    )
+
+    con = duckdb.connect()
+    for sf_dir in sorted(glob.glob("/root/testdata/sf*")):
+        straddle, finalized = con.sql(
+            f"""
+            WITH span AS (
+                SELECT MIN(ts) AS lo, MAX(ts) AS hi
+                FROM read_parquet('{sf_dir}/events.parquet')
+            ),
+            ev AS (
+                SELECT event_type, date_trunc('day', ts) AS w,
+                       LEAST(CAST({_RESTART_EPOCHS - 1} AS BIGINT),
+                             CAST(FLOOR(
+                           {_RESTART_EPOCHS}.0
+                               * EXTRACT(EPOCH FROM ts - span.lo)
+                               / NULLIF(EXTRACT(
+                                     EPOCH FROM span.hi - span.lo), 0)
+                       ) AS BIGINT)) AS ep
+                FROM read_parquet('{sf_dir}/events.parquet'), span
+            )
+            SELECT
+              (SELECT COUNT(*) FROM (
+                  SELECT w, event_type FROM ev GROUP BY w, event_type
+                  HAVING SUM(CASE WHEN ep < {_RESTART_AFTER}
+                             THEN 1 ELSE 0 END) > 0
+                     AND SUM(CASE WHEN ep >= {_RESTART_AFTER}
+                             THEN 1 ELSE 0 END) > 0)),
+              (SELECT COUNT(*) FROM (
+                  SELECT w, event_type FROM ev
+                  GROUP BY w, event_type
+                  HAVING MAX(ep) < {_RESTART_AFTER}))
+            """
+        ).fetchone()
+        assert straddle > 0, (
+            f"{sf_dir}: no daily window straddles the restart "
+            f"boundary; state recovery untested"
+        )
+        assert finalized > 0, (
+            f"{sf_dir}: run 1 would flush nothing; re-emission after "
+            f"restart undetectable"
+        )
+    con.close()
+
+
 def test_rocksdb_state_store_matches_default_backend(spark, tmp_path):
     """The q_stream_rocksdb_state contract in miniature: the same
     watermarked windowed aggregation over the same chunks must produce
