@@ -1686,6 +1686,76 @@ def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_stream_static_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_name, c.c_nationkey
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'click'
+    ORDER BY e.event_id
+    """,
+    "Stream-STATIC join under the REAL Structured Streaming engine — "
+    "the remaining join class after q_stream_interval_join covered "
+    "stream-stream: a click stream is enriched against the static "
+    "customer dimension with an explicit broadcast hint, so every "
+    "micro-batch runs a stateless BroadcastHashJoin (no watermark, no "
+    "join state, no shuffle of the stream side) — the dimension-"
+    "enrichment shape of the reference's GeoIP join (core/"
+    "aggregator.go:60-67) as a LIVE stream rather than the registered "
+    "batch join. Green against the batch-join oracle proves each "
+    "qualifying event is enriched and appended exactly once across "
+    "micro-batches; at 100 TB/day the stream side never shuffles and "
+    "the dim broadcast is per-executor-once per batch, which is why "
+    "this shape holds at cluster scale while a keyed stream-stream "
+    "join would pay state for a table that never changes.",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _scratch(sf_dir, "static_join")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "user_id",
+        "event_type",
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
+    t0 = 1_600_000_000.0
+    _write_epoch_files_one_job(
+        base, src, ev, time_col="ts", lo=lo, hi=hi, n_epochs=_N_EPOCHS, t0=t0
+    )
+    # no sentinels and no watermark: the join is stateless (static side
+    # is a table, not a stream), so every batch's matches append
+    # immediately — nothing waits on event time.
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .where(F.col("event_type") == "click")
+    )
+    joined = (
+        stream.join(
+            F.broadcast(cust),
+            stream.user_id == cust.c_custkey,
+            "inner",
+        )
+        .select("event_id", "user_id", "c_name", "c_nationkey")
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_die(q, 600)
+    return spark.read.parquet(sink).orderBy("event_id")
+
+
 _MHF_NH = 64
 
 

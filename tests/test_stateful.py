@@ -329,6 +329,50 @@ def test_checkpoint_restart_boundary_window_straddles_runs():
     con.close()
 
 
+def test_stream_static_join_matches_exist_at_every_sf():
+    """Non-vacuity guard for q_stream_static_join: at EVERY shipped SF
+    clicks must match customers in EVERY epoch-batch (so each
+    micro-batch exercises the broadcast join, not just the first), and
+    the enriched names must be non-degenerate (more than one distinct
+    c_name among matches — the oracle's value hash then certifies the
+    JOIN picked the right dimension row per event, which is the
+    behavior under test; every user_id maps to a customer on this
+    corpus, so filtering is not the claim)."""
+    import glob
+
+    import duckdb
+
+    con = duckdb.connect()
+    for d in sorted(glob.glob("/root/testdata/sf*")):
+        batches_with_matches, names = con.sql(
+            f"""
+            WITH span AS (
+                SELECT MIN(ts) AS lo, MAX(ts) AS hi
+                FROM read_parquet('{d}/events.parquet')
+            ),
+            m AS (
+                SELECT LEAST(CAST(3 AS BIGINT), CAST(FLOOR(
+                           4.0 * EXTRACT(EPOCH FROM e.ts - span.lo)
+                               / NULLIF(EXTRACT(
+                                     EPOCH FROM span.hi - span.lo), 0)
+                       ) AS BIGINT)) AS ep,
+                       c.c_name
+                FROM read_parquet('{d}/events.parquet') e
+                JOIN read_parquet('{d}/customer.parquet') c
+                  ON e.user_id = c.c_custkey, span
+                WHERE e.event_type = 'click'
+            )
+            SELECT COUNT(DISTINCT ep), COUNT(DISTINCT c_name) FROM m
+            """
+        ).fetchone()
+        assert batches_with_matches == 4, (
+            f"{d}: only {batches_with_matches}/4 epoch-batches have "
+            f"matches; some micro-batches would not exercise the join"
+        )
+        assert names > 1, f"{d}: degenerate dimension; value hash vacuous"
+    con.close()
+
+
 def test_rocksdb_state_store_matches_default_backend(spark, tmp_path):
     """The q_stream_rocksdb_state contract in miniature: the same
     watermarked windowed aggregation over the same chunks must produce
