@@ -161,6 +161,30 @@ def main() -> None:
     spark.range(1000, numPartitions=32).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
+    # ... and the Structured Streaming machinery (micro-batch executor,
+    # state-store and sink classes): without this the FIRST real-engine
+    # streaming row's first pass pays ~1.5 s of engine class-loading
+    # that belongs to no query (observed as a 1.45x run spread on
+    # q_stream_window_fold while the other streaming rows sat <= 1.2x).
+    with tempfile.TemporaryDirectory() as wtmp:
+        wsrc = os.path.join(wtmp, "src")
+        os.makedirs(wsrc)
+        spark.range(8).selectExpr(
+            "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id) as ts",
+            "id as k",
+        ).coalesce(1).write.parquet(wsrc, mode="overwrite")
+        wq = (
+            spark.readStream.schema("ts timestamp, k long")
+            .parquet(wsrc)
+            .withWatermark("ts", "1 second")
+            .groupBy("k").count()
+            .writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(wtmp, "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        wq.awaitTermination(120)
 
     with tempfile.TemporaryDirectory() as tmp:
         paths = _gen_logs(tmp)
