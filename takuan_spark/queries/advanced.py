@@ -1098,3 +1098,51 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_name")
     )
+
+
+@query(
+    "q_variant_extract",
+    """
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "Semi-structured aggregation through Spark's native VARIANT type "
+    "(SQL:2023 / Spark 4): the JSON props column is parsed ONCE per "
+    "row into VARIANT's binary encoding (try_parse_json), then "
+    "try_variant_get extracts the typed field — vs "
+    "takuan_json_extract's get_json_object, which re-parses the "
+    "string per access. At 100 TB of sparse event metadata the "
+    "parse-once binary path is the production shape (repeated field "
+    "access and shredding amortize), and the try_ variants degrade "
+    "malformed rows to NULL instead of failing the batch — the "
+    "quarantine-friendly contract. Green against DuckDB's "
+    "json_extract oracle proves the VARIANT path is value-identical "
+    "to string-path extraction.",
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.try_variant_get(
+            F.try_parse_json("props"), "$.k", "bigint"
+        ).alias("k"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
