@@ -1146,3 +1146,75 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_RCTE_EDGES_SQL = """
+    SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+    FROM {cust} c
+    JOIN {ords} o ON o.o_custkey = c.c_custkey
+    JOIN {li} l ON l.l_orderkey = o.o_orderkey
+    JOIN {sup} s ON s.s_suppkey = l.l_suppkey
+"""
+
+_RCTE_SQL = """
+WITH RECURSIVE reach(node, hop) AS (
+    SELECT CAST(0 AS INT) AS node, CAST(0 AS INT) AS hop
+    UNION ALL
+    SELECT DISTINCT e.dst, CAST(r.hop + 1 AS INT)
+    FROM reach r JOIN {edges} e ON e.src = r.node
+    WHERE r.hop < 4
+)
+SELECT n.n_name, CAST(MIN(r.hop) AS BIGINT) AS hops
+FROM reach r JOIN {nat} n ON n.n_nationkey = r.node
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@query(
+    "q_recursive_cte",
+    _RCTE_SQL.format(
+        edges="("
+        + _RCTE_EDGES_SQL.format(
+            cust="customer", ords="orders", li="lineitem", sup="supplier"
+        )
+        + ")",
+        nat="nation",
+    ),
+    "Recursive CTE (WITH RECURSIVE, SQL:1999 — new in Spark 4) as "
+    "iterative graph reachability over DATA-DERIVED edges: the "
+    "nation-level trade graph (customer nation -> supplier nation, "
+    "distinct pairs from the customer-orders-lineitem-supplier join "
+    "chain), BFS from nation 0 with per-level DISTINCT and a hop "
+    "bound, MIN(hop) per reached nation. The recursion is scale-sane "
+    "by construction: the working table is capped at distinct "
+    "(node, hop) pairs <= nations x hops regardless of corpus size — "
+    "the heavy lifting (the 4-way edge derivation over the fact "
+    "table) is MATERIALIZED once before the recursion (Spark's "
+    "recursive execution re-evaluates referenced relations per "
+    "level, so an uncached edge set re-ran the fact join every hop: "
+    "5.5 -> 2.8 s at sf0.1), and every per-level join is against "
+    "that tiny persisted edge set. The same SQL shape runs on both "
+    "engines (standard working-table semantics; the hop bound "
+    "terminates both), so a green row certifies Spark's recursive "
+    "execution, not a hand-rolled loop.",
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.skew import materialize
+
+    views = {}
+    for key, tbl in (
+        ("cust", "customer"), ("ords", "orders"),
+        ("li", "lineitem"), ("sup", "supplier"),
+    ):
+        name = f"rcte_{tbl}"
+        load_table(spark, sf_dir, tbl).createOrReplaceTempView(name)
+        views[key] = name
+    edges = materialize(spark.sql(_RCTE_EDGES_SQL.format(**views)))
+    edges.createOrReplaceTempView("rcte_edges")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "rcte_nation"
+    )
+    return spark.sql(
+        _RCTE_SQL.format(edges="rcte_edges", nat="rcte_nation")
+    )

@@ -1756,6 +1756,76 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).orderBy("event_id")
 
 
+@query(
+    "q_state_store_reader",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "The STATE STORE as a queryable table (the state data source, "
+    "Spark 4): after an unwatermarked per-user streaming count drains "
+    "all 4 epoch files in update mode, the query reads the "
+    "checkpoint's state store back as a BATCH DataFrame "
+    "(spark.read.format('statestore')) and returns its key/value "
+    "rows — which must equal the plain batch GROUP BY exactly "
+    "(unwatermarked running aggregation state is the full running "
+    "answer, with no eviction timing to depend on). Green certifies "
+    "the observability contract a production stream needs at scale: "
+    "state is not a black box — an operator's live keys and values "
+    "are directly inspectable for debugging, monitoring, and "
+    "state-migration audits, without touching the running query. "
+    "Any lost epoch, dropped key, or mis-merged count surfaces as a "
+    "value mismatch.",
+)
+def q_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _scratch(sf_dir, "state_reader")
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
+    t0 = 1_600_000_000.0
+    _write_epoch_files_one_job(
+        base, src, ev, time_col="ts", lo=lo, hi=hi, n_epochs=_N_EPOCHS, t0=t0
+    )
+    # no watermark and no sentinels: unwatermarked update-mode state is
+    # the complete running aggregate — the reader's contents are exact
+    # by construction, independent of eviction timing.
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            stream.groupBy("user_id")
+            .agg(F.count("*").alias("cnt"))
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_die(q, 600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    st = spark.read.format("statestore").load(ckpt)
+    # the value struct's field is the aggregation BUFFER's internal
+    # name (`count`), not the query alias — resolve both struct fields
+    # from the reader's own schema so the row survives a rename.
+    key_field = st.schema["key"].dataType.names[0]
+    val_field = st.schema["value"].dataType.names[0]
+    return st.select(
+        F.col(f"key.{key_field}").alias("user_id"),
+        F.col(f"value.{val_field}").cast("bigint").alias("cnt"),
+    ).orderBy("user_id")
+
+
 _MHF_NH = 64
 
 
