@@ -121,6 +121,7 @@ PRIORITY: list[str] = [
     "q_stream_custom_state", "q_stream_rocksdb_state",
     "q_stream_checkpoint_restart", "q_stream_static_join",
     "q_variant_extract", "q_recursive_cte", "q_state_store_reader",
+    "q_sql_pipe_syntax",
     "q_stream_window_fold", "q_stream_session_window", "ns_decontaminate",
     # -- 2. r3-stale remainder (27) — the planned r9 head from the r8
     # verdict: the oldest driver evidence in the registry; green here
@@ -135,9 +136,9 @@ PRIORITY: list[str] = [
     "ns_bpe_merge_candidates", "ns_effective_corpus_size", "ns_kmv_set_ops",
     "q_zorder_locality", "ns_epoch_novelty", "ns_contrastive_triplets",
     "q_sliding_distinct_hll",
-    # -- 3. r4-green head: fills the window to exactly 50 (13 + 27 + 10),
-    # oldest remaining evidence first (q_stream_sketch_fold through
-    # ns_ngram_lm_stats rotated past the cap as the seven new rows
+    # -- 3. r4-green head: fills the window to exactly 50 (14 + 27 + 9),
+    # oldest remaining evidence first (q_stream_report_fold through
+    # ns_ngram_lm_stats rotated past the cap as the eight new rows
     # joined the changed/new head; they lead r10's backfill) -------------
     "ns_cluster_sample", "ns_duplication_pareto", "ns_hard_negatives",
     "ns_keyword_tagging", "ns_length_bucketing", "ns_winsorized_stats",

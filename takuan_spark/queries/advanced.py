@@ -1218,3 +1218,45 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _RCTE_SQL.format(edges="rcte_edges", nat="rcte_nation")
     )
+
+
+@query(
+    "q_sql_pipe_syntax",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "SQL pipe syntax (|> operators, Spark 4 / ISO pending): the "
+    "pricing-summary aggregation written as a linear FROM |> WHERE "
+    "|> AGGREGATE |> ORDER BY pipeline — each stage consumes the "
+    "previous one top-to-bottom, the shape analytics users "
+    "increasingly write instead of inside-out nested SELECTs. The "
+    "pipe form must plan to the SAME filtered partial+final "
+    "aggregate as the classic form (Catalyst normalizes both to one "
+    "logical plan), and the ANSI oracle is the classic form — a "
+    "green row certifies the parser surface is semantics-identical, "
+    "not a dialect fork.",
+)
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "pipe_lineitem"
+    )
+    return spark.sql(
+        """
+        FROM pipe_lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     ROUND(SUM(l_quantity), 2) AS sum_qty,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                         AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_rows, sum_qty, revenue
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
