@@ -78,3 +78,59 @@ def test_sql_udfs_inline_into_codegen(spark, sdf):
     )._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Project" in plan
+
+
+def test_recursive_cte_bfs_semantics(spark):
+    """Pin WITH RECURSIVE working-table semantics on a hand-computed
+    graph (the engine behavior q_recursive_cte relies on): per-level
+    DISTINCT + hop bound, MIN(hop) = true BFS distance, cycles bounded
+    by the hop cap, unreachable nodes absent."""
+    spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (1, 4), (9, 0)],
+        "src int, dst int",
+    ).createOrReplaceTempView("rcte_test_edges")
+    rows = spark.sql(
+        """
+        WITH RECURSIVE reach(node, hop) AS (
+            SELECT CAST(0 AS INT), CAST(0 AS INT)
+            UNION ALL
+            SELECT DISTINCT e.dst, CAST(r.hop + 1 AS INT)
+            FROM reach r JOIN rcte_test_edges e ON e.src = r.node
+            WHERE r.hop < 4
+        )
+        SELECT node, MIN(hop) AS hops FROM reach
+        GROUP BY node ORDER BY node
+        """
+    ).collect()
+    got = {r.node: r.hops for r in rows}
+    # 0 -> 1 -> {2, 4}; 2 -> 3; 3 -> 0 closes a cycle (bounded by the
+    # hop cap, re-reaching 0 at hop 4 never beats MIN hop 0); node 9
+    # only points INTO the component and must be unreachable.
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2}
+
+
+def test_sql_pipe_syntax_matches_classic_form(spark, sf_dir):
+    """The pipe-operator form must return the exact rows of the classic
+    formulation on the same session (the Catalyst-normalization claim
+    q_sql_pipe_syntax registers against the external oracle)."""
+    from takuan_spark.queries.advanced import q_sql_pipe_syntax
+
+    piped = q_sql_pipe_syntax(spark, sf_dir).collect()
+    from takuan_spark.tables import load_table
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "pipe_classic_li"
+    )
+    classic = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM pipe_classic_li
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    ).collect()
+    assert piped == classic and len(piped) > 0
