@@ -1000,14 +1000,21 @@ def q_stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     _write_sentinel_files(
         stage, hi, t0, "event_type", "__sentinel__", "string"
     )
+    # an empty epoch writes no file (the one-job writer's documented
+    # representation) — tolerate absence so a sparse corpus degrades to
+    # fewer micro-batches instead of crashing the move.
     run2_files = [
-        f"e{k}.parquet" for k in range(_RESTART_AFTER, _RESTART_EPOCHS)
-    ] + ["s0.parquet", "s1.parquet"]
-    for k in range(_RESTART_AFTER):
-        shutil.move(
-            os.path.join(stage, f"e{k}.parquet"),
-            os.path.join(src, f"e{k}.parquet"),
+        name
+        for name in (
+            [f"e{k}.parquet" for k in range(_RESTART_AFTER, _RESTART_EPOCHS)]
+            + ["s0.parquet", "s1.parquet"]
         )
+        if os.path.exists(os.path.join(stage, name))
+    ]
+    for k in range(_RESTART_AFTER):
+        path = os.path.join(stage, f"e{k}.parquet")
+        if os.path.exists(path):
+            shutil.move(path, os.path.join(src, f"e{k}.parquet"))
 
     def _start():
         stream = (
