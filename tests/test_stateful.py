@@ -744,3 +744,67 @@ def test_interval_join_pairs_cross_epoch_batches():
             f"state untested"
         )
     con.close()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    times=st.lists(
+        st.integers(min_value=0, max_value=10_000_000),
+        min_size=1,
+        max_size=40,
+    ),
+    cuts=st.lists(
+        st.integers(min_value=0, max_value=39), max_size=4
+    ),
+)
+def test_gap_fold_is_batch_split_invariant(times, cuts):
+    """Property: folding a key's event times through
+    make_gap_update_fn over ANY in-order batch split yields exactly the
+    direct whole-sequence computation (n, first, last, max lag gap) —
+    the split-invariance contract q_stream_custom_state's epoch
+    protocol relies on. Batches arrive in event-time order (the
+    protocol's guarantee); WITHIN a batch order is arbitrary, so each
+    batch is shuffled deterministically before feeding."""
+    import pandas as pd
+
+    from takuan_spark.streaming.stateful import make_gap_update_fn
+
+    fn = make_gap_update_fn("user_id", 10**15)
+    ordered = sorted(times)
+    # cut points define the batch split of the ORDERED sequence
+    points = sorted({c for c in cuts if c < len(ordered)})
+    batches, prev = [], 0
+    for c in points:
+        if c > prev:
+            batches.append(ordered[prev:c])
+            prev = c
+    batches.append(ordered[prev:])
+
+    st_fake = _FakeState()
+    for i, batch in enumerate(batches):
+        if not batch:
+            continue
+        # arbitrary within-batch order: reverse every other batch
+        feed = list(reversed(batch)) if i % 2 else list(batch)
+        out = list(
+            fn((7,), iter([pd.DataFrame({"ts_us": feed})]), st_fake)
+        )
+        assert out == []  # emission only on timeout
+
+    # direct whole-sequence answer
+    gaps = [b - a for a, b in zip(ordered, ordered[1:])]
+    expected = (
+        ordered[0],
+        ordered[-1],
+        max(gaps) if gaps else None,
+        len(ordered),
+    )
+    assert st_fake.get == expected
+
+    st_done = _FakeState(value=st_fake.get, timed_out=True)
+    (row,) = list(fn((7,), iter([]), st_done))
+    assert row.iloc[0]["n_events"] == len(ordered)
