@@ -737,3 +737,44 @@ def test_native_sketch_parity_has_no_expand(spark, sf_dir):
     # keep Expand out of the plan entirely
     plan = plan_of(REGISTRY["q_native_sketch_parity"].builder(spark, sf_dir))
     assert "Expand" not in tree_of(plan)
+
+
+def test_variant_extract_prunes_scan_and_stays_codegen(spark, sf_dir):
+    """q_variant_extract: the VARIANT parse/extract chain must not stop
+    column pruning (only event_type + props read) and must plan as
+    partial+final aggregation with no Python stage."""
+    plan = plan_of(REGISTRY["q_variant_extract"].builder(spark, sf_dir))
+    read_schema = re.search(r"ReadSchema: ([^\n]+)", plan).group(1)
+    assert "props" in read_schema and "event_type" in read_schema
+    assert "user_id" not in read_schema and "value" not in read_schema
+    assert "partial_" in plan
+    assert "EvalPython" not in plan
+
+
+def test_sql_pipe_syntax_plans_like_classic_form(spark, sf_dir):
+    """q_sql_pipe_syntax: the |> pipeline must plan exactly like the
+    classic formulation — shipdate filter pushed to the scan, pruned
+    ReadSchema, partial+final aggregate, no extra exchange."""
+    plan = plan_of(REGISTRY["q_sql_pipe_syntax"].builder(spark, sf_dir))
+    assert "LessThanOrEqual(l_shipdate" in plan
+    read_schema = re.search(r"ReadSchema: ([^\n]+)", plan).group(1)
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+    assert "partial_" in plan
+    # one shuffle for the aggregation + one for the final sort, no more
+    assert tree_of(plan).count("Exchange") <= 2
+
+
+def test_recursive_cte_joins_materialized_edges(spark, sf_dir):
+    """q_recursive_cte: the recursion must consume the MATERIALIZED
+    edge set (InMemoryTableScan), not re-derive the 4-way fact join
+    per level — the re-evaluation trap documented in PLANS.md."""
+    from takuan_spark.operators.skew import release_materialized
+
+    df = REGISTRY["q_recursive_cte"].builder(spark, sf_dir)
+    try:
+        plan = plan_of(df)
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+        # the recursion's working side must never plan a cartesian
+        assert "CartesianProduct" not in plan
+    finally:
+        release_materialized()
