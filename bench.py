@@ -184,7 +184,16 @@ def main() -> None:
             .trigger(availableNow=True)
             .start()
         )
-        wq.awaitTermination(120)
+        # treat a warm-up that outlives the timeout as dead-on-arrival:
+        # leaving it running while the TemporaryDirectory is deleted
+        # produces background stream failures that can pollute the
+        # first measured rows (the repo convention — _await_or_die —
+        # treats this timeout as a failure, not a shrug).
+        if not wq.awaitTermination(120):
+            wq.stop()
+            raise TimeoutError(
+                "streaming warm-up query still running after 120s"
+            )
 
     with tempfile.TemporaryDirectory() as tmp:
         paths = _gen_logs(tmp)

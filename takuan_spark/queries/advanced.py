@@ -1110,7 +1110,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(k) AS BIGINT) AS max_k
     FROM (
         SELECT event_type,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         FROM events
     )
     GROUP BY event_type
@@ -1127,7 +1127,9 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "malformed rows to NULL instead of failing the batch — the "
     "quarantine-friendly contract. Green against DuckDB's "
     "json_extract oracle proves the VARIANT path is value-identical "
-    "to string-path extraction.",
+    "to string-path extraction (the oracle uses TRY_CAST so a "
+    "malformed or non-integer k degrades to NULL on BOTH sides, "
+    "matching try_variant_get, instead of hard-erroring DuckDB).",
 )
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(

@@ -169,33 +169,42 @@ def _write_epoch_files_one_job(
 
 
 def _write_sentinel_files(
-    src: str, hi, t0: float, key_name: str, key_value, key_type: str
+    src: str,
+    hi,
+    t0: float,
+    key_name: str,
+    key_value,
+    key_type: str,
+    *,
+    extra: tuple = (),
 ) -> None:
     """The two far-future watermark-flush sentinels, written with
     pyarrow directly — sentinel frames are 1 row, and even the
     range+lit Spark write is a whole job submission per sentinel (the
     jitter surface the one-job epoch write exists to shrink). The
     arrow schema mirrors what Spark's parquet writer produces for a
-    (timestamp, key) frame in the UTC-pinned session, so the stream's
-    schema enforcement sees identical files."""
+    (timestamp, key, *extra) frame in the UTC-pinned session, so the
+    stream's schema enforcement sees identical files. ``extra`` is a
+    tuple of (name, value, type) columns appended AFTER the key, in
+    order — the file columns must match the stream schema exactly."""
     import datetime
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    arrow_key = {"string": pa.string(), "bigint": pa.int64()}[key_type]
+    arrow_types = {"string": pa.string(), "bigint": pa.int64()}
     for i, days in enumerate((10, 20)):
         ts = (hi + datetime.timedelta(days=days)).replace(
             tzinfo=datetime.timezone.utc
         )
-        table = pa.table(
-            {
-                "ts": pa.array([ts], type=pa.timestamp("us", tz="UTC")),
-                key_name: pa.array([key_value], type=arrow_key),
-            }
-        )
+        cols = {
+            "ts": pa.array([ts], type=pa.timestamp("us", tz="UTC")),
+            key_name: pa.array([key_value], type=arrow_types[key_type]),
+        }
+        for name, value, typ in extra:
+            cols[name] = pa.array([value], type=arrow_types[typ])
         dest = os.path.join(src, f"s{i}.parquet")
-        pq.write_table(table, dest)
+        pq.write_table(pa.table(cols), dest)
         mt = t0 + 100 + 10 * i
         os.utime(dest, (mt, mt))
 
@@ -1043,6 +1052,16 @@ def q_stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q1 = _start()
         _await_or_die(q1, 600)
+        # the code tolerates absent (empty) epoch files, so guard the
+        # degenerate corpus where run 1 saw NO batches at all — the
+        # recovery assertion below would be vacuous, and a bare max()
+        # over no progress events would raise an opaque ValueError.
+        if not q1.recentProgress:
+            raise RuntimeError(
+                "run 1 produced no progress events (every pre-restart "
+                "epoch was empty); the restart-recovery check would be "
+                "vacuous on this corpus"
+            )
         last_b1 = max(p["batchId"] for p in q1.recentProgress)
         n1 = spark.read.parquet(sink).count()
         if n1 == 0:
@@ -1064,6 +1083,11 @@ def q_stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         q2 = _start()
         _await_or_die(q2, 600)
 
+        if not q2.recentProgress:
+            raise RuntimeError(
+                "run 2 produced no progress events; the post-restart "
+                "epochs + sentinels were never batched"
+            )
         first_b2 = min(p["batchId"] for p in q2.recentProgress)
         if first_b2 <= last_b1:
             raise RuntimeError(
@@ -1560,6 +1584,139 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(sink).orderBy("l_id", "r_id")
+
+
+@query(
+    "q_stream_interval_join_outer",
+    """
+    SELECT l.event_id AS l_id, r.event_id AS r_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id
+     AND r.ts BETWEEN l.ts - INTERVAL 24 HOUR AND l.ts
+    ORDER BY 1, 2
+    """,
+    "Stream-stream LEFT OUTER interval join under the REAL Structured "
+    "Streaming engine — the join-state eviction behavior the r9 INNER "
+    "row cannot exercise: an inner join only ever emits on match, so "
+    "its green proves buffered rows are kept long enough; the outer "
+    "variant proves the OTHER half of the state machine — an "
+    "unmatched buffered click emits its NULL-padded row exactly once, "
+    "and only when the watermark passes its interval and eviction "
+    "runs (outer results trail the watermark, not the arrival clock). "
+    "That is the 'clicks that never got a view' shape the reference's "
+    "unmatched-address accounting depends on (core/reporter.go:"
+    "102-122). Same two-source protocol as the inner row (4 "
+    "time-aligned epoch files per side, 24 h interval, 1 h watermark) "
+    "plus two far-future sentinels per source under reserved "
+    "event_id -1: the min-of-sources watermark must pass the last "
+    "real interval for the final unmatched clicks to flush, which no "
+    "real file can cause — exactly the eviction-driven emission under "
+    "test. Non-vacuity pinned at every SF (tests/test_stateful.py): "
+    "unmatched clicks exist (133/1289/12807 at sf0.001/0.01/0.1) AND "
+    "matched pairs straddle epoch boundaries (3/60/425), so a join "
+    "that dropped buffered state early (NULL rows where pairs "
+    "belong), emitted unmatched rows eagerly (duplicate l_id rows: "
+    "one NULL + one matched), or never evicted (missing NULL rows) "
+    "all hash-red against the batch LEFT JOIN oracle. "
+    "numRowsDroppedByWatermark == 0 is asserted so in-order arrival "
+    "(not late-drop) explains every row. At 100 TB/day state is still "
+    "bounded by arrival rate x (interval + horizon) per side — outer "
+    "emission adds no state, only an emit-on-evict path.",
+)
+def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.streaming.windows import interval_join
+
+    base = _scratch(sf_dir, "interval_join_outer")
+    src_l, src_r = f"{base}/src_l", f"{base}/src_r"
+    sink, ckpt = f"{base}/sink", f"{base}/ckpt"
+    os.makedirs(src_l)
+    os.makedirs(src_r)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "user_id",
+        "event_type",
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
+    t0 = 1_600_000_000.0
+    clicks = ev.where(F.col("event_type") == "click").drop("event_type")
+    views = ev.where(F.col("event_type") == "view").drop("event_type")
+    _write_epoch_files_one_job(
+        base, src_l, clicks, time_col="ts", lo=lo, hi=hi,
+        n_epochs=_N_EPOCHS, t0=t0,
+    )
+    _write_epoch_files_one_job(
+        base, src_r, views, time_col="ts", lo=lo, hi=hi,
+        n_epochs=_N_EPOCHS, t0=t0,
+    )
+    # sentinels on BOTH sources (the watermark is the min across
+    # sources): reserved event_id/user_id -1, filtered from the result.
+    # The sentinel click is itself an unmatched left row — its NULL
+    # emission (s0's, once s1 advances the watermark past it) is
+    # harmless and excluded by the id filter.
+    sentinel_extra = (("user_id", -1, "bigint"),)
+    _write_sentinel_files(
+        src_l, hi, t0, "event_id", -1, "bigint", extra=sentinel_extra
+    )
+    _write_sentinel_files(
+        src_r, hi, t0, "event_id", -1, "bigint", extra=sentinel_extra
+    )
+
+    def _source(path: str):
+        return (
+            spark.readStream.schema(clicks.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        joined = interval_join(
+            _source(src_l),
+            _source(src_r),
+            on="user_id",
+            left_time="ts",
+            right_time="ts",
+            max_delay="24 hours",
+            watermark="1 hour",
+            how="leftOuter",
+        ).select(
+            F.col("l.event_id").alias("l_id"),
+            F.col("r.event_id").alias("r_id"),
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_die(q, 600)
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        if dropped != 0:
+            raise RuntimeError(
+                f"{dropped} rows dropped at the watermark; the in-order "
+                f"two-source protocol guarantees none should be"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = spark.read.parquet(sink).where(F.col("l_id") >= 0)
+    # the eviction path must actually have run: zero NULL-padded rows
+    # would mean the outer semantics were vacuous (or eviction never
+    # emitted), even if every matched pair hashed green.
+    if out.where(F.col("r_id").isNull()).head() is None:
+        raise RuntimeError(
+            "no unmatched click was emitted; the outer-eviction path "
+            "under test never fired"
+        )
+    return out.orderBy("l_id", "r_id")
 
 
 @query(

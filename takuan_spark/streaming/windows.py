@@ -101,6 +101,7 @@ def interval_join(
     right_time: str = "created_at",
     max_delay: str = "5 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: pair each left event
     with right events for the same key whose time falls in
@@ -113,6 +114,15 @@ def interval_join(
     buffer both streams in full). The reference correlates events only
     by batch re-scans of MySQL; this is the streaming-native form of
     "which rule fired near this event".
+
+    ``how`` extends the same plan to the outer variants (``leftOuter``
+    / ``rightOuter`` / ``fullOuter``): an unmatched buffered row emits
+    its NULL-padded result only once the watermark passes its interval
+    and state eviction runs — matched pairs still emit as soon as both
+    sides have arrived. That eviction-driven emission is the semantics
+    a "left event that never got its right partner" detection depends
+    on, and it is why outer results trail the watermark rather than the
+    arrival clock.
     """
     lw = left.withWatermark(left_time, watermark)
     rw = right.withWatermark(right_time, watermark)
@@ -122,4 +132,4 @@ def interval_join(
         & (r_t >= l_t - F.expr(f"INTERVAL {max_delay}"))
         & (r_t <= l_t)
     )
-    return lw.alias("l").join(rw.alias("r"), cond)
+    return lw.alias("l").join(rw.alias("r"), cond, how)

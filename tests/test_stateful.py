@@ -746,6 +746,41 @@ def test_interval_join_pairs_cross_epoch_batches():
     con.close()
 
 
+def test_interval_join_outer_unmatched_exist_at_every_sf():
+    """Non-vacuity guard for q_stream_interval_join_outer: at EVERY
+    shipped SF some click must have NO view within its 24 h interval —
+    those are the rows whose NULL-padded emission only watermark-driven
+    state eviction can produce (the behavior the outer row tests; an
+    all-matched corpus would make it an expensive re-run of the inner
+    row). The cross-batch matched-pair condition is shared with — and
+    already pinned by — test_interval_join_pairs_cross_epoch_batches,
+    since both rows use the same sources, interval, and epoch split."""
+    import glob
+
+    import duckdb
+
+    con = duckdb.connect()
+    for d in sorted(glob.glob("/root/testdata/sf*")):
+        clicks, unmatched = con.sql(
+            f"""
+            WITH ev AS (SELECT * FROM read_parquet('{d}/events.parquet'))
+            SELECT COUNT(*),
+                   COALESCE(SUM(CASE WHEN r.event_id IS NULL
+                                     THEN 1 ELSE 0 END), 0)
+            FROM (SELECT * FROM ev WHERE event_type = 'click') l
+            LEFT JOIN (SELECT * FROM ev WHERE event_type = 'view') r
+              ON l.user_id = r.user_id
+             AND r.ts BETWEEN l.ts - INTERVAL 24 HOUR AND l.ts
+            """
+        ).fetchone()
+        assert clicks > 0, f"{d}: no clicks at all"
+        assert unmatched > 0, (
+            f"{d}: every click matched some view; the outer-eviction "
+            f"NULL-emission path would be vacuous"
+        )
+    con.close()
+
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
