@@ -1921,6 +1921,210 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_static_join_shuffle",
+    """
+    SELECT e.event_id, e.user_id, c.c_name, c.c_nationkey
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'click'
+    ORDER BY e.event_id
+    """,
+    "Stream-static join with the SHUFFLE plan — the same enrichment "
+    "query as q_stream_static_join with the broadcast hint removed "
+    "and autoBroadcastJoinThreshold forced off: at 100 TB a dimension "
+    "can exceed what every executor can hold, and the stream side "
+    "must shuffle per micro-batch into a SortMergeJoin / "
+    "ShuffledHashJoin instead. The physical plan of EVERY micro-batch "
+    "is pinned from inside the foreachBatch sink (no "
+    "BroadcastHashJoin anywhere; a shuffle join present), so both "
+    "plan shapes of the dimension-enrichment class are now certified "
+    "against the SAME DuckDB oracle — green proves plan choice is a "
+    "pure physical-strategy swap with identical join semantics, the "
+    "property that lets a deployment flip the hint off when the dim "
+    "outgrows broadcast without re-validating results.",
+)
+def q_stream_static_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _scratch(sf_dir, "static_join_shuffle")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    os.makedirs(src)
+    os.makedirs(sink)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "user_id",
+        "event_type",
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
+    t0 = 1_600_000_000.0
+    _write_epoch_files_one_job(
+        base, src, ev, time_col="ts", lo=lo, hi=hi, n_epochs=_N_EPOCHS, t0=t0
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .where(F.col("event_type") == "click")
+    )
+    # NO broadcast hint — and the threshold forced off so neither the
+    # planner nor AQE can promote the dim to a broadcast; the per-batch
+    # plan must be the shuffle join a too-big-to-broadcast dim requires.
+    joined = stream.join(
+        cust, stream.user_id == cust.c_custkey, "inner"
+    ).select("event_id", "user_id", "c_name", "c_nationkey")
+
+    plans: list[str] = []
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        # foreachBatch runs on the driver. The batch frame itself wraps
+        # the ALREADY-computed micro-batch output (an ExistingRDD — the
+        # join executed upstream in the streaming plan), so the pin
+        # reads the streaming query's own executed plan for THIS batch
+        # via explainInternal while the batch is in flight.
+        batch.write.mode("append").parquet(sink)
+        for aq in spark.streams.active:
+            plans.append(aq._jsq.explainInternal(False))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = (
+            joined.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_die(q, 600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    if not plans:
+        raise RuntimeError("no micro-batch ran; the plan pin is vacuous")
+    for i, p in enumerate(plans):
+        if "BroadcastHashJoin" in p:
+            raise RuntimeError(
+                f"micro-batch {i} planned a BroadcastHashJoin despite "
+                f"the forced-off threshold; the shuffle shape under "
+                f"test never ran"
+            )
+        if "SortMergeJoin" not in p and "ShuffledHashJoin" not in p:
+            raise RuntimeError(
+                f"micro-batch {i} shows neither SortMergeJoin nor "
+                f"ShuffledHashJoin:\n{p[:2000]}"
+            )
+    return spark.read.parquet(sink).orderBy("event_id")
+
+
+@query(
+    "q_stream_update_mode",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "UPDATE output mode under the REAL Structured Streaming engine — "
+    "the one output contract the nine append-mode rows never exercise: "
+    "an unwatermarked per-user running count re-emits each key's "
+    "REVISED aggregate in every micro-batch that updates it (the "
+    "live-dashboard shape), and the sink must upsert by key rather "
+    "than append. Events arrive as 4 time-quartile epoch files; the "
+    "sink is the real duckdb_upsert_sink (sinks/db.py): executors "
+    "stage each batch as parquet, the DB merges it by key "
+    "(delete-then-insert) and registers the epoch with its row count "
+    "in ONE transaction — the same exactly-once registry protocol the "
+    "db-sink replay tests prove, applied to the merge shape. The "
+    "update-mode contract is asserted from the sink's own "
+    "bookkeeping: >= 2 epochs emitted rows (intermediate emissions "
+    "happened) and total emitted rows exceed the final key count (so "
+    "by pigeonhole some key was re-emitted with a revised value — "
+    "pinned non-vacuous at every SF by the multi-epoch-user test in "
+    "tests/test_stateful.py). Green against the batch GROUP BY "
+    "oracle proves the emit-revise-merge chain converges to the "
+    "all-at-once answer: a sink that appended instead of upserting "
+    "holds stale revisions (duplicate keys), and an engine that "
+    "emitted final-only rows fails the >= 2-epoch assert. At "
+    "100 TB/day the staged-parquet merge keeps row data off the "
+    "driver; state is one long per active key.",
+)
+def q_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.sinks.db import UPSERT_EPOCH_TABLE, duckdb_upsert_sink
+
+    base = _scratch(sf_dir, "update_mode")
+    src, stage, ckpt = f"{base}/src", f"{base}/stage", f"{base}/ckpt"
+    db = f"{base}/upsert.duckdb"
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
+    t0 = 1_600_000_000.0
+    _write_epoch_files_one_job(
+        base, src, ev, time_col="ts", lo=lo, hi=hi, n_epochs=_N_EPOCHS, t0=t0
+    )
+    # no watermark and no sentinels: update mode emits every batch's
+    # revised keys immediately — nothing waits on event time.
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    counts = stream.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            counts.writeStream.foreachBatch(
+                duckdb_upsert_sink(db, "user_counts", ["user_id"], stage)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_die(q, 600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    import duckdb
+
+    con = duckdb.connect(db)
+    try:
+        epochs = [
+            int(n)
+            for (n,) in con.execute(
+                f"SELECT n_rows FROM {UPSERT_EPOCH_TABLE} "
+                "WHERE tbl = 'user_counts'"
+            ).fetchall()
+        ]
+        final = con.execute(
+            "SELECT user_id, cnt FROM user_counts ORDER BY user_id"
+        ).fetchall()
+    finally:
+        con.close()
+    nonempty = sum(1 for n in epochs if n > 0)
+    if nonempty < 2:
+        raise RuntimeError(
+            f"only {nonempty} epoch(s) emitted rows; update mode's "
+            f"intermediate-emission contract was never exercised"
+        )
+    if sum(epochs) <= len(final):
+        raise RuntimeError(
+            "no key was re-emitted with a revised aggregate (emitted "
+            "rows <= final keys); the upsert path was vacuous"
+        )
+    # the final table is dim-sized (one row per user — the same class
+    # as the published top-5 report), so driver-side materialization
+    # into a local DataFrame is bounded by the key space, not events.
+    return spark.createDataFrame(
+        [(int(u), int(c)) for u, c in final], "user_id bigint, cnt bigint"
+    ).orderBy("user_id")
+
+
+@query(
     "q_state_store_reader",
     """
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -746,6 +746,43 @@ def test_interval_join_pairs_cross_epoch_batches():
     con.close()
 
 
+def test_update_mode_users_span_multiple_epochs():
+    """Non-vacuity guard for q_stream_update_mode: at EVERY shipped SF
+    some user must have events in >= 2 time-quartile epochs — only then
+    does update mode RE-emit that user's revised running count in a
+    later micro-batch, which is the emit-revise-merge behavior under
+    test (single-epoch users alone would reduce the row to append
+    mode with extra steps)."""
+    import glob
+
+    import duckdb
+
+    con = duckdb.connect()
+    for d in sorted(glob.glob("/root/testdata/sf*")):
+        multi = con.sql(
+            f"""
+            WITH span AS (SELECT MIN(ts) lo, MAX(ts) hi
+                          FROM read_parquet('{d}/events.parquet')),
+            ev AS (
+              SELECT user_id, LEAST(3, CAST(FLOOR(
+                  4.0 * EXTRACT(EPOCH FROM ts - span.lo)
+                  / NULLIF(EXTRACT(EPOCH FROM span.hi - span.lo), 0)
+              ) AS BIGINT)) AS ep
+              FROM read_parquet('{d}/events.parquet'), span
+            )
+            SELECT COUNT(*) FROM (
+                SELECT user_id FROM ev GROUP BY user_id
+                HAVING COUNT(DISTINCT ep) >= 2
+            )
+            """
+        ).fetchone()[0]
+        assert multi > 0, (
+            f"{d}: no user spans two epochs; update-mode re-emission "
+            f"would be vacuous"
+        )
+    con.close()
+
+
 def test_interval_join_outer_unmatched_exist_at_every_sf():
     """Non-vacuity guard for q_stream_interval_join_outer: at EVERY
     shipped SF some click must have NO view within its 24 h interval —
