@@ -53,6 +53,7 @@ def address_report(
     sensor_col: str = "sensor",
     rule_col: str = "rule",
     country_cols: tuple[str, str] | None = ("country_code", "country_name"),
+    seen_col: str | None = None,
 ) -> DataFrame:
     """Per-address attack report (O18-O23).
 
@@ -61,14 +62,31 @@ def address_report(
     ``counters`` is the reference's ``sensor/rule:count|...`` encoding with
     deterministic (sorted) segment order.
 
+    ``seen_col`` (a timestamp column, e.g. ``created_at``) appends
+    ``first_seen`` / ``last_seen`` per address — min/max fold through
+    BOTH aggregation levels, so the extra fields ride the existing
+    shuffle chain instead of a second scan + self-join of the fact
+    (the composition cost that matters at 100 TB).
+
     Two-level aggregation in one shuffle chain:
     ``groupBy(address, sensor, rule).count()`` (inner, map-side combined)
     → ``groupBy(address)`` re-aggregate. The second groupBy reuses the
     hash partitioning on ``address`` from the first shuffle's key prefix.
     """
-    inner = events.groupBy(address_col, sensor_col, rule_col).agg(
-        F.count("*").alias("cnt")
-    )
+    inner_keys = [address_col, sensor_col, rule_col]
+    if country_cols:
+        # country is constant per address (one geo row per IP) → first()
+        # matches the reference's addrEvents[0] (core/reporter.go:165-166).
+        # NOTE: first() here rides on the inner agg needing the columns; we
+        # instead carry them through the inner groupBy for determinism.
+        inner_keys += list(country_cols)
+    inner_aggs = [F.count("*").alias("cnt")]
+    if seen_col:
+        inner_aggs += [
+            F.min(seen_col).alias("_first_seen"),
+            F.max(seen_col).alias("_last_seen"),
+        ]
+    inner = events.groupBy(*inner_keys).agg(*inner_aggs)
     segment = F.concat_ws(
         ":", F.concat_ws("/", F.col(sensor_col), F.col(rule_col)), F.col("cnt")
     )
@@ -77,17 +95,15 @@ def address_report(
         F.concat_ws("|", F.sort_array(F.collect_list(segment))).alias("counters"),
     ]
     if country_cols:
-        # country is constant per address (one geo row per IP) → first()
-        # matches the reference's addrEvents[0] (core/reporter.go:165-166).
-        # NOTE: first() here rides on the inner agg needing the columns; we
-        # instead carry them through the inner groupBy for determinism.
-        inner = events.groupBy(
-            address_col, sensor_col, rule_col, *country_cols
-        ).agg(F.count("*").alias("cnt"))
         aggs = [
             F.min(country_cols[0]).alias(country_cols[0]),
             F.min(country_cols[1]).alias(country_cols[1]),
             *aggs,
+        ]
+    if seen_col:
+        aggs += [
+            F.min("_first_seen").alias("first_seen"),
+            F.max("_last_seen").alias("last_seen"),
         ]
     report = inner.groupBy(address_col).agg(*aggs)
     return report.orderBy(F.desc("total_events"), F.asc(address_col))

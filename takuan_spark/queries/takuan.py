@@ -295,3 +295,198 @@ def takuan_rdns_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rdns_enrich(agg, resolver=_fake_rdns).select(
         "address", "hostname", "n_events"
     ).orderBy("address")
+
+
+_E2E_ORACLE = """
+    WITH src AS (
+        SELECT event_id, user_id, event_type,
+               date_trunc('second', ts) AS created_at,
+               '10.0.' || CAST(user_id % 251 AS VARCHAR) || '.'
+                   || CAST((user_id // 251) % 251 AS VARCHAR) AS address
+        FROM events
+    ),
+    parsed AS (
+        -- the tokenize gate (corrupted renders fail the regex) and the
+        -- ordered first-match-wins rule labels, re-derived from the
+        -- source columns the render encoded
+        SELECT address, created_at,
+               CASE WHEN event_type = 'error' THEN 'auth-error'
+                    WHEN event_type = 'signup' THEN 'error-or-signup'
+                    WHEN event_type = 'purchase' THEN 'purchase'
+               END AS rule
+        FROM src
+        WHERE event_id % 50 <> 0
+    ),
+    ev AS (
+        SELECT * FROM parsed
+        WHERE rule IS NOT NULL
+          AND created_at < TIMESTAMP '2024-01-21 00:00:00'
+    ),
+    geo AS (
+        SELECT '10.0.' || CAST(c_custkey % 251 AS VARCHAR) || '.'
+                   || CAST((c_custkey // 251) % 251 AS VARCHAR) AS ip,
+               CAST(c_nationkey AS VARCHAR) AS country_code,
+               n_name AS country_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ),
+    enr AS (
+        SELECT ev.address, ev.created_at, ev.rule,
+               g.country_code, g.country_name
+        FROM ev LEFT JOIN geo g ON ev.address = g.ip
+    ),
+    inner_counts AS (
+        SELECT address, country_code, country_name, rule, COUNT(*) AS cnt
+        FROM enr GROUP BY 1, 2, 3, 4
+    ),
+    rep AS (
+        SELECT address,
+               MIN(country_code) AS country_code,
+               MIN(country_name) AS country_name,
+               CAST(SUM(cnt) AS BIGINT) AS total_events,
+               string_agg('app/' || rule || ':' || CAST(cnt AS VARCHAR), '|'
+                          ORDER BY 'app/' || rule || ':'
+                                   || CAST(cnt AS VARCHAR)) AS counters
+        FROM inner_counts GROUP BY address
+    ),
+    seen AS (
+        SELECT address,
+               strftime(MIN(created_at), '%Y-%m-%d %H:%M:%S') AS first_seen,
+               strftime(MAX(created_at), '%Y-%m-%d %H:%M:%S') AS last_seen
+        FROM ev GROUP BY address
+    )
+    SELECT r.address, r.country_code, r.country_name, r.total_events,
+           r.counters, s.first_seen, s.last_seen
+    FROM rep r JOIN seen s ON r.address = s.address
+    ORDER BY r.total_events DESC, r.address
+"""
+
+
+@query(
+    "q_log_pipeline_e2e",
+    _E2E_ORACLE,
+    "The WHOLE reference pipeline as ONE oracle-paired query — raw log "
+    "TEXT through tokenize (O4) -> first-match-wins rule label (O10) "
+    "-> year-injection datetime repair + parse (O7/O8) -> geo "
+    "enrichment join (O12) -> per-address report (O18-O23) — closing "
+    "the one gap where the end-to-end composition was pytest-verified "
+    "but never under the driver's hash gate (log_pipeline in bench). "
+    "Log lines are rendered deterministically FROM the events table "
+    "(syslog-shaped, yearless datetimes, every 50th line corrupted to "
+    "exercise the parse gate) so DuckDB can re-derive every stage "
+    "from the same source columns, then fed through the REAL operator "
+    "chain: config_from_dict builds the ParserSpec/RuleSpec tree, "
+    "compile_sensor runs tokenize + apply_rules + parse_datetime "
+    "(the injected year restores what the render dropped; a wrong "
+    "repair NULLs created_at and drops rows -> count mismatch), "
+    "geo_enrich broadcast-joins a customer/nation-derived dimension "
+    "(unknown addresses keep NULL country — the left-outer path), a "
+    "parsed-time filter keeps the first 20 days (wrong parse selects "
+    "wrong rows), and address_report emits the counters encoding, "
+    "extended with per-address first/last-seen so the second-level "
+    "parsed values sit inside the value hash. Green means every stage "
+    "AND their composition match the reference semantics "
+    "(core/sensor.go:42-123, core/parser.go:55-80, core/rule.go:23-31, "
+    "core/aggregator.go:62-66, core/reporter.go:97-173) in one plan — "
+    "scans stay columnar, the regex chain is codegen'd, the only "
+    "shuffle is the report's two-level aggregation.",
+)
+def q_log_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.config import config_from_dict
+    from takuan_spark.operators.enrich import geo_enrich
+    from takuan_spark.operators.reports import address_report
+    from takuan_spark.plans.compiler import compile_sensor
+
+    ev = _events(spark, sf_dir)
+    # deterministic syslog render: yearless datetime (exercises O7),
+    # message carrying the rule-relevant fields, user_id-derived IPv4.
+    dt = F.date_format("ts", "MMM d HH:mm:ss")
+    addr = F.concat(
+        F.lit("10.0."),
+        (F.col("user_id") % 251).cast("string"),
+        F.lit("."),
+        (F.expr("user_id DIV 251") % 251).cast("string"),
+    )
+    msg = F.concat(F.col("event_type"), F.lit(" uid "), F.col("user_id"))
+    head = F.concat(dt, F.lit(" apphost takuan[7]: "), msg)
+    full = F.concat(head, F.lit(" from "), addr)
+    # every 50th line loses its source suffix and must fail the parse
+    # gate (the reference's group-count check, core/parser.go:65)
+    lines = ev.select(
+        F.when(F.col("event_id") % 50 == 0, head)
+        .otherwise(full)
+        .alias("value")
+    )
+
+    conf = config_from_dict(
+        {
+            "name": "e2e-node",
+            "sensors": [
+                {
+                    "name": "app",
+                    "filename": "-",
+                    "parser": {
+                        "expression": (
+                            r"^(.+) apphost takuan\[\d+\]: (.+)"
+                            r" from (\d+\.\d+\.\d+\.\d+)$"
+                        ),
+                        "datetime_format": "2006 Jan _2 15:04:05",
+                        "tokens": {"datetime": 1, "message": 2, "address": 3},
+                    },
+                    "rules": [
+                        # deliberately overlapping: an 'error' line also
+                        # matches rule 2, so a broken precedence order
+                        # mislabels every error row and reds the hash
+                        {"name": "auth-error", "token": "message",
+                         "expression": "^error "},
+                        {"name": "error-or-signup", "token": "message",
+                         "expression": "^(error|signup) "},
+                        {"name": "purchase", "token": "message",
+                         "expression": "^purchase uid [0-9]+$"},
+                    ],
+                }
+            ],
+        },
+        year=2024,
+    )
+    sensor = conf.enabled_sensors()[0]
+    events = compile_sensor(
+        lines, sensor, node_name=conf.node_name, year=conf.year
+    )
+
+    geo_dim = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.concat(
+                F.lit("10.0."),
+                (F.col("c_custkey") % 251).cast("string"),
+                F.lit("."),
+                (F.expr("c_custkey DIV 251") % 251).cast("string"),
+            ).alias("ip"),
+            F.col("c_nationkey").cast("string").alias("country_code"),
+            F.col("n_name").alias("country_name"),
+        )
+    )
+    enriched = geo_enrich(
+        events.drop("country_code", "country_name"), geo_dim, dim_key="ip"
+    )
+    # parsed-time report horizon: selects the first 20 days through the
+    # REPAIRED timestamp, so a wrong year injection or format
+    # translation changes which rows survive
+    ev20 = enriched.where(
+        F.col("created_at") < F.lit("2024-01-21 00:00:00").cast("timestamp")
+    )
+    # seen_col folds first/last-seen through address_report's existing
+    # two-level aggregation — one scan, one shuffle chain, no
+    # self-join of the fact (the 100 TB-relevant composition).
+    rep = address_report(ev20, seen_col="created_at")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return rep.select(
+        "address", "country_code", "country_name", "total_events",
+        "counters",
+        F.date_format("first_seen", fmt).alias("first_seen"),
+        F.date_format("last_seen", fmt).alias("last_seen"),
+    ).orderBy(F.desc("total_events"), F.asc("address"))
