@@ -94,83 +94,71 @@ def query(name: str, oracle_sql: str | None, description: str = ""):
 #      (their old green rows no longer certify the current code);
 #   2. staleness backfill — every remaining query ordered by its
 #      LAST-GREEN round ascending, so the window always re-certifies
-#      the oldest evidence first. Round 9 applies the r8 verdict's
-#      directive: the window = the 4 r9 changed/new queries (the new
-#      real-engine q_stream_late_drop, the two other real-engine
-#      streaming rows it shares protocol code with, and the
-#      artifact-served ns_decontaminate) + all 27 remaining r3-stale
-#      rows (retiring the r3 evidence class — after this round the
-#      oldest driver evidence is r4) + the 19 oldest r4-green rows.
+#      the oldest evidence first. Round 10 applies the r9 verdict's
+#      directive: the window = the 7 r10 changed/new queries (the
+#      end-to-end pipeline row, the outer interval join, the update-
+#      mode row, the shuffle static join, and the three rows whose
+#      code or oracle changed) + the nine takuan_* Sec-2 spine rows
+#      (r6/r7-stale — the rubric's core table) + all 32 remaining
+#      r4-stale rows (retiring the r4 evidence class — after this
+#      round the oldest driver evidence is r5) + the 2 oldest
+#      r5-green rows.
 # Anything past the cap rotates forward next round; every declared
 # query is still oracle-verified locally by tests/test_oracle.py.
 PRIORITY: list[str] = [
-    # -- 1. r9: CHANGED/NEW this round — q_stream_late_drop (real-engine
-    # watermark drop), q_stream_dedup_replay (real-engine cross-batch
-    # dedup of an in-horizon replay), q_stream_interval_join
-    # (real-engine stream-stream join state), q_stream_custom_state
-    # (real-engine applyInPandasWithState custom fold),
-    # q_stream_rocksdb_state (the window_fold protocol on the RocksDB
-    # state backend), and q_stream_checkpoint_restart (state reload +
-    # offset resumption across a stop/start on one checkpoint) are
-    # new; the other real-engine streaming rows share their one-job
-    # epoch-file writer and gained the awaitTermination timeout assert
-    # (ADVICE r8); ns_decontaminate now consumes the pair-distribution
-    # artifact. New + changed head the window so every green row
-    # certifies current code ---------------------------------------------
-    "q_stream_late_drop", "q_stream_dedup_replay", "q_stream_interval_join",
-    "q_stream_custom_state", "q_stream_rocksdb_state",
-    "q_stream_checkpoint_restart", "q_stream_static_join",
-    "q_variant_extract", "q_recursive_cte", "q_state_store_reader",
-    "q_sql_pipe_syntax",
-    "q_stream_window_fold", "q_stream_session_window", "ns_decontaminate",
-    # -- 2. r3-stale remainder (27) — the planned r9 head from the r8
-    # verdict: the oldest driver evidence in the registry; green here
-    # retires the r3 class entirely (oldest evidence becomes r4) ------
-    "q_window_range_frame", "q_stateful_alerts", "q_stateful_profile",
-    "ns_semdedup", "ns_substring_dedup", "ns_shard_assign",
-    "q_interval_overlap_join", "ns_unicode_normalize",
-    "ns_dup_size_histogram", "ns_bm25_batch", "q_sliding_distinct",
-    "ns_hll_distinct", "ns_token_entropy", "q_graph_pagerank",
-    "q_quantile_sketch", "q_key_skew_profile", "ns_length_outliers",
-    "ns_cluster_purity", "q_corr_regression", "q_scd2_intervals",
-    "ns_bpe_merge_candidates", "ns_effective_corpus_size", "ns_kmv_set_ops",
-    "q_zorder_locality", "ns_epoch_novelty", "ns_contrastive_triplets",
-    "q_sliding_distinct_hll",
-    # -- 3. r4-green head: fills the window to exactly 50 (14 + 27 + 9),
-    # oldest remaining evidence first (q_stream_report_fold through
-    # ns_ngram_lm_stats rotated past the cap as the eight new rows
-    # joined the changed/new head; they lead r10's backfill) -------------
-    "ns_cluster_sample", "ns_duplication_pareto", "ns_hard_negatives",
-    "ns_keyword_tagging", "ns_length_bucketing", "ns_winsorized_stats",
-    "q_ntile_deciles", "q_rolling_median", "q_unpivot_metrics",
+    # -- 1. r10: CHANGED/NEW this round — q_log_pipeline_e2e (the
+    # whole reference pipeline under one oracle row),
+    # q_stream_interval_join_outer (real-engine outer join-state
+    # eviction), q_stream_update_mode (update output contract into
+    # the upsert sink), q_stream_static_join_shuffle (shuffle plan
+    # shape of the enrichment join) are new; q_stream_interval_join
+    # shares the interval_join builder that gained the join-type
+    # flag, q_stream_checkpoint_restart gained the empty-progress
+    # guards, and q_variant_extract's oracle moved to TRY_CAST ----
+    "q_log_pipeline_e2e", "q_stream_interval_join_outer",
+    "q_stream_update_mode", "q_stream_static_join_shuffle",
+    "q_stream_interval_join", "q_stream_checkpoint_restart",
+    "q_variant_extract",
+    # -- 2. the Sec-2 spine (r9 verdict item 1): the nine takuan_*
+    # rows carried r6/r7-era driver evidence — three rounds is long
+    # enough for the rubric's core table; takuan_address_report
+    # additionally re-certifies address_report after the seen_col
+    # extension --------------------------------------------------
+    "takuan_address_report", "takuan_country_topk", "takuan_rule_filter",
+    "takuan_rule_label", "takuan_json_extract", "takuan_hourly_window",
+    "takuan_regex_tokenize", "takuan_geo_enrich_join", "takuan_rdns_enrich",
+    # -- 3. r4-stale remainder (32) — the oldest driver evidence in
+    # the registry; green here retires the r4 class entirely
+    # (q_stream_report_fold also re-certifies address_report) -----
     "q_stream_report_fold", "q_stream_sketch_fold", "q_bloom_prefilter_prod",
     "ns_kmeans_clusters", "ns_kmeans_assign", "ns_token_pmi",
-    "ns_source_overlap", "ns_ngram_lm_stats",
-    # -- 4. r4-green remainder (next round's backfill head) -----------
-    "ns_perplexity_filter", "q_cdc_merge",
-    "q_cdc_latest", "ns_dataset_card", "ns_importance_weights",
-    "q_touch_attribution", "ns_quantile_bins", "ns_class_rebalance",
-    "ns_embedding_qc", "ns_mixture_schedule", "q_event_dedup_window",
-    "q_zonemap_prune_compare", "ns_leakage_safe_split", "ns_k_anonymity",
-    "ns_tokenizer_fertility", "ns_boilerplate_strip", "q_dq_audit",
-    "q_salted_join", "ns_score_calibration", "ns_dedup_pipeline",
-    "q_bloom_prefilter", "q_sliding_window", "q_session_window", "q_funnel",
-    # -- 5. r5-green: --------------------------------------------------
-    "ns_embedding_neardup_lsh", "q_ewma_anomaly", "q_compaction_bins",
-    "ns_pca_power_iteration", "q_graph_triangles", "ns_vocab_oov",
-    "ns_zipf_fit", "q_mean_shift_changepoint", "ns_dup_representative",
-    "ns_matryoshka_qc", "ns_pii_risk", "ns_kcenter_coreset",
-    "q_local_clustering", "q_interarrival_stats", "ns_ks_drift",
-    "ns_mad_outliers", "ns_filter_funnel", "ns_int8_quant_error",
-    "q_community_labels", "q_stream_dedup_fold", "ns_burstiness",
-    "ns_template_mining", "ns_quantile_normalize", "q_jsonl_roundtrip",
-    "q_csv_roundtrip", "q_stream_ann_fold", "ns_deletion_cascade",
-    "ns_manifest_hash", "ns_text_augment", "ns_source_dedup_matrix",
-    "q_cohort_retention", "q_asof_join", "q_stats_agg",
-    "q_pivot_conditional", "mm_media_summary", "mm_feature_extract",
-    "mm_frame_sample", "ns_dedup_exact", "ns_dedup_incremental",
-    "ns_embedding_neardup", "ns_text_stats",
-    # -- 6. r6-green: --------------------------------------------------
+    "ns_source_overlap", "ns_ngram_lm_stats", "ns_perplexity_filter",
+    "q_cdc_merge", "q_cdc_latest", "ns_dataset_card",
+    "ns_importance_weights", "q_touch_attribution", "ns_quantile_bins",
+    "ns_class_rebalance", "ns_embedding_qc", "ns_mixture_schedule",
+    "q_event_dedup_window", "q_zonemap_prune_compare",
+    "ns_leakage_safe_split", "ns_k_anonymity", "ns_tokenizer_fertility",
+    "ns_boilerplate_strip", "q_dq_audit", "q_salted_join",
+    "ns_score_calibration", "ns_dedup_pipeline", "q_bloom_prefilter",
+    "q_sliding_window", "q_session_window", "q_funnel",
+    # -- 4. r5-green head: fills the window to exactly 50
+    # (7 + 9 + 32 + 2) ---------------------------------------------
+    "ns_embedding_neardup_lsh", "q_ewma_anomaly",
+    # -- 5. r5/r6/r7/r8-green remainder, oldest evidence first
+    # (next rounds' backfill) --------------------------------------
+    "q_compaction_bins", "ns_pca_power_iteration", "q_graph_triangles",
+    "ns_vocab_oov", "ns_zipf_fit", "q_mean_shift_changepoint",
+    "ns_dup_representative", "ns_matryoshka_qc", "ns_pii_risk",
+    "ns_kcenter_coreset", "q_local_clustering", "q_interarrival_stats",
+    "ns_ks_drift", "ns_mad_outliers", "ns_filter_funnel",
+    "ns_int8_quant_error", "q_community_labels", "q_stream_dedup_fold",
+    "ns_burstiness", "ns_template_mining", "ns_quantile_normalize",
+    "q_jsonl_roundtrip", "q_csv_roundtrip", "q_stream_ann_fold",
+    "ns_deletion_cascade", "ns_manifest_hash", "ns_text_augment",
+    "ns_source_dedup_matrix", "q_cohort_retention", "q_asof_join",
+    "q_stats_agg", "q_pivot_conditional", "mm_media_summary",
+    "mm_feature_extract", "mm_frame_sample", "ns_dedup_exact",
+    "ns_dedup_incremental", "ns_embedding_neardup", "ns_text_stats",
     "ns_curation_pipeline", "ns_lang_id", "ns_quality_score",
     "ns_stratified_sample", "ns_tfidf_topterms", "ns_winnow_fingerprint",
     "ns_fingerprint", "ns_similarity_topk", "ns_knn_join",
@@ -180,33 +168,24 @@ PRIORITY: list[str] = [
     "q_top_customers", "q_grouping_sets", "q_window_lag_lead",
     "q_window_rank", "q_rollup", "q6_forecast_revenue", "q4_order_priority",
     "q10_returned_items", "q14_promo_revenue", "q19_disjunctive_filter",
-    "q_cube", "q_pandas_udaf", "takuan_address_report",
-    "takuan_country_topk", "takuan_rule_filter", "takuan_rule_label",
-    "takuan_json_extract", "takuan_hourly_window", "takuan_regex_tokenize",
-    "takuan_geo_enrich_join", "q_anti_join", "q_semi_join", "q_set_ops",
+    "q_cube", "q_pandas_udaf", "q_anti_join", "q_semi_join", "q_set_ops",
     "q_union_distinct", "q_string_functions", "q_date_functions",
-    "q_math_functions",
-    # -- 7. r7-green: --------------------------------------------------
-    "q_stream_minhash_fold", "ns_minhash_recall",
+    "q_math_functions", "q_stream_minhash_fold", "ns_minhash_recall",
     "ns_minhash_estimate_error", "ns_minhash_prod_mode", "mm_audio_segments",
-    "mm_scene_cuts", "mm_binaryfile_ingest", "takuan_rdns_enrich",
-    "ns_cms_heavy_hitters", "ns_cms_join_size", "q_stream_cms_fold",
-    "ns_cms_error", "ns_dp_histogram", "q_distinct_count",
-    "q_first_value_per_group", "ns_simhash_neardup",
-    "ns_lsh_similarity_topk", "ns_ivf_topk", "ns_ivf_probe", "ns_lsh_probe",
-    "q2_min_cost_supplier", "q13_customer_distribution",
-    "q21_suppliers_kept_waiting", "ns_repetition_filter",
-    "ns_pack_sequences", "ns_embedding_centroids", "ns_random_projection",
-    "q_salted_agg", "q7_nation_volume_shipping", "q8_market_share",
-    "q9_product_type_profit", "q15_top_supplier", "ns_pq_topk",
-    "ns_pq_probe", "ns_pq_rerank", "ns_ivfpq_probe", "ns_pii_redact",
-    "ns_sample_to_mix", "ns_chunk_documents", "ns_rag_pipeline",
-    "q_gap_fill_interpolate", "q_hypertable_rollup", "q11_part_value_share",
-    "q_stream_bloom_fold", "q_stream_moments_fold", "q_stream_session_fold",
-    "q_stream_hist_fold", "q_stream_hll_fold",
-    # -- 8. r8-green (freshest evidence, re-certified last): the r8
-    # window in its original order — r3-stale head, the emptied
-    # never-certified class, then the r8-changed dedup/linkage family -
+    "mm_scene_cuts", "mm_binaryfile_ingest", "ns_cms_heavy_hitters",
+    "ns_cms_join_size", "q_stream_cms_fold", "ns_cms_error",
+    "ns_dp_histogram", "q_distinct_count", "q_first_value_per_group",
+    "ns_simhash_neardup", "ns_lsh_similarity_topk", "ns_ivf_topk",
+    "ns_ivf_probe", "ns_lsh_probe", "q2_min_cost_supplier",
+    "q13_customer_distribution", "q21_suppliers_kept_waiting",
+    "ns_repetition_filter", "ns_pack_sequences", "ns_embedding_centroids",
+    "ns_random_projection", "q_salted_agg", "q7_nation_volume_shipping",
+    "q8_market_share", "q9_product_type_profit", "q15_top_supplier",
+    "ns_pq_topk", "ns_pq_probe", "ns_pq_rerank", "ns_ivfpq_probe",
+    "ns_pii_redact", "ns_sample_to_mix", "ns_chunk_documents",
+    "ns_rag_pipeline", "q_gap_fill_interpolate", "q_hypertable_rollup",
+    "q11_part_value_share", "q_stream_bloom_fold", "q_stream_moments_fold",
+    "q_stream_session_fold", "q_stream_hist_fold", "q_stream_hll_fold",
     "mm_phash_neardup", "ns_bm25_search", "q12_priority_by_returnflag",
     "q16_supplier_count_by_part", "q17_small_quantity_revenue",
     "q18_large_orders", "q20_promo_share_suppliers",
@@ -222,10 +201,27 @@ PRIORITY: list[str] = [
     "ns_quantile_sketch_error", "ns_simhash_radius_tuning",
     "ns_vocab_coverage", "ns_cardinality_sketch_error",
     "q_seasonality_profile", "q_graph_adamic_adar", "ns_bitext_mining",
-    "q_native_sketch_parity",
-    "ns_dedup_sweep", "ns_dedup_clusters", "ns_jaccard_neardup",
-    "ns_minhash_lsh_neardup", "ns_blocked_linkage", "ns_record_linkage",
-    "ns_containment_neardup",
+    "q_native_sketch_parity", "ns_dedup_sweep", "ns_dedup_clusters",
+    "ns_jaccard_neardup", "ns_minhash_lsh_neardup", "ns_blocked_linkage",
+    "ns_record_linkage", "ns_containment_neardup",
+    # -- 6. r9-green (freshest evidence, re-certified last): the r9
+    # window minus the three rows promoted to the r10 head ---------
+    "q_stream_late_drop", "q_stream_dedup_replay", "q_stream_custom_state",
+    "q_stream_rocksdb_state", "q_stream_static_join", "q_recursive_cte",
+    "q_state_store_reader", "q_sql_pipe_syntax", "q_stream_window_fold",
+    "q_stream_session_window", "ns_decontaminate", "q_window_range_frame",
+    "q_stateful_alerts", "q_stateful_profile", "ns_semdedup",
+    "ns_substring_dedup", "ns_shard_assign", "q_interval_overlap_join",
+    "ns_unicode_normalize", "ns_dup_size_histogram", "ns_bm25_batch",
+    "q_sliding_distinct", "ns_hll_distinct", "ns_token_entropy",
+    "q_graph_pagerank", "q_quantile_sketch", "q_key_skew_profile",
+    "ns_length_outliers", "ns_cluster_purity", "q_corr_regression",
+    "q_scd2_intervals", "ns_bpe_merge_candidates",
+    "ns_effective_corpus_size", "ns_kmv_set_ops", "q_zorder_locality",
+    "ns_epoch_novelty", "ns_contrastive_triplets", "q_sliding_distinct_hll",
+    "ns_cluster_sample", "ns_duplication_pareto", "ns_hard_negatives",
+    "ns_keyword_tagging", "ns_length_bucketing", "ns_winsorized_stats",
+    "q_ntile_deciles", "q_rolling_median", "q_unpivot_metrics",
 ]
 
 
