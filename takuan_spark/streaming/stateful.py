@@ -60,10 +60,21 @@ def make_update_fn(
     window_secs: int,
     cooldown_secs: int,
     idle_timeout_secs: int | None,
+    max_state_events: int | None = None,
 ):
     """The per-group state-update function, exposed module-level so the
     eviction/carry semantics are unit-testable with a fake GroupState
-    (no streaming query needed)."""
+    (no streaming query needed).
+
+    ``max_state_events`` hard-caps the per-address timestamp list: a hot
+    key at very high rate otherwise grows state linearly within
+    ``window_secs`` (documented bound: rate x window). With a cap of
+    K >= threshold the alert predicate is unaffected — fire needs only
+    ``threshold`` in-window events and the K MOST RECENT are kept — but
+    ``n_events`` saturates at K and ``window_start`` reflects the
+    oldest RETAINED event, the standard truncation a bounded detector
+    accepts to survive adversarial floods. ``None`` keeps the exact
+    window census."""
 
     def update(
         key: tuple[str],
@@ -93,6 +104,11 @@ def make_update_fn(
         for t in sorted(times):
             recent.append(t)
             recent = [x for x in recent if x > t - window_secs]
+            if max_state_events is not None and len(recent) > max_state_events:
+                # keep the MOST RECENT K: the threshold check below only
+                # needs K >= threshold entries, so capping cannot
+                # suppress an alert — it saturates the census.
+                recent = recent[-max_state_events:]
             armed = last_alert is None or t - last_alert >= cooldown_secs
             if len(recent) >= threshold and armed:
                 alerts.append(
@@ -106,10 +122,10 @@ def make_update_fn(
                 last_alert = t
 
         # Keep EVERY timestamp still inside the sliding window of the
-        # latest event (the loop's window filter already bounds the list):
-        # a fixed-count truncation would undercount heavy attackers whose
-        # window spans micro-batch boundaries. State per address is
-        # bounded by the event rate within window_secs.
+        # latest event (the loop's window filter already bounds the list)
+        # unless max_state_events caps it: an uncapped census is exact
+        # but grows with the in-window event rate; the cap trades census
+        # precision above K for a hard per-key state bound under floods.
         state.update((",".join(str(x) for x in recent), last_alert))
         if idle_timeout_secs is not None:
             # re-arm the idle-eviction clock
@@ -259,6 +275,7 @@ def brute_force_alerts(
     window_secs: int = 60,
     cooldown_secs: int = 300,
     idle_timeout_secs: int | str | None = "auto",
+    max_state_events: int | None = None,
 ) -> DataFrame:
     """events stream → alert stream via per-address sliding-window state.
 
@@ -272,15 +289,25 @@ def brute_force_alerts(
     drain-and-stop runs (``availableNow``): a processing-time timeout
     makes the drain trigger wait out pending timers before terminating,
     which turns a seconds-long catch-up run into minutes.
+
+    ``max_state_events`` (>= threshold) hard-caps per-address state for
+    deployments fronting adversarial floods — see
+    :func:`make_update_fn` for the exact saturation semantics.
     """
     if idle_timeout_secs == "auto":
         idle_timeout_secs = window_secs + cooldown_secs
+    if max_state_events is not None and max_state_events < threshold:
+        raise ValueError(
+            f"max_state_events ({max_state_events}) must be >= threshold "
+            f"({threshold}): a smaller cap could suppress alerts"
+        )
     update = make_update_fn(
         time_col=time_col,
         threshold=threshold,
         window_secs=window_secs,
         cooldown_secs=cooldown_secs,
         idle_timeout_secs=idle_timeout_secs,
+        max_state_events=max_state_events,
     )
     timeout_conf = (
         GroupStateTimeout.NoTimeout

@@ -165,6 +165,48 @@ def test_update_fn_evicts_on_timeout_and_bounds_state_by_time():
     assert kept2 == [int((base + pd.Timedelta(seconds=120)).timestamp())]
 
 
+def test_update_fn_max_state_events_caps_hot_key_state():
+    """A hot key at very high rate grows the uncapped timestamp list
+    linearly within window_secs; with max_state_events=K the list is
+    hard-capped at K (most recent kept), the alert still fires (K >=
+    threshold), and n_events saturates at K — the bounded-state guard
+    for adversarial floods."""
+    from takuan_spark.streaming.stateful import make_update_fn
+
+    fn = make_update_fn(
+        time_col="created_at",
+        threshold=5,
+        window_secs=60,
+        cooldown_secs=0,
+        idle_timeout_secs=None,
+        max_state_events=8,
+    )
+    base = pd.Timestamp("2026-08-13 06:00:00")
+    # 200 events in 20 s — all inside one window; uncapped state would
+    # hold all 200
+    pdf = pd.DataFrame(
+        {
+            "created_at": [
+                base + pd.Timedelta(milliseconds=100 * i) for i in range(200)
+            ]
+        }
+    )
+    st = _FakeState()
+    alerts = pd.concat(list(fn(("9.9.9.9",), iter([pdf]), st)))
+    kept = [int(x) for x in st.get[0].split(",") if x]
+    assert len(kept) <= 8, f"state grew to {len(kept)} despite the cap"
+    assert len(alerts) > 0, "cap must not suppress alerts"
+    assert alerts["n_events"].max() <= 8, "census must saturate at the cap"
+
+    # a cap below threshold could suppress alerts — constructor refuses
+    import pytest as _pytest
+
+    from takuan_spark.streaming.stateful import brute_force_alerts
+
+    with _pytest.raises(ValueError, match="must be >= threshold"):
+        brute_force_alerts(None, threshold=5, max_state_events=3)
+
+
 def test_gap_update_fn_carries_state_and_flushes_on_timeout():
     from takuan_spark.streaming.stateful import make_gap_update_fn
 
