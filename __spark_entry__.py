@@ -22,12 +22,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: the reference's per-address attack report
-    (group-by + count + nested counters encode + sort, SURVEY.md §3.3)
-    mapped onto the events table at sf0.001."""
-    from takuan_spark.queries.takuan import takuan_address_report
+    """Flagship query: the reference's WHOLE pipeline end-to-end — raw
+    log text (rendered from the events table) through tokenize, rules,
+    datetime repair, geo enrichment, and the per-address report with
+    first/last-seen (SURVEY.md §3.2-3.3) — one Catalyst plan, single
+    fact scan, all-broadcast joins."""
+    from takuan_spark.queries.takuan import q_log_pipeline_e2e
 
-    return takuan_address_report(spark, SMOKE_SF_DIR)
+    return q_log_pipeline_e2e(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -778,3 +778,25 @@ def test_recursive_cte_joins_materialized_edges(spark, sf_dir):
         assert "CartesianProduct" not in plan
     finally:
         release_materialized()
+
+
+def test_log_pipeline_e2e_single_scan_all_broadcast(spark, sf_dir):
+    """q_log_pipeline_e2e composes six operator stages into ONE plan;
+    the scale properties that composition must keep: the events fact is
+    scanned exactly once (the seen_col report extension rides the
+    report's own aggregation instead of a second scan + self-join), the
+    scan reads only the 4 render-needed columns (props/value pruned),
+    every join is broadcast (geo dim and nation are dim-sized), and the
+    report's inner aggregation is map-side combined."""
+    plan = plan_of(REGISTRY["q_log_pipeline_e2e"].builder(spark, sf_dir))
+    tree = tree_of(plan)
+    locations = re.findall(r"Location: [^\n]*", plan)
+    n_events_scans = sum(1 for loc in locations if "events" in loc)
+    assert n_events_scans == 1, f"events scanned {n_events_scans}x"
+    # the events read schema keeps only what the render consumes
+    schemas = re.findall(r"ReadSchema: ([^\n]+)", plan)
+    ev_schema = next(s for s in schemas if "event_type" in s)
+    assert "props" not in ev_schema and "value" not in ev_schema
+    assert "SortMergeJoin" not in tree and "ShuffledHashJoin" not in tree
+    assert tree.count("BroadcastHashJoin") >= 2  # cust⋈nation, events⋈geo
+    assert "partial_count" in plan  # report inner agg map-side combined
