@@ -95,14 +95,14 @@ def query(name: str, oracle_sql: str | None, description: str = ""):
 #   2. staleness backfill — every remaining query ordered by its
 #      LAST-GREEN round ascending, so the window always re-certifies
 #      the oldest evidence first. Round 10 applies the r9 verdict's
-#      directive: the window = the 7 r10 changed/new queries (the
+#      directive: the window = the 8 r10 changed/new queries (the
 #      end-to-end pipeline row, the outer interval join, the update-
 #      mode row, the shuffle static join, and the three rows whose
 #      code or oracle changed) + the nine takuan_* Sec-2 spine rows
 #      (r6/r7-stale — the rubric's core table) + all 32 remaining
 #      r4-stale rows (retiring the r4 evidence class — after this
-#      round the oldest driver evidence is r5) + the 2 oldest
-#      r5-green rows.
+#      round the oldest driver evidence is r5) + the oldest
+#      r5-green row.
 # Anything past the cap rotates forward next round; every declared
 # query is still oracle-verified locally by tests/test_oracle.py.
 PRIORITY: list[str] = [
@@ -116,7 +116,8 @@ PRIORITY: list[str] = [
     # flag, q_stream_checkpoint_restart gained the empty-progress
     # guards, and q_variant_extract's oracle moved to TRY_CAST ----
     "q_log_pipeline_e2e", "q_stream_interval_join_outer",
-    "q_stream_update_mode", "q_stream_static_join_shuffle",
+    "q_stream_update_mode", "q_stream_update_windowed",
+    "q_stream_static_join_shuffle",
     "q_stream_interval_join", "q_stream_checkpoint_restart",
     "q_variant_extract",
     # -- 2. the Sec-2 spine (r9 verdict item 1): the nine takuan_*
@@ -142,10 +143,12 @@ PRIORITY: list[str] = [
     "ns_score_calibration", "ns_dedup_pipeline", "q_bloom_prefilter",
     "q_sliding_window", "q_session_window", "q_funnel",
     # -- 4. r5-green head: fills the window to exactly 50
-    # (7 + 9 + 32 + 2) ---------------------------------------------
-    "ns_embedding_neardup_lsh", "q_ewma_anomaly",
+    # (8 + 9 + 32 + 1) ---------------------------------------------
+    "ns_embedding_neardup_lsh",
     # -- 5. r5/r6/r7/r8-green remainder, oldest evidence first
-    # (next rounds' backfill) --------------------------------------
+    # (next rounds' backfill; q_ewma_anomaly rotated forward when the
+    # windowed update-mode row joined the head) --------------------
+    "q_ewma_anomaly",
     "q_compaction_bins", "ns_pca_power_iteration", "q_graph_triangles",
     "ns_vocab_oov", "ns_zipf_fit", "q_mean_shift_changepoint",
     "ns_dup_representative", "ns_matryoshka_qc", "ns_pii_risk",

@@ -2125,6 +2125,130 @@ def q_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_update_windowed",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           strftime(date_trunc('day', ts) + INTERVAL 1 DAY,
+                    '%Y-%m-%d %H:%M:%S') AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    ORDER BY 1, 3
+    """,
+    "WATERMARKED WINDOWED aggregation in update output mode with a "
+    "COMPOSITE merge key — the second half of the update-mode family: "
+    "q_stream_update_mode proves the unwatermarked running-count "
+    "shape on a single key; this row proves daily windowed counts "
+    "under a watermark re-emitting each (window, event_type) row's "
+    "revision per micro-batch into the same duckdb_upsert_sink keyed "
+    "on BOTH columns — the delete-then-insert merge must match on the "
+    "full composite key or revisions of one event type clobber its "
+    "siblings in the same window (the bug class composite upserts "
+    "breed), which would collapse row counts and hash-red. No "
+    "sentinels: unlike append mode, update mode needs no watermark "
+    "flush to surface final values — every batch emits current "
+    "revisions, so the post-drain merge state IS the answer; windows "
+    "straddling epoch boundaries (pinned at every SF in "
+    "tests/test_stateful.py) are emitted >= 2 times and the sink "
+    "bookkeeping asserts that re-emission happened. Green against "
+    "the calendar-bucket oracle proves watermark + window + update "
+    "emission + composite merge compose to the batch GROUP BY. At "
+    "100 TB/day this is the live-dashboard hourly-rollup shape: "
+    "state bounded by watermark eviction, merge traffic bounded by "
+    "revised windows per batch, row data never on the driver.",
+)
+def q_stream_update_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.sinks.db import UPSERT_EPOCH_TABLE, duckdb_upsert_sink
+    from takuan_spark.streaming.windows import windowed_counts
+
+    base = _scratch(sf_dir, "update_windowed")
+    src, stage, ckpt = f"{base}/src", f"{base}/stage", f"{base}/ckpt"
+    db = f"{base}/upsert.duckdb"
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
+    t0 = 1_600_000_000.0
+    _write_epoch_files_one_job(
+        base, src, ev, time_col="ts", lo=lo, hi=hi, n_epochs=_N_EPOCHS, t0=t0
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    counts = windowed_counts(
+        stream,
+        time_col="ts",
+        key_cols=("event_type",),
+        window="1 day",
+        watermark="1 hour",
+    ).select(
+        # string keys into the merge: formatted IN the stream so the
+        # sink's staged parquet and the DB compare timezone-free
+        F.date_format("window_start", fmt).alias("window_start"),
+        F.date_format("window_end", fmt).alias("window_end"),
+        "event_type",
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            counts.writeStream.foreachBatch(
+                duckdb_upsert_sink(
+                    db, "win_counts", ["window_start", "event_type"], stage
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_die(q, 600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    import duckdb
+
+    con = duckdb.connect(db)
+    try:
+        epochs = [
+            int(n)
+            for (n,) in con.execute(
+                f"SELECT n_rows FROM {UPSERT_EPOCH_TABLE} "
+                "WHERE tbl = 'win_counts'"
+            ).fetchall()
+        ]
+        final = con.execute(
+            "SELECT window_start, window_end, event_type, cnt "
+            "FROM win_counts ORDER BY window_start, event_type"
+        ).fetchall()
+    finally:
+        con.close()
+    if sum(1 for n in epochs if n > 0) < 2:
+        raise RuntimeError(
+            "fewer than 2 epochs emitted rows; the update-mode "
+            "intermediate-emission contract was never exercised"
+        )
+    if sum(epochs) <= len(final):
+        raise RuntimeError(
+            "no (window, event_type) row was re-emitted with a revised "
+            "count (emitted rows <= final rows); the composite-key "
+            "merge path was vacuous"
+        )
+    # dim-sized final table (days x event types)
+    return spark.createDataFrame(
+        [(ws, we, et, int(c)) for ws, we, et, c in final],
+        "window_start string, window_end string, event_type string, "
+        "cnt bigint",
+    ).orderBy("window_start", "event_type")
+
+
+@query(
     "q_state_store_reader",
     """
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -825,6 +825,43 @@ def test_update_mode_users_span_multiple_epochs():
     con.close()
 
 
+def test_update_windowed_windows_span_multiple_epochs():
+    """Non-vacuity guard for q_stream_update_windowed: at EVERY shipped
+    SF some (day, event_type) window must have events in >= 2
+    time-quartile epochs — only then is that window's count re-emitted
+    with a revision in a later micro-batch and merged over its earlier
+    row on the COMPOSITE key, which is the behavior under test."""
+    import glob
+
+    import duckdb
+
+    con = duckdb.connect()
+    for d in sorted(glob.glob("/root/testdata/sf*")):
+        multi = con.sql(
+            f"""
+            WITH span AS (SELECT MIN(ts) lo, MAX(ts) hi
+                          FROM read_parquet('{d}/events.parquet')),
+            ev AS (
+              SELECT date_trunc('day', ts) AS day, event_type,
+                     LEAST(3, CAST(FLOOR(
+                  4.0 * EXTRACT(EPOCH FROM ts - span.lo)
+                  / NULLIF(EXTRACT(EPOCH FROM span.hi - span.lo), 0)
+              ) AS BIGINT)) AS ep
+              FROM read_parquet('{d}/events.parquet'), span
+            )
+            SELECT COUNT(*) FROM (
+                SELECT day, event_type FROM ev GROUP BY 1, 2
+                HAVING COUNT(DISTINCT ep) >= 2
+            )
+            """
+        ).fetchone()[0]
+        assert multi > 0, (
+            f"{d}: no daily window spans two epochs; windowed "
+            f"update-mode re-emission would be vacuous"
+        )
+    con.close()
+
+
 def test_interval_join_outer_unmatched_exist_at_every_sf():
     """Non-vacuity guard for q_stream_interval_join_outer: at EVERY
     shipped SF some click must have NO view within its 24 h interval —
