@@ -95,14 +95,13 @@ def query(name: str, oracle_sql: str | None, description: str = ""):
 #   2. staleness backfill — every remaining query ordered by its
 #      LAST-GREEN round ascending, so the window always re-certifies
 #      the oldest evidence first. Round 10 applies the r9 verdict's
-#      directive: the window = the 8 r10 changed/new queries (the
+#      directive: the window = the 10 r10 changed/new queries (the
 #      end-to-end pipeline row, the outer interval join, the update-
 #      mode row, the shuffle static join, and the three rows whose
 #      code or oracle changed) + the nine takuan_* Sec-2 spine rows
 #      (r6/r7-stale — the rubric's core table) + all 32 remaining
 #      r4-stale rows (retiring the r4 evidence class — after this
-#      round the oldest driver evidence is r5) + the oldest
-#      r5-green row.
+#      round the oldest driver evidence is r5); 10 + 8 + 32 = 50.
 # Anything past the cap rotates forward next round; every declared
 # query is still oracle-verified locally by tests/test_oracle.py.
 PRIORITY: list[str] = [
@@ -119,15 +118,17 @@ PRIORITY: list[str] = [
     "q_stream_update_mode", "q_stream_update_windowed",
     "q_stream_static_join_shuffle",
     "q_stream_interval_join", "q_stream_checkpoint_restart",
-    "q_variant_extract",
-    # -- 2. the Sec-2 spine (r9 verdict item 1): the nine takuan_*
-    # rows carried r6/r7-era driver evidence — three rounds is long
-    # enough for the rubric's core table; takuan_address_report
-    # additionally re-certifies address_report after the seen_col
-    # extension --------------------------------------------------
+    "q_variant_extract", "q_jsonl_roundtrip", "q_csv_roundtrip",
+    # -- 2. the Sec-2 spine (r9 verdict item 1): the takuan_* rows
+    # carried r6-era driver evidence — three rounds is long enough
+    # for the rubric's core table; takuan_address_report additionally
+    # re-certifies address_report after the seen_col extension.
+    # takuan_rdns_enrich (r7-green, the freshest of the spine) yields
+    # its slot to the two changed roundtrip rows and leads the r7
+    # backfill instead -------------------------------------------
     "takuan_address_report", "takuan_country_topk", "takuan_rule_filter",
     "takuan_rule_label", "takuan_json_extract", "takuan_hourly_window",
-    "takuan_regex_tokenize", "takuan_geo_enrich_join", "takuan_rdns_enrich",
+    "takuan_regex_tokenize", "takuan_geo_enrich_join",
     # -- 3. r4-stale remainder (32) — the oldest driver evidence in
     # the registry; green here retires the r4 class entirely
     # (q_stream_report_fold also re-certifies address_report) -----
@@ -142,13 +143,11 @@ PRIORITY: list[str] = [
     "ns_boilerplate_strip", "q_dq_audit", "q_salted_join",
     "ns_score_calibration", "ns_dedup_pipeline", "q_bloom_prefilter",
     "q_sliding_window", "q_session_window", "q_funnel",
-    # -- 4. r5-green head: fills the window to exactly 50
-    # (8 + 9 + 32 + 1) ---------------------------------------------
-    "ns_embedding_neardup_lsh",
-    # -- 5. r5/r6/r7/r8-green remainder, oldest evidence first
-    # (next rounds' backfill; q_ewma_anomaly rotated forward when the
-    # windowed update-mode row joined the head) --------------------
-    "q_ewma_anomaly",
+    # -- 5. r5/r6/r7/r8-green remainder, oldest evidence first (next
+    # rounds' backfill; ns_embedding_neardup_lsh and q_ewma_anomaly
+    # rotated forward as the windowed update-mode row and the two
+    # changed roundtrip rows joined the head) ----------------------
+    "ns_embedding_neardup_lsh", "q_ewma_anomaly",
     "q_compaction_bins", "ns_pca_power_iteration", "q_graph_triangles",
     "ns_vocab_oov", "ns_zipf_fit", "q_mean_shift_changepoint",
     "ns_dup_representative", "ns_matryoshka_qc", "ns_pii_risk",
@@ -156,7 +155,7 @@ PRIORITY: list[str] = [
     "ns_ks_drift", "ns_mad_outliers", "ns_filter_funnel",
     "ns_int8_quant_error", "q_community_labels", "q_stream_dedup_fold",
     "ns_burstiness", "ns_template_mining", "ns_quantile_normalize",
-    "q_jsonl_roundtrip", "q_csv_roundtrip", "q_stream_ann_fold",
+    "q_stream_ann_fold",
     "ns_deletion_cascade", "ns_manifest_hash", "ns_text_augment",
     "ns_source_dedup_matrix", "q_cohort_retention", "q_asof_join",
     "q_stats_agg", "q_pivot_conditional", "mm_media_summary",
@@ -173,7 +172,8 @@ PRIORITY: list[str] = [
     "q10_returned_items", "q14_promo_revenue", "q19_disjunctive_filter",
     "q_cube", "q_pandas_udaf", "q_anti_join", "q_semi_join", "q_set_ops",
     "q_union_distinct", "q_string_functions", "q_date_functions",
-    "q_math_functions", "q_stream_minhash_fold", "ns_minhash_recall",
+    "q_math_functions", "takuan_rdns_enrich",
+    "q_stream_minhash_fold", "ns_minhash_recall",
     "ns_minhash_estimate_error", "ns_minhash_prod_mode", "mm_audio_segments",
     "mm_scene_cuts", "mm_binaryfile_ingest", "ns_cms_heavy_hitters",
     "ns_cms_join_size", "q_stream_cms_fold", "ns_cms_error",

@@ -38,6 +38,19 @@ def _scratch(sf_dir: str, kind: str) -> str:
     return path
 
 
+def _append_corrupt_lines(path: str, lines: list[str]) -> None:
+    """Drop the corrupt fixture lines into the written dataset dir with
+    a plain file write. The previous createDataFrame + coalesce(1) +
+    append-mode write spent a whole Spark job submission on 3 literal
+    strings — the roundtrip rows' cost is submission-count-bound
+    (SCALE_PROBE 100x: 0.93x/1.07x on 100x data), so a driver-side
+    handful-of-bytes write is the honest shape. Spark's text/JSON/CSV
+    readers consume every data file in the directory regardless of
+    name."""
+    with open(os.path.join(path, "zz_corrupt.txt"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
 @query(
     "q_jsonl_roundtrip",
     f"""
@@ -65,9 +78,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.selectExpr(
         "to_json(struct(doc_id, text, lang, source, n_chars)) AS value"
     ).write.mode("overwrite").text(path)
-    spark.createDataFrame(
-        [(line,) for line in _CORRUPT_LINES], "value string"
-    ).coalesce(1).write.mode("append").text(path)
+    _append_corrupt_lines(path, _CORRUPT_LINES)
     parsed = read_json(
         spark,
         path,
@@ -140,9 +151,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.select("doc_id", "text", "lang", "source", "n_chars").write.mode(
         "overwrite"
     ).option("header", False).csv(path)
-    spark.createDataFrame(
-        [(line,) for line in _CORRUPT_CSV_LINES], "value string"
-    ).coalesce(1).write.mode("append").text(path)
+    _append_corrupt_lines(path, _CORRUPT_CSV_LINES)
     parsed = read_csv(
         spark,
         path,
