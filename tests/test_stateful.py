@@ -618,6 +618,75 @@ def test_stream_stream_interval_join(spark, stream_env):
     ]
 
 
+def test_stream_stream_interval_join_full_outer(spark, stream_env):
+    """fullOuter through the same interval_join plan: a matched pair
+    emits once, an unmatched LEFT row emits (l, NULL), and an unmatched
+    RIGHT row emits (NULL, r) — each NULL side only after the watermark
+    passes its interval and eviction runs (driven here by far-future
+    sentinel rows on both sides across later micro-batches). Pins the
+    join-type flag end-to-end beyond the registered leftOuter row, so
+    the full-outer semantics need no bench-time query of their own."""
+    from takuan_spark.streaming.windows import interval_join
+
+    rows = [
+        ("9.9.9.9", "2026-08-13 06:00:00", "ssh", "auth-failure"),
+        ("9.9.9.9", "2026-08-13 06:03:00", "ssh", "error"),
+        ("8.8.8.8", "2026-08-13 06:02:00", "http", "error"),  # no failure
+        ("7.7.7.7", "2026-08-13 06:01:00", "ssh", "auth-failure"),  # no err
+    ]
+    _write_events_chunk(stream_env["src"] / "c1.parquet", rows)
+
+    def join_fn(stream):
+        errors = stream.where(F.col("rule").isin("error", "s-error"))
+        fails = stream.where(
+            F.col("rule").isin("auth-failure", "s-fail")
+        ).select(F.col("address"), F.col("created_at"))
+        out = interval_join(
+            errors,
+            fails,
+            on="address",
+            max_delay="5 minutes",
+            how="fullOuter",
+        )
+        return out.select(
+            F.col("l.address").alias("l_addr"),
+            F.col("r.address").alias("r_addr"),
+            F.col("l.created_at").alias("err_at"),
+            F.col("r.created_at").alias("fail_at"),
+        )
+
+    _run_stream(spark, stream_env, join_fn)
+    # sentinel pairs advance BOTH sides' watermarks across two later
+    # micro-batches (watermark updates at batch boundaries; eviction
+    # emits in the batch after the advance)
+    for day, chunk in (("14", "c2.parquet"), ("15", "c3.parquet")):
+        _write_events_chunk(
+            stream_env["src"] / chunk,
+            [
+                ("0.0.0.0", f"2026-08-{day} 06:00:00", "ssh", "s-error"),
+                ("0.0.0.0", f"2026-08-{day} 06:00:00", "ssh", "s-fail"),
+            ],
+        )
+        _run_stream(spark, stream_env, join_fn)
+
+    got = sorted(
+        (
+            r["l_addr"] or "",
+            r["r_addr"] or "",
+            str(r["err_at"]),
+            str(r["fail_at"]),
+        )
+        for r in spark.read.parquet(stream_env["out"]).collect()
+        if "0.0.0.0" not in (r["l_addr"], r["r_addr"])
+    )
+    assert got == [
+        ("", "7.7.7.7", "None", "2026-08-13 06:01:00"),
+        ("8.8.8.8", "", "2026-08-13 06:02:00", "None"),
+        ("9.9.9.9", "9.9.9.9", "2026-08-13 06:03:00",
+         "2026-08-13 06:00:00"),
+    ], got
+
+
 def test_streaming_detector_matches_batch_analog(spark, stream_env):
     """The applyInPandasWithState detector with cooldown disabled must
     emit exactly the alert set of its SQL batch analog
