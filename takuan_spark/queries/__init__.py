@@ -95,13 +95,15 @@ def query(name: str, oracle_sql: str | None, description: str = ""):
 #   2. staleness backfill — every remaining query ordered by its
 #      LAST-GREEN round ascending, so the window always re-certifies
 #      the oldest evidence first. Round 10 applies the r9 verdict's
-#      directive: the window = the 10 r10 changed/new queries (the
+#      directive: the window = the 11 r10 changed/new queries (the
 #      end-to-end pipeline row, the outer interval join, the update-
 #      mode row, the shuffle static join, and the three rows whose
 #      code or oracle changed) + the nine takuan_* Sec-2 spine rows
 #      (r6/r7-stale — the rubric's core table) + all 32 remaining
 #      r4-stale rows (retiring the r4 evidence class — after this
-#      round the oldest driver evidence is r5); 10 + 8 + 32 = 50.
+#      oldest driver evidence is r4 on ONE remaining row — q_funnel,
+#      displaced when q_xml_roundtrip landed — which leads the r11
+#      backfill); 11 + 8 + 31 = 50.
 # Anything past the cap rotates forward next round; every declared
 # query is still oracle-verified locally by tests/test_oracle.py.
 PRIORITY: list[str] = [
@@ -119,6 +121,7 @@ PRIORITY: list[str] = [
     "q_stream_static_join_shuffle",
     "q_stream_interval_join", "q_stream_checkpoint_restart",
     "q_variant_extract", "q_jsonl_roundtrip", "q_csv_roundtrip",
+    "q_xml_roundtrip",
     # -- 2. the Sec-2 spine (r9 verdict item 1): the takuan_* rows
     # carried r6-era driver evidence — three rounds is long enough
     # for the rubric's core table; takuan_address_report additionally
@@ -129,9 +132,9 @@ PRIORITY: list[str] = [
     "takuan_address_report", "takuan_country_topk", "takuan_rule_filter",
     "takuan_rule_label", "takuan_json_extract", "takuan_hourly_window",
     "takuan_regex_tokenize", "takuan_geo_enrich_join",
-    # -- 3. r4-stale remainder (32) — the oldest driver evidence in
-    # the registry; green here retires the r4 class entirely
-    # (q_stream_report_fold also re-certifies address_report) -----
+    # -- 3. r4-stale rows (31 of 32) — the oldest driver evidence in
+    # the registry (q_stream_report_fold also re-certifies
+    # address_report; q_funnel rotates to the r11 backfill head) ---
     "q_stream_report_fold", "q_stream_sketch_fold", "q_bloom_prefilter_prod",
     "ns_kmeans_clusters", "ns_kmeans_assign", "ns_token_pmi",
     "ns_source_overlap", "ns_ngram_lm_stats", "ns_perplexity_filter",
@@ -142,12 +145,12 @@ PRIORITY: list[str] = [
     "ns_leakage_safe_split", "ns_k_anonymity", "ns_tokenizer_fertility",
     "ns_boilerplate_strip", "q_dq_audit", "q_salted_join",
     "ns_score_calibration", "ns_dedup_pipeline", "q_bloom_prefilter",
-    "q_sliding_window", "q_session_window", "q_funnel",
-    # -- 5. r5/r6/r7/r8-green remainder, oldest evidence first (next
-    # rounds' backfill; ns_embedding_neardup_lsh and q_ewma_anomaly
-    # rotated forward as the windowed update-mode row and the two
-    # changed roundtrip rows joined the head) ----------------------
-    "ns_embedding_neardup_lsh", "q_ewma_anomaly",
+    "q_sliding_window", "q_session_window",
+    # -- 4. backfill head for r11 (rotated past the cap as late-round
+    # rows joined the head): q_funnel is the single r4 row left
+    # un-retired (the new q_xml_roundtrip took its 50th slot), then
+    # the oldest r5 rows -------------------------------------------
+    "q_funnel", "ns_embedding_neardup_lsh", "q_ewma_anomaly",
     "q_compaction_bins", "ns_pca_power_iteration", "q_graph_triangles",
     "ns_vocab_oov", "ns_zipf_fit", "q_mean_shift_changepoint",
     "ns_dup_representative", "ns_matryoshka_qc", "ns_pii_risk",

@@ -283,3 +283,96 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch", "lang")
     )
+
+
+#: two malformed XML records (root-wrapped so the tokenizer sees them):
+#: a type-failing event_id and a truncated record — both must land in
+#: the PERMISSIVE corrupt-record channel
+_CORRUPT_XML = (
+    "<events>"
+    "<event><event_id>notanumber</event_id><user_id>1</user_id>"
+    "<event_type>x</event_type></event>"
+    "<event><event_id>7</event_id>"
+    "</events>\n"
+)
+_N_CORRUPT_XML = 2
+
+
+@query(
+    "q_xml_roundtrip",
+    f"""
+    SELECT event_id, user_id, event_type FROM events
+    UNION ALL
+    SELECT -1 AS event_id, {_N_CORRUPT_XML} AS user_id,
+           'corrupt' AS event_type
+    ORDER BY event_id
+    """,
+    "XML ingest round-trip through Spark 4's NATIVE XML source — the "
+    "one built-in file format (after parquet/JSON/CSV/ORC rows) with "
+    "no driver coverage: the events table is written by the native "
+    "XML writer (rootTag/rowTag documents), a root-wrapped corrupt "
+    "fixture (type-failing field + truncated record) is dropped into "
+    "the directory, and the real reader parses it all back in "
+    "PERMISSIVE mode with an explicit schema + _corrupt_record "
+    "quarantine channel. Output is every parsed row plus a sentinel "
+    "carrying the quarantine count — write, tokenizer, schema "
+    "projection, and the corrupt channel all value-checked against "
+    "an engine that never saw the files. The quarantine count is "
+    "total-minus-good (the jsonl/csv pattern; Spark refuses raw-scan "
+    "subtrees whose only referenced column is the corrupt record, "
+    "and pruning reduces a corrupt-count agg to exactly that), with "
+    "the total from a corrupt-free minimal-schema read — PERMISSIVE "
+    "yields an all-NULL row per malformed record there. XML files "
+    "need one ROOT element each — multiple top-level row tags "
+    "silently parse as one record + garbage, which is why the native "
+    "writer (not a text dump of to_xml fragments) produces the "
+    "files.",
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "xml")
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.select("event_id", "user_id", "event_type")
+        .write.format("xml")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .mode("overwrite")
+        .save(path)
+    )
+    with open(os.path.join(path, "zz_corrupt.xml"), "w") as fh:
+        fh.write(_CORRUPT_XML)
+    parsed = (
+        spark.read.option("rowTag", "event")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(
+            "event_id bigint, user_id bigint, event_type string, "
+            "_corrupt_record string"
+        )
+        .xml(path)
+    )
+    good = parsed.where(F.col("_corrupt_record").isNull()).select(
+        "event_id", "user_id", "event_type"
+    )
+    # quarantine count as total-minus-good (the jsonl/csv pattern):
+    # Spark refuses raw-scan subtrees whose only referenced column is
+    # _corrupt_record, and Catalyst prunes a combined agg down to
+    # exactly that once the plan only consumes the corrupt count. The
+    # total comes from a corrupt-free minimal-schema read (PERMISSIVE
+    # yields an all-NULL row per malformed record there, so it counts
+    # every record); the good count references event_id (non-null for
+    # every written row) next to the corrupt-null filter.
+    n_total = (
+        spark.read.option("rowTag", "event")
+        .option("mode", "PERMISSIVE")
+        .schema("event_id bigint")
+        .xml(path)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_total"))
+    )
+    n_good = good.agg(F.count("event_id").cast("bigint").alias("_ok"))
+    sentinel = n_total.crossJoin(n_good).select(
+        F.lit(-1).cast("bigint").alias("event_id"),
+        (F.col("_total") - F.col("_ok")).alias("user_id"),
+        F.lit("corrupt").alias("event_type"),
+    )
+    return good.unionByName(sentinel).orderBy("event_id")
