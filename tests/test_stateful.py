@@ -1028,3 +1028,83 @@ def test_gap_fold_is_batch_split_invariant(times, cuts):
     st_done = _FakeState(value=st_fake.get, timed_out=True)
     (row,) = list(fn((7,), iter([]), st_done))
     assert row.iloc[0]["n_events"] == len(ordered)
+
+
+def test_streaming_sort_limit_requires_complete_mode(spark, tmp_path):
+    """The semantics q_stream_complete_mode exists to certify: sorting
+    an aggregated stream is legal ONLY in complete output mode — the
+    engine rejects the same sort+limit plan in update mode at analysis
+    time, because a revised-keys-only emission of a sorted limit is
+    not well-defined (a key leaving the top-5 would never be
+    retracted)."""
+    from pyspark.errors import AnalysisException
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_events_chunk(
+        src / "e0.parquet",
+        [("10.0.0.1", "2026-08-13 06:00:00", "ssh", "auth-failure")],
+    )
+    schema = "address string, created_at timestamp, sensor string, rule string"
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    top = (
+        stream.groupBy("address")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "address")
+        .limit(5)
+    )
+    with pytest.raises(AnalysisException):
+        (
+            top.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt_bad"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+    # the identical plan in complete mode is accepted and drains
+    q = (
+        top.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ok"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "complete-mode drain timed out"
+
+
+def test_complete_mode_top5_revises_across_epochs():
+    """Non-vacuity guard for q_stream_complete_mode: at EVERY shipped
+    SF the running top-5 after the FIRST time-quartile epoch must
+    differ from the final top-5 — only then does a later snapshot
+    revise an earlier one, which is the full-result re-emission the
+    row asserts (a top-5 frozen after batch 0 would make the
+    adjacent-snapshot-differs check fail, and the contract vacuous)."""
+    import glob
+
+    import duckdb
+
+    con = duckdb.connect()
+    top5 = (
+        "SELECT user_id, COUNT(*) AS cnt FROM ev {where} "
+        "GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 5"
+    )
+    for d in sorted(glob.glob("/root/testdata/sf*")):
+        con.execute(
+            f"""
+            CREATE OR REPLACE VIEW ev AS
+            WITH span AS (SELECT MIN(ts) lo, MAX(ts) hi
+                          FROM read_parquet('{d}/events.parquet'))
+            SELECT user_id, LEAST(3, CAST(FLOOR(
+                4.0 * EXTRACT(EPOCH FROM ts - span.lo)
+                / NULLIF(EXTRACT(EPOCH FROM span.hi - span.lo), 0)
+            ) AS BIGINT)) AS ep
+            FROM read_parquet('{d}/events.parquet'), span
+            """
+        )
+        first = con.execute(top5.format(where="WHERE ep = 0")).fetchall()
+        final = con.execute(top5.format(where="")).fetchall()
+        assert first != final, (
+            f"{d}: top-5 identical after epoch 0 and after all epochs; "
+            f"complete-mode re-emission would be vacuous"
+        )
+    con.close()
