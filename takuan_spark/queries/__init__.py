@@ -95,16 +95,17 @@ def query(name: str, oracle_sql: str | None, description: str = ""):
 #   2. staleness backfill — every remaining query ordered by its
 #      LAST-GREEN round ascending, so the window always re-certifies
 #      the oldest evidence first. Round 10 applies the r9 verdict's
-#      directive: the window = the 12 r10 changed/new queries (the
+#      directive: the window = the 13 r10 changed/new queries (the
 #      end-to-end pipeline row, the outer interval join, the update-
-#      mode rows, the complete-mode row, the shuffle static join,
-#      and the three rows whose code or oracle changed) + the nine
-#      takuan_* Sec-2 spine rows (r6/r7-stale — the rubric's core
-#      table) + 30 of the 32 r4-stale rows (q_funnel and
-#      q_session_window, each displaced by a late-landing new row,
+#      mode rows, the complete-mode row, the scripting/binding row,
+#      the shuffle static join, and the three rows whose code or
+#      oracle changed) + the nine takuan_* Sec-2 spine rows
+#      (r6/r7-stale — the rubric's core table) + 29 of the 32
+#      r4-stale rows (q_funnel, q_session_window, and
+#      q_sliding_window, each displaced by a late-landing new row,
 #      lead the r11 backfill — new-capability certification outranks
-#      the last two rows of staleness rotation, which stay
-#      pytest-oracle-green every run); 12 + 8 + 30 = 50.
+#      the last rows of staleness rotation, which stay
+#      pytest-oracle-green every run); 13 + 8 + 29 = 50.
 # Anything past the cap rotates forward next round; every declared
 # query is still oracle-verified locally by tests/test_oracle.py.
 PRIORITY: list[str] = [
@@ -119,10 +120,11 @@ PRIORITY: list[str] = [
     # guards, and q_variant_extract's oracle moved to TRY_CAST;
     # q_stream_complete_mode closes the output-mode matrix (the only
     # mode where streaming sort+limit is legal — the top-5 report's
-    # streaming tier) -----------------------------------------------
+    # streaming tier); q_sql_scripting certifies BEGIN/END scripting,
+    # session variables, and parameter markers against one oracle ---
     "q_log_pipeline_e2e", "q_stream_interval_join_outer",
     "q_stream_update_mode", "q_stream_update_windowed",
-    "q_stream_complete_mode",
+    "q_stream_complete_mode", "q_sql_scripting",
     "q_stream_static_join_shuffle",
     "q_stream_interval_join", "q_stream_checkpoint_restart",
     "q_variant_extract", "q_jsonl_roundtrip", "q_csv_roundtrip",
@@ -137,11 +139,11 @@ PRIORITY: list[str] = [
     "takuan_address_report", "takuan_country_topk", "takuan_rule_filter",
     "takuan_rule_label", "takuan_json_extract", "takuan_hourly_window",
     "takuan_regex_tokenize", "takuan_geo_enrich_join",
-    # -- 3. r4-stale rows (30 of 32) — the oldest driver evidence in
+    # -- 3. r4-stale rows (29 of 32) — the oldest driver evidence in
     # the registry (q_stream_report_fold also re-certifies
-    # address_report; q_funnel and q_session_window rotate to the
-    # r11 backfill head — q_session_window sits last below so it is
-    # exactly the row the 50-cap displaces) ------------------------
+    # address_report; q_funnel, q_session_window, and
+    # q_sliding_window rotate to the r11 backfill head — they sit
+    # last below so they are exactly the rows the 50-cap displaces) -
     "q_stream_report_fold", "q_stream_sketch_fold", "q_bloom_prefilter_prod",
     "ns_kmeans_clusters", "ns_kmeans_assign", "ns_token_pmi",
     "ns_source_overlap", "ns_ngram_lm_stats", "ns_perplexity_filter",
@@ -154,9 +156,10 @@ PRIORITY: list[str] = [
     "ns_score_calibration", "ns_dedup_pipeline", "q_bloom_prefilter",
     "q_sliding_window", "q_session_window",
     # -- 4. backfill head for r11 (rotated past the cap as late-round
-    # rows joined the head): q_session_window and q_funnel are the
-    # two r4 rows left un-retired (displaced by q_stream_complete_mode
-    # and q_xml_roundtrip), then the oldest r5 rows ----------------
+    # rows joined the head): q_sliding_window, q_session_window, and
+    # q_funnel are the three r4 rows left un-retired (displaced by
+    # q_sql_scripting, q_stream_complete_mode, and q_xml_roundtrip),
+    # then the oldest r5 rows --------------------------------------
     "q_funnel", "ns_embedding_neardup_lsh", "q_ewma_anomaly",
     "q_compaction_bins", "ns_pca_power_iteration", "q_graph_triangles",
     "ns_vocab_oov", "ns_zipf_fit", "q_mean_shift_changepoint",

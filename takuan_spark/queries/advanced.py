@@ -1262,3 +1262,108 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+_SCRIPTING_SQL = """
+BEGIN
+  DECLARE mx DOUBLE DEFAULT 0;
+  DECLARE cap DOUBLE DEFAULT 1;
+  SET mx = (SELECT MAX(l_quantity) FROM script_lineitem);
+  WHILE cap < mx DO
+    SET cap = cap * 2;
+  END WHILE;
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         cap AS qty_cap
+  FROM script_lineitem
+  WHERE l_quantity <= cap / 2
+  GROUP BY l_returnflag
+  ORDER BY l_returnflag;
+END
+"""
+
+_BINDING_BODY = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {cap_expr} AS qty_cap
+FROM script_lineitem
+WHERE l_quantity <= {cap_expr} / 2
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query(
+    "q_sql_scripting",
+    """
+    WITH cap AS (
+      SELECT POWER(2, CEIL(LOG2(MAX(l_quantity)))) AS c FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           c AS qty_cap
+    FROM lineitem, cap
+    WHERE l_quantity <= c / 2
+    GROUP BY l_returnflag, c
+    ORDER BY l_returnflag
+    """,
+    "SQL SCRIPTING (BEGIN/END, Spark 4) plus the two other parameter-"
+    "binding surfaces, certified equivalent in one row: a script "
+    "DECLAREs locals, folds MAX(l_quantity) into one scan, doubles "
+    "`cap` in a WHILE loop to the enclosing power of two, and "
+    "aggregates revenue under the derived threshold; the SAME "
+    "aggregate is then run with (a) a SESSION VARIABLE (DECLARE "
+    "VARIABLE + SET VAR from a scalar subquery) and (b) a named "
+    "PARAMETER MARKER (spark.sql args=...), and all three must agree "
+    "row-for-row before the row returns — any divergence raises "
+    "instead of letting one surface drift. The oracle derives the "
+    "loop's fixpoint in closed form (POWER(2, CEIL(LOG2(max)))), "
+    "which is also the scale note: script control flow is driver-side "
+    "plan orchestration (each iteration here is pure local-variable "
+    "arithmetic, the one data job is the single MAX scan), so the "
+    "loop costs O(log2 max) driver steps and exactly two table scans "
+    "end-to-end at any data size.",
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "script_lineitem"
+    )
+    prev = spark.conf.get("spark.sql.scripting.enabled", "false")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        # three rows (one per returnflag) — dim-sized by the flag domain
+        script_rows = [tuple(r) for r in spark.sql(_SCRIPTING_SQL).collect()]
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", prev)
+    if not script_rows:
+        raise RuntimeError("script returned no rows; lineitem is empty")
+    spark.sql("DECLARE OR REPLACE VARIABLE qcap DOUBLE")
+    spark.sql(
+        "SET VAR qcap = (SELECT POWER(2, CEIL(LOG2(MAX(l_quantity)))) "
+        "FROM script_lineitem)"
+    )
+    sv_rows = [
+        tuple(r)
+        for r in spark.sql(_BINDING_BODY.format(cap_expr="qcap")).collect()
+    ]
+    cap = float(script_rows[0][3])
+    pv_rows = [
+        tuple(r)
+        for r in spark.sql(
+            _BINDING_BODY.format(cap_expr="CAST(:cap AS DOUBLE)"),
+            args={"cap": cap},
+        ).collect()
+    ]
+    if not (script_rows == sv_rows == pv_rows):
+        raise RuntimeError(
+            "binding surfaces disagree: "
+            f"script={script_rows} session_var={sv_rows} param={pv_rows}"
+        )
+    return spark.createDataFrame(
+        script_rows,
+        "l_returnflag string, n_rows bigint, revenue double, "
+        "qty_cap double",
+    ).orderBy("l_returnflag")
