@@ -1108,3 +1108,71 @@ def test_complete_mode_top5_revises_across_epochs():
             f"complete-mode re-emission would be vacuous"
         )
     con.close()
+
+
+def test_stream_stream_interval_join_right_outer(spark, stream_env):
+    """rightOuter through the same interval_join plan — the last of
+    the four join types (inner and leftOuter are registered rows,
+    fullOuter is pinned above): a matched pair emits once, an
+    unmatched RIGHT row (a failure no error followed) emits (NULL, r)
+    after the watermark passes its interval, and an unmatched LEFT
+    row emits NOTHING — the asymmetry that separates rightOuter from
+    fullOuter and is exactly what a "failures that never escalated"
+    audit depends on."""
+    from takuan_spark.streaming.windows import interval_join
+
+    rows = [
+        ("9.9.9.9", "2026-08-13 06:00:00", "ssh", "auth-failure"),
+        ("9.9.9.9", "2026-08-13 06:03:00", "ssh", "error"),
+        ("8.8.8.8", "2026-08-13 06:02:00", "http", "error"),  # no failure
+        ("7.7.7.7", "2026-08-13 06:01:00", "ssh", "auth-failure"),  # no err
+    ]
+    _write_events_chunk(stream_env["src"] / "c1.parquet", rows)
+
+    def join_fn(stream):
+        errors = stream.where(F.col("rule").isin("error", "s-error"))
+        fails = stream.where(
+            F.col("rule").isin("auth-failure", "s-fail")
+        ).select(F.col("address"), F.col("created_at"))
+        out = interval_join(
+            errors,
+            fails,
+            on="address",
+            max_delay="5 minutes",
+            how="rightOuter",
+        )
+        return out.select(
+            F.col("l.address").alias("l_addr"),
+            F.col("r.address").alias("r_addr"),
+            F.col("l.created_at").alias("err_at"),
+            F.col("r.created_at").alias("fail_at"),
+        )
+
+    _run_stream(spark, stream_env, join_fn)
+    for day, chunk in (("14", "c2.parquet"), ("15", "c3.parquet")):
+        _write_events_chunk(
+            stream_env["src"] / chunk,
+            [
+                ("0.0.0.0", f"2026-08-{day} 06:00:00", "ssh", "s-error"),
+                ("0.0.0.0", f"2026-08-{day} 06:00:00", "ssh", "s-fail"),
+            ],
+        )
+        _run_stream(spark, stream_env, join_fn)
+
+    got = sorted(
+        (
+            r["l_addr"] or "",
+            r["r_addr"] or "",
+            str(r["err_at"]),
+            str(r["fail_at"]),
+        )
+        for r in spark.read.parquet(stream_env["out"]).collect()
+        if "0.0.0.0" not in (r["l_addr"], r["r_addr"])
+    )
+    # 8.8.8.8 (unmatched LEFT error) must be absent; 7.7.7.7
+    # (unmatched RIGHT failure) must be NULL-padded
+    assert got == [
+        ("", "7.7.7.7", "None", "2026-08-13 06:01:00"),
+        ("9.9.9.9", "9.9.9.9", "2026-08-13 06:03:00",
+         "2026-08-13 06:00:00"),
+    ], got
