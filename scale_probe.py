@@ -77,6 +77,15 @@ def build_probe_corpus() -> None:
     if os.path.exists(marker):
         print(f"probe corpus already built at {PROBE_DIR}", flush=True)
         return
+    # the corpus files are shared across REPLICAS settings but the
+    # marker is per-REPLICAS: a rebuild at a new scale must retire
+    # every other scale's marker, or a later run at the OLD scale
+    # would reuse this corpus and report ratios inflated by the scale
+    # difference (a 10x probe reading 100x data reads ~10x slow).
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(PROBE_DIR, ".built_r*")):
+        os.remove(stale)
     con = duckdb.connect()
     for t in SINGLE_COPY:
         src = f"{BASE}/{t}.parquet"
