@@ -357,3 +357,127 @@ def q_range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n_rows * 1000000 div SUM(n_rows) OVER () AS BIGINT)")
         .alias("share_ppm"),
     ).orderBy("pid")
+
+
+@query(
+    "q_backfill_overwrite",
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    ORDER BY day
+    """,
+    "DYNAMIC PARTITION OVERWRITE as first-class semantics — the "
+    "idempotent daily-backfill shape every partitioned 100 TB table "
+    "depends on. The streaming maintainers USE the mechanism for "
+    "exactly-once epoch replacement; this row certifies the contract "
+    "itself: a day-partitioned copy of events is written with ONE "
+    "day corrupted (half its rows dropped), the corrected day is "
+    "backfilled with mode=overwrite + partitionOverwriteMode=dynamic, "
+    "and the row asserts from the FILESYSTEM that (a) every other "
+    "partition's files are byte-for-byte untouched (path+size+mtime "
+    "snapshot), (b) the target partition was REPLACED, not appended "
+    "to, and (c) the repair actually changed the day's aggregate "
+    "(non-vacuity). Green against the pristine GROUP BY oracle "
+    "proves replace-only-what-you-wrote end-to-end. pytest pins the "
+    "contrast: STATIC overwrite mode with the same writer clobbers "
+    "every other partition — the bug class dynamic mode exists to "
+    "prevent. At scale the backfill job's write amplification is "
+    "O(revised partitions), never O(table), and re-running it is a "
+    "no-op by content.",
+)
+def q_backfill_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    table = os.path.join(
+        tempfile.gettempdir(), f"takuan_backfill_overwrite_{tag}"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        "event_id",
+        "value",
+    )
+    target = ev.agg(F.min("day")).head()[0]
+    # v1: the target day lands with half its rows missing (the
+    # corrupted ingest a nightly correction exists to repair)
+    v1 = ev.where(
+        (F.col("day") != target) | (F.pmod("event_id", F.lit(2)) == 0)
+    )
+    v1.repartition("day").write.partitionBy("day").parquet(table)
+
+    def _file_stats(skip_day: str) -> dict[str, tuple[int, int]]:
+        stats = {}
+        for root, _dirs, files in os.walk(table):
+            if f"day={skip_day}" in root:
+                continue
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                stats[os.path.relpath(p, table)] = (st.st_size, st.st_mtime_ns)
+        return stats
+
+    def _target_files() -> set[str]:
+        d = os.path.join(table, f"day={target}")
+        return {
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        } if os.path.isdir(d) else set()
+
+    before_others = _file_stats(target)
+    before_target = _target_files()
+    corrupted_cnt = (
+        spark.read.parquet(table).where(F.col("day") == target).count()
+    )
+    # the backfill: corrected rows for the ONE day, dynamic overwrite
+    (
+        ev.where(F.col("day") == target)
+        .repartition("day")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(table)
+    )
+    after_others = _file_stats(target)
+    if before_others != after_others:
+        raise RuntimeError(
+            "untouched partitions changed under dynamic overwrite: "
+            f"{set(before_others) ^ set(after_others) or 'size/mtime drift'}"
+        )
+    if len(before_others) == 0:
+        raise RuntimeError(
+            "no other partitions existed; the untouched-partition "
+            "assertion was vacuous"
+        )
+    after_target = _target_files()
+    if before_target & after_target:
+        raise RuntimeError(
+            "target partition kept pre-backfill files; overwrite "
+            "appended instead of replacing"
+        )
+    repaired = spark.read.parquet(table).where(F.col("day") == target)
+    repaired_cnt = repaired.count()
+    if repaired_cnt <= corrupted_cnt:
+        raise RuntimeError(
+            f"backfill did not change the target day "
+            f"({corrupted_cnt} -> {repaired_cnt}); the repair was vacuous"
+        )
+    return (
+        spark.read.parquet(table)
+        # partition-column type inference reads day= back as a DATE;
+        # normalize to the oracle's string grain
+        .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("day")
+    )

@@ -301,3 +301,33 @@ def test_dq_audit_clean_testdata(spark):
     # synthetic testdata is referentially intact
     assert rows["lineitem_orphan_orderkey"]["n_violations"] == 0
     assert rows["orders_duplicate_pk"]["n_violations"] == 0
+
+
+def test_dynamic_vs_static_partition_overwrite(spark, tmp_path):
+    """The contrast q_backfill_overwrite's contract rests on: with the
+    SAME single-day writer, dynamic mode replaces only the day being
+    written while static mode (Spark's default) clobbers every other
+    partition of the table — the data-loss bug class dynamic overwrite
+    exists to prevent."""
+    rows = [(d, i, float(i)) for d in ("2026-01-01", "2026-01-02", "2026-01-03") for i in range(4)]
+    df = spark.createDataFrame(rows, "day string, event_id bigint, value double")
+
+    def backfill(path, mode):
+        df.write.partitionBy("day").parquet(path)
+        (
+            df.where(F.col("day") == "2026-01-02")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", mode)
+            .partitionBy("day")
+            .parquet(path)
+        )
+        # partition-column type inference reads day= back as a DATE
+        return sorted(
+            str(r.day)
+            for r in spark.read.parquet(path).select("day").distinct().collect()
+        )
+
+    assert backfill(str(tmp_path / "dyn"), "dynamic") == [
+        "2026-01-01", "2026-01-02", "2026-01-03",
+    ]
+    assert backfill(str(tmp_path / "stat"), "static") == ["2026-01-02"]
