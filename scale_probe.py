@@ -217,6 +217,37 @@ def main() -> None:
     spark.range(1000, numPartitions=32).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
+    # ... and the Structured Streaming machinery, exactly as bench.py
+    # does: without it every probed q_stream_* row's base run pays the
+    # engine class-loading that belongs to no query, and single-run
+    # (TAKUAN_PROBE_RUNS=1) protocols put that cost straight into the
+    # ratio denominator (observed: q_stream_complete_mode base 8-9 s in
+    # probe sessions vs a 3.5 s bench median).
+    import tempfile as _tf
+
+    with _tf.TemporaryDirectory() as wtmp:
+        wsrc = os.path.join(wtmp, "src")
+        os.makedirs(wsrc)
+        spark.range(8).selectExpr(
+            "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id) as ts",
+            "id as k",
+        ).coalesce(1).write.parquet(wsrc, mode="overwrite")
+        wq = (
+            spark.readStream.schema("ts timestamp, k long")
+            .parquet(wsrc)
+            .withWatermark("ts", "1 second")
+            .groupBy("k").count()
+            .writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(wtmp, "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not wq.awaitTermination(120):
+            wq.stop()
+            raise TimeoutError(
+                "streaming warm-up query still running after 120s"
+            )
 
     def run(name: str, sf_dir: str) -> float:
         t0 = time.perf_counter()
