@@ -331,3 +331,51 @@ def test_dynamic_vs_static_partition_overwrite(spark, tmp_path):
         "2026-01-01", "2026-01-02", "2026-01-03",
     ]
     assert backfill(str(tmp_path / "stat"), "static") == ["2026-01-02"]
+
+
+def test_bucket_pruning_point_lookup(spark, tmp_path):
+    """Bucket PRUNING — the read-side half of the layout
+    q_bucketed_join certifies for joins: an equality filter on the
+    bucket key needs to read ONE of the N buckets. Two pins, because
+    Spark's defaults hide the feature: (1) out of the box the
+    DisableUnnecessaryBucketedScan rule turns the bucketed scan OFF
+    for a pure filter (it only values avoided exchanges, not pruning
+    — the plan says 'disabled by query planner'), so a point lookup
+    scans all files; (2) with autoBucketedScan disabled the same
+    query prunes to SelectedBucketsCount: 1 out of 8. A 100 TB
+    deployment doing point lookups on a bucketed table must set that
+    conf or lose the layout's read-side benefit entirely."""
+    import re
+
+    spark.sql("DROP TABLE IF EXISTS bkt_prune_t")
+    (
+        spark.range(1000)
+        .selectExpr("id as k", "id * 2 as v")
+        .write.option("path", str(tmp_path / "t"))
+        .bucketBy(8, "k")
+        .saveAsTable("bkt_prune_t")
+    )
+
+    def plan_of_lookup() -> str:
+        df = spark.table("bkt_prune_t").where(F.col("k") == 411)
+        assert [(r.k, r.v) for r in df.collect()] == [(411, 822)]
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )
+        assert "disabled by query planner" in plan_of_lookup()
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        m = re.search(
+            r"SelectedBucketsCount: (\d+) out of (\d+)", plan_of_lookup()
+        )
+        assert m and m.groups() == ("1", "8"), m
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
+        )
+        spark.sql("DROP TABLE IF EXISTS bkt_prune_t")

@@ -1176,3 +1176,36 @@ def test_stream_stream_interval_join_right_outer(spark, stream_env):
         ("9.9.9.9", "9.9.9.9", "2026-08-13 06:03:00",
          "2026-08-13 06:00:00"),
     ], got
+
+
+def test_stream_stream_join_is_append_only(spark, stream_env):
+    """Mode-legality half of the join matrix (the complete-mode row
+    pins sort+limit's): a stream-stream join supports ONLY append
+    output mode — update mode is rejected at analysis time, because a
+    join emission is not a keyed revision the engine could merge."""
+    from pyspark.errors import AnalysisException
+
+    from takuan_spark.streaming.windows import interval_join
+
+    _write_events_chunk(
+        stream_env["src"] / "c1.parquet",
+        [("9.9.9.9", "2026-08-13 06:00:00", "ssh", "auth-failure")],
+    )
+    schema = "address string, created_at timestamp, sensor string, rule string"
+    stream = spark.readStream.schema(schema).parquet(str(stream_env["src"]))
+    joined = interval_join(
+        stream.where(F.col("rule") == "error"),
+        stream.where(F.col("rule") == "auth-failure").select(
+            "address", "created_at"
+        ),
+        on="address",
+        max_delay="5 minutes",
+    )
+    with pytest.raises(AnalysisException):
+        (
+            joined.writeStream.format("noop")
+            .option("checkpointLocation", stream_env["ckpt"])
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
