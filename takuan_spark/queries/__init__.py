@@ -95,18 +95,19 @@ def query(name: str, oracle_sql: str | None, description: str = ""):
 #   2. staleness backfill — every remaining query ordered by its
 #      LAST-GREEN round ascending, so the window always re-certifies
 #      the oldest evidence first. Round 10 applies the r9 verdict's
-#      directive: the window = the 15 r10 changed/new queries (the
+#      directive: the window = the 16 r10 changed/new queries (the
 #      end-to-end pipeline row, the outer interval join, the update-
 #      mode rows, the complete-mode row, the scripting/binding row,
 #      the backfill-overwrite row, the bucketed-join row, the
-#      shuffle static join, and the three rows whose code or oracle
-#      changed) + the nine takuan_* Sec-2 spine rows (r6/r7-stale —
-#      the rubric's core table) + 27 of the 32 r4-stale rows
-#      (q_funnel, q_session_window, q_sliding_window,
-#      q_bloom_prefilter, and ns_dedup_pipeline, each displaced by a
-#      late-landing new row, lead the r11 backfill — new-capability
-#      certification outranks the last rows of staleness rotation,
-#      which stay pytest-oracle-green every run); 15 + 8 + 27 = 50.
+#      tail-source row, the shuffle static join, and the three rows
+#      whose code or oracle changed) + the nine takuan_* Sec-2 spine
+#      rows (r6/r7-stale — the rubric's core table) + 26 of the 32
+#      r4-stale rows (q_funnel, q_session_window, q_sliding_window,
+#      q_bloom_prefilter, ns_dedup_pipeline, and
+#      ns_score_calibration, each displaced by a late-landing new
+#      row, lead the r11 backfill — new-capability certification
+#      outranks the last rows of staleness rotation, which stay
+#      pytest-oracle-green every run); 16 + 8 + 26 = 50.
 # Anything past the cap rotates forward next round; every declared
 # query is still oracle-verified locally by tests/test_oracle.py.
 PRIORITY: list[str] = [
@@ -126,11 +127,14 @@ PRIORITY: list[str] = [
     # q_backfill_overwrite certifies dynamic partition overwrite
     # (the idempotent daily-backfill contract) from the filesystem;
     # q_bucketed_join certifies table bucketing as a co-located
-    # fact-to-fact join (plan-pinned: two fewer Exchanges) ----------
+    # fact-to-fact join (plan-pinned: two fewer Exchanges);
+    # q_tail_source_counts puts the custom Python DataSource (O1's
+    # live-tail contract) under the driver's hash gate --------------
     "q_log_pipeline_e2e", "q_stream_interval_join_outer",
     "q_stream_update_mode", "q_stream_update_windowed",
     "q_stream_complete_mode", "q_sql_scripting", "q_backfill_overwrite",
-    "q_bucketed_join", "q_stream_static_join_shuffle",
+    "q_bucketed_join", "q_tail_source_counts",
+    "q_stream_static_join_shuffle",
     "q_stream_interval_join", "q_stream_checkpoint_restart",
     "q_variant_extract", "q_jsonl_roundtrip", "q_csv_roundtrip",
     "q_xml_roundtrip",
@@ -144,12 +148,12 @@ PRIORITY: list[str] = [
     "takuan_address_report", "takuan_country_topk", "takuan_rule_filter",
     "takuan_rule_label", "takuan_json_extract", "takuan_hourly_window",
     "takuan_regex_tokenize", "takuan_geo_enrich_join",
-    # -- 3. r4-stale rows (27 of 32) — the oldest driver evidence in
+    # -- 3. r4-stale rows (26 of 32) — the oldest driver evidence in
     # the registry (q_stream_report_fold also re-certifies
     # address_report; q_funnel, q_session_window, q_sliding_window,
-    # q_bloom_prefilter, and ns_dedup_pipeline rotate to the r11
-    # backfill head — they sit last below so they are exactly the
-    # rows the 50-cap displaces) -------------------------------------
+    # q_bloom_prefilter, ns_dedup_pipeline, and ns_score_calibration
+    # rotate to the r11 backfill head — they sit last below so they
+    # are exactly the rows the 50-cap displaces) ---------------------
     "q_stream_report_fold", "q_stream_sketch_fold", "q_bloom_prefilter_prod",
     "ns_kmeans_clusters", "ns_kmeans_assign", "ns_token_pmi",
     "ns_source_overlap", "ns_ngram_lm_stats", "ns_perplexity_filter",
@@ -162,11 +166,12 @@ PRIORITY: list[str] = [
     "ns_score_calibration", "ns_dedup_pipeline", "q_bloom_prefilter",
     "q_sliding_window", "q_session_window",
     # -- 4. backfill head for r11 (rotated past the cap as late-round
-    # rows joined the head): ns_dedup_pipeline, q_bloom_prefilter,
-    # q_sliding_window, q_session_window, and q_funnel are the five
-    # r4 rows left un-retired (displaced by q_bucketed_join,
-    # q_backfill_overwrite, q_sql_scripting, q_stream_complete_mode,
-    # and q_xml_roundtrip), then the oldest r5 rows ------------------
+    # rows joined the head): ns_score_calibration, ns_dedup_pipeline,
+    # q_bloom_prefilter, q_sliding_window, q_session_window, and
+    # q_funnel are the six r4 rows left un-retired (displaced by
+    # q_tail_source_counts, q_bucketed_join, q_backfill_overwrite,
+    # q_sql_scripting, q_stream_complete_mode, and q_xml_roundtrip),
+    # then the oldest r5 rows ----------------------------------------
     "q_funnel", "ns_embedding_neardup_lsh", "q_ewma_anomaly",
     "q_compaction_bins", "ns_pca_power_iteration", "q_graph_triangles",
     "ns_vocab_oov", "ns_zipf_fit", "q_mean_shift_changepoint",

@@ -2537,3 +2537,113 @@ def q_stream_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         final, "user_id bigint, cnt bigint"
     ).orderBy(F.col("cnt").desc(), "user_id")
+
+
+@query(
+    "q_tail_source_counts",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "The CUSTOM Python DataSource (Spark 4) under the driver's hash "
+    "gate — sources/tail_source.py is the reference sensor's exact "
+    "shape (core/sensor.go:42-123: ONE live log file, byte offsets, "
+    "complete lines only) and until this row carried pytest-only "
+    "evidence. Every event is rendered to a log line "
+    "('<event_id> <event_type>'), HALF the lines are written first, "
+    "the stream starts on the filetail source and drains, the other "
+    "half is byte-appended to the SAME file while the query object "
+    "is live, and a second drain must deliver them — the row asserts "
+    "from the per-batch sink that post-append lines landed in a "
+    "LATER micro-batch than the first drain's high-water mark (the "
+    "live-tail contract, not a one-shot file read) and that exactly "
+    "one row arrived per event (no loss, no replay, no partial "
+    "line). Lines parse back to columns in the stream and the batch "
+    "GROUP BY over the sink must hash-match the events oracle. "
+    "Scale note: a log tail is inherently a single-file, "
+    "single-reader operator (the SimpleDataSourceStreamReader "
+    "prefetches on the driver by design — the reference's sensor is "
+    "the same shape); fan-out happens across MANY sensor files, "
+    "each its own cheap source, unioned — the repo's multi-sensor "
+    "union (O30) is that composition.",
+)
+def q_tail_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    from takuan_spark.sources.tail_source import register_filetail
+
+    base = _scratch(sf_dir, "tail_source")
+    os.makedirs(base)
+    log, sink, ckpt = f"{base}/app.log", f"{base}/sink", f"{base}/ckpt"
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    n_total = ev.count()
+
+    def _render(half: DataFrame, name: str) -> str:
+        tmp = f"{base}/_txt_{name}"
+        half.select(
+            F.concat_ws(" ", F.col("event_id"), F.col("event_type"))
+        ).coalesce(1).write.mode("overwrite").text(tmp)
+        return _glob.glob(os.path.join(tmp, "part-*"))[0]
+
+    first = _render(ev.where(F.pmod("event_id", F.lit(2)) == 0), "first")
+    second = _render(ev.where(F.pmod("event_id", F.lit(2)) == 1), "second")
+    shutil.copyfile(first, log)
+
+    register_filetail(spark)
+    parsed = (
+        spark.readStream.format("filetail")
+        .option("path", log)
+        .load()
+        .select(
+            F.split(F.col("value"), " ").getItem(0).cast("bigint")
+                .alias("event_id"),
+            F.split(F.col("value"), " ").getItem(1).alias("event_type"),
+        )
+    )
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch={epoch_id}")
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    q = (
+        parsed.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.read.option("basePath", sink).parquet(sink)
+        b1 = out.agg(F.max("batch")).head()[0]
+        # the live append: raw byte concatenation onto the SAME file
+        # the running query is tailing (driver-side file op, no row
+        # data — the log writer's own shape)
+        with open(log, "ab") as dst, open(second, "rb") as src:
+            shutil.copyfileobj(src, dst)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = spark.read.option("basePath", sink).parquet(sink)
+    late = out.where(F.col("batch") > b1).count()
+    if late == 0:
+        raise RuntimeError(
+            "no rows arrived after the first drain; the live-tail "
+            "append contract was never exercised"
+        )
+    got = out.count()
+    if got != n_total:
+        raise RuntimeError(
+            f"tail delivered {got} rows for {n_total} events; the "
+            f"exactly-once line contract broke"
+        )
+    return (
+        out.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("event_type")
+    )
