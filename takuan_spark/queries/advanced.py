@@ -1299,7 +1299,13 @@ ORDER BY l_returnflag
     "q_sql_scripting",
     """
     WITH cap AS (
-      SELECT POWER(2, CEIL(LOG2(MAX(l_quantity)))) AS c FROM lineitem
+      -- GREATEST(1, ...) pins the closed form to the WHILE loop's
+      -- fixpoint when MAX <= 1 (cap starts at 1 and never shrinks);
+      -- without it the formula would yield POWER(2, CEIL(LOG2(0.5)))
+      -- = 0.5 while the loop yields 1 — safe for TPC-H l_quantity
+      -- (max 50) but silently data-dependent if the generator changes.
+      SELECT GREATEST(1, POWER(2, CEIL(LOG2(MAX(l_quantity))))) AS c
+      FROM lineitem
     )
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1320,7 +1326,8 @@ ORDER BY l_returnflag
     "PARAMETER MARKER (spark.sql args=...), and all three must agree "
     "row-for-row before the row returns — any divergence raises "
     "instead of letting one surface drift. The oracle derives the "
-    "loop's fixpoint in closed form (POWER(2, CEIL(LOG2(max)))), "
+    "loop's fixpoint in closed form (GREATEST(1, POWER(2, "
+    "CEIL(LOG2(max)))) — the floor matches the loop's cap=1 start), "
     "which is also the scale note: script control flow is driver-side "
     "plan orchestration (each iteration here is pure local-variable "
     "arithmetic, the one data job is the single MAX scan), so the "
@@ -1342,8 +1349,8 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("script returned no rows; lineitem is empty")
     spark.sql("DECLARE OR REPLACE VARIABLE qcap DOUBLE")
     spark.sql(
-        "SET VAR qcap = (SELECT POWER(2, CEIL(LOG2(MAX(l_quantity)))) "
-        "FROM script_lineitem)"
+        "SET VAR qcap = (SELECT GREATEST(1, "
+        "POWER(2, CEIL(LOG2(MAX(l_quantity))))) FROM script_lineitem)"
     )
     sv_rows = [
         tuple(r)

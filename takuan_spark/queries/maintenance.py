@@ -586,6 +586,14 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = [tuple(r) for r in bucketed.collect()]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        # keep the catalog clean between runs: the builder re-derives
+        # both tables on every entry, so persistent entries pointing at
+        # tmp paths (which the OS may reap) would only confuse a later
+        # session sharing the metastore — and the fixed names would
+        # collide across concurrent sessions on the same sf_dir.
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_l}")
+        shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(
         rows, "o_orderpriority string, n_items bigint, revenue double"
     ).orderBy("o_orderpriority")

@@ -1720,6 +1720,146 @@ def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_interval_join_full",
+    """
+    SELECT l.event_id AS l_id, r.event_id AS r_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id
+     AND r.ts BETWEEN l.ts - INTERVAL 24 HOUR AND l.ts
+    ORDER BY 1, 2
+    """,
+    "Stream-stream FULL OUTER interval join under the REAL Structured "
+    "Streaming engine — closes the join-type matrix under the driver "
+    "hash gate (inner r9, leftOuter r10 rows; rightOuter/fullOuter "
+    "were real-engine pytest pins only, tests/test_stateful.py). The "
+    "full variant is the only one whose state machine must run the "
+    "eviction-emit path on BOTH buffers: an unmatched click emits "
+    "(l, NULL) and an unmatched view emits (NULL, r), each exactly "
+    "once and only when the min-of-sources watermark passes its "
+    "interval — a right row is held until watermark > r.ts + 24 h "
+    "(it could still match a later click), symmetric to the left "
+    "hold. That is the reconciliation shape of a two-ledger audit: "
+    "every record from EITHER stream accounted for, matched or "
+    "explicitly orphaned. Same two-source protocol as the other "
+    "interval rows (4 time-aligned epoch files per side, 24 h "
+    "interval, 1 h watermark, sentinels on both sources under "
+    "reserved id -1 so the final orphans flush). Non-vacuity pinned "
+    "at every SF (tests/test_stateful.py): unmatched rows exist on "
+    "BOTH sides (clicks 133/1289/12807, views 120/1281/12885 at "
+    "sf0.001/0.01/0.1) and matched pairs straddle epoch boundaries, "
+    "so dropped buffers, eager orphan emission (duplicate ids), or a "
+    "never-evicting side all hash-red against the batch FULL JOIN "
+    "oracle. numRowsDroppedByWatermark == 0 asserted. At 100 TB/day "
+    "state stays arrival rate x (interval + horizon) PER SIDE — full "
+    "outer adds the second emit-on-evict path, not more state.",
+)
+def q_stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.streaming.windows import interval_join
+
+    base = _scratch(sf_dir, "interval_join_full")
+    src_l, src_r = f"{base}/src_l", f"{base}/src_r"
+    sink, ckpt = f"{base}/sink", f"{base}/ckpt"
+    os.makedirs(src_l)
+    os.makedirs(src_r)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "user_id",
+        "event_type",
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
+    t0 = 1_600_000_000.0
+    clicks = ev.where(F.col("event_type") == "click").drop("event_type")
+    views = ev.where(F.col("event_type") == "view").drop("event_type")
+    _write_epoch_files_one_job(
+        base, src_l, clicks, time_col="ts", lo=lo, hi=hi,
+        n_epochs=_N_EPOCHS, t0=t0,
+    )
+    _write_epoch_files_one_job(
+        base, src_r, views, time_col="ts", lo=lo, hi=hi,
+        n_epochs=_N_EPOCHS, t0=t0,
+    )
+    # sentinels on BOTH sources (the watermark is the min across
+    # sources), reserved event_id/user_id -1. The co-timestamped
+    # sentinel click+view pair matches ITSELF (equal ts is inside the
+    # interval), so sentinels add only filtered (-1,-1) rows — never a
+    # spurious orphan.
+    sentinel_extra = (("user_id", -1, "bigint"),)
+    _write_sentinel_files(
+        src_l, hi, t0, "event_id", -1, "bigint", extra=sentinel_extra
+    )
+    _write_sentinel_files(
+        src_r, hi, t0, "event_id", -1, "bigint", extra=sentinel_extra
+    )
+
+    def _source(path: str):
+        return (
+            spark.readStream.schema(clicks.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        joined = interval_join(
+            _source(src_l),
+            _source(src_r),
+            on="user_id",
+            left_time="ts",
+            right_time="ts",
+            max_delay="24 hours",
+            watermark="1 hour",
+            how="fullOuter",
+        ).select(
+            F.col("l.event_id").alias("l_id"),
+            F.col("r.event_id").alias("r_id"),
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_die(q, 600)
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        if dropped != 0:
+            raise RuntimeError(
+                f"{dropped} rows dropped at the watermark; the in-order "
+                f"two-source protocol guarantees none should be"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # keep NULLs (the orphans under test); drop only sentinel ids on
+    # either side
+    out = spark.read.parquet(sink).where(
+        (F.col("l_id").isNull() | (F.col("l_id") >= 0))
+        & (F.col("r_id").isNull() | (F.col("r_id") >= 0))
+    )
+    # BOTH eviction paths must actually have run: an engine that only
+    # implemented the left half (or flushed neither) would still hash
+    # green on every matched pair.
+    if out.where(F.col("r_id").isNull()).head() is None:
+        raise RuntimeError(
+            "no unmatched click was emitted; the left eviction path "
+            "under test never fired"
+        )
+    if out.where(F.col("l_id").isNull()).head() is None:
+        raise RuntimeError(
+            "no unmatched view was emitted; the right eviction path "
+            "under test never fired"
+        )
+    return out.orderBy("l_id", "r_id")
+
+
+@query(
     "q_stream_custom_state",
     """
     WITH d AS (
@@ -2610,13 +2750,18 @@ def q_tail_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    q = (
-        parsed.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
+    # start() lives INSIDE the try: if source registration or the
+    # checkpoint dir make it throw, the finally still restores the
+    # session's shuffle-partition conf (same shape as
+    # q_stream_complete_mode).
+    q = None
     try:
+        q = (
+            parsed.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
         q.processAllAvailable()
         out = spark.read.option("basePath", sink).parquet(sink)
         b1 = out.agg(F.max("batch")).head()[0]
@@ -2627,7 +2772,8 @@ def q_tail_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.copyfileobj(src, dst)
         q.processAllAvailable()
     finally:
-        q.stop()
+        if q is not None:
+            q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.read.option("basePath", sink).parquet(sink)
     late = out.where(F.col("batch") > b1).count()

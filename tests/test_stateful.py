@@ -11,6 +11,17 @@ from takuan_spark.streaming.stateful import brute_force_alerts
 from takuan_spark.streaming.windows import sessionized_counts, windowed_counts
 
 
+def _sf_dirs():
+    """All shipped testdata SF dirs — asserted non-empty so the
+    per-SF non-vacuity guards below fail loudly on an empty mount
+    instead of silently skipping their loops."""
+    import glob
+
+    dirs = sorted(glob.glob("/root/testdata/sf*"))
+    assert dirs, "no /root/testdata/sf* dirs; non-vacuity guard never ran"
+    return dirs
+
+
 def _write_events_chunk(path, rows):
     pdf = pd.DataFrame(rows, columns=["address", "created_at", "sensor", "rule"])
     # datetime64[us]: Spark's parquet reader rejects TIMESTAMP(NANOS)
@@ -258,12 +269,11 @@ def test_custom_state_max_gap_crosses_epoch_batches():
     that user's within-epoch gaps — so an implementation that lost
     applyInPandasWithState state between micro-batches would compute a
     smaller max gap there and hash-red against the lag() oracle."""
-    import glob
 
     import duckdb
 
     con = duckdb.connect()
-    for sf_dir in sorted(glob.glob("/root/testdata/sf*")):
+    for sf_dir in _sf_dirs():
         n = con.sql(
             f"""
             WITH span AS (
@@ -319,7 +329,6 @@ def test_checkpoint_restart_boundary_window_straddles_runs():
     pass and the row would certify nothing beyond two disjoint runs.
     Also pins that run 1 flushes finalized rows (days fully behind the
     boundary exist), so re-emission after restart is detectable."""
-    import glob
 
     import duckdb
 
@@ -329,7 +338,7 @@ def test_checkpoint_restart_boundary_window_straddles_runs():
     )
 
     con = duckdb.connect()
-    for sf_dir in sorted(glob.glob("/root/testdata/sf*")):
+    for sf_dir in _sf_dirs():
         straddle, finalized = con.sql(
             f"""
             WITH span AS (
@@ -380,12 +389,11 @@ def test_stream_static_join_matches_exist_at_every_sf():
     JOIN picked the right dimension row per event, which is the
     behavior under test; every user_id maps to a customer on this
     corpus, so filtering is not the claim)."""
-    import glob
 
     import duckdb
 
     con = duckdb.connect()
-    for d in sorted(glob.glob("/root/testdata/sf*")):
+    for d in _sf_dirs():
         batches_with_matches, names = con.sql(
             f"""
             WITH span AS (
@@ -787,12 +795,10 @@ def test_late_drop_replay_margin():
     must be non-empty — otherwise the drop-accounting assertion inside
     the query would pass vacuously (0 == 0) and its oracle green would
     not be exercising the watermark-refusal path at all."""
-    import glob
 
     import duckdb
 
-    sf_dirs = sorted(glob.glob("/root/testdata/sf*"))
-    assert sf_dirs
+    sf_dirs = _sf_dirs()
     con = duckdb.connect()
     for d in sf_dirs:
         n_late, margin_hours = con.sql(
@@ -824,12 +830,11 @@ def test_interval_join_pairs_cross_epoch_batches():
     join state across a micro-batch boundary until its click arrives,
     which is the cross-batch buffering behavior under test (same-batch
     matches alone would certify nothing a batch join doesn't)."""
-    import glob
 
     import duckdb
 
     con = duckdb.connect()
-    for d in sorted(glob.glob("/root/testdata/sf*")):
+    for d in _sf_dirs():
         pairs, cross = con.sql(
             f"""
             WITH span AS (SELECT MIN(ts) lo, MAX(ts) hi
@@ -864,12 +869,11 @@ def test_update_mode_users_span_multiple_epochs():
     later micro-batch, which is the emit-revise-merge behavior under
     test (single-epoch users alone would reduce the row to append
     mode with extra steps)."""
-    import glob
 
     import duckdb
 
     con = duckdb.connect()
-    for d in sorted(glob.glob("/root/testdata/sf*")):
+    for d in _sf_dirs():
         multi = con.sql(
             f"""
             WITH span AS (SELECT MIN(ts) lo, MAX(ts) hi
@@ -900,12 +904,11 @@ def test_update_windowed_windows_span_multiple_epochs():
     time-quartile epochs — only then is that window's count re-emitted
     with a revision in a later micro-batch and merged over its earlier
     row on the COMPOSITE key, which is the behavior under test."""
-    import glob
 
     import duckdb
 
     con = duckdb.connect()
-    for d in sorted(glob.glob("/root/testdata/sf*")):
+    for d in _sf_dirs():
         multi = con.sql(
             f"""
             WITH span AS (SELECT MIN(ts) lo, MAX(ts) hi
@@ -940,12 +943,11 @@ def test_interval_join_outer_unmatched_exist_at_every_sf():
     row). The cross-batch matched-pair condition is shared with — and
     already pinned by — test_interval_join_pairs_cross_epoch_batches,
     since both rows use the same sources, interval, and epoch split."""
-    import glob
 
     import duckdb
 
     con = duckdb.connect()
-    for d in sorted(glob.glob("/root/testdata/sf*")):
+    for d in _sf_dirs():
         clicks, unmatched = con.sql(
             f"""
             WITH ev AS (SELECT * FROM read_parquet('{d}/events.parquet'))
@@ -962,6 +964,38 @@ def test_interval_join_outer_unmatched_exist_at_every_sf():
         assert unmatched > 0, (
             f"{d}: every click matched some view; the outer-eviction "
             f"NULL-emission path would be vacuous"
+        )
+    con.close()
+
+
+def test_interval_join_full_unmatched_views_exist_at_every_sf():
+    """Non-vacuity guard for q_stream_interval_join_full's RIGHT half:
+    at EVERY shipped SF some view must have no click within
+    [view.ts, view.ts + 24 h] — those are the (NULL, r) rows only the
+    right-buffer eviction path can produce. The left half (unmatched
+    clicks) and the cross-batch matched pairs are pinned by the two
+    guards above, which share sources, interval, and epoch split."""
+
+    import duckdb
+
+    con = duckdb.connect()
+    for d in _sf_dirs():
+        views, unmatched = con.sql(
+            f"""
+            WITH ev AS (SELECT * FROM read_parquet('{d}/events.parquet'))
+            SELECT COUNT(*),
+                   COALESCE(SUM(CASE WHEN l.event_id IS NULL
+                                     THEN 1 ELSE 0 END), 0)
+            FROM (SELECT * FROM ev WHERE event_type = 'view') r
+            LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') l
+              ON l.user_id = r.user_id
+             AND r.ts BETWEEN l.ts - INTERVAL 24 HOUR AND l.ts
+            """
+        ).fetchone()
+        assert views > 0, f"{d}: no views at all"
+        assert unmatched > 0, (
+            f"{d}: every view matched some click; the right-buffer "
+            f"eviction path would be vacuous"
         )
     con.close()
 
@@ -1079,7 +1113,6 @@ def test_complete_mode_top5_revises_across_epochs():
     revise an earlier one, which is the full-result re-emission the
     row asserts (a top-5 frozen after batch 0 would make the
     adjacent-snapshot-differs check fail, and the contract vacuous)."""
-    import glob
 
     import duckdb
 
@@ -1088,7 +1121,7 @@ def test_complete_mode_top5_revises_across_epochs():
         "SELECT user_id, COUNT(*) AS cnt FROM ev {where} "
         "GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 5"
     )
-    for d in sorted(glob.glob("/root/testdata/sf*")):
+    for d in _sf_dirs():
         con.execute(
             f"""
             CREATE OR REPLACE VIEW ev AS
