@@ -42,6 +42,28 @@ sum into the compact stdout line as "calib_sec". The normalized
 round-over-round delta is (total_now / total_prev) /
 (calib_now / calib_prev): if the calibration set moved by the same
 factor as the suite, the change is environment, not code.
+
+Spread gate (round 11): interleaving protects the median from ONE bad
+window, but round 10's closing host bounced across MULTIPLE passes and
+median-of-3 committed q_stream_checkpoint_restart = 32.31 s off runs
+[70.8, 6.6, 32.3] — a 5x overstatement on an unchanged plan, in the
+exact artifact the 2x gate reads. So after the interleaved passes the
+suite re-runs, mechanically, any query that is UNSETTLED:
+
+  - median > SPREAD_MAX x min(runs)  — the median itself sits in the
+    noise tail (two of three samples landed in bad windows), or
+  - median > SPREAD_MAX x its last committed same-SF median while
+    min(runs) <= SPREAD_MAX x that committed value — the round-over-
+    round record regressed but the best run says noise, not plan.
+
+Each flagged query gets up to TAKUAN_BENCH_MAX_RERUNS (default 4)
+extra runs, one at a time, until the median over ALL its runs settles;
+the reported value is that median (outlier runs stay in the raw record,
+they just lose the vote). A REAL regression stays visible: its min run
+is also slow, the second arm never fires, the first settles immediately,
+and the honest median stands after at most one extra run. Re-run counts
+are recorded in BENCH_DETAIL.json ("reruns") and the compact line
+("n_reruns") so a noisy host is legible in the committed artifact.
 """
 
 from __future__ import annotations
@@ -58,6 +80,30 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_LOG_LINES = int(os.environ.get("TAKUAN_BENCH_LOG_LINES", "200000"))
 REPEATS = max(1, int(os.environ.get("TAKUAN_BENCH_REPEATS", "3")))
+#: spread gate (see module docstring): a query is re-run while its
+#: median exceeds SPREAD_MAX x min(runs), or SPREAD_MAX x its last
+#: committed same-SF median when the min says the move is noise.
+SPREAD_MAX = 1.5
+MAX_RERUNS = max(0, int(os.environ.get("TAKUAN_BENCH_MAX_RERUNS", "4")))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    return s[len(s) // 2]
+
+
+def _unsettled(runs: list[float], prior_median: float | None) -> bool:
+    """The spread gate's predicate (module docstring, 'Spread gate')."""
+    med, lo = _median(runs), min(runs)
+    if med > SPREAD_MAX * lo:
+        return True
+    if (
+        prior_median
+        and med > SPREAD_MAX * prior_median
+        and lo <= SPREAD_MAX * prior_median
+    ):
+        return True
+    return False
 
 #: Plan-frozen queries whose medians normalize cross-round totals (see
 #: module docstring). Only change this set when one of them changes
@@ -132,6 +178,22 @@ def main() -> None:
     _load()
     spark = get_spark(app_name="takuan-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # last committed same-SF medians feed the spread gate's regression
+    # arm; a detail file from a different SF (or a broken one) is
+    # ignored rather than trusted.
+    prior_medians: dict[str, float] = {}
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    if os.path.exists(detail_path):
+        try:
+            with open(detail_path) as fh:
+                prior_doc = json.load(fh)
+            if prior_doc.get("sf") == sf_val:
+                prior_medians = prior_doc.get("queries", {})
+        except (json.JSONDecodeError, OSError):
+            pass
 
     def execute(df):
         df.write.format("noop").mode("overwrite").save()
@@ -210,13 +272,32 @@ def main() -> None:
                 one_run(name, lambda spec=spec: spec.builder(spark, SF_DIR))
             one_run("log_pipeline", build_pipeline)
 
-    timings = {
-        name: sorted(runs)[len(runs) // 2]
-        for name, runs in raw_runs.items()
-    }
+        # spread gate: re-run any unsettled query until its median
+        # settles or the re-run budget is spent (module docstring).
+        builders = {
+            name: (lambda spec=spec: spec.builder(spark, SF_DIR))
+            for name, spec in REGISTRY.items()
+        }
+        builders["log_pipeline"] = build_pipeline
+        reruns: dict[str, int] = {}
+        for name in list(raw_runs):
+            extra = 0
+            while extra < MAX_RERUNS and _unsettled(
+                raw_runs[name], prior_medians.get(name)
+            ):
+                one_run(name, builders[name])
+                extra += 1
+            if extra:
+                print(
+                    f"spread gate: {name} re-run x{extra}, runs "
+                    f"{raw_runs[name]} -> median "
+                    f"{_median(raw_runs[name]):.3f}",
+                    flush=True,
+                )
+                reruns[name] = extra
+
+    timings = {name: _median(runs) for name, runs in raw_runs.items()}
     total = round(sum(timings.values()), 3)
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full per-query detail: one dump to a repo file (the per-round
     # artifact tail-captures ~2000 chars of stdout, which >100 query
     # names cannot fit) plus an early stdout line for log readers.
@@ -229,11 +310,13 @@ def main() -> None:
         "repeats": REPEATS,
         "queries": timings,
         "runs": raw_runs,
+        "reruns": reruns,
+        "spread_max": SPREAD_MAX,
         "calibration": calibration,
         "calibration_total": calib_total,
         "sf": sf_val,
     }
-    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
+    with open(detail_path, "w") as fh:
         json.dump(detail, fh)
     print(json.dumps({k: v for k, v in detail.items() if k != "runs"}))
     # LAST line: the compact parseable summary, sized to survive the
@@ -264,6 +347,7 @@ def main() -> None:
                 "p95_sec": round(vals[int(len(vals) * 0.95)], 3),
                 "max_sec": vals[-1],
                 "calib_sec": calib_total,
+                "n_reruns": len(reruns),
                 "families": families,
                 "slowest": slowest,
                 "detail": "BENCH_DETAIL.json",
@@ -271,6 +355,14 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
+    # leave the host as we found it: the fixture scratch trees under
+    # /tmp accumulate per (kind, sf_dir) across sessions otherwise
+    # (the probe corpus is deliberately kept — see scratch.py).
+    from takuan_spark.scratch import clean_scratch
+
+    removed = clean_scratch()
+    if removed:
+        print(f"cleaned {len(removed)} scratch trees", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -348,6 +348,7 @@ def main() -> None:
         for n, r in results.items():
             print(f"| {n} | {r['sf0.1_sec']} | {r['sf1_sec']} | {r['ratio']}x |")
         spark.stop()
+        _sweep_scratch()
         return
     merged.update(results)
     # base-sanity gate: a probe row whose sf0.1 base is far above the
@@ -386,6 +387,17 @@ def main() -> None:
     for n, r in results.items():
         print(f"| {n} | {r['sf0.1_sec']} | {r['sf1_sec']} | {r['ratio']}x |")
     spark.stop()
+    _sweep_scratch()
+
+
+def _sweep_scratch() -> None:
+    """Leave the host as we found it (the probe corpus is kept —
+    scratch.py documents why)."""
+    from takuan_spark.scratch import clean_scratch
+
+    removed = clean_scratch()
+    if removed:
+        print(f"cleaned {len(removed)} scratch trees")
 
 
 if __name__ == "__main__":
