@@ -94,162 +94,129 @@ def query(name: str, oracle_sql: str | None, description: str = ""):
 #      (their old green rows no longer certify the current code);
 #   2. staleness backfill — every remaining query ordered by its
 #      LAST-GREEN round ascending, so the window always re-certifies
-#      the oldest evidence first. Round 10 applies the r9 verdict's
-#      directive: the window = the 16 r10 changed/new queries (the
-#      end-to-end pipeline row, the outer interval join, the update-
-#      mode rows, the complete-mode row, the scripting/binding row,
-#      the backfill-overwrite row, the bucketed-join row, the
-#      tail-source row, the shuffle static join, and the three rows
-#      whose code or oracle changed) + the nine takuan_* Sec-2 spine
-#      rows (r6/r7-stale — the rubric's core table) + 26 of the 32
-#      r4-stale rows (q_funnel, q_session_window, q_sliding_window,
-#      q_bloom_prefilter, ns_dedup_pipeline, and
-#      ns_score_calibration, each displaced by a late-landing new
-#      row, lead the r11 backfill — new-capability certification
-#      outranks the last rows of staleness rotation, which stay
-#      pytest-oracle-green every run); 16 + 8 + 26 = 50.
+#      the oldest evidence first. Round 11 applies the r10 verdict's
+#      directive exactly: the window = the 5 changed/new rows
+#      (q_stream_interval_join_full closes the stream-stream join-type
+#      matrix under the hash gate; q_sql_scripting's oracle gained the
+#      GREATEST(1, ...) floor; q_bucketed_join drops its catalog
+#      tables in a finally; q_tail_source_counts starts its stream
+#      inside the try; ns_cardinality_sketch_error joins `exact` once
+#      instead of per panel) + the 6 r4-stale rows (the oldest driver
+#      evidence, displaced twice by late-landing capability rows) +
+#      takuan_rdns_enrich (the one Sec-2 spine row not r10-fresh) +
+#      38 of the 39 r5-stale rows; 5 + 6 + 1 + 38 = 50.
+#      ns_text_augment (r5, additionally pinned by unit tests) is the
+#      one row the cap displaces — it leads the r12 backfill.
 # Anything past the cap rotates forward next round; every declared
 # query is still oracle-verified locally by tests/test_oracle.py.
 PRIORITY: list[str] = [
-    # -- 1. r10: CHANGED/NEW this round — q_log_pipeline_e2e (the
-    # whole reference pipeline under one oracle row),
-    # q_stream_interval_join_outer (real-engine outer join-state
-    # eviction), q_stream_update_mode (update output contract into
-    # the upsert sink), q_stream_static_join_shuffle (shuffle plan
-    # shape of the enrichment join) are new; q_stream_interval_join
-    # shares the interval_join builder that gained the join-type
-    # flag, q_stream_checkpoint_restart gained the empty-progress
-    # guards, and q_variant_extract's oracle moved to TRY_CAST;
-    # q_stream_complete_mode closes the output-mode matrix (the only
-    # mode where streaming sort+limit is legal — the top-5 report's
-    # streaming tier); q_sql_scripting certifies BEGIN/END scripting,
-    # session variables, and parameter markers against one oracle;
-    # q_backfill_overwrite certifies dynamic partition overwrite
-    # (the idempotent daily-backfill contract) from the filesystem;
-    # q_bucketed_join certifies table bucketing as a co-located
-    # fact-to-fact join (plan-pinned: two fewer Exchanges);
-    # q_tail_source_counts puts the custom Python DataSource (O1's
-    # live-tail contract) under the driver's hash gate --------------
-    "q_log_pipeline_e2e", "q_stream_interval_join_outer",
-    "q_stream_update_mode", "q_stream_update_windowed",
-    "q_stream_complete_mode", "q_sql_scripting", "q_backfill_overwrite",
-    "q_bucketed_join", "q_tail_source_counts",
-    "q_stream_static_join_shuffle",
-    "q_stream_interval_join", "q_stream_checkpoint_restart",
-    "q_variant_extract", "q_jsonl_roundtrip", "q_csv_roundtrip",
-    "q_xml_roundtrip",
-    # -- 2. the Sec-2 spine (r9 verdict item 1): the takuan_* rows
-    # carried r6-era driver evidence — three rounds is long enough
-    # for the rubric's core table; takuan_address_report additionally
-    # re-certifies address_report after the seen_col extension.
-    # takuan_rdns_enrich (r7-green, the freshest of the spine) yields
-    # its slot to the two changed roundtrip rows and leads the r7
-    # backfill instead -------------------------------------------
-    "takuan_address_report", "takuan_country_topk", "takuan_rule_filter",
-    "takuan_rule_label", "takuan_json_extract", "takuan_hourly_window",
-    "takuan_regex_tokenize", "takuan_geo_enrich_join",
-    # -- 3. r4-stale rows (26 of 32) — the oldest driver evidence in
-    # the registry (q_stream_report_fold also re-certifies
-    # address_report; q_funnel, q_session_window, q_sliding_window,
-    # q_bloom_prefilter, ns_dedup_pipeline, and ns_score_calibration
-    # rotate to the r11 backfill head — they sit last below so they
-    # are exactly the rows the 50-cap displaces) ---------------------
-    "q_stream_report_fold", "q_stream_sketch_fold", "q_bloom_prefilter_prod",
-    "ns_kmeans_clusters", "ns_kmeans_assign", "ns_token_pmi",
-    "ns_source_overlap", "ns_ngram_lm_stats", "ns_perplexity_filter",
-    "q_cdc_merge", "q_cdc_latest", "ns_dataset_card",
-    "ns_importance_weights", "q_touch_attribution", "ns_quantile_bins",
-    "ns_class_rebalance", "ns_embedding_qc", "ns_mixture_schedule",
-    "q_event_dedup_window", "q_zonemap_prune_compare",
-    "ns_leakage_safe_split", "ns_k_anonymity", "ns_tokenizer_fertility",
-    "ns_boilerplate_strip", "q_dq_audit", "q_salted_join",
-    "ns_score_calibration", "ns_dedup_pipeline", "q_bloom_prefilter",
-    "q_sliding_window", "q_session_window",
-    # -- 4. backfill head for r11 (rotated past the cap as late-round
-    # rows joined the head): ns_score_calibration, ns_dedup_pipeline,
-    # q_bloom_prefilter, q_sliding_window, q_session_window, and
-    # q_funnel are the six r4 rows left un-retired (displaced by
-    # q_tail_source_counts, q_bucketed_join, q_backfill_overwrite,
-    # q_sql_scripting, q_stream_complete_mode, and q_xml_roundtrip),
-    # then the oldest r5 rows ----------------------------------------
-    "q_funnel", "ns_embedding_neardup_lsh", "q_ewma_anomaly",
-    "q_compaction_bins", "ns_pca_power_iteration", "q_graph_triangles",
-    "ns_vocab_oov", "ns_zipf_fit", "q_mean_shift_changepoint",
-    "ns_dup_representative", "ns_matryoshka_qc", "ns_pii_risk",
-    "ns_kcenter_coreset", "q_local_clustering", "q_interarrival_stats",
-    "ns_ks_drift", "ns_mad_outliers", "ns_filter_funnel",
-    "ns_int8_quant_error", "q_community_labels", "q_stream_dedup_fold",
-    "ns_burstiness", "ns_template_mining", "ns_quantile_normalize",
-    "q_stream_ann_fold",
-    "ns_deletion_cascade", "ns_manifest_hash", "ns_text_augment",
-    "ns_source_dedup_matrix", "q_cohort_retention", "q_asof_join",
-    "q_stats_agg", "q_pivot_conditional", "mm_media_summary",
-    "mm_feature_extract", "mm_frame_sample", "ns_dedup_exact",
-    "ns_dedup_incremental", "ns_embedding_neardup", "ns_text_stats",
-    "ns_curation_pipeline", "ns_lang_id", "ns_quality_score",
+    # -- 1. r11: CHANGED/NEW this round -------------------------------
+    "q_stream_interval_join_full", "q_sql_scripting", "q_bucketed_join",
+    "q_tail_source_counts", "ns_cardinality_sketch_error",
+    # -- 2. the 6 r4-stale rows — the oldest driver evidence in the
+    # registry, scheduled (and displaced) in r10; they re-verify
+    # against the local DuckDB oracle in every pytest run ------------
+    "ns_dedup_pipeline", "ns_score_calibration", "q_bloom_prefilter",
+    "q_funnel", "q_session_window", "q_sliding_window",
+    # -- 3. the one Sec-2 spine row not r10-fresh (r7) ----------------
+    "takuan_rdns_enrich",
+    # -- 4. the r5-stale class (38 of 39; ns_text_augment rotates to
+    # the r12 head) ---------------------------------------------------
+    "mm_feature_extract", "mm_frame_sample", "mm_media_summary",
+    "ns_burstiness", "ns_dedup_exact", "ns_dedup_incremental",
+    "ns_deletion_cascade", "ns_dup_representative", "ns_embedding_neardup",
+    "ns_embedding_neardup_lsh", "ns_filter_funnel", "ns_int8_quant_error",
+    "ns_kcenter_coreset", "ns_ks_drift", "ns_mad_outliers",
+    "ns_manifest_hash", "ns_matryoshka_qc", "ns_pca_power_iteration",
+    "ns_pii_risk", "ns_quantile_normalize", "ns_source_dedup_matrix",
+    "ns_template_mining", "ns_text_stats", "ns_vocab_oov", "ns_zipf_fit",
+    "q_asof_join", "q_cohort_retention", "q_community_labels",
+    "q_compaction_bins", "q_ewma_anomaly", "q_graph_triangles",
+    "q_interarrival_stats", "q_local_clustering", "q_mean_shift_changepoint",
+    "q_pivot_conditional", "q_stats_agg", "q_stream_ann_fold",
+    "q_stream_dedup_fold",
+    # -- 5. backfill tail, ordered by last-green round ascending
+    # (r5 remainder, then r6..r10) so future windows keep retiring the
+    # oldest evidence first -------------------------------------------
+    "ns_text_augment", "ns_curation_pipeline", "ns_fingerprint",
+    "ns_knn_join", "ns_lang_id", "ns_quality_score", "ns_similarity_topk",
     "ns_stratified_sample", "ns_tfidf_topterms", "ns_winnow_fingerprint",
-    "ns_fingerprint", "ns_similarity_topk", "ns_knn_join",
-    "q_scalar_subquery", "q_correlated_subquery", "q_array_functions",
-    "q_full_outer_join", "q_ip_range_join", "q_ip_range_join_bucketed",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q_top_customers", "q_grouping_sets", "q_window_lag_lead",
-    "q_window_rank", "q_rollup", "q6_forecast_revenue", "q4_order_priority",
     "q10_returned_items", "q14_promo_revenue", "q19_disjunctive_filter",
-    "q_cube", "q_pandas_udaf", "q_anti_join", "q_semi_join", "q_set_ops",
-    "q_union_distinct", "q_string_functions", "q_date_functions",
-    "q_math_functions", "takuan_rdns_enrich",
-    "q_stream_minhash_fold", "ns_minhash_recall",
-    "ns_minhash_estimate_error", "ns_minhash_prod_mode", "mm_audio_segments",
-    "mm_scene_cuts", "mm_binaryfile_ingest", "ns_cms_heavy_hitters",
-    "ns_cms_join_size", "q_stream_cms_fold", "ns_cms_error",
-    "ns_dp_histogram", "q_distinct_count", "q_first_value_per_group",
-    "ns_simhash_neardup", "ns_lsh_similarity_topk", "ns_ivf_topk",
-    "ns_ivf_probe", "ns_lsh_probe", "q2_min_cost_supplier",
-    "q13_customer_distribution", "q21_suppliers_kept_waiting",
-    "ns_repetition_filter", "ns_pack_sequences", "ns_embedding_centroids",
-    "ns_random_projection", "q_salted_agg", "q7_nation_volume_shipping",
-    "q8_market_share", "q9_product_type_profit", "q15_top_supplier",
-    "ns_pq_topk", "ns_pq_probe", "ns_pq_rerank", "ns_ivfpq_probe",
-    "ns_pii_redact", "ns_sample_to_mix", "ns_chunk_documents",
-    "ns_rag_pipeline", "q_gap_fill_interpolate", "q_hypertable_rollup",
-    "q11_part_value_share", "q_stream_bloom_fold", "q_stream_moments_fold",
-    "q_stream_session_fold", "q_stream_hist_fold", "q_stream_hll_fold",
-    "mm_phash_neardup", "ns_bm25_search", "q12_priority_by_returnflag",
+    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q_anti_join",
+    "q_array_functions", "q_correlated_subquery", "q_cube",
+    "q_date_functions", "q_full_outer_join", "q_grouping_sets",
+    "q_ip_range_join", "q_ip_range_join_bucketed", "q_math_functions",
+    "q_pandas_udaf", "q_rollup", "q_scalar_subquery", "q_semi_join",
+    "q_set_ops", "q_string_functions", "q_top_customers", "q_union_distinct",
+    "q_window_lag_lead", "q_window_rank", "mm_audio_segments",
+    "mm_binaryfile_ingest", "mm_scene_cuts", "ns_chunk_documents",
+    "ns_cms_error", "ns_cms_heavy_hitters", "ns_cms_join_size",
+    "ns_dp_histogram", "ns_embedding_centroids", "ns_ivf_probe",
+    "ns_ivf_topk", "ns_ivfpq_probe", "ns_lsh_probe",
+    "ns_lsh_similarity_topk", "ns_minhash_estimate_error",
+    "ns_minhash_prod_mode", "ns_minhash_recall", "ns_pack_sequences",
+    "ns_pii_redact", "ns_pq_probe", "ns_pq_rerank", "ns_pq_topk",
+    "ns_rag_pipeline", "ns_random_projection", "ns_repetition_filter",
+    "ns_sample_to_mix", "ns_simhash_neardup", "q11_part_value_share",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q21_suppliers_kept_waiting", "q2_min_cost_supplier",
+    "q7_nation_volume_shipping", "q8_market_share", "q9_product_type_profit",
+    "q_distinct_count", "q_first_value_per_group", "q_gap_fill_interpolate",
+    "q_hypertable_rollup", "q_salted_agg", "q_stream_bloom_fold",
+    "q_stream_cms_fold", "q_stream_hist_fold", "q_stream_hll_fold",
+    "q_stream_minhash_fold", "q_stream_moments_fold",
+    "q_stream_session_fold", "mm_image_resize", "mm_phash_neardup",
+    "ns_ann_recall", "ns_bitext_mining", "ns_blocked_linkage",
+    "ns_bm25_search", "ns_code_detect", "ns_containment_neardup",
+    "ns_dedup_clusters", "ns_dedup_sweep", "ns_domain_filter",
+    "ns_domain_stats", "ns_gopher_rules", "ns_jaccard_neardup",
+    "ns_kmv_distinct", "ns_lsh_band_tuning", "ns_minhash_lsh_neardup",
+    "ns_pack_efficiency", "ns_quantile_sketch_error", "ns_record_linkage",
+    "ns_sft_mask_stats", "ns_simhash_radius_tuning", "ns_snapshot_diff",
+    "ns_vocab_coverage", "ns_weighted_sample", "q12_priority_by_returnflag",
     "q16_supplier_count_by_part", "q17_small_quantity_revenue",
     "q18_large_orders", "q20_promo_share_suppliers",
-    "q22_idle_rich_customers", "ns_kmv_distinct", "ns_weighted_sample",
-    "q_asof_nearest_tolerance", "q_except_all", "q_histogram",
-    "q_null_safe_join", "q_percentiles", "q_udtf_tokenize",
-    "ns_domain_stats", "ns_domain_filter", "q_orc_partition_prune",
-    "q_graph_kcore", "ns_code_detect", "mm_image_resize", "ns_snapshot_diff",
-    "ns_ann_recall", "q_watermark_audit", "q_sql_function_surface",
-    "q_mv_incremental", "q_range_partition_balance", "q_schema_evolution",
-    "ns_gopher_rules", "ns_lsh_band_tuning", "ns_sft_mask_stats",
-    "ns_pack_efficiency", "q_graph_link_prediction",
-    "ns_quantile_sketch_error", "ns_simhash_radius_tuning",
-    "ns_vocab_coverage", "ns_cardinality_sketch_error",
-    "q_seasonality_profile", "q_graph_adamic_adar", "ns_bitext_mining",
-    "q_native_sketch_parity", "ns_dedup_sweep", "ns_dedup_clusters",
-    "ns_jaccard_neardup", "ns_minhash_lsh_neardup", "ns_blocked_linkage",
-    "ns_record_linkage", "ns_containment_neardup",
-    # -- 6. r9-green (freshest evidence, re-certified last): the r9
-    # window minus the three rows promoted to the r10 head ---------
-    "q_stream_late_drop", "q_stream_dedup_replay", "q_stream_custom_state",
-    "q_stream_rocksdb_state", "q_stream_static_join", "q_recursive_cte",
-    "q_state_store_reader", "q_sql_pipe_syntax", "q_stream_window_fold",
-    "q_stream_session_window", "ns_decontaminate", "q_window_range_frame",
-    "q_stateful_alerts", "q_stateful_profile", "ns_semdedup",
-    "ns_substring_dedup", "ns_shard_assign", "q_interval_overlap_join",
-    "ns_unicode_normalize", "ns_dup_size_histogram", "ns_bm25_batch",
-    "q_sliding_distinct", "ns_hll_distinct", "ns_token_entropy",
-    "q_graph_pagerank", "q_quantile_sketch", "q_key_skew_profile",
-    "ns_length_outliers", "ns_cluster_purity", "q_corr_regression",
-    "q_scd2_intervals", "ns_bpe_merge_candidates",
-    "ns_effective_corpus_size", "ns_kmv_set_ops", "q_zorder_locality",
-    "ns_epoch_novelty", "ns_contrastive_triplets", "q_sliding_distinct_hll",
-    "ns_cluster_sample", "ns_duplication_pareto", "ns_hard_negatives",
-    "ns_keyword_tagging", "ns_length_bucketing", "ns_winsorized_stats",
-    "q_ntile_deciles", "q_rolling_median", "q_unpivot_metrics",
+    "q22_idle_rich_customers", "q_asof_nearest_tolerance", "q_except_all",
+    "q_graph_adamic_adar", "q_graph_kcore", "q_graph_link_prediction",
+    "q_histogram", "q_mv_incremental", "q_native_sketch_parity",
+    "q_null_safe_join", "q_orc_partition_prune", "q_percentiles",
+    "q_range_partition_balance", "q_schema_evolution",
+    "q_seasonality_profile", "q_sql_function_surface", "q_udtf_tokenize",
+    "q_watermark_audit", "ns_bm25_batch", "ns_bpe_merge_candidates",
+    "ns_cluster_purity", "ns_cluster_sample", "ns_contrastive_triplets",
+    "ns_decontaminate", "ns_dup_size_histogram", "ns_duplication_pareto",
+    "ns_effective_corpus_size", "ns_epoch_novelty", "ns_hard_negatives",
+    "ns_hll_distinct", "ns_keyword_tagging", "ns_kmv_set_ops",
+    "ns_length_bucketing", "ns_length_outliers", "ns_semdedup",
+    "ns_shard_assign", "ns_substring_dedup", "ns_token_entropy",
+    "ns_unicode_normalize", "ns_winsorized_stats", "q_corr_regression",
+    "q_graph_pagerank", "q_interval_overlap_join", "q_key_skew_profile",
+    "q_ntile_deciles", "q_quantile_sketch", "q_recursive_cte",
+    "q_rolling_median", "q_scd2_intervals", "q_sliding_distinct",
+    "q_sliding_distinct_hll", "q_sql_pipe_syntax", "q_state_store_reader",
+    "q_stateful_alerts", "q_stateful_profile", "q_stream_custom_state",
+    "q_stream_dedup_replay", "q_stream_late_drop", "q_stream_rocksdb_state",
+    "q_stream_session_window", "q_stream_static_join",
+    "q_stream_window_fold", "q_unpivot_metrics", "q_window_range_frame",
+    "q_zorder_locality", "ns_boilerplate_strip", "ns_class_rebalance",
+    "ns_dataset_card", "ns_embedding_qc", "ns_importance_weights",
+    "ns_k_anonymity", "ns_kmeans_assign", "ns_kmeans_clusters",
+    "ns_leakage_safe_split", "ns_mixture_schedule", "ns_ngram_lm_stats",
+    "ns_perplexity_filter", "ns_quantile_bins", "ns_source_overlap",
+    "ns_token_pmi", "ns_tokenizer_fertility", "q_backfill_overwrite",
+    "q_bloom_prefilter_prod", "q_cdc_latest", "q_cdc_merge",
+    "q_csv_roundtrip", "q_dq_audit", "q_event_dedup_window",
+    "q_jsonl_roundtrip", "q_log_pipeline_e2e", "q_salted_join",
+    "q_stream_checkpoint_restart", "q_stream_complete_mode",
+    "q_stream_interval_join", "q_stream_interval_join_outer",
+    "q_stream_report_fold", "q_stream_sketch_fold",
+    "q_stream_static_join_shuffle", "q_stream_update_mode",
+    "q_stream_update_windowed", "q_touch_attribution", "q_variant_extract",
+    "q_xml_roundtrip", "q_zonemap_prune_compare", "takuan_address_report",
+    "takuan_country_topk", "takuan_geo_enrich_join", "takuan_hourly_window",
+    "takuan_json_extract", "takuan_regex_tokenize", "takuan_rule_filter",
+    "takuan_rule_label",
 ]
 
 

@@ -586,12 +586,27 @@ def ns_cardinality_sketch_error(
         toks, group_cols=["source"], value_col="tok"
     ).select("source", "est_distinct")
 
-    def _panel(est: DataFrame, label: str) -> DataFrame:
-        j = est.join(exact, "source")
-        return j.select(
+    def _labeled(est: DataFrame, label: str) -> DataFrame:
+        return est.select(
             F.lit(label).alias("sketch"),
             "source",
             F.col("est_distinct").cast("double").alias("est_distinct"),
+        )
+
+    # union the (sketch-sized) estimates FIRST and join `exact` once:
+    # joining exact into each panel separately re-ran the full
+    # explode + count_distinct shuffle per panel — 4 document scans
+    # where 3 suffice (measured ~25% of the row's cost at sf0.1; the
+    # r10 bench flagged this row and the re-profile traced the fixed
+    # term here, not to a plan regression).
+    return (
+        _labeled(hll, "hll")
+        .unionAll(_labeled(kmv, "kmv"))
+        .join(exact, "source")
+        .select(
+            "sketch",
+            "source",
+            "est_distinct",
             "exact_distinct",
             F.round(
                 F.abs(F.col("est_distinct") - F.col("exact_distinct"))
@@ -600,10 +615,6 @@ def ns_cardinality_sketch_error(
                 4,
             ).alias("rel_err"),
         )
-
-    return (
-        _panel(hll, "hll")
-        .unionAll(_panel(kmv, "kmv"))
         .orderBy("sketch", "source")
     )
 
