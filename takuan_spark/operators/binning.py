@@ -58,6 +58,75 @@ def bin_profile(
     )
 
 
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    k: int,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact NTILE(k) over a GLOBAL total order, distributed.
+
+    A bare ``ntile(k).over(Window.orderBy(...))`` collapses the whole
+    relation into ONE window partition — a single-task sort that
+    serializes at any scale (the r11 sweep found exactly that in
+    q_ntile_deciles). Distributed shape: range-repartition on the
+    order columns (partitions become globally ordered blocks), local
+    row_number within each block via a window PARTITIONED by the block
+    id (parallel across blocks), then per-block row counts — block
+    grain, broadcastable — yield each block's global offset and the
+    relation's total, and the NTILE bucket follows in closed form
+    (ntile semantics: n div k rows per bucket, the first n mod k
+    buckets carry one extra).
+
+    ``order_cols`` must be a TOTAL order (include a unique tiebreak):
+    under ties, rank placement — and therefore bucket membership at
+    bucket boundaries — would depend on physical row placement. The
+    range-partitioned frame is persisted (materialize) because the
+    offsets pass and the rank pass must observe the SAME partitioning;
+    two passes over a stable snapshot is what exact global ranking
+    costs at any scale (the same contract as zipWithIndex).
+    """
+    from takuan_spark.operators.skew import materialize
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    part = materialize(
+        df.repartitionByRange(n_part, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    counts = part.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    # block grain: rows = num_partitions, data-independent — the
+    # single-partition cumulative window is a constant, not a scale term
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    meta = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(Window.partitionBy()).alias("_n"),
+    )
+    w_loc = Window.partitionBy("_pid").orderBy(*order_cols)
+    rn = F.row_number().over(w_loc) + F.col("_off")
+    q = F.expr(f"_n div {k}")
+    r = F.expr(f"_n % {k}")
+    big = q + F.lit(1)
+    # first r buckets hold q+1 rows, the rest q; the otherwise branch
+    # (division by q) is only reached when q > 0 because with q == 0
+    # every row satisfies rn <= r * 1 (r == n)
+    bucket = F.when(
+        F.col("_rn") <= r * big, F.ceil(F.col("_rn") / big)
+    ).otherwise(r + F.ceil((F.col("_rn") - r * big) / q))
+    return (
+        part.join(F.broadcast(meta), "_pid")
+        .withColumn("_rn", rn)
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("_pid", "_off", "_n", "_rn")
+    )
+
+
 def quantile_normalize(
     df: DataFrame,
     *,

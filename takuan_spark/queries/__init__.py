@@ -104,15 +104,25 @@ def query(name: str, oracle_sql: str | None, description: str = ""):
 #      instead of per panel) + the 6 r4-stale rows (the oldest driver
 #      evidence, displaced twice by late-landing capability rows) +
 #      takuan_rdns_enrich (the one Sec-2 spine row not r10-fresh) +
-#      38 of the 39 r5-stale rows; 5 + 6 + 1 + 38 = 50.
-#      ns_text_augment (r5, additionally pinned by unit tests) is the
-#      one row the cap displaces — it leads the r12 backfill.
+#      35 of the 39 r5-stale rows; 8 + 6 + 1 + 35 = 50. Three of the
+#      changed rows are r11 scale fixes driven by the 100x probes and
+#      the global-window sweep: q_interval_overlap_join moved from the
+#      bucketed-expansion join (density-squared — 160x on 100x) to the
+#      sweep-line/rank formulation; q_ntile_deciles moved from the
+#      one-task Window.orderBy ntile to the distributed global_ntile
+#      (range blocks + broadcast offsets, 22.4x -> 1.35x on 100x);
+#      ns_duplication_pareto now takes its top-10 BEFORE ranking
+#      instead of ranking every fingerprint group in one window task.
+#      ns_text_augment, mm_media_summary, ns_kcenter_coreset, and
+#      ns_matryoshka_qc (r5, all additionally pinned by unit tests)
+#      are the rows the cap displaces — they lead the r12 backfill.
 # Anything past the cap rotates forward next round; every declared
 # query is still oracle-verified locally by tests/test_oracle.py.
 PRIORITY: list[str] = [
     # -- 1. r11: CHANGED/NEW this round -------------------------------
     "q_stream_interval_join_full", "q_sql_scripting", "q_bucketed_join",
     "q_tail_source_counts", "ns_cardinality_sketch_error",
+    "q_interval_overlap_join", "q_ntile_deciles", "ns_duplication_pareto",
     # -- 2. the 6 r4-stale rows — the oldest driver evidence in the
     # registry, scheduled (and displaced) in r10; they re-verify
     # against the local DuckDB oracle in every pytest run ------------
@@ -122,12 +132,12 @@ PRIORITY: list[str] = [
     "takuan_rdns_enrich",
     # -- 4. the r5-stale class (38 of 39; ns_text_augment rotates to
     # the r12 head) ---------------------------------------------------
-    "mm_feature_extract", "mm_frame_sample", "mm_media_summary",
+    "mm_feature_extract", "mm_frame_sample",
     "ns_burstiness", "ns_dedup_exact", "ns_dedup_incremental",
     "ns_deletion_cascade", "ns_dup_representative", "ns_embedding_neardup",
     "ns_embedding_neardup_lsh", "ns_filter_funnel", "ns_int8_quant_error",
-    "ns_kcenter_coreset", "ns_ks_drift", "ns_mad_outliers",
-    "ns_manifest_hash", "ns_matryoshka_qc", "ns_pca_power_iteration",
+    "ns_ks_drift", "ns_mad_outliers",
+    "ns_manifest_hash", "ns_pca_power_iteration",
     "ns_pii_risk", "ns_quantile_normalize", "ns_source_dedup_matrix",
     "ns_template_mining", "ns_text_stats", "ns_vocab_oov", "ns_zipf_fit",
     "q_asof_join", "q_cohort_retention", "q_community_labels",
@@ -138,7 +148,8 @@ PRIORITY: list[str] = [
     # -- 5. backfill tail, ordered by last-green round ascending
     # (r5 remainder, then r6..r10) so future windows keep retiring the
     # oldest evidence first -------------------------------------------
-    "ns_text_augment", "ns_curation_pipeline", "ns_fingerprint",
+    "ns_text_augment", "mm_media_summary", "ns_kcenter_coreset",
+    "ns_matryoshka_qc", "ns_curation_pipeline", "ns_fingerprint",
     "ns_knn_join", "ns_lang_id", "ns_quality_score", "ns_similarity_topk",
     "ns_stratified_sample", "ns_tfidf_topterms", "ns_winnow_fingerprint",
     "q10_returned_items", "q14_promo_revenue", "q19_disjunctive_filter",
@@ -185,14 +196,14 @@ PRIORITY: list[str] = [
     "q_seasonality_profile", "q_sql_function_surface", "q_udtf_tokenize",
     "q_watermark_audit", "ns_bm25_batch", "ns_bpe_merge_candidates",
     "ns_cluster_purity", "ns_cluster_sample", "ns_contrastive_triplets",
-    "ns_decontaminate", "ns_dup_size_histogram", "ns_duplication_pareto",
+    "ns_decontaminate", "ns_dup_size_histogram",
     "ns_effective_corpus_size", "ns_epoch_novelty", "ns_hard_negatives",
     "ns_hll_distinct", "ns_keyword_tagging", "ns_kmv_set_ops",
     "ns_length_bucketing", "ns_length_outliers", "ns_semdedup",
     "ns_shard_assign", "ns_substring_dedup", "ns_token_entropy",
     "ns_unicode_normalize", "ns_winsorized_stats", "q_corr_regression",
-    "q_graph_pagerank", "q_interval_overlap_join", "q_key_skew_profile",
-    "q_ntile_deciles", "q_quantile_sketch", "q_recursive_cte",
+    "q_graph_pagerank", "q_key_skew_profile",
+    "q_quantile_sketch", "q_recursive_cte",
     "q_rolling_median", "q_scd2_intervals", "q_sliding_distinct",
     "q_sliding_distinct_hll", "q_sql_pipe_syntax", "q_state_store_reader",
     "q_stateful_alerts", "q_stateful_profile", "q_stream_custom_state",

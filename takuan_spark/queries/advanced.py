@@ -711,11 +711,17 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY a.user_id, session_start
     """,
     "Interval-overlap join (concurrency analysis): even-user sessions "
-    "vs odd-user sessions, counting overlapping-in-time pairs. Spark "
-    "side uses the bucketed expansion (explode to epoch-grid buckets, "
-    "equi-join, exact predicate, dedup) — hash-partitionable at any "
-    "scale where the naive range cross-join is not; the oracle is the "
-    "direct range join, proving the expansion exact.",
+    "vs odd-user sessions, counting overlapping-in-time pairs per "
+    "even-user session. Spark side uses the sweep-line/rank "
+    "formulation — n_overlap = #{b_start <= a_end} - #{b_end < "
+    "a_start}, two distributed order-statistics joins (bucket-"
+    "partitioned running counts + a broadcast bucket-total "
+    "cumulative) — because the r11 100x probe proved the previous "
+    "bucketed-expansion equi-join superlinear: at a fixed time span, "
+    "100x data is 100x intervals per bucket PER SIDE, so candidates "
+    "grew density-squared (measured 160x on 100x). The rank form "
+    "carries no pair term at all; the oracle is the direct range "
+    "join, proving the ranks exact pair-for-pair.",
 )
 def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from takuan_spark.operators.intervals import overlap_counts
@@ -872,19 +878,26 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Decile assignment (NTILE) over order value with a unique-key "
     "tiebreak, then per-decile stats — the feature-engineering "
-    "bucketing primitive. NOTE the single global sort NTILE implies: "
-    "fine for reporting cuts; the scale-out alternative for billions "
-    "of rows is the histogram sketch's rank interpolation "
-    "(q_quantile_sketch), which this query is the exact cross-check "
-    "for.",
+    "bucketing primitive. Spark side runs the DISTRIBUTED exact NTILE "
+    "(operators/binning.py global_ntile: range-repartition into "
+    "globally ordered blocks, parallel per-block row_number, broadcast "
+    "block offsets, closed-form bucket) — the r11 sweep found the "
+    "previous ntile().over(Window.orderBy(...)) collapsed the whole "
+    "relation into ONE window task, the serial sort this row's 100x "
+    "probe made visible; the oracle is the direct single-sort NTILE, "
+    "proving the distributed ranks identical row-for-row. The "
+    "approximate alternative at reporting scale remains the histogram "
+    "sketch's rank interpolation (q_quantile_sketch), which this "
+    "query is the exact cross-check for.",
 )
 def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from takuan_spark.operators.binning import global_ntile
 
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    d = orders.select(
-        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    d = global_ntile(
+        orders, ["o_totalprice", "o_orderkey"], k=10, out_col="decile"
     )
     return (
         d.groupBy(F.col("decile").cast("int").alias("decile"))

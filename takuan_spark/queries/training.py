@@ -664,8 +664,12 @@ def ns_epoch_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Duplication Pareto curve: cumulative corpus share owned by the "
     "top-k most-duplicated texts — the dedup ROI diagnostic (a steep "
     "curve says a handful of boilerplate texts dominate; a flat one "
-    "says exact dedup is already cheap). Fingerprint groups plus two "
-    "tiny windows over the top-10 rows.",
+    "says exact dedup is already cheap). Fingerprint groups, a "
+    "distributed top-10 (TakeOrderedAndProject), a broadcast scalar "
+    "total, then the rank/cumsum windows over exactly 10 rows — the "
+    "r11 sweep found the previous plan ranked ALL fingerprint groups "
+    "in one single-partition window before the top-10 filter, a "
+    "one-task sort at corpus scale.",
 )
 def ns_duplication_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -674,22 +678,21 @@ def ns_duplication_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = docs.groupBy(F.md5("text").alias("fp")).agg(
         F.count("*").cast("bigint").alias("dup_n")
     )
+    total = grp.agg(F.sum("dup_n").alias("total"))
+    top = grp.orderBy(F.desc("dup_n"), "fp").limit(10)
     wr = Window.orderBy(F.desc("dup_n"), "fp")
-    ranked = grp.select(
-        "dup_n",
-        F.row_number().over(wr).alias("rnk"),
-        F.sum("dup_n").over(Window.partitionBy()).alias("total"),
+    wc = Window.orderBy(F.desc("dup_n"), "fp").rowsBetween(
+        Window.unboundedPreceding, 0
     )
-    wc = Window.orderBy("rnk")
     return (
-        ranked.select(
-            F.col("rnk").cast("bigint").alias("rnk"),
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(wr).cast("bigint").alias("rnk"),
             "dup_n",
             F.round(
                 F.sum("dup_n").over(wc).cast("double") / F.col("total"), 6
             ).alias("cum_share"),
         )
-        .where(F.col("rnk") <= 10)
         .orderBy("rnk")
     )
 

@@ -140,3 +140,71 @@ def test_interval_overlap_counts_bucket_boundaries(spark):
         ).collect()
     }
     assert out == {1: 1, 2: 2, 3: 0}
+
+
+def test_interval_overlap_counts_match_bruteforce_random(spark):
+    """The sweep-line/rank counts must equal the brute-force O(n^2)
+    census on a randomized interval set — including touching endpoints
+    (a_end == b_start counts: the predicate is inclusive on both
+    sides), sub-second boundaries (ranks run on microsecond epochs;
+    second-truncated epochs would mis-rank them), duplicate interval
+    keys (count once), and zero-overlap rows (kept, 0)."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(411)
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(n, key):
+        rows = []
+        for i in range(n):
+            s = base + dt.timedelta(
+                seconds=rng.randint(0, 72 * 3600),
+                microseconds=rng.choice((0, 1, 499999, 999999)),
+            )
+            e = s + dt.timedelta(seconds=rng.randint(0, 8 * 3600))
+            rows.append({key: i, "s": s, "e": e})
+        return rows
+
+    a_rows, b_rows = mk(40, "aid"), mk(35, "bid")
+    # touching endpoints: one exact a_end == b_start pair
+    a_rows.append({"aid": 40, "s": base, "e": base + dt.timedelta(hours=1)})
+    b_rows.append(
+        {
+            "bid": 35,
+            "bs": base + dt.timedelta(hours=1),
+            "be": base + dt.timedelta(hours=2),
+        }
+    )
+    # duplicate b key: must count once
+    b_rows.append({"bid": 0, "bs": b_rows[0]["s"], "be": b_rows[0]["e"]})
+    b_norm = [
+        {"bid": r["bid"], "bs": r.get("bs", r.get("s")), "be": r.get("be", r.get("e"))}
+        for r in b_rows
+    ]
+    b_dedup = {r["bid"]: r for r in b_norm}.values()
+    expected = {
+        ar["aid"]: sum(
+            1
+            for br in b_dedup
+            if ar["s"] <= br["be"] and br["bs"] <= ar["e"]
+        )
+        for ar in a_rows
+    }
+
+    from takuan_spark.operators.intervals import overlap_counts
+
+    a = spark.createDataFrame([Row(**r) for r in a_rows])
+    b = spark.createDataFrame([Row(**r) for r in b_norm])
+    got = {
+        r["aid"]: r["n_overlap"]
+        for r in overlap_counts(
+            a, b,
+            a_keys=["aid"], b_keys=["bid"],
+            a_start="s", a_end="e", b_start="bs", b_end="be",
+            bucket_secs=3600,
+        ).collect()
+    }
+    assert got == expected

@@ -601,3 +601,52 @@ def test_dp_histogram_release_mode_drops_true_count(spark):
     assert out.columns == ["lang", "lbucket", "noisy_count"]
     audit = dp_histogram(df, ["lang", "lbucket"], k_min=5)
     assert out.collect()[0].noisy_count == audit.collect()[0].noisy_count
+
+
+def test_global_ntile_matches_single_sort_ntile(spark):
+    """global_ntile (range-blocks + offsets + closed form) must equal
+    Spark's own ntile over ONE window partition row-for-row — for
+    remainder splits (n % k != 0), k > n (every row its own bucket),
+    k = 1, and heavy value ties (the unique tiebreak column decides)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from takuan_spark.operators.binning import global_ntile
+
+    rng = random.Random(7)
+    rows = [(rng.choice([1.0, 2.0, 5.0]), i) for i in range(97)]
+    df = spark.createDataFrame(rows, "v double, id bigint").repartition(8)
+    order = ["v", "id"]
+    for k in (1, 3, 10, 200):
+        got = {
+            (r["v"], r["id"]): r["b"]
+            for r in global_ntile(df, order, k=k, out_col="b").collect()
+        }
+        w = Window.orderBy(*order)
+        want = {
+            (r["v"], r["id"]): r["b"]
+            for r in df.select(
+                "v", "id", F.ntile(k).over(w).alias("b")
+            ).collect()
+        }
+        assert got == want, f"k={k}: {sorted(got.items())[:5]} ..."
+
+
+def test_global_ntile_plan_has_no_single_partition_window(spark):
+    """The point of global_ntile: the executed plan's window runs
+    PARTITIONED (by the range-block id), never as the one-task
+    global-sort window a bare Window.orderBy produces."""
+    from takuan_spark.operators.binning import global_ntile
+
+    df = spark.range(1000).selectExpr("id", "id % 7 as v")
+    out = global_ntile(df, ["v", "id"], k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Window \[.*?\]", plan):
+        frag = m.group(0)
+        assert "partitionBy" not in frag or "_pid" in frag
+    # the local-rank window must be partitioned by the block id
+    assert "_pid" in plan
