@@ -92,6 +92,13 @@ def global_ntile(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    reserved = {"_pid", "_rn", "_n", "_off", "_cnt"} & set(df.columns)
+    if reserved:
+        # fail loudly rather than silently overwriting and dropping a
+        # caller's column (the same convention as overlap_pairs' '_bk')
+        raise ValueError(
+            f"column names {sorted(reserved)} are reserved by global_ntile"
+        )
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     part = materialize(

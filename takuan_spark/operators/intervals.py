@@ -214,18 +214,35 @@ def overlap_counts(
     and measured 160x on 100x data at a fixed time span.
 
     Contract (same as the pair path): ``a_keys``/``b_keys`` identify an
-    interval on their side; duplicate-key rows count once. A feeds two
-    plan branches (the probes and the final zero-preserving left join);
-    it is materialized here so the caller's upstream work — often a
-    full sessionization — runs once. ``bucket_secs`` no longer affects
-    the candidate mass, only window parallelism: pick it so one
-    bucket's rows sort comfortably in one task."""
+    interval on their side; duplicate-key rows count once. For inputs
+    that VIOLATE the contract (same key, different endpoints) the
+    representative is the lexicographically smallest (start, end) per
+    key — a deterministic pick where dropDuplicates would count
+    whichever row physical placement happened to keep (the old pair
+    path counted a key if ANY of its rows overlapped; no single
+    representative can reproduce that, so the deterministic minimum is
+    the defined behavior). A feeds two plan branches (the probes and
+    the final zero-preserving left join); it is materialized here so
+    the caller's upstream work — often a full sessionization — runs
+    once. ``bucket_secs`` no longer affects the candidate mass, only
+    window parallelism: pick it so one bucket's rows sort comfortably
+    in one task."""
     from takuan_spark.operators.skew import materialize
+
+    def _canonical(df: DataFrame, keys: list[str], start: str, end: str):
+        # endpoint columns may themselves be key columns (the
+        # registered query keys A on (user_id, s_start)) — only the
+        # non-key endpoints come from the representative struct
+        iv = F.min(F.struct(F.col(start), F.col(end))).alias("_iv")
+        extra = [c for c in (start, end) if c not in keys]
+        return df.groupBy(*keys).agg(iv).select(
+            *keys, *(F.col(f"_iv.{c}").alias(c) for c in extra)
+        )
 
     a = materialize(a)
     counts = _overlap_rank_counts(
-        a.dropDuplicates(a_keys),
-        b.dropDuplicates(b_keys),
+        _canonical(a, a_keys, a_start, a_end),
+        _canonical(b, b_keys, b_start, b_end),
         a_keys=a_keys,
         a_start=a_start,
         a_end=a_end,

@@ -130,8 +130,9 @@ PRIORITY: list[str] = [
     "q_funnel", "q_session_window", "q_sliding_window",
     # -- 3. the one Sec-2 spine row not r10-fresh (r7) ----------------
     "takuan_rdns_enrich",
-    # -- 4. the r5-stale class (38 of 39; ns_text_augment rotates to
-    # the r12 head) ---------------------------------------------------
+    # -- 4. the r5-stale class (35 of 39; ns_text_augment,
+    # mm_media_summary, ns_kcenter_coreset, and ns_matryoshka_qc
+    # rotate to the r12 head — see the docstring above) ----------------
     "mm_feature_extract", "mm_frame_sample",
     "ns_burstiness", "ns_dedup_exact", "ns_dedup_incremental",
     "ns_deletion_cascade", "ns_dup_representative", "ns_embedding_neardup",

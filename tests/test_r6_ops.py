@@ -635,18 +635,43 @@ def test_global_ntile_matches_single_sort_ntile(spark):
 
 
 def test_global_ntile_plan_has_no_single_partition_window(spark):
-    """The point of global_ntile: the executed plan's window runs
-    PARTITIONED (by the range-block id), never as the one-task
-    global-sort window a bare Window.orderBy produces."""
+    """The point of global_ntile: the executed plan's DATA-grain
+    window (the one ordering by the caller's order columns) runs
+    PARTITIONED by the range-block id, never as the one-task
+    global-sort window a bare Window.orderBy produces. Plan text
+    shape (verified empirically): a partitioned window prints
+    'Window [exprs], [partition_cols], [order]' — the '], [_pid#'
+    middle group — while a global one prints only
+    'Window [exprs], [order]'. The detector is validated against a
+    deliberately regressed plan so it can never go vacuous."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     from takuan_spark.operators.binning import global_ntile
 
-    df = spark.range(1000).selectExpr("id", "id % 7 as v")
-    out = global_ntile(df, ["v", "id"], k=10)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    import re
+    def data_windows(frame, order_col_marker):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        return [
+            line
+            for line in plan.split("\n")
+            if "windowspecdefinition" in line
+            and order_col_marker in line.split("windowspecdefinition", 1)[1]
+        ]
 
-    for m in re.finditer(r"Window \[.*?\]", plan):
-        frag = m.group(0)
-        assert "partitionBy" not in frag or "_pid" in frag
-    # the local-rank window must be partitioned by the block id
-    assert "_pid" in plan
+    df = spark.range(1000).selectExpr("id", "id % 7 as v")
+    good = data_windows(global_ntile(df, ["v", "id"], k=10), "v#")
+    assert good, "no data-grain window found; the plan shape changed"
+    for line in good:
+        assert "], [_pid#" in line, f"unpartitioned data window: {line}"
+
+    # negative control: the detector must CATCH the regressed form
+    bad = data_windows(
+        df.select(
+            "v", "id",
+            F.ntile(10).over(Window.orderBy("v", "id")).alias("b"),
+        ),
+        "v#",
+    )
+    assert bad and any("], [_pid#" not in line for line in bad), (
+        "detector failed to flag a bare global-sort window"
+    )
