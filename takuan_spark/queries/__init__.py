@@ -104,7 +104,7 @@ def query(name: str, oracle_sql: str | None, description: str = ""):
 #      instead of per panel) + the 6 r4-stale rows (the oldest driver
 #      evidence, displaced twice by late-landing capability rows) +
 #      takuan_rdns_enrich (the one Sec-2 spine row not r10-fresh) +
-#      35 of the 39 r5-stale rows; 8 + 6 + 1 + 35 = 50. Three of the
+#      34 of the 39 r5-stale rows; 9 + 6 + 1 + 34 = 50. Three of the
 #      changed rows are r11 scale fixes driven by the 100x probes and
 #      the global-window sweep: q_interval_overlap_join moved from the
 #      bucketed-expansion join (density-squared — 160x on 100x) to the
@@ -113,14 +113,21 @@ def query(name: str, oracle_sql: str | None, description: str = ""):
 #      (range blocks + broadcast offsets, 22.4x -> 1.35x on 100x);
 #      ns_duplication_pareto now takes its top-10 BEFORE ranking
 #      instead of ranking every fingerprint group in one window task.
-#      ns_text_augment, mm_media_summary, ns_kcenter_coreset, and
-#      ns_matryoshka_qc (r5, all additionally pinned by unit tests)
-#      are the rows the cap displaces — they lead the r12 backfill.
+#      q_stream_unordered_state is NEW in r11: the buffer-and-sort-in-
+#      state interarrival fold under out-of-order epoch arrival — the
+#      arrival-contract gap the r9/r10 verdicts carried against
+#      q_stream_custom_state's ordered fold, now hash-gated.
+#      ns_text_augment, mm_media_summary, ns_kcenter_coreset,
+#      ns_matryoshka_qc, and q_stream_dedup_fold (r5, all additionally
+#      pinned by unit tests — the dedup fold by a real-engine replay
+#      test) are the rows the cap displaces — they lead the r12
+#      backfill.
 # Anything past the cap rotates forward next round; every declared
 # query is still oracle-verified locally by tests/test_oracle.py.
 PRIORITY: list[str] = [
     # -- 1. r11: CHANGED/NEW this round -------------------------------
-    "q_stream_interval_join_full", "q_sql_scripting", "q_bucketed_join",
+    "q_stream_interval_join_full", "q_stream_unordered_state",
+    "q_sql_scripting", "q_bucketed_join",
     "q_tail_source_counts", "ns_cardinality_sketch_error",
     "q_interval_overlap_join", "q_ntile_deciles", "ns_duplication_pareto",
     # -- 2. the 6 r4-stale rows — the oldest driver evidence in the
@@ -130,9 +137,10 @@ PRIORITY: list[str] = [
     "q_funnel", "q_session_window", "q_sliding_window",
     # -- 3. the one Sec-2 spine row not r10-fresh (r7) ----------------
     "takuan_rdns_enrich",
-    # -- 4. the r5-stale class (35 of 39; ns_text_augment,
-    # mm_media_summary, ns_kcenter_coreset, and ns_matryoshka_qc
-    # rotate to the r12 head — see the docstring above) ----------------
+    # -- 4. the r5-stale class (34 of 39; ns_text_augment,
+    # mm_media_summary, ns_kcenter_coreset, ns_matryoshka_qc, and
+    # q_stream_dedup_fold rotate to the r12 head — see the docstring
+    # above) -----------------------------------------------------------
     "mm_feature_extract", "mm_frame_sample",
     "ns_burstiness", "ns_dedup_exact", "ns_dedup_incremental",
     "ns_deletion_cascade", "ns_dup_representative", "ns_embedding_neardup",
@@ -145,12 +153,12 @@ PRIORITY: list[str] = [
     "q_compaction_bins", "q_ewma_anomaly", "q_graph_triangles",
     "q_interarrival_stats", "q_local_clustering", "q_mean_shift_changepoint",
     "q_pivot_conditional", "q_stats_agg", "q_stream_ann_fold",
-    "q_stream_dedup_fold",
     # -- 5. backfill tail, ordered by last-green round ascending
     # (r5 remainder, then r6..r10) so future windows keep retiring the
     # oldest evidence first -------------------------------------------
     "ns_text_augment", "mm_media_summary", "ns_kcenter_coreset",
-    "ns_matryoshka_qc", "ns_curation_pipeline", "ns_fingerprint",
+    "ns_matryoshka_qc", "q_stream_dedup_fold",
+    "ns_curation_pipeline", "ns_fingerprint",
     "ns_knn_join", "ns_lang_id", "ns_quality_score", "ns_similarity_topk",
     "ns_stratified_sample", "ns_tfidf_topterms", "ns_winnow_fingerprint",
     "q10_returned_items", "q14_promo_revenue", "q19_disjunctive_filter",

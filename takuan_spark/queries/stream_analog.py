@@ -1991,6 +1991,155 @@ def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_unordered_state",
+    """
+    WITH d AS (
+        SELECT user_id, epoch_us(ts) AS t_us,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts)) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(t_us) AS BIGINT) AS first_us,
+           CAST(MAX(t_us) AS BIGINT) AS last_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM d
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "q_stream_custom_state's order-dependent fold under OUT-OF-ORDER "
+    "batch arrival — the contract gap that row documents away: its "
+    "immediate fold is only correct because time-quartile epochs "
+    "arrive in event-time order, while a production source (multi-"
+    "partition Kafka, S3 listing order) makes no such promise. Here "
+    "the SAME four epochs arrive mtime-ordered [1, 0, 3, 2] — every "
+    "user with events in epochs 0 and 1 (asserted to exist) reaches "
+    "state out of order, and the immediate fold provably reds the "
+    "hash (pinned in tests/test_stateful.py: it computes a gap "
+    "SPANNING the inversion, e.g. 190 s where the truth is 100 s). "
+    "The buffer-and-sort variant (make_gap_buffer_update_fn) instead "
+    "buffers event times in state and seals into the running fold "
+    "only the prefix strictly below the WATERMARK — safe because the "
+    "engine drops later-arriving rows below it before they reach the "
+    "operator — so correctness needs no arrival order at all, only "
+    "the watermark contract itself. Watermark delay is 0.6x the "
+    "corpus span: large enough that the [1,0,3,2] delivery loses "
+    "nothing (numRowsDroppedByWatermark == 0 asserted; epoch 0 "
+    "arrives at wm = lo - 0.1*span, epoch 2 at wm = lo + 0.4*span "
+    "< its min time), small enough that the final real batch runs a "
+    "MID-STREAM seal (wm = lo + 0.4*span folds epoch 0 and part of "
+    "epoch 1 while epoch 2 is still arriving), so the prefix-seal "
+    "path — not just the timeout flush — is on the hash-gated path. "
+    "State per key = four int64s + 8 bytes per PENDING event, bounded "
+    "by watermark delay x per-key rate — the canonical watermarked-"
+    "operator state bound; at 100 TB/day the buffer is the price of "
+    "tolerated disorder and the ordered row is the zero-buffer "
+    "special case.",
+)
+def q_stream_unordered_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from takuan_spark.streaming.stateful import interarrival_stats
+
+    base = _scratch(sf_dir, "unordered_state")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
+    t0 = 1_600_000_000.0
+    _write_epoch_files_one_job(
+        base, src, ev, time_col="ts", lo=lo, hi=hi, n_epochs=_N_EPOCHS, t0=t0
+    )
+    # re-stamp arrival order to [1, 0, 3, 2]: epoch 1 leads epoch 0 and
+    # epoch 3 leads epoch 2 (absent files = empty epochs, skipped)
+    for rank, e in enumerate((1, 0, 3, 2)):
+        f = os.path.join(src, f"e{e}.parquet")
+        if os.path.exists(f):
+            mt = t0 + 10 * rank
+            os.utime(f, (mt, mt))
+    _write_sentinel_files(src, hi, t0, "user_id", -1, "bigint")
+    # non-vacuity: some user must have events in BOTH epoch 0 and epoch
+    # 1, so the inverted arrival actually feeds that user's state out
+    # of event-time order (tests pin this at every shipped SF too)
+    span_us = max(
+        1,
+        (hi - lo) / _N_EPOCHS // datetime.timedelta(microseconds=1),
+    )
+    ep = _epoch_index("ts", lo, span_us, _N_EPOCHS)
+    inverted = (
+        ev.select(F.col("user_id"), ep.alias("_ep"))
+        .where(F.col("_ep").isin(0, 1))
+        .groupBy("user_id")
+        .agg(F.countDistinct("_ep").alias("k"))
+        .where(F.col("k") == 2)
+        .head()
+    )
+    if inverted is None:
+        raise RuntimeError(
+            "no user has events in both epoch 0 and epoch 1; the "
+            "out-of-order arrival under test would be vacuous"
+        )
+    flush_at_ms = int(
+        (hi + datetime.timedelta(days=1))
+        .replace(tzinfo=datetime.timezone.utc)
+        .timestamp()
+        * 1000
+    )
+    # 0.6x span: see the registry docstring for the no-drop and
+    # mid-stream-seal derivations (both margins are 0.1x span)
+    delay_secs = int(0.6 * (hi - lo).total_seconds()) + 1
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            interarrival_stats(
+                stream,
+                key_col="user_id",
+                time_col="ts",
+                watermark=f"{delay_secs} seconds",
+                flush_at_ms=flush_at_ms,
+                assume_ordered_arrival=False,
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_die(q, 600)
+        # the 0.6x-span tolerance is sized so the inverted delivery
+        # loses NOTHING: a drop would mean the fold ran over a thinned
+        # sequence (and the no-drop derivation above was wrong)
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        if dropped != 0:
+            raise RuntimeError(
+                f"{dropped} rows dropped at the watermark; the 0.6x-span "
+                f"tolerance guarantees the [1,0,3,2] delivery drops none"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.read.parquet(sink)
+        .where(F.col("user_id") >= 0)
+        .orderBy("user_id")
+    )
+
+
+@query(
     "q_stream_static_join",
     """
     SELECT e.event_id, e.user_id, c.c_name, c.c_nationkey

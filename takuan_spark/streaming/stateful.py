@@ -19,6 +19,7 @@ event.
 
 from __future__ import annotations
 
+import bisect
 from collections.abc import Iterable, Iterator
 from typing import Any
 
@@ -27,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -159,6 +161,55 @@ _GAP_STATE_SCHEMA = StructType(
     ]
 )
 
+# buffer-and-sort variant: the sealed fold plus the pending event times
+# (little-endian int64 micros, packed into one binary column — compact
+# in the state store and immune to Arrow list-column round-trip quirks)
+_GAP_BUF_STATE_SCHEMA = StructType(
+    [
+        StructField("first_us", LongType(), True),
+        StructField("last_us", LongType(), True),
+        StructField("max_gap_us", LongType(), True),
+        StructField("n", LongType(), True),
+        StructField("buf", BinaryType(), True),
+    ]
+)
+
+
+def _fold_gap(
+    first_us: int | None,
+    last_us: int | None,
+    max_gap_us: int | None,
+    n: int,
+    sorted_times: list[int],
+) -> tuple[int | None, int | None, int | None, int]:
+    """Fold a SORTED run of event times (micros) into the running
+    (first, last, max_gap, n) interarrival state — the sequential
+    order-dependent step shared by both arrival protocols."""
+    for t in sorted_times:
+        if last_us is not None:
+            gap = t - last_us
+            if max_gap_us is None or gap > max_gap_us:
+                max_gap_us = gap
+        if first_us is None:
+            first_us = t
+        last_us = t
+        n += 1
+    return first_us, last_us, max_gap_us, n
+
+
+def _pack_times(times: list[int]) -> bytes:
+    import numpy as np
+
+    return np.asarray(times, dtype="<i8").tobytes()
+
+
+def _unpack_times(buf) -> list[int]:
+    import numpy as np
+
+    if not buf:
+        return []
+    return np.frombuffer(bytes(buf), dtype="<i8").tolist()
+
 
 def make_gap_update_fn(key_col: str, flush_at_ms: int):
     """Per-group update function for :func:`interarrival_stats`,
@@ -208,16 +259,90 @@ def make_gap_update_fn(key_col: str, flush_at_ms: int):
         else:
             first_us = last_us = max_gap_us = None
             n = 0
-        for t in times:
-            if last_us is not None:
-                gap = t - last_us
-                if max_gap_us is None or gap > max_gap_us:
-                    max_gap_us = gap
-            if first_us is None:
-                first_us = t
-            last_us = t
-            n += 1
+        first_us, last_us, max_gap_us, n = _fold_gap(
+            first_us, last_us, max_gap_us, n, times
+        )
         state.update((first_us, last_us, max_gap_us, n))
+        state.setTimeoutTimestamp(
+            max(flush_at_ms, state.getCurrentWatermarkMs() + 1)
+        )
+
+    return update
+
+
+def make_gap_buffer_update_fn(key_col: str, flush_at_ms: int):
+    """Per-group update function for the UNORDERED-arrival variant of
+    :func:`interarrival_stats` — module-level so the seal/flush
+    semantics are unit-testable with a fake GroupState.
+
+    Where :func:`make_gap_update_fn` folds each batch immediately (and
+    is therefore only correct when batches arrive in event-time order),
+    this one buffers event times and lets the WATERMARK decide what is
+    safe to fold: a time strictly below the current watermark can never
+    be preceded by a future arrival, because the engine drops late rows
+    below the watermark before they reach the state operator (the same
+    filter ``numRowsDroppedByWatermark`` counts). Each call therefore
+
+    1. appends the batch's times to the pending buffer,
+    2. sorts the buffer and SEALS the prefix ``t < watermark_us`` into
+       the running (first, last, max_gap, n) fold,
+    3. keeps the unsealed suffix buffered (packed int64 micros).
+
+    State per key is the four fold int64s plus 8 bytes per *pending*
+    event — bounded by the watermark delay times the key's event rate,
+    the canonical state bound of every watermarked streaming operator
+    (a larger tolerated disorder costs proportionally more state; the
+    ordered variant is the zero-buffer special case). Emission happens
+    only on event-time timeout at ``flush_at_ms``, sealing whatever
+    remains buffered — callers guarantee the flush point is past any
+    time the key may still receive, exactly as in the ordered variant.
+    """
+
+    def update(
+        key: tuple[int],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        if state.hasTimedOut:
+            first_us, last_us, max_gap_us, n, buf = state.get
+            first_us, last_us, max_gap_us, n = _fold_gap(
+                first_us, last_us, max_gap_us, n,
+                sorted(_unpack_times(buf)),
+            )
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        key_col: uid,
+                        "n_events": n,
+                        "first_us": first_us,
+                        "last_us": last_us,
+                        "max_gap_us": max_gap_us,
+                    }
+                ]
+            )
+            return
+        pending: list[int] = []
+        for pdf in pdfs:
+            pending.extend(int(x) for x in pdf["ts_us"])
+        if state.exists:
+            first_us, last_us, max_gap_us, n, buf = state.get
+            pending.extend(_unpack_times(buf))
+        else:
+            first_us = last_us = max_gap_us = None
+            n = 0
+        pending.sort()
+        # seal strictly below the watermark; a tie stays buffered (the
+        # engine's late filter makes no promise about the boundary row)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        cut = bisect.bisect_left(pending, wm_us)
+        first_us, last_us, max_gap_us, n = _fold_gap(
+            first_us, last_us, max_gap_us, n, pending[:cut]
+        )
+        state.update(
+            (first_us, last_us, max_gap_us, n, _pack_times(pending[cut:]))
+        )
         state.setTimeoutTimestamp(
             max(flush_at_ms, state.getCurrentWatermarkMs() + 1)
         )
@@ -232,6 +357,7 @@ def interarrival_stats(
     time_col: str = "ts",
     watermark: str = "1 hour",
     flush_at_ms: int,
+    assume_ordered_arrival: bool = True,
 ) -> DataFrame:
     """Per-key ordered interarrival fold under the real streaming engine:
     n_events, first/last event time (micros) and the MAX gap between
@@ -247,8 +373,24 @@ def interarrival_stats(
     (epoch millis; callers pick a point past the last real event and
     advance the watermark there with sentinel rows under a reserved
     key). A live deployment would instead re-arm a rolling idle timeout
-    per key, as :func:`brute_force_alerts` does."""
-    update = make_gap_update_fn(key_col, flush_at_ms)
+    per key, as :func:`brute_force_alerts` does.
+
+    ``assume_ordered_arrival`` picks the arrival contract. True (the
+    default): batches reach each key in event-time order and the fold
+    is immediate — zero buffer, four int64s per key — the right mode
+    behind a replayed log or time-partitioned epoch files. False: the
+    source may deliver batches in ANY order within the watermark
+    tolerance; event times are buffered in state and sealed into the
+    fold only once the watermark passes them (see
+    :func:`make_gap_buffer_update_fn`), trading state size — 8 bytes
+    per pending event, bounded by watermark delay x per-key rate — for
+    order-independence. Same output, same flush protocol."""
+    if assume_ordered_arrival:
+        update = make_gap_update_fn(key_col, flush_at_ms)
+        state_schema = _GAP_STATE_SCHEMA
+    else:
+        update = make_gap_buffer_update_fn(key_col, flush_at_ms)
+        state_schema = _GAP_BUF_STATE_SCHEMA
     from pyspark.sql import functions as F
 
     return (
@@ -259,7 +401,7 @@ def interarrival_stats(
         .applyInPandasWithState(
             update,
             outputStructType=gap_output_schema(key_col),
-            stateStructType=_GAP_STATE_SCHEMA,
+            stateStructType=state_schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

@@ -262,6 +262,68 @@ def test_gap_update_fn_carries_state_and_flushes_on_timeout():
     assert st3.get == (5, 5, None, 1)
 
 
+def test_gap_buffer_update_fn_seals_by_watermark_not_arrival():
+    """The unordered-arrival variant: event times are buffered in state
+    and sealed into the fold only once the watermark passes them, so an
+    inverted delivery yields the same answer the ordered protocol
+    gives — while the ordered fold on the same feed is provably wrong
+    (the non-vacuity of q_stream_unordered_state's arrival protocol)."""
+    from takuan_spark.streaming.stateful import (
+        make_gap_buffer_update_fn,
+        make_gap_update_fn,
+    )
+
+    flush_ms = 10**15
+    fn = make_gap_buffer_update_fn("user_id", flush_ms)
+
+    # inverted delivery: [100s] then [0s, 10s] — truth: gaps 10s, 90s
+    st = _FakeState()
+    assert list(fn((7,), iter([pd.DataFrame({"ts_us": [100_000_000]})]), st)) == []
+    assert list(fn((7,), iter([pd.DataFrame({"ts_us": [10_000_000, 0]})]), st)) == []
+    # nothing sealed yet (watermark 0): fold empty, 3 times pending
+    assert st.get[:4] == (None, None, None, 0)
+    assert len(st.get[4]) == 3 * 8
+    assert st.timeout_ts_ms == flush_ms
+
+    # watermark passes 50s -> MID-STREAM seal of the [0, 10s] prefix;
+    # 100s (>= wm) stays buffered
+    st.watermark_ms = 50_000
+    assert list(fn((7,), iter([pd.DataFrame({"ts_us": [200_000_000]})]), st)) == []
+    assert st.get[:4] == (0, 10_000_000, 10_000_000, 2)
+    assert len(st.get[4]) == 2 * 8
+
+    # timeout: remaining buffer seals, final row matches the lag() truth
+    st.hasTimedOut = True
+    (row,) = list(fn((7,), iter([]), st))
+    assert st.removed
+    assert row.iloc[0].to_dict() == {
+        "user_id": 7,
+        "n_events": 4,
+        "first_us": 0,
+        "last_us": 200_000_000,
+        "max_gap_us": 100_000_000,
+    }
+
+    # negative control: the ORDERED fold on the same inverted feed
+    # computes a gap spanning the inversion — wrong first/last/max_gap
+    st2 = _FakeState()
+    fo = make_gap_update_fn("user_id", flush_ms)
+    list(fo((7,), iter([pd.DataFrame({"ts_us": [100_000_000]})]), st2))
+    list(fo((7,), iter([pd.DataFrame({"ts_us": [10_000_000, 0]})]), st2))
+    list(fo((7,), iter([pd.DataFrame({"ts_us": [200_000_000]})]), st2))
+    assert st2.get != (0, 200_000_000, 100_000_000, 4), (
+        "the ordered fold handled unordered arrival; the buffered "
+        "variant (and its registered row) would be vacuous"
+    )
+
+    # a seal-boundary TIE stays buffered (strictly-below contract)
+    st3 = _FakeState()
+    st3.watermark_ms = 10  # wm_us = 10_000
+    list(fn((9,), iter([pd.DataFrame({"ts_us": [10_000, 3_000]})]), st3))
+    assert st3.get[:4] == (3_000, 3_000, None, 1)
+    assert len(st3.get[4]) == 8  # the tie at exactly wm_us
+
+
 def test_custom_state_max_gap_crosses_epoch_batches():
     """Non-vacuity guard for q_stream_custom_state: at EVERY shipped SF
     some user's TRUE max inter-arrival gap must sit between two events
@@ -1062,6 +1124,117 @@ def test_gap_fold_is_batch_split_invariant(times, cuts):
     st_done = _FakeState(value=st_fake.get, timed_out=True)
     (row,) = list(fn((7,), iter([]), st_done))
     assert row.iloc[0]["n_events"] == len(ordered)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    times=st.lists(
+        st.integers(min_value=0, max_value=10_000_000),
+        min_size=1,
+        max_size=40,
+    ),
+    batch_of=st.lists(
+        st.integers(min_value=0, max_value=4), min_size=40, max_size=40
+    ),
+    delay_ms=st.integers(min_value=0, max_value=10_000),
+)
+def test_buffered_gap_fold_is_arrival_order_invariant(
+    times, batch_of, delay_ms
+):
+    """Property for the UNORDERED variant: assign each event time to an
+    arbitrary batch (so batches are neither time-contiguous nor in
+    event-time order), deliver under the engine's admission model —
+    before each batch the watermark is (max prior event time - delay),
+    and rows below it are dropped before reaching the operator — and
+    the buffered fold must equal the direct lag() computation over
+    exactly the ADMITTED rows. This is the whole contract of
+    make_gap_buffer_update_fn: correctness from the watermark alone,
+    no arrival-order assumption at all."""
+    import pandas as pd
+
+    from takuan_spark.streaming.stateful import make_gap_buffer_update_fn
+
+    fn = make_gap_buffer_update_fn("user_id", 10**15)
+    batches: dict[int, list[int]] = {}
+    for t, b in zip(times, batch_of):
+        batches.setdefault(b, []).append(t)
+
+    st_fake = _FakeState()
+    admitted: list[int] = []
+    max_seen_us: int | None = None
+    for b in sorted(batches):
+        # engine model: watermark for this batch comes from PRIOR data
+        wm_ms = (
+            0
+            if max_seen_us is None
+            else max(0, max_seen_us // 1000 - delay_ms)
+        )
+        st_fake.watermark_ms = wm_ms
+        feed = [t for t in batches[b] if t >= wm_ms * 1000]
+        admitted.extend(feed)
+        max_seen_us = max([max_seen_us or 0, *batches[b]])
+        if not feed:
+            continue
+        out = list(
+            fn((7,), iter([pd.DataFrame({"ts_us": feed})]), st_fake)
+        )
+        assert out == []  # emission only on timeout
+
+    if not admitted:
+        assert not st_fake.exists
+        return
+    st_fake.hasTimedOut = True
+    (row,) = list(fn((7,), iter([]), st_fake))
+    ordered = sorted(admitted)
+    gaps = [b - a for a, b in zip(ordered, ordered[1:])]
+    got = row.iloc[0]
+    assert got["n_events"] == len(ordered)
+    assert got["first_us"] == ordered[0]
+    assert got["last_us"] == ordered[-1]
+    expected_gap = max(gaps) if gaps else None
+    assert (
+        expected_gap is None
+        and pd.isna(got["max_gap_us"])
+        or got["max_gap_us"] == expected_gap
+    )
+
+
+def test_unordered_state_epoch_inversion_exists_at_every_sf():
+    """Non-vacuity guard for q_stream_unordered_state: at EVERY shipped
+    SF some user must have events in BOTH epoch 0 and epoch 1 — under
+    the row's [1, 0, 3, 2] arrival order that user's times reach state
+    out of event-time order, and the ordered fold would record epoch
+    1's min as first_us (epoch 0's rows arrive after) and hash-red
+    against the lag() oracle. Without such a user the inverted delivery
+    would test nothing."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf_dir in _sf_dirs():
+        n = con.sql(
+            f"""
+            WITH span AS (
+                SELECT MIN(ts) AS lo, MAX(ts) AS hi
+                FROM read_parquet('{sf_dir}/events.parquet')
+            ),
+            ev AS (
+                SELECT user_id, LEAST(CAST(3 AS BIGINT), CAST(FLOOR(
+                    4.0 * EXTRACT(EPOCH FROM ts - span.lo)
+                        / NULLIF(EXTRACT(EPOCH FROM span.hi - span.lo), 0)
+                ) AS BIGINT)) AS ep
+                FROM read_parquet('{sf_dir}/events.parquet'), span
+            )
+            SELECT COUNT(*) FROM (
+                SELECT user_id FROM ev WHERE ep IN (0, 1)
+                GROUP BY user_id HAVING COUNT(DISTINCT ep) = 2
+            )
+            """
+        ).fetchone()[0]
+        assert n > 0, (
+            f"{sf_dir}: no user spans epochs 0 and 1; the inverted "
+            f"arrival under test would be vacuous"
+        )
+    con.close()
 
 
 def test_streaming_sort_limit_requires_complete_mode(spark, tmp_path):
