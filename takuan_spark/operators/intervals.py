@@ -221,12 +221,14 @@ def overlap_counts(
     whichever row physical placement happened to keep (the old pair
     path counted a key if ANY of its rows overlapped; no single
     representative can reproduce that, so the deterministic minimum is
-    the defined behavior). A feeds two plan branches (the probes and
-    the final zero-preserving left join); it is materialized here so
-    the caller's upstream work — often a full sessionization — runs
-    once. ``bucket_secs`` no longer affects the candidate mass, only
-    window parallelism: pick it so one bucket's rows sort comfortably
-    in one task."""
+    the defined behavior); the OUTPUT carries the same canonical
+    endpoints, one row per key, so the emitted interval is always the
+    one the count was computed for. The canonical A feeds two plan
+    branches (the probes and the final zero-preserving left join); it
+    is materialized here so the caller's upstream work — often a full
+    sessionization — runs once. ``bucket_secs`` no longer affects the
+    candidate mass, only window parallelism: pick it so one bucket's
+    rows sort comfortably in one task."""
     from takuan_spark.operators.skew import materialize
 
     def _canonical(df: DataFrame, keys: list[str], start: str, end: str):
@@ -239,9 +241,9 @@ def overlap_counts(
             *keys, *(F.col(f"_iv.{c}").alias(c) for c in extra)
         )
 
-    a = materialize(a)
+    a_canon = materialize(_canonical(a, a_keys, a_start, a_end))
     counts = _overlap_rank_counts(
-        _canonical(a, a_keys, a_start, a_end),
+        a_canon,
         _canonical(b, b_keys, b_start, b_end),
         a_keys=a_keys,
         a_start=a_start,
@@ -252,7 +254,7 @@ def overlap_counts(
     )
     # endpoint columns may already be key columns — project each once
     cols = list(dict.fromkeys([*a_keys, a_start, a_end]))
-    return a.join(counts, a_keys, "left").select(
+    return a_canon.join(counts, a_keys, "left").select(
         *cols,
         F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
     )

@@ -177,6 +177,7 @@ def _write_sentinel_files(
     key_type: str,
     *,
     extra: tuple = (),
+    days: tuple = (10, 20),
 ) -> None:
     """The two far-future watermark-flush sentinels, written with
     pyarrow directly — sentinel frames are 1 row, and even the
@@ -186,15 +187,20 @@ def _write_sentinel_files(
     (timestamp, key, *extra) frame in the UTC-pinned session, so the
     stream's schema enforcement sees identical files. ``extra`` is a
     tuple of (name, value, type) columns appended AFTER the key, in
-    order — the file columns must match the stream schema exactly."""
+    order — the file columns must match the stream schema exactly.
+    ``days`` places the two sentinels at ``hi + days[i]``: callers
+    whose watermark delay is not small against the corpus span must
+    ride the delay here (sentinel-1 at delay + margin), so the sweep
+    fires in sentinel-2's FILE batch — per the protocol — rather than
+    depending on the trailing no-data micro-batch."""
     import datetime
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     arrow_types = {"string": pa.string(), "bigint": pa.int64()}
-    for i, days in enumerate((10, 20)):
-        ts = (hi + datetime.timedelta(days=days)).replace(
+    for i, days_i in enumerate(days):
+        ts = (hi + datetime.timedelta(days=days_i)).replace(
             tzinfo=datetime.timezone.utc
         )
         cols = {
@@ -2031,6 +2037,11 @@ def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "MID-STREAM seal (wm = lo + 0.4*span folds epoch 0 and part of "
     "epoch 1 while epoch 2 is still arriving), so the prefix-seal "
     "path — not just the timeout flush — is on the hash-gated path. "
+    "Because the delay is NOT small against the span, the flush "
+    "sentinels ride it (hi + delay + 10/20 d): sentinel-2's batch "
+    "then runs the timeout sweep at wm = hi + 10 d > flush_at for "
+    "any corpus span, instead of depending on the trailing no-data "
+    "micro-batch. "
     "State per key = four int64s + 8 bytes per PENDING event, bounded "
     "by watermark delay x per-key rate — the canonical watermarked-"
     "operator state bound; at 100 TB/day the buffer is the price of "
@@ -2050,7 +2061,7 @@ def q_stream_unordered_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
     t0 = 1_600_000_000.0
-    _write_epoch_files_one_job(
+    span_us = _write_epoch_files_one_job(
         base, src, ev, time_col="ts", lo=lo, hi=hi, n_epochs=_N_EPOCHS, t0=t0
     )
     # re-stamp arrival order to [1, 0, 3, 2]: epoch 1 leads epoch 0 and
@@ -2060,14 +2071,25 @@ def q_stream_unordered_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.exists(f):
             mt = t0 + 10 * rank
             os.utime(f, (mt, mt))
-    _write_sentinel_files(src, hi, t0, "user_id", -1, "bigint")
+    # 0.6x span: the no-drop and mid-stream-seal derivations are in the
+    # registry docstring (both margins 0.1x span)
+    delay_secs = int(0.6 * (hi - lo).total_seconds()) + 1
+    # flush-side constraint: the delay is NOT small against the corpus
+    # span (~18 d at 30 d), so fixed hi+10d/+20d sentinels would leave
+    # sentinel-2's batch watermark (hi + 10 d - delay) BELOW flush_at
+    # and the sweep hostage to the trailing no-data micro-batch. Riding
+    # the delay keeps the sweep in sentinel-2's file batch for ANY
+    # span: wm there = ts(sentinel-1) - delay = hi + 10 d > flush_at.
+    delay_days = delay_secs / 86400.0
+    _write_sentinel_files(
+        src, hi, t0, "user_id", -1, "bigint",
+        days=(10 + delay_days, 20 + delay_days),
+    )
     # non-vacuity: some user must have events in BOTH epoch 0 and epoch
     # 1, so the inverted arrival actually feeds that user's state out
-    # of event-time order (tests pin this at every shipped SF too)
-    span_us = max(
-        1,
-        (hi - lo) / _N_EPOCHS // datetime.timedelta(microseconds=1),
-    )
+    # of event-time order (tests pin this at every shipped SF too);
+    # span_us comes from the epoch writer so the boundaries checked are
+    # exactly the boundaries written
     ep = _epoch_index("ts", lo, span_us, _N_EPOCHS)
     inverted = (
         ev.select(F.col("user_id"), ep.alias("_ep"))
@@ -2088,9 +2110,6 @@ def q_stream_unordered_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .timestamp()
         * 1000
     )
-    # 0.6x span: see the registry docstring for the no-drop and
-    # mid-stream-seal derivations (both margins are 0.1x span)
-    delay_secs = int(0.6 * (hi - lo).total_seconds()) + 1
 
     stream = (
         spark.readStream.schema(ev.schema)

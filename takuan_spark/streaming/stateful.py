@@ -366,9 +366,12 @@ def interarrival_stats(
     sequential state, not a commutative monoid over rows), which is the
     class ``applyInPandasWithState`` exists for.
 
-    State per key is four int64s regardless of event count — at
-    100 TB/day the store is O(active keys), partitioned by the grouping
-    key across executors like any shuffle, with no driver state. Results
+    In the default ordered mode, state per key is four int64s
+    regardless of event count — at 100 TB/day the store is O(active
+    keys), partitioned by the grouping key across executors like any
+    shuffle, with no driver state (the unordered mode below adds 8
+    bytes per PENDING event, bounded by watermark delay x per-key
+    rate). Results
     flush via EventTimeTimeout once the watermark passes ``flush_at_ms``
     (epoch millis; callers pick a point past the last real event and
     advance the watermark there with sentinel rows under a reserved

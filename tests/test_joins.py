@@ -142,6 +142,42 @@ def test_interval_overlap_counts_bucket_boundaries(spark):
     assert out == {1: 1, 2: 2, 3: 0}
 
 
+def test_interval_overlap_counts_duplicate_keys_canonicalized(spark):
+    """Contract-violating input (same key, DIFFERENT endpoints) gets
+    the documented deterministic treatment: ONE output row per key,
+    carrying the lexicographically smallest (start, end) as the
+    canonical interval, with the count computed for exactly that
+    interval — never a raw duplicate row paired with another
+    interval's count."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from takuan_spark.operators.intervals import overlap_counts
+
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    # canonical pick for aid=1 is (10:00, 11:00); the (12:00, 14:00)
+    # duplicate WOULD overlap b but must not be counted or emitted
+    a = spark.createDataFrame(
+        [
+            Row(aid=1, s=T(10), e=T(11)),
+            Row(aid=1, s=T(12), e=T(14)),
+            Row(aid=2, s=T(12), e=T(13)),
+        ]
+    )
+    b = spark.createDataFrame([Row(bid=1, bs=T(12, 30), be=T(13, 30))])
+    rows = overlap_counts(
+        a, b,
+        a_keys=["aid"], b_keys=["bid"],
+        a_start="s", a_end="e", b_start="bs", b_end="be",
+        bucket_secs=3600,
+    ).collect()
+    got = {r["aid"]: (r["s"], r["e"], r["n_overlap"]) for r in rows}
+    assert len(rows) == 2, f"duplicate key emitted twice: {rows}"
+    assert got[1] == (T(10), T(11), 0)
+    assert got[2] == (T(12), T(13), 1)
+
+
 def test_interval_overlap_counts_match_bruteforce_random(spark):
     """The sweep-line/rank counts must equal the brute-force O(n^2)
     census on a randomized interval set — including touching endpoints

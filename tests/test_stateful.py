@@ -1199,6 +1199,38 @@ def test_buffered_gap_fold_is_arrival_order_invariant(
     )
 
 
+def test_unordered_state_flushes_without_no_data_microbatches(spark):
+    """The flush must fire in sentinel-2's FILE batch (the sentinels
+    ride the 0.6x-span watermark delay), not in the engine's trailing
+    no-data micro-batch: with noDataMicroBatches disabled the row must
+    still emit every user. A sentinel scheme that left sentinel-2's
+    watermark below flush_at would return an empty sink here."""
+    from takuan_spark.queries import REGISTRY, _load
+
+    _load()
+    sf_dir = "/root/testdata/sf0.001"
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        out = REGISTRY["q_stream_unordered_state"].builder(spark, sf_dir)
+        users = out.count()
+    finally:
+        spark.conf.set(key, prev)
+    import duckdb
+
+    con = duckdb.connect()
+    expected = con.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    con.close()
+    assert users == expected, (
+        f"{users} users flushed, {expected} expected; the timeout "
+        f"sweep did not run inside the file batches"
+    )
+
+
 def test_unordered_state_epoch_inversion_exists_at_every_sf():
     """Non-vacuity guard for q_stream_unordered_state: at EVERY shipped
     SF some user must have events in BOTH epoch 0 and epoch 1 — under
