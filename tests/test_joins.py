@@ -184,7 +184,10 @@ def test_interval_overlap_counts_match_bruteforce_random(spark):
     (a_end == b_start counts: the predicate is inclusive on both
     sides), sub-second boundaries (ranks run on microsecond epochs;
     second-truncated epochs would mis-rank them), duplicate interval
-    keys (count once), and zero-overlap rows (kept, 0)."""
+    keys (count once), contract-VIOLATING duplicates on both sides
+    (same key, different endpoints: the lexicographically smallest
+    (start, end) is the canonical representative, counted and emitted
+    once), and zero-overlap rows (kept, 0)."""
     import datetime as dt
     import random
 
@@ -216,31 +219,52 @@ def test_interval_overlap_counts_match_bruteforce_random(spark):
     )
     # duplicate b key: must count once
     b_rows.append({"bid": 0, "bs": b_rows[0]["s"], "be": b_rows[0]["e"]})
+    # contract-violating duplicates: aid=3/bid=5 gain a lexicographically
+    # LARGER twin (ignored), aid=7 a SMALLER one (becomes canonical)
+    hour = dt.timedelta(hours=1)
+    a_rows.append(
+        {"aid": 3, "s": a_rows[3]["s"] + hour, "e": a_rows[3]["e"] + hour}
+    )
+    a_rows.append(
+        {"aid": 7, "s": a_rows[7]["s"] - hour, "e": a_rows[7]["e"] - hour}
+    )
+    b_rows.append(
+        {"bid": 5, "bs": b_rows[5]["s"] + hour, "be": b_rows[5]["e"] + hour}
+    )
     b_norm = [
         {"bid": r["bid"], "bs": r.get("bs", r.get("s")), "be": r.get("be", r.get("e"))}
         for r in b_rows
     ]
-    b_dedup = {r["bid"]: r for r in b_norm}.values()
+
+    def canon(rows, key, s, e):
+        best = {}
+        for r in rows:
+            iv = (r[s], r[e])
+            if r[key] not in best or iv < best[r[key]]:
+                best[r[key]] = iv
+        return best
+
+    a_canon = canon(a_rows, "aid", "s", "e")
+    b_canon = canon(b_norm, "bid", "bs", "be")
     expected = {
-        ar["aid"]: sum(
-            1
-            for br in b_dedup
-            if ar["s"] <= br["be"] and br["bs"] <= ar["e"]
+        aid: (
+            s,
+            e,
+            sum(1 for bs, be in b_canon.values() if s <= be and bs <= e),
         )
-        for ar in a_rows
+        for aid, (s, e) in a_canon.items()
     }
 
     from takuan_spark.operators.intervals import overlap_counts
 
     a = spark.createDataFrame([Row(**r) for r in a_rows])
     b = spark.createDataFrame([Row(**r) for r in b_norm])
-    got = {
-        r["aid"]: r["n_overlap"]
-        for r in overlap_counts(
-            a, b,
-            a_keys=["aid"], b_keys=["bid"],
-            a_start="s", a_end="e", b_start="bs", b_end="be",
-            bucket_secs=3600,
-        ).collect()
-    }
+    rows = overlap_counts(
+        a, b,
+        a_keys=["aid"], b_keys=["bid"],
+        a_start="s", a_end="e", b_start="bs", b_end="be",
+        bucket_secs=3600,
+    ).collect()
+    got = {r["aid"]: (r["s"], r["e"], r["n_overlap"]) for r in rows}
+    assert len(rows) == len(got), "duplicate key emitted more than once"
     assert got == expected
