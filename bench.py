@@ -280,6 +280,12 @@ def main() -> None:
         }
         builders["log_pipeline"] = build_pipeline
         reruns: dict[str, int] = {}
+        # queries that burned the whole re-run budget and STILL fail
+        # the spread predicate — a genuinely bimodal row would land
+        # here every round; the flag is persisted so it can be
+        # investigated (or exempted) instead of silently re-run 4x
+        # per bench forever.
+        unsettled: list[str] = []
         for name in list(raw_runs):
             extra = 0
             while extra < MAX_RERUNS and _unsettled(
@@ -295,6 +301,14 @@ def main() -> None:
                     flush=True,
                 )
                 reruns[name] = extra
+                if _unsettled(raw_runs[name], prior_medians.get(name)):
+                    unsettled.append(name)
+                    print(
+                        f"spread gate: {name} EXHAUSTED the re-run "
+                        f"budget without settling (bimodal?) — "
+                        f"flagged in BENCH_DETAIL.json",
+                        flush=True,
+                    )
 
     timings = {name: _median(runs) for name, runs in raw_runs.items()}
     total = round(sum(timings.values()), 3)
@@ -311,6 +325,7 @@ def main() -> None:
         "queries": timings,
         "runs": raw_runs,
         "reruns": reruns,
+        "unsettled": unsettled,
         "spread_max": SPREAD_MAX,
         "calibration": calibration,
         "calibration_total": calib_total,

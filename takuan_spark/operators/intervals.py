@@ -228,8 +228,35 @@ def overlap_counts(
     is materialized here so the caller's upstream work — often a full
     sessionization — runs once. ``bucket_secs`` no longer affects the
     candidate mass, only window parallelism: pick it so one bucket's
-    rows sort comfortably in one task."""
+    rows sort comfortably in one task.
+
+    MALFORMED intervals (end < start — empty by the overlap
+    predicate, since a_start <= b_end and b_start <= a_end cannot both
+    hold against them) are defined to overlap nothing: a malformed
+    canonical B interval contributes to no count, a malformed
+    canonical A interval is emitted with n_overlap = 0. Filtering them
+    out of the rank pass is also what keeps the rank identity's
+    subset property (every b with b_end < a_start also has
+    b_start <= a_end) — fed a b_end < b_start row, the subtracted
+    rank is NOT a subset of the added one and the difference could go
+    negative. Key/endpoint column names must avoid the pass's internal
+    working names (validated below, same convention as global_ntile's
+    reserved-name check)."""
     from takuan_spark.operators.skew import materialize
+
+    reserved = {
+        "_v", "_k", "_x", "_bk", "_iv", "_nbs", "_nbe",
+        "_cbs", "_cbe", "_rbs", "_rbe", "n_overlap",
+    }
+    role_cols = {*a_keys, a_start, a_end, *b_keys, b_start, b_end}
+    clash = reserved & role_cols
+    if clash:
+        # fail loudly rather than silently mixing a caller's column
+        # into the rank bookkeeping (the global_ntile convention)
+        raise ValueError(
+            f"column names {sorted(clash)} are reserved by overlap_counts; "
+            f"rename the key/endpoint columns"
+        )
 
     def _canonical(df: DataFrame, keys: list[str], start: str, end: str):
         # endpoint columns may themselves be key columns (the
@@ -243,8 +270,13 @@ def overlap_counts(
 
     a_canon = materialize(_canonical(a, a_keys, a_start, a_end))
     counts = _overlap_rank_counts(
-        a_canon,
-        _canonical(b, b_keys, b_start, b_end),
+        # malformed representatives drop out of the rank pass on both
+        # sides (empty intervals overlap nothing; see docstring) —
+        # malformed A keys still reach the output via the left join
+        a_canon.where(F.col(a_start) <= F.col(a_end)),
+        _canonical(b, b_keys, b_start, b_end).where(
+            F.col(b_start) <= F.col(b_end)
+        ),
         a_keys=a_keys,
         a_start=a_start,
         a_end=a_end,

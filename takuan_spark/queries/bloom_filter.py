@@ -132,15 +132,16 @@ def q_stream_bloom_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
     import shutil
-    import tempfile
 
     from takuan_spark.streaming.bloom_stream import (
         bloom_bucket_sink,
         merged_bloom,
     )
 
+    from takuan_spark.scratch import scratch_path
+
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    table = os.path.join(tempfile.gettempdir(), f"takuan_bloom_fold_{tag}")
+    table = scratch_path(f"takuan_bloom_fold_{tag}")
     shutil.rmtree(table, ignore_errors=True)
 
     li = load_table(spark, sf_dir, "lineitem")

@@ -19,7 +19,6 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,8 +31,10 @@ _CORRUPT_LINES = ["{not json", "[1,2", "}{"]
 
 
 def _scratch(sf_dir: str, kind: str) -> str:
+    from takuan_spark.scratch import scratch_path
+
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"takuan_ingest_{kind}_{tag}")
+    path = scratch_path(f"takuan_ingest_{kind}_{tag}")
     shutil.rmtree(path, ignore_errors=True)
     return path
 

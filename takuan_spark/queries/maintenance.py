@@ -392,12 +392,11 @@ def q_backfill_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
     import shutil
-    import tempfile
+
+    from takuan_spark.scratch import scratch_path
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    table = os.path.join(
-        tempfile.gettempdir(), f"takuan_backfill_overwrite_{tag}"
-    )
+    table = scratch_path(f"takuan_backfill_overwrite_{tag}")
     shutil.rmtree(table, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events").select(
         F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
@@ -516,10 +515,11 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
     import shutil
-    import tempfile
+
+    from takuan_spark.scratch import scratch_path
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), f"takuan_bucketed_{tag}")
+    base = scratch_path(f"takuan_bucketed_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     t_o, t_l = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
     o = load_table(spark, sf_dir, "orders").select(

@@ -34,7 +34,6 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,10 +50,10 @@ _KMV_K = 32
 def _scratch(sf_dir: str, kind: str) -> str:
     """Fresh scratch table path, unique per (sf_dir, kind) so runs at
     different scale factors never read each other's epochs."""
+    from takuan_spark.scratch import scratch_path
+
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join(
-        tempfile.gettempdir(), f"takuan_stream_fold_{kind}_{tag}"
-    )
+    path = scratch_path(f"takuan_stream_fold_{kind}_{tag}")
     shutil.rmtree(path, ignore_errors=True)
     return path
 

@@ -9,7 +9,17 @@ accumulate across sessions on a long-lived host (one tree per
 (kind, sf_dir) pair, some hundreds of MB), which skews disk and page
 cache between bench runs. :func:`clean_scratch` is the one sweep,
 called by bench.py and scale_probe.py at the end of a run and safe to
-invoke any time no query is mid-flight.
+invoke any time no query of THIS process is mid-flight.
+
+Ownership makes the sweep concurrency-safe: every builder obtains its
+tree through :func:`scratch_path`, which records the path in a
+process-local registry. The sweep removes this process's own trees
+unconditionally (its queries are done when the sweep runs) but another
+session's trees only once they look ABANDONED — newest mtime among the
+tree root and its immediate children older than ``min_age_secs`` — so
+a concurrent bench/pytest on the same host cannot lose fixtures
+mid-query, while trees left by dead sessions still age out and get
+swept by the next run.
 
 The probe corpus (``/tmp/takuan_sfprobe``) is deliberately KEPT: it is
 shared across probe runs, marker-invalidated on scale or version
@@ -34,20 +44,72 @@ SCRATCH_PREFIXES = (
     "takuan_bucketed_",
 )
 
+#: age (newest root/child mtime) past which an UNOWNED tree is treated
+#: as abandoned by a dead session and swept
+DEFAULT_MIN_AGE_SECS = 1800.0
 
-def clean_scratch() -> list[str]:
-    """Best-effort removal of all registry-query scratch trees.
+# trees created by THIS process via scratch_path — swept regardless of
+# age (the caller invokes clean_scratch only when no query is running)
+_OWNED: set[str] = set()
+
+
+def scratch_path(name: str) -> str:
+    """The scratch tree path for one ``<prefix><tag>`` fixture name,
+    registered as owned by this process so :func:`clean_scratch` may
+    remove it regardless of age. ``name`` must start with one of
+    :data:`SCRATCH_PREFIXES` (that is what the sweep globs for)."""
+    if not name.startswith(SCRATCH_PREFIXES):
+        raise ValueError(
+            f"scratch name {name!r} does not start with a registered "
+            f"prefix {SCRATCH_PREFIXES}; the sweep would never reclaim it"
+        )
+    path = os.path.join(tempfile.gettempdir(), name)
+    _OWNED.add(path)
+    return path
+
+
+def _newest_mtime(path: str) -> float:
+    """Newest mtime among the tree root and its immediate children —
+    a cheap liveness signal: every builder keeps writing sink/ckpt/src
+    subtrees under its base while its query runs."""
+    newest = 0.0
+    try:
+        newest = os.path.getmtime(path)
+        with os.scandir(path) as it:
+            for entry in it:
+                try:
+                    newest = max(newest, entry.stat().st_mtime)
+                except OSError:
+                    continue
+    except OSError:
+        pass
+    return newest
+
+
+def clean_scratch(
+    min_age_secs: float = DEFAULT_MIN_AGE_SECS,
+) -> list[str]:
+    """Best-effort removal of registry-query scratch trees: all trees
+    owned by this process, plus unowned trees idle for at least
+    ``min_age_secs`` (see module docstring for why the distinction).
 
     Returns the list of paths removed (for logging). Errors are
     swallowed per-tree — a busy file on one tree must not abort the
     sweep of the rest.
     """
+    import time
+
     removed: list[str] = []
     tmp = tempfile.gettempdir()
+    now = time.time()
     for prefix in SCRATCH_PREFIXES:
         for path in sorted(glob.glob(os.path.join(tmp, prefix + "*"))):
-            if os.path.isdir(path):
-                shutil.rmtree(path, ignore_errors=True)
-                if not os.path.exists(path):
-                    removed.append(path)
+            if not os.path.isdir(path):
+                continue
+            if path not in _OWNED and now - _newest_mtime(path) < min_age_secs:
+                continue
+            shutil.rmtree(path, ignore_errors=True)
+            if not os.path.exists(path):
+                removed.append(path)
+                _OWNED.discard(path)
     return removed

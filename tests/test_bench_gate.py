@@ -9,8 +9,12 @@ which has to stay visible in the record."""
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 import tempfile
+import time
+
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -55,12 +59,16 @@ def test_tight_spread_is_settled():
 
 
 def test_clean_scratch_removes_fixture_trees_keeps_probe_corpus():
-    from takuan_spark.scratch import SCRATCH_PREFIXES, clean_scratch
+    from takuan_spark.scratch import (
+        SCRATCH_PREFIXES,
+        clean_scratch,
+        scratch_path,
+    )
 
     tmp = tempfile.gettempdir()
     made = []
     for p in SCRATCH_PREFIXES:
-        d = os.path.join(tmp, f"{p}testonly123")
+        d = scratch_path(f"{p}testonly123")
         os.makedirs(d, exist_ok=True)
         with open(os.path.join(d, "x"), "w") as fh:
             fh.write("x")
@@ -75,3 +83,36 @@ def test_clean_scratch_removes_fixture_trees_keeps_probe_corpus():
     assert os.path.exists(probe), "the probe corpus must be kept"
     if not probe_preexisting:
         os.rmdir(probe)
+
+
+def test_clean_scratch_spares_other_sessions_live_trees():
+    """The concurrency guard: a tree this process does NOT own (another
+    session's fixtures, simulated by building the path directly) is
+    spared while recently active, and swept once idle past min_age."""
+    from takuan_spark.scratch import SCRATCH_PREFIXES, clean_scratch
+
+    tmp = tempfile.gettempdir()
+    d = os.path.join(tmp, f"{SCRATCH_PREFIXES[0]}foreign456")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "x"), "w") as fh:
+        fh.write("x")
+    try:
+        removed = clean_scratch()
+        assert os.path.exists(d), "a live unowned tree must be spared"
+        assert d not in removed
+        # age the tree (root and children) past the idle threshold
+        old = time.time() - 7200
+        os.utime(d, (old, old))
+        os.utime(os.path.join(d, "x"), (old, old))
+        removed = clean_scratch()
+        assert not os.path.exists(d), "an idle unowned tree must be swept"
+        assert d in removed
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_scratch_path_rejects_unregistered_prefix():
+    from takuan_spark.scratch import scratch_path
+
+    with pytest.raises(ValueError, match="registered prefix"):
+        scratch_path("takuan_unknown_family_x")

@@ -178,6 +178,65 @@ def test_interval_overlap_counts_duplicate_keys_canonicalized(spark):
     assert got[2] == (T(12), T(13), 1)
 
 
+def test_interval_overlap_counts_malformed_intervals(spark):
+    """Malformed intervals (end < start) are defined to overlap
+    nothing: a malformed B interval contributes to no count — the
+    rank identity's subtracted term is only a subset of the added
+    term for well-formed B, so feeding it through would emit NEGATIVE
+    counts — and a malformed A interval is emitted with exactly 0."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from takuan_spark.operators.intervals import overlap_counts
+
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    a = spark.createDataFrame(
+        [
+            Row(aid=1, s=T(10), e=T(11)),   # well-formed, no overlap
+            Row(aid=2, s=T(14), e=T(12)),   # malformed -> 0, not <0
+        ]
+    )
+    # the malformed B row (be < bs) sits so that, unfiltered, aid=1
+    # picks up the subtracted rank (be=9 < a_start=10) but NOT the
+    # added rank (bs=15 > a_end=11): count would be 0 - 1 = -1
+    b = spark.createDataFrame(
+        [Row(bid=1, bs=T(15), be=T(9)), Row(bid=2, bs=T(13), be=T(13, 30))]
+    )
+    out = {
+        r["aid"]: r["n_overlap"]
+        for r in overlap_counts(
+            a, b,
+            a_keys=["aid"], b_keys=["bid"],
+            a_start="s", a_end="e", b_start="bs", b_end="be",
+            bucket_secs=3600,
+        ).collect()
+    }
+    assert out == {1: 0, 2: 0}, f"malformed intervals leaked: {out}"
+
+
+def test_interval_overlap_counts_reserved_columns_raise(spark):
+    """A key/endpoint column named like the rank pass's internal
+    bookkeeping must fail loudly (the global_ntile convention), not
+    silently mix into the counts."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import Row
+
+    from takuan_spark.operators.intervals import overlap_counts
+
+    T = dt.datetime(2024, 1, 1, 10)
+    a = spark.createDataFrame([Row(_bk=1, s=T, e=T)])
+    b = spark.createDataFrame([Row(bid=1, bs=T, be=T)])
+    with pytest.raises(ValueError, match="reserved by overlap_counts"):
+        overlap_counts(
+            a, b,
+            a_keys=["_bk"], b_keys=["bid"],
+            a_start="s", a_end="e", b_start="bs", b_end="be",
+        )
+
+
 def test_interval_overlap_counts_match_bruteforce_random(spark):
     """The sweep-line/rank counts must equal the brute-force O(n^2)
     census on a randomized interval set — including touching endpoints
