@@ -94,86 +94,48 @@ def query(name: str, oracle_sql: str | None, description: str = ""):
 #      (their old green rows no longer certify the current code);
 #   2. staleness backfill — every remaining query ordered by its
 #      LAST-GREEN round ascending, so the window always re-certifies
-#      the oldest evidence first. Round 11 applies the r10 verdict's
-#      directive exactly: the window = the 5 changed/new rows
-#      (q_stream_interval_join_full closes the stream-stream join-type
-#      matrix under the hash gate; q_sql_scripting's oracle gained the
-#      GREATEST(1, ...) floor; q_bucketed_join drops its catalog
-#      tables in a finally; q_tail_source_counts starts its stream
-#      inside the try; ns_cardinality_sketch_error joins `exact` once
-#      instead of per panel) + the 6 r4-stale rows (the oldest driver
-#      evidence, displaced twice by late-landing capability rows) +
-#      takuan_rdns_enrich (the one Sec-2 spine row not r10-fresh) +
-#      34 of the 39 r5-stale rows; 9 + 6 + 1 + 34 = 50. Three of the
-#      changed rows are r11 scale fixes driven by the 100x probes and
-#      the global-window sweep: q_interval_overlap_join moved from the
-#      bucketed-expansion join (density-squared — 160x on 100x) to the
-#      sweep-line/rank formulation; q_ntile_deciles moved from the
-#      one-task Window.orderBy ntile to the distributed global_ntile
-#      (range blocks + broadcast offsets, 22.4x -> 1.35x on 100x);
-#      ns_duplication_pareto now takes its top-10 BEFORE ranking
-#      instead of ranking every fingerprint group in one window task.
-#      q_stream_unordered_state is NEW in r11: the buffer-and-sort-in-
-#      state interarrival fold under out-of-order epoch arrival — the
-#      arrival-contract gap the r9/r10 verdicts carried against
-#      q_stream_custom_state's ordered fold, now hash-gated.
-#      ns_text_augment, mm_media_summary, ns_kcenter_coreset,
-#      ns_matryoshka_qc, and q_stream_dedup_fold (r5, all additionally
-#      pinned by unit tests — the dedup fold by a real-engine replay
-#      test) are the rows the cap displaces — they lead the r12
-#      backfill.
+#      the oldest evidence first. Round 12 applies the r11 verdict's
+#      directive exactly: the window = the 4 changed/new rows
+#      (q_stream_bruteforce_alerts runs the REAL applyInPandasWithState
+#      brute-force detector over the epoch-file protocol against the
+#      RANGE-window oracle, with a deterministic cross-boundary probe
+#      pair making the cross-batch state carry load-bearing at every
+#      SF; q_stream_interval_join_right completes the stream-stream
+#      join-type matrix under the hash gate; q_stream_multi_sensor puts
+#      the streaming multi-sensor union (O30) — two live filetail
+#      sources through compile_stream's unionByName — under the hash
+#      gate; q_interval_overlap_join re-certifies overlap_counts after
+#      the reserved-column guard + malformed-interval hardening) + the
+#      5 r5-stale rows the r10/r11 caps displaced + the full 37-row
+#      r6-stale class + the first 4 r7 rows; 4 + 5 + 37 + 4 = 50.
 # Anything past the cap rotates forward next round; every declared
 # query is still oracle-verified locally by tests/test_oracle.py.
 PRIORITY: list[str] = [
-    # -- 1. r11: CHANGED/NEW this round -------------------------------
-    "q_stream_interval_join_full", "q_stream_unordered_state",
-    "q_sql_scripting", "q_bucketed_join",
-    "q_tail_source_counts", "ns_cardinality_sketch_error",
-    "q_interval_overlap_join", "q_ntile_deciles", "ns_duplication_pareto",
-    # -- 2. the 6 r4-stale rows — the oldest driver evidence in the
-    # registry, scheduled (and displaced) in r10; they re-verify
-    # against the local DuckDB oracle in every pytest run ------------
-    "ns_dedup_pipeline", "ns_score_calibration", "q_bloom_prefilter",
-    "q_funnel", "q_session_window", "q_sliding_window",
-    # -- 3. the one Sec-2 spine row not r10-fresh (r7) ----------------
-    "takuan_rdns_enrich",
-    # -- 4. the r5-stale class (34 of 39; ns_text_augment,
-    # mm_media_summary, ns_kcenter_coreset, ns_matryoshka_qc, and
-    # q_stream_dedup_fold rotate to the r12 head — see the docstring
-    # above) -----------------------------------------------------------
-    "mm_feature_extract", "mm_frame_sample",
-    "ns_burstiness", "ns_dedup_exact", "ns_dedup_incremental",
-    "ns_deletion_cascade", "ns_dup_representative", "ns_embedding_neardup",
-    "ns_embedding_neardup_lsh", "ns_filter_funnel", "ns_int8_quant_error",
-    "ns_ks_drift", "ns_mad_outliers",
-    "ns_manifest_hash", "ns_pca_power_iteration",
-    "ns_pii_risk", "ns_quantile_normalize", "ns_source_dedup_matrix",
-    "ns_template_mining", "ns_text_stats", "ns_vocab_oov", "ns_zipf_fit",
-    "q_asof_join", "q_cohort_retention", "q_community_labels",
-    "q_compaction_bins", "q_ewma_anomaly", "q_graph_triangles",
-    "q_interarrival_stats", "q_local_clustering", "q_mean_shift_changepoint",
-    "q_pivot_conditional", "q_stats_agg", "q_stream_ann_fold",
-    # -- 5. backfill tail, ordered by last-green round ascending
-    # (r5 remainder, then r6..r10) so future windows keep retiring the
-    # oldest evidence first -------------------------------------------
+    # -- 1. r12: CHANGED/NEW this round -------------------------------
+    "q_stream_bruteforce_alerts", "q_stream_interval_join_right",
+    "q_stream_multi_sensor", "q_interval_overlap_join",
+    # -- 2. the 5 r5-stale rows (the r11 verdict's backfill head) ----
     "ns_text_augment", "mm_media_summary", "ns_kcenter_coreset",
     "ns_matryoshka_qc", "q_stream_dedup_fold",
-    "ns_curation_pipeline", "ns_fingerprint",
-    "ns_knn_join", "ns_lang_id", "ns_quality_score", "ns_similarity_topk",
-    "ns_stratified_sample", "ns_tfidf_topterms", "ns_winnow_fingerprint",
-    "q10_returned_items", "q14_promo_revenue", "q19_disjunctive_filter",
-    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue", "q_anti_join",
-    "q_array_functions", "q_correlated_subquery", "q_cube",
-    "q_date_functions", "q_full_outer_join", "q_grouping_sets",
-    "q_ip_range_join", "q_ip_range_join_bucketed", "q_math_functions",
-    "q_pandas_udaf", "q_rollup", "q_scalar_subquery", "q_semi_join",
-    "q_set_ops", "q_string_functions", "q_top_customers", "q_union_distinct",
-    "q_window_lag_lead", "q_window_rank", "mm_audio_segments",
-    "mm_binaryfile_ingest", "mm_scene_cuts", "ns_chunk_documents",
-    "ns_cms_error", "ns_cms_heavy_hitters", "ns_cms_join_size",
-    "ns_dp_histogram", "ns_embedding_centroids", "ns_ivf_probe",
-    "ns_ivf_topk", "ns_ivfpq_probe", "ns_lsh_probe",
+    # -- 3. the r6-stale class (37 rows) ------------------------------
+    "ns_curation_pipeline", "ns_fingerprint", "ns_knn_join", "ns_lang_id",
+    "ns_quality_score", "ns_similarity_topk", "ns_stratified_sample",
+    "ns_tfidf_topterms", "ns_winnow_fingerprint", "q10_returned_items",
+    "q14_promo_revenue", "q19_disjunctive_filter", "q1_pricing_summary",
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q_anti_join", "q_array_functions",
+    "q_correlated_subquery", "q_cube", "q_date_functions", "q_full_outer_join",
+    "q_grouping_sets", "q_ip_range_join", "q_ip_range_join_bucketed",
+    "q_math_functions", "q_pandas_udaf", "q_rollup", "q_scalar_subquery",
+    "q_semi_join", "q_set_ops", "q_string_functions", "q_top_customers",
+    "q_union_distinct", "q_window_lag_lead", "q_window_rank",
+    # -- 4. backfill tail, ordered by last-green round ascending
+    # (r7..r11) so future windows keep retiring the oldest evidence
+    # first; the first 4 rows here complete the 50-slot window --------
+    "mm_audio_segments", "mm_binaryfile_ingest", "mm_scene_cuts",
+    "ns_chunk_documents", "ns_cms_error", "ns_cms_heavy_hitters",
+    "ns_cms_join_size", "ns_dp_histogram", "ns_embedding_centroids",
+    "ns_ivf_probe", "ns_ivf_topk", "ns_ivfpq_probe", "ns_lsh_probe",
     "ns_lsh_similarity_topk", "ns_minhash_estimate_error",
     "ns_minhash_prod_mode", "ns_minhash_recall", "ns_pack_sequences",
     "ns_pii_redact", "ns_pq_probe", "ns_pq_rerank", "ns_pq_topk",
@@ -185,48 +147,46 @@ PRIORITY: list[str] = [
     "q_distinct_count", "q_first_value_per_group", "q_gap_fill_interpolate",
     "q_hypertable_rollup", "q_salted_agg", "q_stream_bloom_fold",
     "q_stream_cms_fold", "q_stream_hist_fold", "q_stream_hll_fold",
-    "q_stream_minhash_fold", "q_stream_moments_fold",
-    "q_stream_session_fold", "mm_image_resize", "mm_phash_neardup",
-    "ns_ann_recall", "ns_bitext_mining", "ns_blocked_linkage",
-    "ns_bm25_search", "ns_code_detect", "ns_containment_neardup",
-    "ns_dedup_clusters", "ns_dedup_sweep", "ns_domain_filter",
-    "ns_domain_stats", "ns_gopher_rules", "ns_jaccard_neardup",
-    "ns_kmv_distinct", "ns_lsh_band_tuning", "ns_minhash_lsh_neardup",
-    "ns_pack_efficiency", "ns_quantile_sketch_error", "ns_record_linkage",
-    "ns_sft_mask_stats", "ns_simhash_radius_tuning", "ns_snapshot_diff",
-    "ns_vocab_coverage", "ns_weighted_sample", "q12_priority_by_returnflag",
-    "q16_supplier_count_by_part", "q17_small_quantity_revenue",
-    "q18_large_orders", "q20_promo_share_suppliers",
-    "q22_idle_rich_customers", "q_asof_nearest_tolerance", "q_except_all",
-    "q_graph_adamic_adar", "q_graph_kcore", "q_graph_link_prediction",
-    "q_histogram", "q_mv_incremental", "q_native_sketch_parity",
-    "q_null_safe_join", "q_orc_partition_prune", "q_percentiles",
-    "q_range_partition_balance", "q_schema_evolution",
-    "q_seasonality_profile", "q_sql_function_surface", "q_udtf_tokenize",
-    "q_watermark_audit", "ns_bm25_batch", "ns_bpe_merge_candidates",
-    "ns_cluster_purity", "ns_cluster_sample", "ns_contrastive_triplets",
-    "ns_decontaminate", "ns_dup_size_histogram",
+    "q_stream_minhash_fold", "q_stream_moments_fold", "q_stream_session_fold",
+    "mm_image_resize", "mm_phash_neardup", "ns_ann_recall", "ns_bitext_mining",
+    "ns_blocked_linkage", "ns_bm25_search", "ns_code_detect",
+    "ns_containment_neardup", "ns_dedup_clusters", "ns_dedup_sweep",
+    "ns_domain_filter", "ns_domain_stats", "ns_gopher_rules",
+    "ns_jaccard_neardup", "ns_kmv_distinct", "ns_lsh_band_tuning",
+    "ns_minhash_lsh_neardup", "ns_pack_efficiency", "ns_quantile_sketch_error",
+    "ns_record_linkage", "ns_sft_mask_stats", "ns_simhash_radius_tuning",
+    "ns_snapshot_diff", "ns_vocab_coverage", "ns_weighted_sample",
+    "q12_priority_by_returnflag", "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q20_promo_share_suppliers", "q22_idle_rich_customers",
+    "q_asof_nearest_tolerance", "q_except_all", "q_graph_adamic_adar",
+    "q_graph_kcore", "q_graph_link_prediction", "q_histogram",
+    "q_mv_incremental", "q_native_sketch_parity", "q_null_safe_join",
+    "q_orc_partition_prune", "q_percentiles", "q_range_partition_balance",
+    "q_schema_evolution", "q_seasonality_profile", "q_sql_function_surface",
+    "q_udtf_tokenize", "q_watermark_audit", "ns_bm25_batch",
+    "ns_bpe_merge_candidates", "ns_cluster_purity", "ns_cluster_sample",
+    "ns_contrastive_triplets", "ns_decontaminate", "ns_dup_size_histogram",
     "ns_effective_corpus_size", "ns_epoch_novelty", "ns_hard_negatives",
     "ns_hll_distinct", "ns_keyword_tagging", "ns_kmv_set_ops",
     "ns_length_bucketing", "ns_length_outliers", "ns_semdedup",
     "ns_shard_assign", "ns_substring_dedup", "ns_token_entropy",
     "ns_unicode_normalize", "ns_winsorized_stats", "q_corr_regression",
-    "q_graph_pagerank", "q_key_skew_profile",
-    "q_quantile_sketch", "q_recursive_cte",
-    "q_rolling_median", "q_scd2_intervals", "q_sliding_distinct",
-    "q_sliding_distinct_hll", "q_sql_pipe_syntax", "q_state_store_reader",
-    "q_stateful_alerts", "q_stateful_profile", "q_stream_custom_state",
-    "q_stream_dedup_replay", "q_stream_late_drop", "q_stream_rocksdb_state",
-    "q_stream_session_window", "q_stream_static_join",
-    "q_stream_window_fold", "q_unpivot_metrics", "q_window_range_frame",
-    "q_zorder_locality", "ns_boilerplate_strip", "ns_class_rebalance",
-    "ns_dataset_card", "ns_embedding_qc", "ns_importance_weights",
-    "ns_k_anonymity", "ns_kmeans_assign", "ns_kmeans_clusters",
-    "ns_leakage_safe_split", "ns_mixture_schedule", "ns_ngram_lm_stats",
-    "ns_perplexity_filter", "ns_quantile_bins", "ns_source_overlap",
-    "ns_token_pmi", "ns_tokenizer_fertility", "q_backfill_overwrite",
-    "q_bloom_prefilter_prod", "q_cdc_latest", "q_cdc_merge",
-    "q_csv_roundtrip", "q_dq_audit", "q_event_dedup_window",
+    "q_graph_pagerank", "q_key_skew_profile", "q_quantile_sketch",
+    "q_recursive_cte", "q_rolling_median", "q_scd2_intervals",
+    "q_sliding_distinct", "q_sliding_distinct_hll", "q_sql_pipe_syntax",
+    "q_state_store_reader", "q_stateful_alerts", "q_stateful_profile",
+    "q_stream_custom_state", "q_stream_dedup_replay", "q_stream_late_drop",
+    "q_stream_rocksdb_state", "q_stream_session_window",
+    "q_stream_static_join", "q_stream_window_fold", "q_unpivot_metrics",
+    "q_window_range_frame", "q_zorder_locality", "ns_boilerplate_strip",
+    "ns_class_rebalance", "ns_dataset_card", "ns_embedding_qc",
+    "ns_importance_weights", "ns_k_anonymity", "ns_kmeans_assign",
+    "ns_kmeans_clusters", "ns_leakage_safe_split", "ns_mixture_schedule",
+    "ns_ngram_lm_stats", "ns_perplexity_filter", "ns_quantile_bins",
+    "ns_source_overlap", "ns_token_pmi", "ns_tokenizer_fertility",
+    "q_backfill_overwrite", "q_bloom_prefilter_prod", "q_cdc_latest",
+    "q_cdc_merge", "q_csv_roundtrip", "q_dq_audit", "q_event_dedup_window",
     "q_jsonl_roundtrip", "q_log_pipeline_e2e", "q_salted_join",
     "q_stream_checkpoint_restart", "q_stream_complete_mode",
     "q_stream_interval_join", "q_stream_interval_join_outer",
@@ -236,7 +196,23 @@ PRIORITY: list[str] = [
     "q_xml_roundtrip", "q_zonemap_prune_compare", "takuan_address_report",
     "takuan_country_topk", "takuan_geo_enrich_join", "takuan_hourly_window",
     "takuan_json_extract", "takuan_regex_tokenize", "takuan_rule_filter",
-    "takuan_rule_label",
+    "takuan_rule_label", "q_stream_interval_join_full",
+    "q_stream_unordered_state", "q_sql_scripting", "q_bucketed_join",
+    "q_tail_source_counts", "ns_cardinality_sketch_error", "q_ntile_deciles",
+    "ns_duplication_pareto", "ns_dedup_pipeline", "ns_score_calibration",
+    "q_bloom_prefilter", "q_funnel", "q_session_window", "q_sliding_window",
+    "takuan_rdns_enrich", "mm_feature_extract", "mm_frame_sample",
+    "ns_burstiness", "ns_dedup_exact", "ns_dedup_incremental",
+    "ns_deletion_cascade", "ns_dup_representative", "ns_embedding_neardup",
+    "ns_embedding_neardup_lsh", "ns_filter_funnel", "ns_int8_quant_error",
+    "ns_ks_drift", "ns_mad_outliers", "ns_manifest_hash",
+    "ns_pca_power_iteration", "ns_pii_risk", "ns_quantile_normalize",
+    "ns_source_dedup_matrix", "ns_template_mining", "ns_text_stats",
+    "ns_vocab_oov", "ns_zipf_fit", "q_asof_join", "q_cohort_retention",
+    "q_community_labels", "q_compaction_bins", "q_ewma_anomaly",
+    "q_graph_triangles", "q_interarrival_stats", "q_local_clustering",
+    "q_mean_shift_changepoint", "q_pivot_conditional", "q_stats_agg",
+    "q_stream_ann_fold",
 ]
 
 

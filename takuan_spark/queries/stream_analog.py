@@ -1865,6 +1865,326 @@ def q_stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_bruteforce_alerts",
+    """
+    WITH bounds AS (
+        SELECT date_diff('second', TIMESTAMP '1970-01-01',
+                         MIN(date_trunc('second', ts))) AS lo_s,
+               date_diff('second', TIMESTAMP '1970-01-01',
+                         MAX(date_trunc('second', ts))) AS hi_s
+        FROM events WHERE event_type = 'error'
+    ),
+    errs AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) AS address,
+               date_diff('second', TIMESTAMP '1970-01-01',
+                         date_trunc('second', ts)) AS sec
+        FROM events WHERE event_type = 'error'
+        UNION ALL
+        SELECT '-1', lo_s + (hi_s - lo_s) // 4 - 1200 FROM bounds
+        UNION ALL
+        SELECT '-1', lo_s + (hi_s - lo_s) // 4 + 1200 FROM bounds
+    ),
+    windowed AS (
+        SELECT address, sec AS window_end_sec,
+               CAST(COUNT(*) OVER win AS BIGINT) AS n_events,
+               MIN(sec) OVER win AS window_start_sec
+        FROM errs
+        WINDOW win AS (PARTITION BY address ORDER BY sec
+                       RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    )
+    SELECT address, n_events, window_start_sec, window_end_sec
+    FROM windowed WHERE n_events >= 2
+    ORDER BY address, window_end_sec
+    """,
+    "The flagship stateful operator under the REAL Structured "
+    "Streaming engine: streaming/stateful.py's brute_force_alerts — "
+    "the per-address sliding-window alert state machine the module "
+    "docstring calls the real-time takuan (SURVEY §2.1's "
+    "applyInPandasWithState north star; ref core/reporter.go counts "
+    "the same per-address events offline) — until this row certified "
+    "only via its batch analog (q_stateful_alerts) and pytest. "
+    "Detector tuning cooldown=0, threshold=2, window=1 h over the "
+    "second-distinct per-user 'error' stream, which makes the alert "
+    "set EXACTLY the RANGE-window fixpoint the batch analog defines "
+    "(brute_force_alerts_batch's docstring: with cooldown disabled, "
+    "one alert per event whose trailing (t-3600 s, t] census reaches "
+    "threshold; second-distinct feed because the detector's state is "
+    "second-granular while RANGE peers tie). Events arrive as 4 "
+    "time-quartile epoch files (maxFilesPerTrigger=1), so the "
+    "ORDERED-ARRIVAL contract of the detector's fold holds by "
+    "protocol — pinned here as in q_stream_custom_state; the "
+    "buffer-and-seal variant (make_gap_buffer_update_fn) is the "
+    "certified pattern for unordered sources, and the detector's "
+    "cooldown re-arm would need exactly that treatment behind a "
+    "non-time-partitioned source. State per address is the in-window "
+    "event times (avg gap ~45 min -> 1-2 entries) + last-alert; "
+    "alerts emit INLINE in the batch that crosses the threshold "
+    "(append mode, no flush sentinels needed — the one real-engine "
+    "stateful row whose output rides the data clock, not the "
+    "watermark). Cross-batch state carry is made load-bearing BY "
+    "CONSTRUCTION at every SF: a deterministic probe pair under "
+    "reserved address '-1' brackets the first epoch-file boundary at "
+    "+/- 20 min (whole-second arithmetic reproduced verbatim in the "
+    "oracle's bounds CTE, so the probe alert is part of the hashed "
+    "answer) — the corpus's natural straddles (0/1/3 at "
+    "sf0.001/0.01/0.1, too sparse to pin at the smallest SF) ride on "
+    "top. The in-row guard asserts a straddling alert exists "
+    "(window_start in an earlier epoch file than window_end): a "
+    "detector that lost its recent-times state between micro-batches "
+    "would miss the probe alert and both red the guard and hash-red. "
+    "tests/test_stateful.py pins the probe geometry at every shipped "
+    "SF and exercises the idle-eviction timer on the real engine "
+    "(ProcessingTimeTimeout + live trigger), which this availableNow "
+    "drain correctly runs with NoTimeout (the documented "
+    "drain-and-stop contract). At 100 TB/day: state is "
+    "O(active addresses) x a handful of timestamps, key-partitioned "
+    "across executors, evicted after window+cooldown idle — no "
+    "driver state, the deployment shape of every per-entity online "
+    "detector.",
+)
+def q_stream_bruteforce_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.queries.stateful_analog import _THRESHOLD, _WINDOW_SECS
+    from takuan_spark.streaming.stateful import brute_force_alerts
+
+    base = _scratch(sf_dir, "bruteforce")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    os.makedirs(src)
+    # second-distinct per-address error stream (docstring): truncate
+    # BEFORE the dedup so the feed, the epoch split, and the oracle
+    # all see the same second-granular event set.
+    feed = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").cast("string").alias("address"),
+            F.date_trunc("second", F.col("ts").cast("timestamp")).alias(
+                "ts"
+            ),
+        )
+        .dropDuplicates(["address", "ts"])
+    )
+    lo, hi = feed.agg(F.min("ts"), F.max("ts")).head()
+    t0 = 1_600_000_000.0
+    # the cross-boundary probe pair (docstring): reserved address '-1',
+    # whole-second arithmetic identical to the oracle's bounds CTE.
+    # lo/hi are second-truncated, so lo_s/hi_s are exact ints; the
+    # first quartile file boundary sits at lo + span (span_us-precise),
+    # within 1 s of lo_s + (hi_s - lo_s) // 4 — the +/- 1200 s margin
+    # dwarfs that, so probe-1 always lands in epoch file 0 and probe-2
+    # in file 1, 2400 s apart (inside the 3600 s window).
+    import datetime
+
+    epoch0 = datetime.datetime(1970, 1, 1)
+    lo_s = (lo - epoch0) // datetime.timedelta(seconds=1)
+    hi_s = (hi - epoch0) // datetime.timedelta(seconds=1)
+    b_sec = lo_s + (hi_s - lo_s) // 4
+    probes = spark.createDataFrame(
+        [
+            ("-1", epoch0 + datetime.timedelta(seconds=b_sec - 1200)),
+            ("-1", epoch0 + datetime.timedelta(seconds=b_sec + 1200)),
+        ],
+        schema=feed.schema,
+    )
+    span_us = _write_epoch_files_one_job(
+        base, src, feed.unionByName(probes), time_col="ts", lo=lo, hi=hi,
+        n_epochs=_N_EPOCHS, t0=t0,
+    )
+
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # 16 as in q_stream_custom_state: per-batch cost is per-GROUP
+    # Python invocations, which parallelize across state partitions.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            brute_force_alerts(
+                stream,
+                address_col="address",
+                time_col="ts",
+                threshold=_THRESHOLD,
+                window_secs=_WINDOW_SECS,
+                cooldown_secs=0,
+                idle_timeout_secs=None,
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_die(q, 600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = spark.read.parquet(sink).select(
+        "address",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.unix_timestamp("window_start").alias("window_start_sec"),
+        F.unix_timestamp("window_end").alias("window_end_sec"),
+    )
+    # cross-batch state carry must actually be load-bearing: some
+    # alert's window must span two epoch FILES (the same least()-
+    # capped integer-div boundaries _write_epoch_files_one_job used).
+    # The probe pair guarantees at least one such alert at every SF.
+    lo_us = lo_s * 1_000_000
+
+    def _ep(sec_col: str):
+        return F.least(
+            F.lit(_N_EPOCHS - 1),
+            F.expr(f"({sec_col} * 1000000 - {lo_us}L) div {span_us}L"),
+        )
+    straddle = out.where(
+        _ep("window_start_sec") < _ep("window_end_sec")
+    ).head()
+    if straddle is None:
+        raise RuntimeError(
+            "no alert window straddles an epoch boundary; the "
+            "cross-batch state carry under test was never exercised"
+        )
+    return out.orderBy("address", "window_end_sec")
+
+
+@query(
+    "q_stream_interval_join_right",
+    """
+    SELECT l.event_id AS l_id, r.event_id AS r_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    RIGHT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id
+     AND r.ts BETWEEN l.ts - INTERVAL 24 HOUR AND l.ts
+    ORDER BY 1, 2
+    """,
+    "Stream-stream RIGHT OUTER interval join under the REAL Structured "
+    "Streaming engine — the last join type in the matrix without its "
+    "own oracle row (inner r9, leftOuter r10, fullOuter r11; rightOuter "
+    "was a real-engine pytest pin only, tests/test_stateful.py). "
+    "Mirror-image state machine of the leftOuter row: matched pairs "
+    "emit on arrival, while an unmatched buffered VIEW emits its "
+    "(NULL, r) row exactly once — and only when the min-of-sources "
+    "watermark passes r.ts + 24 h, the point after which no later "
+    "click can still claim it (the right hold is LONGER than the left "
+    "one: a click's interval looks back, so a view must outwait the "
+    "whole look-back span). That asymmetry is exactly what this row "
+    "pins that the fullOuter row cannot in isolation: here the LEFT "
+    "eviction path must stay silent — any (l, NULL) row is a hash "
+    "mismatch against the batch RIGHT JOIN oracle, so an engine that "
+    "wired the outer side to the wrong buffer reds immediately. Same "
+    "two-source protocol as the other interval rows (4 time-aligned "
+    "epoch files per side, 24 h interval, 1 h watermark, sentinels on "
+    "both sources under reserved id -1 so the final orphans flush). "
+    "Non-vacuity pinned at every SF (tests/test_stateful.py): "
+    "unmatched views exist (120/1281/12885 at sf0.001/0.01/0.1) and "
+    "matched pairs straddle epoch boundaries; in-query guard asserts "
+    "the right-eviction path fired. numRowsDroppedByWatermark == 0 "
+    "asserted. At 100 TB/day state stays arrival rate x (interval + "
+    "horizon) per side, identical to the inner join — the outer "
+    "variant adds the emit-on-evict path, not more state.",
+)
+def q_stream_interval_join_right(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from takuan_spark.streaming.windows import interval_join
+
+    base = _scratch(sf_dir, "interval_join_right")
+    src_l, src_r = f"{base}/src_l", f"{base}/src_r"
+    sink, ckpt = f"{base}/sink", f"{base}/ckpt"
+    os.makedirs(src_l)
+    os.makedirs(src_r)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "user_id",
+        "event_type",
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
+    t0 = 1_600_000_000.0
+    clicks = ev.where(F.col("event_type") == "click").drop("event_type")
+    views = ev.where(F.col("event_type") == "view").drop("event_type")
+    _write_epoch_files_one_job(
+        base, src_l, clicks, time_col="ts", lo=lo, hi=hi,
+        n_epochs=_N_EPOCHS, t0=t0,
+    )
+    _write_epoch_files_one_job(
+        base, src_r, views, time_col="ts", lo=lo, hi=hi,
+        n_epochs=_N_EPOCHS, t0=t0,
+    )
+    # sentinels on BOTH sources (the watermark is the min across
+    # sources), reserved event_id/user_id -1; the co-timestamped
+    # sentinel pair matches itself, so sentinels add only filtered
+    # (-1, -1) rows — never a spurious orphan.
+    sentinel_extra = (("user_id", -1, "bigint"),)
+    _write_sentinel_files(
+        src_l, hi, t0, "event_id", -1, "bigint", extra=sentinel_extra
+    )
+    _write_sentinel_files(
+        src_r, hi, t0, "event_id", -1, "bigint", extra=sentinel_extra
+    )
+
+    def _source(path: str):
+        return (
+            spark.readStream.schema(clicks.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        joined = interval_join(
+            _source(src_l),
+            _source(src_r),
+            on="user_id",
+            left_time="ts",
+            right_time="ts",
+            max_delay="24 hours",
+            watermark="1 hour",
+            how="rightOuter",
+        ).select(
+            F.col("l.event_id").alias("l_id"),
+            F.col("r.event_id").alias("r_id"),
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_die(q, 600)
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        if dropped != 0:
+            raise RuntimeError(
+                f"{dropped} rows dropped at the watermark; the in-order "
+                f"two-source protocol guarantees none should be"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # keep NULL l_id (the orphaned views under test); drop sentinels
+    out = spark.read.parquet(sink).where(
+        (F.col("r_id") >= 0)
+        & (F.col("l_id").isNull() | (F.col("l_id") >= 0))
+    )
+    # the RIGHT eviction path must actually have run: zero NULL-padded
+    # rows would mean the outer semantics were vacuous even if every
+    # matched pair hashed green.
+    if out.where(F.col("l_id").isNull()).head() is None:
+        raise RuntimeError(
+            "no unmatched view was emitted; the right-eviction path "
+            "under test never fired"
+        )
+    return out.orderBy("l_id", "r_id")
+
+
+@query(
     "q_stream_custom_state",
     """
     WITH d AS (
@@ -2959,4 +3279,239 @@ def q_tail_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.groupBy("event_type")
         .agg(F.count("*").alias("cnt"))
         .orderBy("event_type")
+    )
+
+
+@query(
+    "q_stream_multi_sensor",
+    """
+    SELECT CASE WHEN event_type IN ('error', 'signup') THEN 'ssh'
+                ELSE 'http' END AS sensor,
+           event_type AS rule,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "The streaming multi-sensor union (O30) under the driver hash "
+    "gate: TWO LIVE filetail sources — an sshd-shaped and an "
+    "access-log-shaped sensor, each its own single live log FILE "
+    "with its own regex parser, rules, and datetime layout — "
+    "unioned by streaming/pipeline.py compile_stream into ONE "
+    "events stream, the reference's concurrent-sensors-into-one-bus "
+    "shape (core/aggregator.go:211-217) and the documented fan-out "
+    "answer to the single-reader tail (one cheap source per file, "
+    "union above). Until this row the streaming form of O30 was "
+    "pytest-only (tests/test_streaming); the batch union is "
+    "compile_batch's. Every event renders deterministically into "
+    "exactly one sensor's log (error/signup -> ssh syslog line with "
+    "a YEARLESS datetime, exercising the O7 year-injection repair "
+    "in-stream; click/view/purchase -> CLF-style http line whose "
+    "layout carries the year, the no-injection path — both datetime "
+    "modes live in one query). Arrival protocol: half of each "
+    "sensor's lines are written before the stream starts, the other "
+    "half is byte-appended to BOTH live files while the query runs "
+    "(the live-tail contract), and the per-batch sink records epoch "
+    "ids. In-row guards: some single micro-batch epoch carries rows "
+    "from BOTH sensors (the union actually multiplexes, not "
+    "round-robins), post-append rows land in later epochs on BOTH "
+    "sensors (both tails are live), per-sensor totals are exact "
+    "(no loss, no replay across the append), and zero quarantine "
+    "rows (every line parsed). The result GROUP BY (sensor, rule) "
+    "hash-checks the full route: tail -> per-sensor tokenize -> "
+    "first-match-wins rules -> datetime -> unionByName. At 100 "
+    "TB/day the shape is N sensors x one cheap driver-side tail "
+    "each, unioned into one partitioned stream — per-sensor "
+    "parallelism comes from MORE sensors, per-event parallelism "
+    "from the post-union exchange, exactly the reference's "
+    "goroutine-per-sensor model with Spark owning the bus.",
+)
+def q_stream_multi_sensor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    from takuan_spark.config import config_from_dict
+    from takuan_spark.streaming.pipeline import compile_stream
+
+    base = _scratch(sf_dir, "multi_sensor")
+    os.makedirs(base)
+    sink = f"{base}/sink"
+    ckpt = f"{base}/ckpt"
+    logs = {"ssh": f"{base}/auth.log", "http": f"{base}/access.log"}
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    addr = F.concat(
+        F.lit("10.0."),
+        (F.col("user_id") % 251).cast("string"),
+        F.lit("."),
+        (F.expr("user_id DIV 251") % 251).cast("string"),
+    )
+    ssh_line = F.concat(
+        F.date_format("ts", "MMM d HH:mm:ss"),
+        F.lit(" node sshd[12]: "),
+        F.col("event_type"),
+        F.lit(" uid "),
+        F.col("user_id"),
+        F.lit(" from "),
+        addr,
+    )
+    http_line = F.concat(
+        addr,
+        F.lit(" - - ["),
+        F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"),
+        F.lit('] "GET /'),
+        F.col("event_type"),
+        F.lit("/"),
+        F.col("user_id"),
+        F.lit('"'),
+    )
+    is_ssh = F.col("event_type").isin("error", "signup")
+    renders = {
+        "ssh": ev.where(is_ssh).select(ssh_line.alias("value")),
+        "http": ev.where(~is_ssh).select(http_line.alias("value")),
+    }
+    expected = {s: df.count() for s, df in renders.items()}
+
+    def _render_half(sensor: str, df: DataFrame, half: int) -> str:
+        tmp = f"{base}/_txt_{sensor}_{half}"
+        df.coalesce(1).write.mode("overwrite").text(tmp)
+        return _glob.glob(os.path.join(tmp, "part-*"))[0]
+
+    halves = {
+        s: [
+            _render_half(
+                s,
+                renders[s].where(
+                    F.pmod(F.crc32("value"), F.lit(2)) == half
+                ),
+                half,
+            )
+            for half in (0, 1)
+        ]
+        for s in renders
+    }
+    for s in logs:
+        shutil.copyfile(halves[s][0], logs[s])
+
+    conf = config_from_dict(
+        {
+            "name": "multi-node",
+            "sensors": [
+                {
+                    "name": "ssh",
+                    "filename": "-",
+                    "parser": {
+                        "expression": (
+                            r"^(.+) node sshd\[\d+\]: (.+)"
+                            r" from (\d+\.\d+\.\d+\.\d+)$"
+                        ),
+                        "datetime_format": "2006 Jan _2 15:04:05",
+                        "tokens": {"datetime": 1, "message": 2, "address": 3},
+                    },
+                    "rules": [
+                        {"name": "error", "token": "message",
+                         "expression": "^error "},
+                        {"name": "signup", "token": "message",
+                         "expression": "^signup "},
+                    ],
+                },
+                {
+                    "name": "http",
+                    "filename": "-",
+                    "parser": {
+                        "expression": (
+                            r"^(\d+\.\d+\.\d+\.\d+) - - \[(.+)\]"
+                            r" \"GET (/.+)\"$"
+                        ),
+                        "datetime_format": "02/Jan/2006:15:04:05",
+                        "tokens": {"address": 1, "datetime": 2, "message": 3},
+                    },
+                    "rules": [
+                        {"name": "click", "token": "message",
+                         "expression": "^/click/"},
+                        {"name": "view", "token": "message",
+                         "expression": "^/view/"},
+                        {"name": "purchase", "token": "message",
+                         "expression": "^/purchase/"},
+                    ],
+                },
+            ],
+        },
+        year=2024,
+    )
+
+    events = compile_stream(spark, conf, paths=logs, tail_files=True)
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        batch.select("sensor", "rule", "_parse_error").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sink, f"batch={epoch_id}"))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    q = None
+    try:
+        q = (
+            events.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        out = spark.read.option("basePath", sink).parquet(sink)
+        b1 = out.agg(F.max("batch")).head()[0]
+        # the live append: raw byte concatenation onto BOTH tailed
+        # files while the query object is running
+        for s in logs:
+            with open(logs[s], "ab") as dst, open(halves[s][1], "rb") as src:
+                shutil.copyfileobj(src, dst)
+        q.processAllAvailable()
+    finally:
+        if q is not None:
+            q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    out = spark.read.option("basePath", sink).parquet(sink)
+    bad = out.where(F.col("_parse_error")).count()
+    if bad:
+        raise RuntimeError(f"{bad} lines failed to parse; render broken")
+    multiplexed = (
+        out.groupBy("batch")
+        .agg(F.countDistinct("sensor").alias("n_sensors"))
+        .where(F.col("n_sensors") >= 2)
+        .head()
+    )
+    if multiplexed is None:
+        raise RuntimeError(
+            "no micro-batch epoch carried rows from both sensors; the "
+            "union under test never multiplexed"
+        )
+    per_sensor_late = {
+        r["sensor"]: r["n"]
+        for r in out.where(F.col("batch") > b1)
+        .groupBy("sensor")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for s in logs:
+        if per_sensor_late.get(s, 0) == 0:
+            raise RuntimeError(
+                f"no post-append rows arrived from sensor {s!r}; its "
+                f"live-tail path was never exercised"
+            )
+    got = {
+        r["sensor"]: r["n"]
+        for r in out.groupBy("sensor").agg(F.count("*").alias("n")).collect()
+    }
+    if got != expected:
+        raise RuntimeError(
+            f"per-sensor totals {got} != rendered {expected}; the "
+            f"exactly-once line contract broke"
+        )
+    return (
+        out.groupBy("sensor", "rule")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select("sensor", F.col("rule"), "cnt")
+        .orderBy("sensor", "rule")
     )

@@ -107,6 +107,124 @@ def test_brute_force_state_carries_across_batches(spark, stream_env):
     assert len(alerts) == 1 and alerts[0]["address"] == "7.7.7.7"
 
 
+def test_brute_force_eviction_timer_real_engine(spark, stream_env):
+    """The idle-eviction timer on the REAL engine (the fake-state unit
+    tests below pin the hasTimedOut -> remove() semantics; this pins
+    that ProcessingTimeTimeout actually drives them in a live query):
+    one key arrives, its 2 s idle timer is armed, and under a live
+    micro-batch trigger the no-data batches that follow must run the
+    timeout sweep and evict the key — visible as numRowsRemoved in the
+    state-operator metrics. availableNow runs use idle_timeout=None
+    precisely because these sweeps would otherwise hold the drain
+    open (the documented drain-and-stop contract)."""
+    import time
+
+    _write_events_chunk(
+        stream_env["src"] / "c1.parquet",
+        [("9.9.9.9", "2026-08-13 06:00:00", "ssh", "r")],
+    )
+    schema = "address string, created_at timestamp, sensor string, rule string"
+    stream = spark.readStream.schema(schema).parquet(str(stream_env["src"]))
+    out = brute_force_alerts(
+        stream,
+        threshold=100,
+        window_secs=60,
+        cooldown_secs=0,
+        idle_timeout_secs=2,
+    )
+    q = (
+        out.writeStream.format("noop")
+        .option("checkpointLocation", stream_env["ckpt"])
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        added = evicted = False
+        while time.time() < deadline and not evicted:
+            for p in q.recentProgress:
+                for op in p.get("stateOperators", []):
+                    if op.get("numRowsTotal", 0) > 0:
+                        added = True
+                    if op.get("numRowsRemoved", 0) > 0:
+                        evicted = True
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert added, "the key never reached the state store"
+    assert evicted, (
+        "the idle timer never evicted the key: no progress entry "
+        "reported numRowsRemoved > 0 within 90 s"
+    )
+
+
+def test_bruteforce_probe_geometry_and_natural_alerts_at_every_sf():
+    """Non-vacuity pins for q_stream_bruteforce_alerts at EVERY
+    shipped SF: (a) the cross-boundary probe pair's geometry holds —
+    the quartile span dwarfs the +/- 1200 s bracket, so probe-1 lands
+    in epoch file 0 and probe-2 in file 1 and the probe alert's
+    window straddles the boundary by construction; (b) real-address
+    alerts exist (the probe is a floor, not the whole answer); and
+    (c) the second-distinct error feed is non-trivially deduped-safe
+    (>= 2 per-address seconds somewhere)."""
+    import datetime
+
+    import duckdb
+
+    con = duckdb.connect()
+    for d in _sf_dirs():
+        lo, hi, n_err = con.sql(
+            f"""
+            SELECT MIN(date_trunc('second', ts)),
+                   MAX(date_trunc('second', ts)), COUNT(*)
+            FROM read_parquet('{d}/events.parquet')
+            WHERE event_type = 'error'
+            """
+        ).fetchone()
+        assert n_err > 0, f"{d}: no error events"
+        # the exact file-boundary arithmetic of
+        # _write_epoch_files_one_job: span_us = ((hi-lo)/4) // 1us
+        span_us = ((hi - lo) / 4) // datetime.timedelta(microseconds=1)
+        lo_s = (lo - datetime.datetime(1970, 1, 1)) // datetime.timedelta(
+            seconds=1
+        )
+        hi_s = (hi - datetime.datetime(1970, 1, 1)) // datetime.timedelta(
+            seconds=1
+        )
+        b_sec = lo_s + (hi_s - lo_s) // 4
+        for off, want_ep in ((-1200, 0), (1200, 1)):
+            rel_us = (b_sec + off) * 1_000_000 - lo_s * 1_000_000
+            ep = min(3, rel_us // span_us)
+            assert ep == want_ep, (
+                f"{d}: probe at {off:+} s lands in epoch {ep}, "
+                f"wanted {want_ep} — the straddle is vacuous"
+            )
+        n_alerts = con.sql(
+            f"""
+            WITH errs AS (
+                SELECT DISTINCT CAST(user_id AS VARCHAR) address,
+                       date_diff('second', TIMESTAMP '1970-01-01',
+                                 date_trunc('second', ts)) sec
+                FROM read_parquet('{d}/events.parquet')
+                WHERE event_type = 'error'
+            ),
+            w AS (
+                SELECT COUNT(*) OVER win n FROM errs
+                WINDOW win AS (PARTITION BY address ORDER BY sec
+                               RANGE BETWEEN 3599 PRECEDING
+                                     AND CURRENT ROW)
+            )
+            SELECT COUNT(*) FROM w WHERE n >= 2
+            """
+        ).fetchone()[0]
+        assert n_alerts > 0, (
+            f"{d}: no real-address alert; the detector row would be "
+            f"probe-only there"
+        )
+    con.close()
+
+
 class _FakeState:
     """Minimal GroupState stand-in for unit-testing the update fn."""
 
@@ -1031,12 +1149,13 @@ def test_interval_join_outer_unmatched_exist_at_every_sf():
 
 
 def test_interval_join_full_unmatched_views_exist_at_every_sf():
-    """Non-vacuity guard for q_stream_interval_join_full's RIGHT half:
-    at EVERY shipped SF some view must have no click within
-    [view.ts, view.ts + 24 h] — those are the (NULL, r) rows only the
-    right-buffer eviction path can produce. The left half (unmatched
-    clicks) and the cross-batch matched pairs are pinned by the two
-    guards above, which share sources, interval, and epoch split."""
+    """Non-vacuity guard for the RIGHT half of
+    q_stream_interval_join_full AND for q_stream_interval_join_right
+    (same sources, interval, and epoch split): at EVERY shipped SF
+    some view must have no click within [view.ts, view.ts + 24 h] —
+    those are the (NULL, r) rows only the right-buffer eviction path
+    can produce. The left half (unmatched clicks) and the cross-batch
+    matched pairs are pinned by the two guards above."""
 
     import duckdb
 
