@@ -2049,6 +2049,202 @@ def q_stream_bruteforce_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_bruteforce_unordered",
+    """
+    WITH bounds AS (
+        SELECT date_diff('second', TIMESTAMP '1970-01-01',
+                         MIN(date_trunc('second', ts))) AS lo_s,
+               date_diff('second', TIMESTAMP '1970-01-01',
+                         MAX(date_trunc('second', ts))) AS hi_s
+        FROM events WHERE event_type = 'error'
+    ),
+    errs AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) AS address,
+               date_diff('second', TIMESTAMP '1970-01-01',
+                         date_trunc('second', ts)) AS sec
+        FROM events WHERE event_type = 'error'
+        UNION ALL
+        SELECT '-1', lo_s + (hi_s - lo_s) // 4 - 1200 FROM bounds
+        UNION ALL
+        SELECT '-1', lo_s + (hi_s - lo_s) // 4 + 1200 FROM bounds
+    ),
+    windowed AS (
+        SELECT address, sec AS window_end_sec,
+               CAST(COUNT(*) OVER win AS BIGINT) AS n_events,
+               MIN(sec) OVER win AS window_start_sec
+        FROM errs
+        WINDOW win AS (PARTITION BY address ORDER BY sec
+                       RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    )
+    SELECT address, n_events, window_start_sec, window_end_sec
+    FROM windowed WHERE n_events >= 2
+    ORDER BY address, window_end_sec
+    """,
+    "The brute-force detector under OUT-OF-ORDER epoch arrival "
+    "([1,0,3,2], the q_stream_unordered_state delivery) — the r11 "
+    "verdict's stretch goal closed: the detector's fold is DOUBLY "
+    "order-dependent (the sliding census tracks times within the "
+    "window of the LATEST seen event; the cooldown re-arm compares "
+    "against the last alert), so the ordered detector mislabels "
+    "inverted feeds (pytest pins the negative control: on this exact "
+    "delivery shape the ordered fold emits a malformed alert whose "
+    "window_start > window_end), while this row's "
+    "brute_force_alerts_unordered buffers event seconds in state and "
+    "SEALS the sorted prefix strictly below floor(watermark) through "
+    "the exact shared fold (_fold_alerts) the ordered path runs — "
+    "sealed-prefix-at-a-time equals all-at-once by construction, so "
+    "the SAME RANGE-window oracle (with the same reserved-address "
+    "probe pair, which under this delivery arrives out of event-time "
+    "order by construction: the epoch-1 file leads the epoch-0 file) "
+    "hash-gates it. Watermark delay 0.6x the corpus span: nothing "
+    "drops under the inverted delivery "
+    "(numRowsDroppedByWatermark == 0 asserted) AND the final real "
+    "batch runs a MID-STREAM seal, so prefix-seal alert emission — "
+    "not just the timeout flush — is on the hash-gated path; flush "
+    "sentinels ride the delay under reserved address '-2' (isolated "
+    "in time, they can never alert) and the timeout sweep seals the "
+    "tail. Alerts here trail the WATERMARK rather than the data "
+    "clock — the documented price of tolerated disorder, with state "
+    "= in-window census + 8 bytes per pending event bounded by "
+    "delay x per-key rate; the ordered row is the zero-buffer, "
+    "data-clock special case. Together the two rows certify the "
+    "detector across both arrival contracts in the deployment "
+    "matrix (ARCHITECTURE.md, stateful arrival-contract table).",
+)
+def q_stream_bruteforce_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime
+
+    from takuan_spark.queries.stateful_analog import _THRESHOLD, _WINDOW_SECS
+    from takuan_spark.streaming.stateful import brute_force_alerts_unordered
+
+    base = _scratch(sf_dir, "bruteforce_unordered")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    os.makedirs(src)
+    feed = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").cast("string").alias("address"),
+            F.date_trunc("second", F.col("ts").cast("timestamp")).alias(
+                "ts"
+            ),
+        )
+        .dropDuplicates(["address", "ts"])
+    )
+    lo, hi = feed.agg(F.min("ts"), F.max("ts")).head()
+    t0 = 1_600_000_000.0
+    epoch0 = datetime.datetime(1970, 1, 1)
+    lo_s = (lo - epoch0) // datetime.timedelta(seconds=1)
+    hi_s = (hi - epoch0) // datetime.timedelta(seconds=1)
+    b_sec = lo_s + (hi_s - lo_s) // 4
+    probes = spark.createDataFrame(
+        [
+            ("-1", epoch0 + datetime.timedelta(seconds=b_sec - 1200)),
+            ("-1", epoch0 + datetime.timedelta(seconds=b_sec + 1200)),
+        ],
+        schema=feed.schema,
+    )
+    span_us = _write_epoch_files_one_job(
+        base, src, feed.unionByName(probes), time_col="ts", lo=lo, hi=hi,
+        n_epochs=_N_EPOCHS, t0=t0,
+    )
+    # re-stamp arrival to [1, 0, 3, 2]: the probe pair's epoch-1 event
+    # now ARRIVES before its epoch-0 partner — the out-of-order carry
+    # under test reaches the hash-gated probe alert by construction
+    for rank, e in enumerate((1, 0, 3, 2)):
+        f = os.path.join(src, f"e{e}.parquet")
+        if os.path.exists(f):
+            mt = t0 + 10 * rank
+            os.utime(f, (mt, mt))
+    # 0.6x span: inverted delivery drops nothing, final real batch
+    # seals mid-stream (same derivation as q_stream_unordered_state)
+    delay_secs = int(0.6 * (hi - lo).total_seconds()) + 1
+    delay_days = delay_secs / 86400.0
+    # sentinels under reserved address '-2' (NOT the probe's '-1': the
+    # probe is part of the hashed answer; the sentinels — two events
+    # ten days apart, far beyond any window — can never alert and so
+    # need no output filter)
+    _write_sentinel_files(
+        src, hi, t0, "address", "-2", "string",
+        days=(10 + delay_days, 20 + delay_days),
+    )
+    flush_at_ms = int(
+        (hi + datetime.timedelta(days=1))
+        .replace(tzinfo=datetime.timezone.utc)
+        .timestamp()
+        * 1000
+    )
+
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            brute_force_alerts_unordered(
+                stream,
+                address_col="address",
+                time_col="ts",
+                threshold=_THRESHOLD,
+                window_secs=_WINDOW_SECS,
+                cooldown_secs=0,
+                watermark=f"{delay_secs} seconds",
+                flush_at_ms=flush_at_ms,
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_die(q, 600)
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        if dropped != 0:
+            raise RuntimeError(
+                f"{dropped} rows dropped at the watermark; the 0.6x-span "
+                f"tolerance guarantees the [1,0,3,2] delivery drops none"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = spark.read.parquet(sink).select(
+        "address",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.unix_timestamp("window_start").alias("window_start_sec"),
+        F.unix_timestamp("window_end").alias("window_end_sec"),
+    )
+    # the probe alert must exist AND straddle the epoch boundary —
+    # under this delivery that alert is only computable through the
+    # buffer (its window's events arrived inverted)
+    lo_us = lo_s * 1_000_000
+
+    def _ep(sec_col: str):
+        return F.least(
+            F.lit(_N_EPOCHS - 1),
+            F.expr(f"({sec_col} * 1000000 - {lo_us}L) div {span_us}L"),
+        )
+
+    straddle = out.where(
+        _ep("window_start_sec") < _ep("window_end_sec")
+    ).head()
+    if straddle is None:
+        raise RuntimeError(
+            "no alert window straddles an epoch boundary; the "
+            "out-of-order cross-batch carry under test never fired"
+        )
+    return out.orderBy("address", "window_end_sec")
+
+
+@query(
     "q_stream_interval_join_right",
     """
     SELECT l.event_id AS l_id, r.event_id AS r_id

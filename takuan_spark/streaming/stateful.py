@@ -54,6 +54,57 @@ _STATE_SCHEMA = StructType(
     ]
 )
 
+# buffer-and-seal variant: the sealed alert state plus pending event
+# times (little-endian int64 epoch seconds packed into one binary
+# column — same encoding trade as _GAP_BUF_STATE_SCHEMA)
+_ALERT_BUF_STATE_SCHEMA = StructType(
+    [
+        StructField("recent", StringType(), True),
+        StructField("last_alert", LongType(), True),
+        StructField("buf", BinaryType(), True),
+    ]
+)
+
+
+def _fold_alerts(
+    address: str,
+    recent: list[int],
+    last_alert: int | None,
+    sorted_times: list[int],
+    *,
+    threshold: int,
+    window_secs: int,
+    cooldown_secs: int,
+    max_state_events: int | None,
+) -> tuple[list[int], int | None, list[dict[str, Any]]]:
+    """Fold a SORTED run of event epoch-seconds into the detector's
+    (recent, last_alert) state, returning the alerts fired — the
+    sequential order-dependent step shared by the ordered fold
+    (:func:`make_update_fn`, batch-sorted runs under the ordered-
+    arrival contract) and the buffer-and-seal fold
+    (:func:`make_alert_buffer_update_fn`, watermark-sealed runs)."""
+    alerts: list[dict[str, Any]] = []
+    for t in sorted_times:
+        recent.append(t)
+        recent = [x for x in recent if x > t - window_secs]
+        if max_state_events is not None and len(recent) > max_state_events:
+            # keep the MOST RECENT K: the threshold check below only
+            # needs K >= threshold entries, so capping cannot
+            # suppress an alert — it saturates the census.
+            recent = recent[-max_state_events:]
+        armed = last_alert is None or t - last_alert >= cooldown_secs
+        if len(recent) >= threshold and armed:
+            alerts.append(
+                {
+                    "address": address,
+                    "n_events": len(recent),
+                    "window_start": pd.Timestamp(recent[0], unit="s"),
+                    "window_end": pd.Timestamp(t, unit="s"),
+                }
+            )
+            last_alert = t
+    return recent, last_alert, alerts
+
 
 def make_update_fn(
     *,
@@ -102,26 +153,16 @@ def make_update_fn(
             ts = pd.to_datetime(pdf[time_col])
             times.extend(int(t.timestamp()) for t in ts)
 
-        alerts: list[dict[str, Any]] = []
-        for t in sorted(times):
-            recent.append(t)
-            recent = [x for x in recent if x > t - window_secs]
-            if max_state_events is not None and len(recent) > max_state_events:
-                # keep the MOST RECENT K: the threshold check below only
-                # needs K >= threshold entries, so capping cannot
-                # suppress an alert — it saturates the census.
-                recent = recent[-max_state_events:]
-            armed = last_alert is None or t - last_alert >= cooldown_secs
-            if len(recent) >= threshold and armed:
-                alerts.append(
-                    {
-                        "address": address,
-                        "n_events": len(recent),
-                        "window_start": pd.Timestamp(recent[0], unit="s"),
-                        "window_end": pd.Timestamp(t, unit="s"),
-                    }
-                )
-                last_alert = t
+        recent, last_alert, alerts = _fold_alerts(
+            address,
+            recent,
+            last_alert,
+            sorted(times),
+            threshold=threshold,
+            window_secs=window_secs,
+            cooldown_secs=cooldown_secs,
+            max_state_events=max_state_events,
+        )
 
         # Keep EVERY timestamp still inside the sliding window of the
         # latest event (the loop's window filter already bounds the list)
@@ -132,6 +173,114 @@ def make_update_fn(
         if idle_timeout_secs is not None:
             # re-arm the idle-eviction clock
             state.setTimeoutDuration(idle_timeout_secs * 1000)
+        if alerts:
+            yield pd.DataFrame(alerts)
+
+    return update
+
+
+def make_alert_buffer_update_fn(
+    *,
+    threshold: int,
+    window_secs: int,
+    cooldown_secs: int,
+    flush_at_ms: int,
+    max_state_events: int | None = None,
+):
+    """Per-group update function for the UNORDERED-arrival variant of
+    the detector (:func:`brute_force_alerts_unordered`) — module-level
+    so the seal/flush semantics are unit-testable with a fake
+    GroupState.
+
+    The detector's fold is doubly order-dependent: the sliding-window
+    census tracks the times within ``window_secs`` of the LATEST seen
+    event, and the cooldown re-arm compares each event against the
+    last alert — both wrong if a batch arrives behind one already
+    folded. Same cure as :func:`make_gap_buffer_update_fn`: buffer
+    event epoch-seconds in state and let the WATERMARK decide what is
+    safe to fold. Each call
+
+    1. appends the batch's times to the pending buffer,
+    2. sorts the buffer and SEALS the prefix strictly below the
+       current watermark through :func:`_fold_alerts` — the exact
+       fold the ordered path runs, so sealed-prefix-at-a-time equals
+       all-at-once by construction — emitting that prefix's alerts
+       in THIS batch (append mode allows emission any time; alerts
+       trail the watermark rather than the data clock, the price of
+       tolerated disorder),
+    3. keeps the unsealed suffix buffered (packed int64 seconds).
+
+    Final flush via event-time timeout at ``flush_at_ms`` (the gap
+    rows' sentinel protocol): the timeout sweep seals whatever remains
+    buffered, emits its alerts, and removes the state. State per key =
+    the in-window census + 8 bytes per PENDING event, bounded by
+    watermark delay x per-key rate — the watermark delay IS the state
+    budget, as in every buffer-and-seal operator here."""
+
+    def update(
+        key: tuple[str],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (address,) = key
+
+        def _load() -> tuple[list[int], int | None, list[int]]:
+            if state.exists:
+                recent_csv, last_alert, buf = state.get
+                recent = [int(x) for x in recent_csv.split(",") if x]
+                return recent, last_alert, _unpack_times(buf)
+            return [], None, []
+
+        if state.hasTimedOut:
+            recent, last_alert, pending = _load()
+            _, _, alerts = _fold_alerts(
+                address,
+                recent,
+                last_alert,
+                sorted(pending),
+                threshold=threshold,
+                window_secs=window_secs,
+                cooldown_secs=cooldown_secs,
+                max_state_events=max_state_events,
+            )
+            state.remove()
+            if alerts:
+                yield pd.DataFrame(alerts)
+            return
+
+        recent, last_alert, pending = _load()
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf["ts"])
+            pending.extend(int(t.timestamp()) for t in ts)
+        pending.sort()
+        # seal strictly below floor(watermark): the census works on
+        # TRUNCATED seconds, and a future arrival at true time >= wm
+        # can truncate down to floor(wm) — so floor(wm) itself must
+        # stay buffered or a late same-second peer would be folded
+        # out of order (for whole-second feeds this is exactly
+        # "strictly below the watermark")
+        wm_sec = int(state.getCurrentWatermarkMs() // 1000)
+        cut = bisect.bisect_left(pending, wm_sec)
+        recent, last_alert, alerts = _fold_alerts(
+            address,
+            recent,
+            last_alert,
+            pending[:cut],
+            threshold=threshold,
+            window_secs=window_secs,
+            cooldown_secs=cooldown_secs,
+            max_state_events=max_state_events,
+        )
+        state.update(
+            (
+                ",".join(str(x) for x in recent),
+                last_alert,
+                _pack_times(pending[cut:]),
+            )
+        )
+        state.setTimeoutTimestamp(
+            max(flush_at_ms, state.getCurrentWatermarkMs() + 1)
+        )
         if alerts:
             yield pd.DataFrame(alerts)
 
@@ -468,6 +617,68 @@ def brute_force_alerts(
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=timeout_conf,
+        )
+    )
+
+
+def brute_force_alerts_unordered(
+    events: DataFrame,
+    *,
+    address_col: str = "address",
+    time_col: str = "created_at",
+    threshold: int = 5,
+    window_secs: int = 60,
+    cooldown_secs: int = 300,
+    watermark: str = "10 minutes",
+    flush_at_ms: int,
+    max_state_events: int | None = None,
+) -> DataFrame:
+    """UNORDERED-arrival variant of :func:`brute_force_alerts`: the
+    same per-address alert state machine behind a source that may
+    deliver micro-batches in ANY order within the watermark tolerance
+    (see :func:`make_alert_buffer_update_fn` for the buffer-and-seal
+    mechanics and the state-size trade; :func:`brute_force_alerts` is
+    the zero-buffer special case for replayed logs / time-partitioned
+    epoch feeds, and emits on the data clock where this variant's
+    alerts trail the watermark).
+
+    ``flush_at_ms`` arms the final event-time-timeout sweep (sealing
+    whatever the in-stream watermark never passed) — callers must
+    place it past any time a key may still receive and advance the
+    watermark beyond it, the same sentinel protocol as
+    :func:`interarrival_stats`. Idle eviction needs no separate timer
+    here: every key's timeout IS the flush sweep, after which its
+    state is removed."""
+    if max_state_events is not None and max_state_events < threshold:
+        raise ValueError(
+            f"max_state_events ({max_state_events}) must be >= threshold "
+            f"({threshold}): a smaller cap could suppress alerts"
+        )
+    update = make_alert_buffer_update_fn(
+        threshold=threshold,
+        window_secs=window_secs,
+        cooldown_secs=cooldown_secs,
+        flush_at_ms=flush_at_ms,
+        max_state_events=max_state_events,
+    )
+    from pyspark.sql import functions as F
+
+    return (
+        # rename BEFORE attaching the watermark: the watermark rides
+        # the column it was declared on, and a later alias would
+        # detach it
+        events.select(
+            F.col(address_col).alias("address"),
+            F.col(time_col).alias("ts"),
+        )
+        .withWatermark("ts", watermark)
+        .groupBy("address")
+        .applyInPandasWithState(
+            update,
+            outputStructType=ALERT_SCHEMA,
+            stateStructType=_ALERT_BUF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -107,6 +107,137 @@ def test_brute_force_state_carries_across_batches(spark, stream_env):
     assert len(alerts) == 1 and alerts[0]["address"] == "7.7.7.7"
 
 
+def test_alert_buffer_update_fn_seals_by_watermark_not_arrival():
+    """The unordered-arrival detector fold: event seconds buffer in
+    state and seal into the alert fold only strictly below
+    floor(watermark), so an inverted delivery yields exactly the
+    alerts the ordered protocol gives — while the ordered fold on the
+    same feed emits a MALFORMED alert (window_start > window_end),
+    the non-vacuity of q_stream_bruteforce_unordered's arrival
+    protocol."""
+    from takuan_spark.streaming.stateful import (
+        make_alert_buffer_update_fn,
+        make_update_fn,
+    )
+
+    flush_ms = 10**15
+    fn = make_alert_buffer_update_fn(
+        threshold=2, window_secs=3600, cooldown_secs=0, flush_at_ms=flush_ms
+    )
+
+    def _pdf(secs):
+        return pd.DataFrame(
+            {"ts": pd.to_datetime(pd.Series(secs), unit="s")}
+        )
+
+    # inverted delivery: [2400s] then [0s] — truth: alert at 2400 with
+    # window [0, 2400] (both inside the 1 h window)
+    st = _FakeState()
+    assert list(fn(("-1",), iter([_pdf([2400])]), st)) == []
+    assert list(fn(("-1",), iter([_pdf([0])]), st)) == []
+    # nothing sealed (watermark 0): no alert yet, both pending
+    recent_csv, last_alert, buf = st.get
+    assert recent_csv == "" and last_alert is None and len(buf) == 2 * 8
+    assert st.timeout_ts_ms == flush_ms
+
+    # watermark passes 1000s -> seals [0] only; still below threshold
+    st.watermark_ms = 1_000_000
+    assert list(fn(("-1",), iter([]), st)) == []
+    assert st.get[0] == "0" and len(st.get[2]) == 1 * 8
+
+    # watermark passes 3000s -> seals [2400]: the alert fires with the
+    # CORRECT orientation, off state carried across the inversion
+    st.watermark_ms = 3_000_000
+    (out,) = list(fn(("-1",), iter([]), st))
+    row = out.iloc[0].to_dict()
+    assert row["n_events"] == 2
+    assert row["window_start"] == pd.Timestamp(0, unit="s")
+    assert row["window_end"] == pd.Timestamp(2400, unit="s")
+
+    # timeout: nothing pending -> no output, state removed
+    st.hasTimedOut = True
+    assert list(fn(("-1",), iter([]), st)) == []
+    assert st.removed
+
+    # negative control: the ORDERED fold on the same inverted feed
+    # fires the alert at the WRONG event with an inverted window
+    fo = make_update_fn(
+        time_col="created_at",
+        threshold=2,
+        window_secs=3600,
+        cooldown_secs=0,
+        idle_timeout_secs=None,
+    )
+    st2 = _FakeState()
+
+    def _pdf_o(secs):
+        return pd.DataFrame(
+            {"created_at": pd.to_datetime(pd.Series(secs), unit="s")}
+        )
+
+    assert list(fo(("-1",), iter([_pdf_o([2400])]), st2)) == []
+    (bad,) = list(fo(("-1",), iter([_pdf_o([0])]), st2))
+    brow = bad.iloc[0].to_dict()
+    assert brow["window_start"] > brow["window_end"], (
+        "the ordered fold should be provably wrong on inverted "
+        "arrival; if this starts passing, the negative control is "
+        "vacuous"
+    )
+
+
+def test_alert_buffer_fold_matches_ordered_on_sorted_feed():
+    """Sealing prefix-at-a-time must equal the ordered fold on the
+    same sorted sequence — including cooldown re-arm across seal
+    boundaries (the doubly-order-dependent part)."""
+    from takuan_spark.streaming.stateful import (
+        make_alert_buffer_update_fn,
+        make_update_fn,
+    )
+
+    secs = [0, 30, 60, 3000, 3030, 9000, 9030, 9060]
+    kw = dict(threshold=3, window_secs=100, cooldown_secs=5000)
+
+    fo = make_update_fn(
+        time_col="created_at", idle_timeout_secs=None, **kw
+    )
+    st_o = _FakeState()
+    ordered_out = []
+    for out in fo(
+        ("k",),
+        iter(
+            [
+                pd.DataFrame(
+                    {"created_at": pd.to_datetime(pd.Series(secs), unit="s")}
+                )
+            ]
+        ),
+        st_o,
+    ):
+        ordered_out.append(out)
+
+    fb = make_alert_buffer_update_fn(flush_at_ms=10**15, **kw)
+    st_b = _FakeState()
+    buffered_out = []
+    # deliver shuffled, seal in three watermark steps + timeout
+    feed = [9030, 30, 3000, 0, 9000, 60, 3030, 9060]
+    buffered_out += list(
+        fb(
+            ("k",),
+            iter([pd.DataFrame({"ts": pd.to_datetime(pd.Series(feed), unit="s")})]),
+            st_b,
+        )
+    )
+    for wm in (40, 3500):
+        st_b.watermark_ms = wm * 1000
+        buffered_out += list(fb(("k",), iter([]), st_b))
+    st_b.hasTimedOut = True
+    buffered_out += list(fb(("k",), iter([]), st_b))
+
+    a = pd.concat(ordered_out, ignore_index=True)
+    b = pd.concat(buffered_out, ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_brute_force_eviction_timer_real_engine(spark, stream_env):
     """The idle-eviction timer on the REAL engine (the fake-state unit
     tests below pin the hasTimedOut -> remove() semantics; this pins
