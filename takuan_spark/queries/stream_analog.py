@@ -1864,9 +1864,14 @@ def q_stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("l_id", "r_id")
 
 
-@query(
-    "q_stream_bruteforce_alerts",
-    """
+#: Shared oracle for BOTH brute-force detector rows (ordered and
+#: unordered arrival run the same fold over the same feed, so they
+#: share one RANGE-window fixpoint): the second-distinct per-user
+#: 'error' stream plus the deterministic cross-boundary probe pair
+#: under reserved address '-1' — whole-second arithmetic identical to
+#: :func:`_bruteforce_feed_with_probes`, so the probe alert is part of
+#: the hashed answer.
+_BRUTEFORCE_ORACLE = """
     WITH bounds AS (
         SELECT date_diff('second', TIMESTAMP '1970-01-01',
                          MIN(date_trunc('second', ts))) AS lo_s,
@@ -1895,7 +1900,84 @@ def q_stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT address, n_events, window_start_sec, window_end_sec
     FROM windowed WHERE n_events >= 2
     ORDER BY address, window_end_sec
-    """,
+    """
+
+
+def _bruteforce_feed_with_probes(spark: SparkSession, sf_dir: str):
+    """The detector rows' shared feed: the second-distinct per-address
+    error stream (truncate BEFORE the dedup so feed, epoch split, and
+    oracle see the same second-granular event set; ts leads the column
+    order — the sentinel-file layout) plus the probe pair bracketing
+    the first quartile boundary at +/- 1200 s. lo/hi are second-
+    truncated so lo_s/hi_s are exact ints; the quartile file boundary
+    sits within 1 s of lo_s + (hi_s - lo_s) // 4, which the 1200 s
+    margin dwarfs, so probe-1 always lands in epoch file 0 and
+    probe-2 in file 1, 2400 s apart (inside the 3600 s window).
+    Returns (feed_with_probes, lo, hi, lo_s)."""
+    import datetime
+
+    feed = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select(
+            F.date_trunc("second", F.col("ts").cast("timestamp")).alias(
+                "ts"
+            ),
+            F.col("user_id").cast("string").alias("address"),
+        )
+        .dropDuplicates(["address", "ts"])
+    )
+    lo, hi = feed.agg(F.min("ts"), F.max("ts")).head()
+    epoch0 = datetime.datetime(1970, 1, 1)
+    lo_s = (lo - epoch0) // datetime.timedelta(seconds=1)
+    hi_s = (hi - epoch0) // datetime.timedelta(seconds=1)
+    b_sec = lo_s + (hi_s - lo_s) // 4
+    probes = spark.createDataFrame(
+        [
+            (epoch0 + datetime.timedelta(seconds=b_sec - 1200), "-1"),
+            (epoch0 + datetime.timedelta(seconds=b_sec + 1200), "-1"),
+        ],
+        schema=feed.schema,
+    )
+    return feed.unionByName(probes), lo, hi, lo_s
+
+
+def _bruteforce_result(
+    spark: SparkSession, sink: str, lo, span_us: int, carry: str
+) -> DataFrame:
+    """The detector rows' shared output projection (epoch-second
+    bigints, engine-portable) and straddle guard: some alert's window
+    must span two epoch FILES — boundaries re-derived through the
+    exact :func:`_epoch_index` the writer used, on timestamps rebuilt
+    from the output seconds — or the cross-batch carry named by
+    ``carry`` was never exercised. The probe pair guarantees at least
+    one such alert at every SF."""
+    out = spark.read.parquet(sink).select(
+        "address",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.unix_timestamp("window_start").alias("window_start_sec"),
+        F.unix_timestamp("window_end").alias("window_end_sec"),
+    )
+    straddle = (
+        out.withColumn("_ws", F.timestamp_seconds("window_start_sec"))
+        .withColumn("_we", F.timestamp_seconds("window_end_sec"))
+        .where(
+            _epoch_index("_ws", lo, span_us, _N_EPOCHS)
+            < _epoch_index("_we", lo, span_us, _N_EPOCHS)
+        )
+        .head()
+    )
+    if straddle is None:
+        raise RuntimeError(
+            f"no alert window straddles an epoch boundary; the "
+            f"{carry} under test was never exercised"
+        )
+    return out.orderBy("address", "window_end_sec")
+
+
+@query(
+    "q_stream_bruteforce_alerts",
+    _BRUTEFORCE_ORACLE,
     "The flagship stateful operator under the REAL Structured "
     "Streaming engine: streaming/stateful.py's brute_force_alerts — "
     "the per-address sliding-window alert state machine the module "
@@ -1949,44 +2031,10 @@ def q_stream_bruteforce_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch(sf_dir, "bruteforce")
     src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
     os.makedirs(src)
-    # second-distinct per-address error stream (docstring): truncate
-    # BEFORE the dedup so the feed, the epoch split, and the oracle
-    # all see the same second-granular event set.
-    feed = (
-        load_table(spark, sf_dir, "events")
-        .where(F.col("event_type") == "error")
-        .select(
-            F.col("user_id").cast("string").alias("address"),
-            F.date_trunc("second", F.col("ts").cast("timestamp")).alias(
-                "ts"
-            ),
-        )
-        .dropDuplicates(["address", "ts"])
-    )
-    lo, hi = feed.agg(F.min("ts"), F.max("ts")).head()
+    feed, lo, hi, _lo_s = _bruteforce_feed_with_probes(spark, sf_dir)
     t0 = 1_600_000_000.0
-    # the cross-boundary probe pair (docstring): reserved address '-1',
-    # whole-second arithmetic identical to the oracle's bounds CTE.
-    # lo/hi are second-truncated, so lo_s/hi_s are exact ints; the
-    # first quartile file boundary sits at lo + span (span_us-precise),
-    # within 1 s of lo_s + (hi_s - lo_s) // 4 — the +/- 1200 s margin
-    # dwarfs that, so probe-1 always lands in epoch file 0 and probe-2
-    # in file 1, 2400 s apart (inside the 3600 s window).
-    import datetime
-
-    epoch0 = datetime.datetime(1970, 1, 1)
-    lo_s = (lo - epoch0) // datetime.timedelta(seconds=1)
-    hi_s = (hi - epoch0) // datetime.timedelta(seconds=1)
-    b_sec = lo_s + (hi_s - lo_s) // 4
-    probes = spark.createDataFrame(
-        [
-            ("-1", epoch0 + datetime.timedelta(seconds=b_sec - 1200)),
-            ("-1", epoch0 + datetime.timedelta(seconds=b_sec + 1200)),
-        ],
-        schema=feed.schema,
-    )
     span_us = _write_epoch_files_one_job(
-        base, src, feed.unionByName(probes), time_col="ts", lo=lo, hi=hi,
+        base, src, feed, time_col="ts", lo=lo, hi=hi,
         n_epochs=_N_EPOCHS, t0=t0,
     )
 
@@ -2020,66 +2068,14 @@ def q_stream_bruteforce_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         _await_or_die(q, 600)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    out = spark.read.parquet(sink).select(
-        "address",
-        F.col("n_events").cast("bigint").alias("n_events"),
-        F.unix_timestamp("window_start").alias("window_start_sec"),
-        F.unix_timestamp("window_end").alias("window_end_sec"),
+    return _bruteforce_result(
+        spark, sink, lo, span_us, "cross-batch state carry"
     )
-    # cross-batch state carry must actually be load-bearing: some
-    # alert's window must span two epoch FILES (the same least()-
-    # capped integer-div boundaries _write_epoch_files_one_job used).
-    # The probe pair guarantees at least one such alert at every SF.
-    lo_us = lo_s * 1_000_000
-
-    def _ep(sec_col: str):
-        return F.least(
-            F.lit(_N_EPOCHS - 1),
-            F.expr(f"({sec_col} * 1000000 - {lo_us}L) div {span_us}L"),
-        )
-    straddle = out.where(
-        _ep("window_start_sec") < _ep("window_end_sec")
-    ).head()
-    if straddle is None:
-        raise RuntimeError(
-            "no alert window straddles an epoch boundary; the "
-            "cross-batch state carry under test was never exercised"
-        )
-    return out.orderBy("address", "window_end_sec")
 
 
 @query(
     "q_stream_bruteforce_unordered",
-    """
-    WITH bounds AS (
-        SELECT date_diff('second', TIMESTAMP '1970-01-01',
-                         MIN(date_trunc('second', ts))) AS lo_s,
-               date_diff('second', TIMESTAMP '1970-01-01',
-                         MAX(date_trunc('second', ts))) AS hi_s
-        FROM events WHERE event_type = 'error'
-    ),
-    errs AS (
-        SELECT DISTINCT CAST(user_id AS VARCHAR) AS address,
-               date_diff('second', TIMESTAMP '1970-01-01',
-                         date_trunc('second', ts)) AS sec
-        FROM events WHERE event_type = 'error'
-        UNION ALL
-        SELECT '-1', lo_s + (hi_s - lo_s) // 4 - 1200 FROM bounds
-        UNION ALL
-        SELECT '-1', lo_s + (hi_s - lo_s) // 4 + 1200 FROM bounds
-    ),
-    windowed AS (
-        SELECT address, sec AS window_end_sec,
-               CAST(COUNT(*) OVER win AS BIGINT) AS n_events,
-               MIN(sec) OVER win AS window_start_sec
-        FROM errs
-        WINDOW win AS (PARTITION BY address ORDER BY sec
-                       RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
-    )
-    SELECT address, n_events, window_start_sec, window_end_sec
-    FROM windowed WHERE n_events >= 2
-    ORDER BY address, window_end_sec
-    """,
+    _BRUTEFORCE_ORACLE,
     "The brute-force detector under OUT-OF-ORDER epoch arrival "
     "([1,0,3,2], the q_stream_unordered_state delivery) — the r11 "
     "verdict's stretch goal closed: the detector's fold is DOUBLY "
@@ -2122,32 +2118,10 @@ def q_stream_bruteforce_unordered(
     base = _scratch(sf_dir, "bruteforce_unordered")
     src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
     os.makedirs(src)
-    feed = (
-        load_table(spark, sf_dir, "events")
-        .where(F.col("event_type") == "error")
-        .select(
-            F.col("user_id").cast("string").alias("address"),
-            F.date_trunc("second", F.col("ts").cast("timestamp")).alias(
-                "ts"
-            ),
-        )
-        .dropDuplicates(["address", "ts"])
-    )
-    lo, hi = feed.agg(F.min("ts"), F.max("ts")).head()
+    feed, lo, hi, _lo_s = _bruteforce_feed_with_probes(spark, sf_dir)
     t0 = 1_600_000_000.0
-    epoch0 = datetime.datetime(1970, 1, 1)
-    lo_s = (lo - epoch0) // datetime.timedelta(seconds=1)
-    hi_s = (hi - epoch0) // datetime.timedelta(seconds=1)
-    b_sec = lo_s + (hi_s - lo_s) // 4
-    probes = spark.createDataFrame(
-        [
-            ("-1", epoch0 + datetime.timedelta(seconds=b_sec - 1200)),
-            ("-1", epoch0 + datetime.timedelta(seconds=b_sec + 1200)),
-        ],
-        schema=feed.schema,
-    )
     span_us = _write_epoch_files_one_job(
-        base, src, feed.unionByName(probes), time_col="ts", lo=lo, hi=hi,
+        base, src, feed, time_col="ts", lo=lo, hi=hi,
         n_epochs=_N_EPOCHS, t0=t0,
     )
     # re-stamp arrival to [1, 0, 3, 2]: the probe pair's epoch-1 event
@@ -2216,32 +2190,12 @@ def q_stream_bruteforce_unordered(
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    out = spark.read.parquet(sink).select(
-        "address",
-        F.col("n_events").cast("bigint").alias("n_events"),
-        F.unix_timestamp("window_start").alias("window_start_sec"),
-        F.unix_timestamp("window_end").alias("window_end_sec"),
-    )
     # the probe alert must exist AND straddle the epoch boundary —
     # under this delivery that alert is only computable through the
     # buffer (its window's events arrived inverted)
-    lo_us = lo_s * 1_000_000
-
-    def _ep(sec_col: str):
-        return F.least(
-            F.lit(_N_EPOCHS - 1),
-            F.expr(f"({sec_col} * 1000000 - {lo_us}L) div {span_us}L"),
-        )
-
-    straddle = out.where(
-        _ep("window_start_sec") < _ep("window_end_sec")
-    ).head()
-    if straddle is None:
-        raise RuntimeError(
-            "no alert window straddles an epoch boundary; the "
-            "out-of-order cross-batch carry under test never fired"
-        )
-    return out.orderBy("address", "window_end_sec")
+    return _bruteforce_result(
+        spark, sink, lo, span_us, "out-of-order cross-batch carry"
+    )
 
 
 @query(
@@ -3563,9 +3517,16 @@ def q_stream_multi_sensor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('"'),
     )
     is_ssh = F.col("event_type").isin("error", "signup")
+    # each render feeds three actions (the expected-count and two half
+    # writes); materialize so the events scan + line rendering run once
+    # per sensor instead of three times
+    from takuan_spark.operators.skew import materialize
+
     renders = {
-        "ssh": ev.where(is_ssh).select(ssh_line.alias("value")),
-        "http": ev.where(~is_ssh).select(http_line.alias("value")),
+        "ssh": materialize(ev.where(is_ssh).select(ssh_line.alias("value"))),
+        "http": materialize(
+            ev.where(~is_ssh).select(http_line.alias("value"))
+        ),
     }
     expected = {s: df.count() for s, df in renders.items()}
 

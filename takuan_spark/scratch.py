@@ -15,8 +15,8 @@ Ownership makes the sweep concurrency-safe: every builder obtains its
 tree through :func:`scratch_path`, which records the path in a
 process-local registry. The sweep removes this process's own trees
 unconditionally (its queries are done when the sweep runs) but another
-session's trees only once they look ABANDONED — newest mtime among the
-tree root and its immediate children older than ``min_age_secs`` — so
+session's trees only once they look ABANDONED — no entry anywhere in
+the tree with an mtime younger than ``min_age_secs`` — so
 a concurrent bench/pytest on the same host cannot lose fixtures
 mid-query, while trees left by dead sessions still age out and get
 swept by the next run.
@@ -68,22 +68,29 @@ def scratch_path(name: str) -> str:
     return path
 
 
-def _newest_mtime(path: str) -> float:
-    """Newest mtime among the tree root and its immediate children —
-    a cheap liveness signal: every builder keeps writing sink/ckpt/src
-    subtrees under its base while its query runs."""
-    newest = 0.0
+def _idle_at_least(path: str, min_age_secs: float, now: float) -> bool:
+    """True iff NO entry anywhere under ``path`` has an mtime younger
+    than ``min_age_secs``. A full walk, not a depth-1 peek: a live
+    streaming query can go long stretches writing only deep entries
+    (ckpt/offsets/*, sink/_spark_metadata/*) while its root and
+    depth-1 children stay untouched — a shallow probe would misread
+    that as abandonment and sweep a running query's fixtures. The walk
+    early-exits on the first recent entry, so live trees (the case
+    that matters) cost one short scan."""
+    cutoff = now - min_age_secs
     try:
-        newest = os.path.getmtime(path)
-        with os.scandir(path) as it:
-            for entry in it:
-                try:
-                    newest = max(newest, entry.stat().st_mtime)
-                except OSError:
-                    continue
+        if os.path.getmtime(path) > cutoff:
+            return False
     except OSError:
-        pass
-    return newest
+        return True
+    for root, dirs, files in os.walk(path):
+        for name in dirs + files:
+            try:
+                if os.path.getmtime(os.path.join(root, name)) > cutoff:
+                    return False
+            except OSError:
+                continue
+    return True
 
 
 def clean_scratch(
@@ -106,7 +113,9 @@ def clean_scratch(
         for path in sorted(glob.glob(os.path.join(tmp, prefix + "*"))):
             if not os.path.isdir(path):
                 continue
-            if path not in _OWNED and now - _newest_mtime(path) < min_age_secs:
+            if path not in _OWNED and not _idle_at_least(
+                path, min_age_secs, now
+            ):
                 continue
             shutil.rmtree(path, ignore_errors=True)
             if not os.path.exists(path):

@@ -100,10 +100,27 @@ def test_clean_scratch_spares_other_sessions_live_trees():
         removed = clean_scratch()
         assert os.path.exists(d), "a live unowned tree must be spared"
         assert d not in removed
-        # age the tree (root and children) past the idle threshold
+        # liveness must be judged by the DEEPEST recent write, not a
+        # shallow peek: a streaming query can touch only deep ckpt
+        # entries for long stretches. Age the root and depth-1
+        # entries, keep one depth-2 file fresh -> still spared.
         old = time.time() - 7200
+        deep = os.path.join(d, "ckpt", "offsets")
+        os.makedirs(deep, exist_ok=True)
+        with open(os.path.join(deep, "0"), "w") as fh:
+            fh.write("o")
         os.utime(d, (old, old))
         os.utime(os.path.join(d, "x"), (old, old))
+        os.utime(os.path.join(d, "ckpt"), (old, old))
+        removed = clean_scratch()
+        assert os.path.exists(d), (
+            "a tree with only deep recent writes must be spared"
+        )
+        # age EVERYTHING past the threshold -> swept
+        for root, dirs, files in os.walk(d):
+            for name in dirs + files:
+                os.utime(os.path.join(root, name), (old, old))
+        os.utime(d, (old, old))
         removed = clean_scratch()
         assert not os.path.exists(d), "an idle unowned tree must be swept"
         assert d in removed
