@@ -1697,3 +1697,36 @@ def test_stream_stream_join_is_append_only(spark, stream_env):
             .trigger(availableNow=True)
             .start()
         )
+
+
+def test_multi_sensor_both_sensors_nonempty_at_every_sf():
+    """Non-vacuity pin for q_stream_multi_sensor: at EVERY shipped SF
+    both sensors must have events to render (error/signup -> ssh,
+    click/view/purchase -> http) — an empty side would make the
+    same-epoch multiplexing guard and one live-tail path vacuous —
+    and each side must render more than one distinct line (a side
+    collapsing to one repeated line is the only corpus shape where a
+    crc32 half could be empty; the in-row per-sensor late-row guard
+    turns an empty half into a loud error rather than a silent skip,
+    this pin just keeps the corpora away from that edge)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for d in _sf_dirs():
+        for side, pred in (
+            ("ssh", "IN ('error','signup')"),
+            ("http", "NOT IN ('error','signup')"),
+        ):
+            n, distinct = con.sql(
+                f"""
+                SELECT COUNT(*), COUNT(DISTINCT (event_type, user_id,
+                       date_trunc('second', ts)))
+                FROM read_parquet('{d}/events.parquet')
+                WHERE event_type {pred}
+                """
+            ).fetchone()
+            assert n > 0, f"{d}: no {side}-sensor events"
+            assert distinct >= 2, (
+                f"{d}: {side} side collapses to one rendered line"
+            )
+    con.close()
