@@ -95,7 +95,7 @@ def query(name: str, oracle_sql: str | None, description: str = ""):
 #   2. staleness backfill — every remaining query ordered by its
 #      LAST-GREEN round ascending, so the window always re-certifies
 #      the oldest evidence first. Round 12 applies the r11 verdict's
-#      directive exactly: the window = the 5 changed/new rows
+#      directive exactly: the window = the 6 changed/new rows
 #      (q_stream_bruteforce_alerts runs the REAL applyInPandasWithState
 #      brute-force detector over the epoch-file protocol against the
 #      RANGE-window oracle, with a deterministic cross-boundary probe
@@ -103,21 +103,26 @@ def query(name: str, oracle_sql: str | None, description: str = ""):
 #      SF; q_stream_bruteforce_unordered certifies the SAME detector
 #      under [1,0,3,2] delivery via the new buffer-and-seal fold
 #      (brute_force_alerts_unordered), closing the r11 verdict's
-#      stretch goal; q_stream_interval_join_right completes the stream-stream
+#      stretch goal; q_stream_bruteforce_restart stops and restarts
+#      the detector across query objects with the restart boundary ON
+#      the probe-straddled epoch boundary — the state store must
+#      round-trip the USER-DEFINED state schema off the checkpoint
+#      (the recovery axis q_stream_checkpoint_restart's built-in agg
+#      cannot certify); q_stream_interval_join_right completes the stream-stream
 #      join-type matrix under the hash gate; q_stream_multi_sensor puts
 #      the streaming multi-sensor union (O30) — two live filetail
 #      sources through compile_stream's unionByName — under the hash
 #      gate; q_interval_overlap_join re-certifies overlap_counts after
 #      the reserved-column guard + malformed-interval hardening) + the
 #      5 r5-stale rows the r10/r11 caps displaced + the full 37-row
-#      r6-stale class + the first 3 r7 rows; 5 + 5 + 37 + 3 = 50.
+#      r6-stale class + the first 2 r7 rows; 6 + 5 + 37 + 2 = 50.
 # Anything past the cap rotates forward next round; every declared
 # query is still oracle-verified locally by tests/test_oracle.py.
 PRIORITY: list[str] = [
     # -- 1. r12: CHANGED/NEW this round -------------------------------
     "q_stream_bruteforce_alerts", "q_stream_bruteforce_unordered",
-    "q_stream_interval_join_right", "q_stream_multi_sensor",
-    "q_interval_overlap_join",
+    "q_stream_bruteforce_restart", "q_stream_interval_join_right",
+    "q_stream_multi_sensor", "q_interval_overlap_join",
     # -- 2. the 5 r5-stale rows (the r11 verdict's backfill head) ----
     "ns_text_augment", "mm_media_summary", "ns_kcenter_coreset",
     "ns_matryoshka_qc", "q_stream_dedup_fold",
@@ -135,7 +140,7 @@ PRIORITY: list[str] = [
     "q_union_distinct", "q_window_lag_lead", "q_window_rank",
     # -- 4. backfill tail, ordered by last-green round ascending
     # (r7..r11) so future windows keep retiring the oldest evidence
-    # first; the first 3 rows here complete the 50-slot window --------
+    # first; the first 2 rows here complete the 50-slot window --------
     "mm_audio_segments", "mm_binaryfile_ingest", "mm_scene_cuts",
     "ns_chunk_documents", "ns_cms_error", "ns_cms_heavy_hitters",
     "ns_cms_join_size", "ns_dp_histogram", "ns_embedding_centroids",

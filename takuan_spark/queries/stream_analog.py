@@ -2199,6 +2199,148 @@ def q_stream_bruteforce_unordered(
 
 
 @query(
+    "q_stream_bruteforce_restart",
+    _BRUTEFORCE_ORACLE,
+    "CUSTOM (applyInPandasWithState) state surviving a CHECKPOINT "
+    "RESTART — the recovery behavior q_stream_checkpoint_restart "
+    "cannot certify: that row restarts a BUILT-IN windowed "
+    "aggregation, whose state schema the engine owns; this one stops "
+    "and restarts the brute-force detector, whose state is a "
+    "USER-DEFINED schema (recent-times csv + last-alert long) written "
+    "by Arrow-batched Python — the state store must round-trip it "
+    "across query objects byte-faithfully or the census silently "
+    "thins. Protocol: same feed/probe/oracle as "
+    "q_stream_bruteforce_alerts, but the restart boundary is placed "
+    "EXACTLY at the epoch-0/1 file boundary the probe pair straddles "
+    "— run 1 (query object 1) drains only epoch file 0, carrying "
+    "probe-1 in the '-1' key's state into the checkpoint; the "
+    "process-level stop() discards every in-memory state map; run 2 "
+    "(a NEW query object on the same checkpoint) drains epochs 1-3, "
+    "and the probe alert at probe-2 is only computable from state "
+    "RECOVERED off the checkpoint — lost state misses the alert "
+    "(straddle guard + hash red), re-read files double the census "
+    "(hash red), and offset resumption is asserted mechanically "
+    "(run-2 batchIds strictly continue run-1's). No sentinels: the "
+    "detector emits inline on the data clock (NoTimeout), so "
+    "recovery needs no watermark choreography — which is also why "
+    "this row isolates STATE-STORE recovery rather than re-testing "
+    "watermark recovery (q_stream_checkpoint_restart's axis). At "
+    "100 TB/day this is the upgrade-and-resume path of a deployed "
+    "detector: HDFS/RocksDB state files outlive the driver, and the "
+    "per-key census continues mid-window across the bounce.",
+)
+def q_stream_bruteforce_restart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from takuan_spark.queries.stateful_analog import _THRESHOLD, _WINDOW_SECS
+    from takuan_spark.streaming.stateful import brute_force_alerts
+
+    base = _scratch(sf_dir, "bruteforce_restart")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    stage = f"{base}/stage"
+    os.makedirs(src)
+    os.makedirs(stage)
+    feed, lo, hi, _lo_s = _bruteforce_feed_with_probes(spark, sf_dir)
+    t0 = 1_600_000_000.0
+    # all four files staged up front; the restart boundary is WHICH
+    # are visible to each run (shutil.move preserves mtimes, so
+    # arrival order within each run stays the protocol's)
+    span_us = _write_epoch_files_one_job(
+        base, stage, feed, time_col="ts", lo=lo, hi=hi,
+        n_epochs=_N_EPOCHS, t0=t0,
+    )
+    run2_files = [
+        name
+        for name in (f"e{k}.parquet" for k in range(1, _N_EPOCHS))
+        if os.path.exists(os.path.join(stage, name))
+    ]
+    # epoch 0 cannot be empty: it holds probe-1 by construction
+    shutil.move(
+        os.path.join(stage, "e0.parquet"), os.path.join(src, "e0.parquet")
+    )
+
+    def _start():
+        stream = (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            brute_force_alerts(
+                stream,
+                address_col="address",
+                time_col="ts",
+                threshold=_THRESHOLD,
+                window_secs=_WINDOW_SECS,
+                cooldown_secs=0,
+                idle_timeout_secs=None,
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q1 = _start()
+        _await_or_die(q1, 600)
+        if not q1.recentProgress:
+            raise RuntimeError(
+                "run 1 produced no progress events; the pre-restart "
+                "epoch was never batched and the recovery check would "
+                "be vacuous"
+            )
+        last_b1 = max(p["batchId"] for p in q1.recentProgress)
+        # run 1 must have STATE to lose: epoch 0 holds probe-1, so the
+        # state operator's row count is >= 1 by construction — assert
+        # it from the engine's own metrics rather than trusting the
+        # construction silently.
+        rows_run1 = max(
+            (
+                op.get("numRowsTotal", 0)
+                for p in q1.recentProgress
+                for op in p.get("stateOperators", [])
+            ),
+            default=0,
+        )
+        if rows_run1 == 0:
+            raise RuntimeError(
+                "run 1 ended with an empty state store; nothing would "
+                "cross the restart and the recovery check is vacuous"
+            )
+        # the restart: epochs 1-3 become visible only to the SECOND
+        # query object, which recovers offsets + the Python-defined
+        # state schema from the first's checkpoint
+        for name in run2_files:
+            shutil.move(os.path.join(stage, name), os.path.join(src, name))
+        q2 = _start()
+        _await_or_die(q2, 600)
+        if not q2.recentProgress:
+            raise RuntimeError(
+                "run 2 produced no progress events; the post-restart "
+                "epochs were never batched"
+            )
+        first_b2 = min(p["batchId"] for p in q2.recentProgress)
+        if first_b2 <= last_b1:
+            raise RuntimeError(
+                f"restart did not resume offsets: run 2 began at batch "
+                f"{first_b2}, run 1 ended at {last_b1}"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # the straddle guard doubles as the recovery proof here: the
+    # straddling (probe) alert's window opened before the restart and
+    # closed after it
+    return _bruteforce_result(
+        spark, sink, lo, span_us, "restart-recovered state carry"
+    )
+
+
+@query(
     "q_stream_interval_join_right",
     """
     SELECT l.event_id AS l_id, r.event_id AS r_id
