@@ -423,7 +423,7 @@ def kcenter_coreset(
     """
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-    from takuan_spark.operators.skew import materialize
+    from takuan_spark.operators.skew import materialize, snapshot
 
     spark = emb.sparkSession
     id_field = emb.select(id_col).schema.fields[0]
@@ -446,23 +446,31 @@ def kcenter_coreset(
         return F.array(*[F.lit(float(x)) for x in vals])
 
     picks = [(0, seed[id_col], None)]
-    state = materialize(
+    # snapshot(eager=False), not materialize: the state chain is
+    # loop-carried (round r's frame is a projection over round r-1's),
+    # so persists nest one InMemoryRelation per round and re-planning
+    # cost grows with k. The LAZY localCheckpoint keeps the original
+    # one-action-per-round shape — the argmax head() below both
+    # materializes the round's checkpoint and returns the pick — while
+    # still cutting each round's plan at a flat LogicalRDD.
+    state = snapshot(
         base.select(
             id_col,
             "v",
             _sq_dist(F.col("v"), _lit_vec(seed["v"])).alias("mind"),
-        )
+        ),
+        eager=False,
     )
-    base_handle, prev = base, None
     for r in range(1, k):
-        # the argmax action also materializes this round's state cache
         pick = state.orderBy(F.desc("mind"), id_col).limit(1).head()
-        if prev is not None:
-            prev.unpersist()
         if pick is None:
             break
         picks.append((r, pick[id_col], float(pick["mind"])))
-        prev, state = state, materialize(
+        if r == k - 1:
+            # the last pick needs no successor state; skip building a
+            # frame nothing reads.
+            break
+        state = snapshot(
             state.select(
                 id_col,
                 "v",
@@ -470,14 +478,12 @@ def kcenter_coreset(
                     F.col("mind"),
                     _sq_dist(F.col("v"), _lit_vec(pick["v"])),
                 ).alias("mind"),
-            )
+            ),
+            eager=False,
         )
-    base_handle.unpersist()
-    # the final state frame was never forced; nothing downstream reads
-    # it, so drop the pin rather than pay a materialization for it.
-    state.unpersist()
-    if prev is not None:
-        prev.unpersist()
+    base.unpersist()
+    # snapshot frames hold no cache-manager entry; their checkpoint
+    # blocks are released by the ContextCleaner once unreferenced.
     return spark.createDataFrame(picks, out_schema)
 
 

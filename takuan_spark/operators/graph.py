@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from takuan_spark.operators.skew import materialize
+from takuan_spark.operators.skew import materialize, snapshot
 
 #: Oracle-SQL-side rank key encoding: degree * RANK_BASE + node id — one
 #: bigint totally ordering (degree, id) pairs for INTEGRAL ids < RANK_BASE
@@ -186,16 +186,19 @@ def pagerank(
     with a fixed iteration count the result is still well-defined and
     identical in both engines."""
     # the edge frame feeds the node union (twice), the out-strength
-    # aggregate, and the rate projection — materialize so a derived
-    # edge list (a window + aggregation upstream) computes once.
-    e = materialize(
+    # aggregate, and the rate projection — snapshot so a derived
+    # edge list (a window + aggregation upstream) computes once AND the
+    # per-iteration plans stay flat (see snapshot's docstring; the
+    # loop-carried pr below would otherwise nest one InMemoryRelation
+    # per iteration).
+    e = snapshot(
         edges.select(
             F.col(src_col).alias("src"),
             F.col(dst_col).alias("dst"),
             F.col(weight_col).cast("double").alias("w"),
         )
     )
-    nodes = materialize(
+    nodes = snapshot(
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
@@ -203,7 +206,7 @@ def pagerank(
     n_row = F.broadcast(nodes.agg(F.count("*").cast("double").alias("n")))
     out_w = e.groupBy("src").agg(F.sum("w").alias("ow"))
     # contribution rate per edge is loop-invariant: w / out-strength.
-    rated = materialize(
+    rated = snapshot(
         e.join(out_w, "src").select(
             "src", "dst", (F.col("w") / F.col("ow")).alias("rate")
         )
@@ -217,7 +220,7 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("pr") * F.col("rate")).alias("c"))
         )
-        pr = materialize(
+        pr = snapshot(
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
             .crossJoin(n_row)
             .select(
@@ -297,6 +300,14 @@ def label_propagation(
     rounds is a small constant. Isolated nodes never appear in an
     edge list; callers wanting them keep-as-own-label can union them
     in afterwards."""
+    # the symmetric edge list feeds EVERY round's join plus the initial
+    # label distinct — the physical plan prints the edge-discovery
+    # subtree once per round (32 parquet scans at 3 rounds), but
+    # ReuseExchange dedups the identical exchanges inside the single
+    # action, so an explicit snapshot/persist here was MEASURED SLOWER
+    # (4.0 s lazy vs 4.6 s snapshotted at sf0.1): the eager cut pays a
+    # real extra job while the "recompute" it saves is mostly shared
+    # already. Left lazy deliberately.
     sym = edges.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
@@ -343,22 +354,23 @@ def kcore_peel(
     round's plan would re-derive every prior round twice through the
     two semi-join branches (the power-iteration recompute lesson,
     PLANS.md r5)."""
-    from takuan_spark.operators.skew import materialize
+    from takuan_spark.operators.skew import snapshot
 
     # the input edge set feeds round 1's degree aggregate AND both
     # semi-join branches; materialized so an expensive upstream edge
-    # discovery executes once, not three times. (At sf0.1 the 3.5k-edge
-    # discovery is cheap enough that recompute would beat the cache
-    # barrier by ~1s — the persist is the 100 TB-correct choice, where
-    # discovery is two corpus-scale shuffles.) The per-round keep set
-    # is deliberately NOT persisted: re-aggregating degrees over the
-    # cached edge frame is one cheap pass per branch, while persisting
-    # inserts a job barrier per round — measured strictly worse at
-    # every tested scale.
-    cur = materialize(edges)
+    # discovery executes once, not three times — and snapshot() rather
+    # than materialize(): per-round persists nest InMemoryRelations and
+    # the re-analysis/AQE cost grows with rounds (measured 6.5 s →
+    # 3.0 s at sf0.1 on the checkpointed form, identical results; see
+    # snapshot's docstring). The per-round keep set is deliberately NOT
+    # persisted: re-aggregating degrees over the materialized edge
+    # frame is one cheap pass per branch, while persisting inserts a
+    # job barrier per round — measured strictly worse at every tested
+    # scale.
+    cur = snapshot(edges)
     for _ in range(rounds):
         keep = degrees(cur).where(F.col("d") >= k).select("node")
-        cur = materialize(
+        cur = snapshot(
             cur.join(
                 keep.select(F.col("node").alias("u")), "u", "left_semi"
             ).join(
