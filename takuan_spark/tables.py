@@ -23,6 +23,18 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
+#: Bound parquet schema per (sf_dir, table). A bare
+#: ``spark.read.parquet(path)`` runs a schema-inference job (one task,
+#: ~70 ms measured — see plans/r12/q_date_functions_profile.json) on
+#: EVERY call; across a ~284-query suite loading 1-4 tables each that
+#: is pure per-query overhead. The schema of a given testdata file
+#: cannot change within a session, so the first load infers and later
+#: loads pass the cached schema explicitly — exactly what a catalog
+#: (metastore/Iceberg manifest) provides at scale instead of footer
+#: sniffing. Only METADATA is cached; every query still scans the
+#: parquet data itself.
+_SCHEMA_CACHE: dict = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table.
@@ -38,9 +50,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (naive, like DuckDB reads it) so downstream date_trunc/date_format is
     session-timezone-independent.
     """
+    key = (sf_dir, name)
+    cached = _SCHEMA_CACHE.get(key)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if cached is not None:
+            df = spark.read.schema(cached).parquet(f"{sf_dir}/{name}.parquet")
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            _SCHEMA_CACHE[key] = df.schema
         ts_type = df.schema["ts"].dataType.typeName()
         if ts_type == "long":
             # Integer `div`, NOT floor(ts/1000): the double division loses
@@ -72,7 +90,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 ),
             )
         return df  # already timestamp_ntz
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if cached is not None:
+        return spark.read.schema(cached).parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _SCHEMA_CACHE[key] = df.schema
+    return df
 
 
 def load_media(spark: SparkSession, sf_dir: str) -> DataFrame:
