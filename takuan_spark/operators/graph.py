@@ -118,13 +118,17 @@ def _enumerate_triangles(edges: DataFrame):
     wedge/closing construction would let the two triangle counts
     silently drift apart under a future orientation fix.
 
-    All three frames are materialized: edges feeds degrees,
-    orientation, and count aggregates (no exchange reuse across
-    branches), deg feeds the wedge aggregate and both orientation
-    joins, and the oriented frame self-joins."""
-    edges = materialize(edges.select("u", "v"))
-    deg = materialize(degrees(edges))
-    o = materialize(_oriented(edges, deg))
+    All three frames are snapshotted (localCheckpoint, see
+    skew.snapshot): edges feeds degrees, orientation, and count
+    aggregates (no exchange reuse across branches), deg feeds the
+    wedge aggregate and both orientation joins, and the oriented frame
+    self-joins. With plain persist, the concurrent AQE query stages
+    that consume a still-cold cache each rebuilt it independently
+    (measured on the sibling wedge consumers in the r12 profiles);
+    the eager checkpoint runs each derivation exactly once."""
+    edges = snapshot(edges.select("u", "v"))
+    deg = snapshot(degrees(edges))
+    o = snapshot(_oriented(edges, deg))
     a, b = o.alias("a"), o.alias("b")
     wedges = a.join(
         b,
@@ -440,7 +444,13 @@ def link_prediction(
     exact. One wedge self-join + one count aggregate + an anti-join
     against the edge set; top-k is TakeOrderedAndProject.
     """
-    e = materialize(edges.select("u", "v"))
+    # snapshot, not materialize: five downstream AQE query stages
+    # consume this frame concurrently, and a cold persist is built
+    # independently by each concurrent stage (measured: 5 x 64-task
+    # stages at 11-14 core-s each over a 0.1 MB edge frame in the
+    # r12 profile); the eager checkpoint runs the edge discovery
+    # exactly once before the consumers launch.
+    e = snapshot(edges.select("u", "v"))
     adj = e.select(F.col("u").alias("x"), F.col("v").alias("n")).unionAll(
         e.select(F.col("v").alias("x"), F.col("u").alias("n"))
     )
@@ -497,7 +507,8 @@ def adamic_adar(
     inside a wedge always has degree >= 2 (it needs two neighbors to
     form the pair), so ln(deg) is never 0. Scores round to 4 decimals
     (sum order jitter ~1e-15 of terms <= 1/ln 2)."""
-    e = materialize(edges.select("u", "v"))
+    # snapshot for the same concurrent-stage reason as link_prediction.
+    e = snapshot(edges.select("u", "v"))
     adj = e.select(F.col("u").alias("x"), F.col("v").alias("n")).unionAll(
         e.select(F.col("v").alias("x"), F.col("u").alias("n"))
     )
