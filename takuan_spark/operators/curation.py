@@ -85,9 +85,18 @@ def repetition_stats(
     # `from __future__ import annotations` stringifies hints, which the
     # pandas_udf hint resolver can't evaluate — attach real ones instead.
     _rep_counts_fn.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    # asNondeterministic: the guide-§4.4 duplication trap, measured
+    # live — the `where(n_bg >= 1)` below (and callers' `where(keep)`)
+    # push past the projection and the optimizer re-evaluates the UDF
+    # once per consumer: ns_curation_pipeline's physical plan carried
+    # THREE ArrowEvalPython nodes of this one function. The
+    # non-deterministic mark forbids duplicating/reordering it, so
+    # every row pays the Counter pass exactly once; the blocked
+    # filter-pushdown is irrelevant because the UDF must see every row
+    # anyway (it IS the gate's input).
     _rep_counts = pandas_udf(
         _rep_counts_fn, "n_words int, n_distinct int, top_bg bigint, n_bg bigint"
-    )
+    ).asNondeterministic()
 
     per_doc = (
         spread(docs)

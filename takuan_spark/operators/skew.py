@@ -61,27 +61,47 @@ _MATERIALIZED: list[DataFrame] = []
 
 
 def materialize(df: DataFrame) -> DataFrame:
-    """Persist a small derived frame that feeds BOTH sides of a
-    self-join.
+    """Materialize a small derived frame that feeds several downstream
+    branches (both sides of a banded self-join, a stats panel, ...).
 
     Catalyst does not reuse the exchange across the two branches of a
     banded self-join (verified on the MinHash plan: 2 scans, 4
     aggregates), so an expensive derivation — signatures, sketches —
-    runs twice. Persisting is the plan-level analog of the standard
-    at-scale practice of materializing the signature table before the
-    join. MEMORY_AND_DISK: sketch frames are tiny relative to their
-    inputs (constant bytes per document).
+    would run twice. Materializing is the plan-level analog of the
+    standard at-scale practice of writing the signature table before
+    the join.
 
-    Every persisted frame is tracked; :func:`release_materialized`
-    (called automatically when the next registered query starts)
-    unpersists them so cached frames never outlive the query that
-    created them by more than one query boundary.
+    Since the r12 optimization round the default mechanism is an EAGER
+    ``localCheckpoint`` (:func:`snapshot`), not ``persist()``: AQE
+    materializes independent downstream query stages CONCURRENTLY, and
+    a still-cold persisted cache is rebuilt by every concurrent
+    consumer instead of once (profiled on the graph family: five
+    64-task stages re-deriving one 0.1 MB cached edge frame at 11-14
+    core-seconds each; a 14-query A/B panel of the materialize-heavy
+    rows measured 62.2 s checkpointed vs 71.7 s persisted). The
+    checkpoint computes the frame exactly once, before any consumer
+    plans against it, and the flat ``LogicalRDD`` gives AQE exact
+    sizes. The same race duplicates corpus-scale derivations at
+    100 TB, where it costs hours instead of core-seconds — eager
+    materialization of the shared frame is the scale-correct shape.
+
+    ``TAKUAN_MATERIALIZE_MODE=persist`` restores the previous
+    ``persist(MEMORY_AND_DISK)`` path (kept for A/B measurement and
+    for callers that need lazily-deferred materialization); persisted
+    frames are tracked and dropped by :func:`release_materialized` at
+    the next registered query's entry. Checkpointed frames need no
+    tracking — their blocks are freed by the ContextCleaner when the
+    frame is garbage collected.
     """
+    import os
+
     from pyspark import StorageLevel
 
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _MATERIALIZED.append(df)
-    return df
+    if os.environ.get("TAKUAN_MATERIALIZE_MODE") == "persist":
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _MATERIALIZED.append(df)
+        return df
+    return snapshot(df)
 
 
 def snapshot(df: DataFrame, *, eager: bool = True) -> DataFrame:
@@ -117,7 +137,14 @@ def snapshot(df: DataFrame, *, eager: bool = True) -> DataFrame:
     try:
         return df.localCheckpoint(eager=eager)
     except Exception:
-        return materialize(df)
+        # direct persist fallback (NOT materialize(), which routes back
+        # here in the default mode) for sessions without localCheckpoint
+        # (Spark Connect).
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _MATERIALIZED.append(df)
+        return df
 
 
 def release_materialized() -> int:

@@ -214,17 +214,43 @@ def test_ivfpq_probe_prunes_cells_and_reads_codes_only(spark, sf_dir, tmp_path):
 
 
 def test_gap_fill_prunes_scan_and_single_window_sort(spark, sf_dir):
-    plan = plan_of(REGISTRY["q_gap_fill_interpolate"].builder(spark, sf_dir))
-    # the events scan reads only the three needed columns
-    read_schema = re.search(r"ReadSchema: ([^\n]+)", plan).group(1)
+    # scan pruning is a property of the bucketed-series aggregation —
+    # assert it on that subplan directly (in the full query the series
+    # is materialized eagerly, so its scan no longer appears in the
+    # final plan's text)
+    from pyspark.sql import functions as F
+
+    from takuan_spark.operators import timeseries as tsops
+    from takuan_spark.tables import load_table
+
+    series = tsops.bucket_aggregate(
+        load_table(spark, sf_dir, "events"),
+        ts_col="ts",
+        interval_secs=900,
+        group_cols=["event_type"],
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        ],
+    )
+    series_plan = plan_of(series)
+    read_schema = re.search(r"ReadSchema: ([^\n]+)", series_plan).group(1)
     assert "ts" in read_schema and "event_type" in read_schema
     assert "props" not in read_schema and "user_id" not in read_schema
+
+    plan = plan_of(REGISTRY["q_gap_fill_interpolate"].builder(spark, sf_dir))
     tree = tree_of(plan)
     # LOCF + the four interpolation anchors share one partitioning and
     # ordering: two adjacent Window nodes, no exchange between them
     # (the windows sit directly on one sort of the filled series)
     assert tree.count("Window") == 2
-    assert "InMemoryTableScan" in tree  # the bucketed series is cached once
+    # the bucketed series is materialized once: a cached scan (persist
+    # mode) or a flat scan over the checkpointed RDD (default mode)
+    assert (
+        "InMemoryTableScan" in tree
+        or "LogicalRDD" in tree
+        or "ExistingRDD" in tree
+    )
 
 
 def test_bloom_prefilter_before_any_exchange(spark, sf_dir):
@@ -773,7 +799,15 @@ def test_recursive_cte_joins_materialized_edges(spark, sf_dir):
     df = REGISTRY["q_recursive_cte"].builder(spark, sf_dir)
     try:
         plan = plan_of(df)
-        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+        # materialized = a cached scan (persist mode) or a flat scan
+        # over the checkpointed RDD (default checkpoint mode) — either
+        # way the fact join must NOT appear once per recursion level.
+        assert (
+            "InMemoryTableScan" in plan
+            or "InMemoryRelation" in plan
+            or "LogicalRDD" in plan
+            or "ExistingRDD" in plan
+        )
         # the recursion's working side must never plan a cartesian
         assert "CartesianProduct" not in plan
     finally:

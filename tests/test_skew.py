@@ -75,6 +75,20 @@ def test_spread_noop_on_wide_input(spark):
 
 
 def test_materialize_preserves_rows(spark):
+    """Default (checkpoint-backed) materialize: rows preserved, plan
+    truncated to a flat scan over the materialized RDD."""
+    from takuan_spark.operators.skew import materialize
+
+    df = spark.range(100).toDF("id")
+    m = materialize(df)
+    assert sorted(r["id"] for r in m.collect()) == list(range(100))
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_materialize_persist_mode_preserves_rows(spark, monkeypatch):
+    """TAKUAN_MATERIALIZE_MODE=persist restores the cached-frame path."""
+    monkeypatch.setenv("TAKUAN_MATERIALIZE_MODE", "persist")
     from takuan_spark.operators.skew import materialize
 
     df = spark.range(100).toDF("id")
@@ -157,7 +171,10 @@ def test_key_skew_profile_empty_input(spark):
     assert row["norm_entropy"] is None
 
 
-def test_release_materialized_unpersists_tracked_frames(spark):
+def test_release_materialized_unpersists_tracked_frames(spark, monkeypatch):
+    """Persist-mode frames are tracked and released; checkpoint-mode
+    frames (the default) hold no cache-manager entry to release."""
+    monkeypatch.setenv("TAKUAN_MATERIALIZE_MODE", "persist")
     from takuan_spark.operators.skew import materialize, release_materialized
 
     release_materialized()  # drain anything a prior test left behind
@@ -168,10 +185,12 @@ def test_release_materialized_unpersists_tracked_frames(spark):
     assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
 
 
-def test_registry_builder_releases_previous_query_caches(spark):
-    """The REGISTRY wrapper must drop the previous query's materialize()
-    caches when the next query starts (cache hygiene in sessions the
-    harness doesn't own, e.g. the driver's correctness run)."""
+def test_registry_builder_releases_previous_query_caches(spark, monkeypatch):
+    """The REGISTRY wrapper must drop the previous query's persist-mode
+    materialize() caches when the next query starts (cache hygiene in
+    sessions the harness doesn't own, e.g. the driver's correctness
+    run)."""
+    monkeypatch.setenv("TAKUAN_MATERIALIZE_MODE", "persist")
     from takuan_spark.operators.skew import materialize, release_materialized
     from takuan_spark.queries import REGISTRY, _load
 
