@@ -144,11 +144,16 @@ def q_stream_bloom_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = scratch_path(f"takuan_bloom_fold_{tag}")
     shutil.rmtree(table, ignore_errors=True)
 
+    from takuan_spark.operators.skew import snapshot
+
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
-    eu = (
+    # snapshot: the EUROPE key set feeds all four epoch sink jobs plus
+    # the exact-count semi-join — five separate driver actions that
+    # would each re-run the 3-way dim join.
+    eu = snapshot(
         supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .select("s_suppkey")
