@@ -411,10 +411,19 @@ def q_log_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = F.concat(head, F.lit(" from "), addr)
     # every 50th line loses its source suffix and must fail the parse
     # gate (the reference's group-count check, core/parser.go:65)
-    lines = ev.select(
-        F.when(F.col("event_id") % 50 == 0, head)
-        .otherwise(full)
-        .alias("value")
+    from takuan_spark.operators.skew import spread
+
+    # spread: the 2 MB events scan splits into ~4 tasks, but everything
+    # downstream of the render is regex CPU (tokenize + 3 rules +
+    # datetime parse per line) — profiled 4.3 core-s pinned on 4 of 32
+    # cores. The round-robin exchange moves only the raw lines and the
+    # regex chain then runs at full width.
+    lines = spread(
+        ev.select(
+            F.when(F.col("event_id") % 50 == 0, head)
+            .otherwise(full)
+            .alias("value")
+        )
     )
 
     conf = config_from_dict(
