@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from takuan_spark.operators.hashing import MERSENNE31, affine, affine_params, md5_int
-from takuan_spark.operators.skew import materialize
+from takuan_spark.operators.skew import materialize, snapshot
 from takuan_spark.operators.skew import spread as _spread
 from takuan_spark.operators.text import fingerprint, words
 
@@ -380,8 +380,11 @@ def duplicated_spans(
     all-pairs and nothing is driver-side.
     """
     sh = positional_shingles(df, text_col=text_col, id_col=id_col, n=n)
-    # inverted index: how many distinct docs contain each n-gram
-    nd = (
+    # inverted index: how many distinct docs contain each n-gram.
+    # snapshot the (small) duplicated-gram set so the shingle explode +
+    # count aggregate does not re-run inside the hits join's build side
+    # (same shape and fix as boilerplate_strip's bp set).
+    nd = snapshot(
         sh.groupBy("h")
         .agg(F.countDistinct(id_col).alias("nd"))
         .where(F.col("nd") >= min_docs)
@@ -449,7 +452,14 @@ def boilerplate_strip(
         id_col,
         F.posexplode(ngram_array(F.col(text_col), n)).alias("pos", "g"),
     ).select(id_col, "pos", F.substring(F.md5("g"), 1, 16).alias("h"))
-    bp = (
+    # snapshot the BOILERPLATE HASH SET, not the exploded grams: bp is
+    # small (distinct frequent grams), while materializing the gram
+    # explosion would store ~n x the corpus. Without it the whole
+    # explode -> md5 -> countDistinct subtree re-runs inside the starts
+    # join's build side (profiled 78 core-seconds at sf0.1 for a
+    # 5000-doc corpus); with it the explode runs once per consumer and
+    # the aggregation exactly once.
+    bp = snapshot(
         grams.groupBy("h")
         .agg(F.countDistinct(id_col).alias("nd"))
         .where(F.col("nd") >= min_docs)
