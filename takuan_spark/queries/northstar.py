@@ -2454,9 +2454,13 @@ _SIMHASH_TUNE_RADII = list(range(0, 7))
     "conditional aggregates.",
 )
 def ns_simhash_radius_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from takuan_spark.operators.skew import materialize
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = _pair_distribution_table(spark, sf_dir)
-    sig = dedup.simhash(docs, bits=60)
+    # the signature frame feeds BOTH sides of the pair join; without a
+    # snapshot Catalyst recomputes the full explode+60-sum build twice
+    sig = materialize(dedup.simhash(docs, bits=60))
     ph = (
         pairs.join(
             sig.select(F.col("doc_id").alias("id_a"),
