@@ -42,6 +42,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Let the planner pick shuffled-hash join when one side's
+        # per-partition build fits in memory, and let AQE convert
+        # sort-merge to shuffled-hash at runtime when every post-shuffle
+        # partition is under 128 MB: drops the per-side sorts (measured
+        # ns_boilerplate_strip 4 SortMergeJoin -> 4 ShuffledHashJoin,
+        # ~6% off the join-heavy panel; CPU x rows saved scales with
+        # data). Equal-size-side joins still plan as sort-merge; AQE
+        # skew splitting bounds the build-side partitions either way.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(128 * 1024 * 1024),
+        )
         # Whole-stage codegen is silently DISABLED for any stage whose
         # subtree carries more than maxFields (default 100) fields, and
         # the MinHash signature aggregate (64 min() buffers + keys)
