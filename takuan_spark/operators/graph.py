@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from takuan_spark.operators.skew import materialize, snapshot
+from takuan_spark.operators.skew import snapshot
 
 #: Oracle-SQL-side rank key encoding: degree * RANK_BASE + node id — one
 #: bigint totally ordering (degree, id) pairs for INTEGRAL ids < RANK_BASE

@@ -132,19 +132,24 @@ def snapshot(df: DataFrame, *, eager: bool = True) -> DataFrame:
     reason): checkpointed blocks skip lineage-based recovery, so an
     executor loss costs a job retry instead of a partition recompute.
     Blocks are freed by the ContextCleaner when the frame is garbage
-    collected. Falls back to :func:`materialize` on sessions without
-    localCheckpoint (Spark Connect)."""
+    collected. Falls back to a persist on sessions without
+    localCheckpoint (Spark Connect) — detected up front, like
+    :func:`spread`, so that a REAL execution failure inside the eager
+    checkpoint job (corrupt input, UDF error, executor OOM) propagates
+    instead of being silently retried as a lazy persist at the
+    caller's action (r12 ADVICE)."""
     try:
-        return df.localCheckpoint(eager=eager)
+        df.sparkSession.sparkContext  # noqa: B018 — capability probe
     except Exception:
-        # direct persist fallback (NOT materialize(), which routes back
-        # here in the default mode) for sessions without localCheckpoint
-        # (Spark Connect).
+        # Spark Connect: no sparkContext, no localCheckpoint. Direct
+        # persist fallback (NOT materialize(), which routes back here
+        # in the default mode).
         from pyspark import StorageLevel
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         _MATERIALIZED.append(df)
         return df
+    return df.localCheckpoint(eager=eager)
 
 
 def release_materialized() -> int:

@@ -23,17 +23,29 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
-#: Bound parquet schema per (sf_dir, table). A bare
+#: Bound parquet schema per (sf_dir, table, file mtime). A bare
 #: ``spark.read.parquet(path)`` runs a schema-inference job (one task,
 #: ~70 ms measured — see plans/r12/q_date_functions_profile.json) on
 #: EVERY call; across a ~284-query suite loading 1-4 tables each that
-#: is pure per-query overhead. The schema of a given testdata file
-#: cannot change within a session, so the first load infers and later
-#: loads pass the cached schema explicitly — exactly what a catalog
+#: is pure per-query overhead. The first load infers and later loads
+#: pass the cached schema explicitly — exactly what a catalog
 #: (metastore/Iceberg manifest) provides at scale instead of footer
-#: sniffing. Only METADATA is cached; every query still scans the
-#: parquet data itself.
+#: sniffing. The file's mtime is part of the key so a harness that
+#: regenerates a testdata file in-process gets a fresh inference
+#: instead of a silently-stale schema (r12 ADVICE). Only METADATA is
+#: cached; every query still scans the parquet data itself.
 _SCHEMA_CACHE: dict = {}
+
+
+def _schema_key(sf_dir: str, name: str) -> tuple:
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None  # let spark.read raise its own error on the path
+    return (sf_dir, name, mtime)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -50,7 +62,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (naive, like DuckDB reads it) so downstream date_trunc/date_format is
     session-timezone-independent.
     """
-    key = (sf_dir, name)
+    key = _schema_key(sf_dir, name)
     cached = _SCHEMA_CACHE.get(key)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
