@@ -109,13 +109,20 @@ def _unsettled(runs: list[float], prior_median: float | None) -> bool:
 #: module docstring). Only change this set when one of them changes
 #: plan — and then say so in PLANS.md, since it breaks normalization
 #: continuity for that round.
+#: r13: q_graph_triangles (plan changed in the r12 optimization round,
+#: voiding its calibration role — OPTIMIZATION_r12.md, calibration-
+#: continuity note) is replaced by q_community_labels: similar weight
+#: (multi-second band), iterative self-join shape, measured-and-left-
+#: alone in r12 and untouched in r13. The other five rows are unchanged
+#: and carry the r12→r13 normalization; per-query medians in
+#: BENCH_DETAIL.json let any subset be recomputed across rounds.
 CALIBRATION = [
     "q1_pricing_summary",    # parquet scan + hash agg (codegen)
     "q_date_functions",      # pure projection, no shuffle
     "q_window_rank",         # window function over one exchange
     "ns_text_stats",         # text explode + agg
     "ns_tfidf_topterms",     # shuffle-heavy multi-stage agg
-    "q_graph_triangles",     # iterative self-join, multi-second band
+    "q_community_labels",    # iterative label-prop join, multi-second band
 ]
 
 
@@ -215,6 +222,15 @@ def main() -> None:
 
         release_materialized()
         spark.catalog.clearCache()
+        # checkpoint-mode snapshot() blocks are freed by the JVM
+        # ContextCleaner only after the PYTHON wrapper is collected and
+        # py4j drops its reference; a 284-query suite can otherwise
+        # accumulate dead checkpoint blocks between CPython GC cycles
+        # (r12 ADVICE). Collect at the (untimed) query boundary so
+        # block lifetime is bounded by one query, not one GC cycle.
+        import gc
+
+        gc.collect()
 
     # warm the JVM/codegen paths and the Python-UDF worker pool once so
     # per-query numbers measure the engine, not first-call JIT or
