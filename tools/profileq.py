@@ -35,6 +35,7 @@ def main() -> None:
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     )
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--outdir", default="r13")
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
 
@@ -60,7 +61,7 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    os.makedirs(os.path.join(REPO, "plans", "r12"), exist_ok=True)
+    os.makedirs(os.path.join(REPO, "plans", args.outdir), exist_ok=True)
     for name in args.names:
         walls = []
         first_jobs: list[int] = []
@@ -135,11 +136,11 @@ def main() -> None:
             "stages": stages,
         }
         with open(
-            os.path.join(REPO, "plans", "r12", f"{name}_profile.json"), "w"
+            os.path.join(REPO, "plans", args.outdir, f"{name}_profile.json"), "w"
         ) as fh:
             json.dump(out, fh, indent=1)
         with open(
-            os.path.join(REPO, "plans", "r12", f"{name}_executed.txt"), "w"
+            os.path.join(REPO, "plans", args.outdir, f"{name}_executed.txt"), "w"
         ) as fh:
             fh.write(plan_txt)
         print(
