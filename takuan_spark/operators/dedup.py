@@ -931,8 +931,15 @@ def simhash_pairs(
             "id_b",
             hamming_distance(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # Hamming filter BEFORE the pair dedup: every duplicate of a
+        # candidate pair carries the same two signatures, hence the
+        # same hamming, so filter and distinct commute — but Catalyst
+        # cannot push a predicate on a non-key column through the
+        # dedup aggregate itself, and the dedup's exchange otherwise
+        # shuffles EVERY candidate pair (multi-block collisions
+        # included) only to discard most of them one operator later.
         .where(F.col("hamming") <= max_distance)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
