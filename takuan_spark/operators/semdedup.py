@@ -88,9 +88,17 @@ def semdedup_victims(
     pairs named this row the drop, ordered by vec_id. Downstream corpus
     construction is one anti-join of the corpus against this frame.
     """
+    from takuan_spark.operators.skew import snapshot
+
     cents = similarity.fixed_centroids(dim, nlist=nlist, seed=seed)
-    assigned = assign_cells_with_centroid_sim(
-        embeddings, cents, vec_col=vec_col, id_col=id_col
+    # The assignment frame feeds THREE consumers (the pair generator
+    # plus both sides of the victim-metadata join); unmaterialized,
+    # Catalyst plants the Arrow GEMM UDF subtree — a full embeddings
+    # scan + matmul — once per consumer. One snapshot = one GEMM pass.
+    assigned = snapshot(
+        assign_cells_with_centroid_sim(
+            embeddings, cents, vec_col=vec_col, id_col=id_col
+        )
     )
     pairs = similarity.cosine_pairs(
         assigned,
