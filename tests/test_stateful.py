@@ -1730,3 +1730,82 @@ def test_multi_sensor_both_sensors_nonempty_at_every_sf():
                 f"{d}: {side} side collapses to one rendered line"
             )
     con.close()
+
+
+def test_vectorized_folds_match_reference_loop_semantics():
+    """The r13 vectorized hot paths of the stateful update fns
+    (_epoch_secs, _fold_gap, _alerts_frame — guide §4.2: hand whole
+    batches to numpy instead of looping per event) must be exactly
+    the per-element folds they replaced, on randomized feeds covering
+    multi-batch carry, ties, singletons and empty runs."""
+    import numpy as np
+    import pandas as pd
+
+    from takuan_spark.streaming.stateful import (
+        _alerts_frame,
+        _epoch_secs,
+        _fold_gap,
+    )
+
+    rng = np.random.default_rng(20260818)
+
+    # _fold_gap vs the reference per-event loop, carried across runs
+    def ref_fold_gap(first_us, last_us, max_gap_us, n, sorted_times):
+        for t in sorted_times:
+            t = int(t)
+            if last_us is not None:
+                gap = t - last_us
+                if max_gap_us is None or gap > max_gap_us:
+                    max_gap_us = gap
+            if first_us is None:
+                first_us = t
+            last_us = t
+            n += 1
+        return first_us, last_us, max_gap_us, n
+
+    for _ in range(300):
+        state_v = state_r = (None, None, None, 0)
+        for _run in range(int(rng.integers(1, 4))):
+            m = int(rng.integers(0, 8))
+            ts = np.sort(rng.integers(0, 1000, m))  # small range -> ties
+            state_v = _fold_gap(*state_v, ts)
+            state_r = ref_fold_gap(*state_r, ts.tolist())
+            assert state_v == state_r, (state_v, state_r)
+
+    # _epoch_secs vs int(Timestamp.timestamp()), naive and tz-aware,
+    # with sub-second fractions (both paths floor for post-epoch times)
+    base = pd.Timestamp("2024-03-01 12:00:00")
+    frac = pd.to_timedelta(rng.integers(0, 10**6, 64), unit="us")
+    naive = pd.Series(base + pd.to_timedelta(rng.integers(0, 10**6, 64), unit="s") + frac)
+    assert _epoch_secs(naive) == [
+        int(t.timestamp()) for t in pd.to_datetime(naive)
+    ]
+    aware = naive.dt.tz_localize("UTC")
+    assert _epoch_secs(aware) == [
+        int(t.timestamp()) for t in pd.to_datetime(aware)
+    ]
+
+    # _alerts_frame vs the list-of-dicts construction it replaced
+    alerts = [("10.0.0.1", 3, 100, 160), ("10.0.0.2", 5, 0, 59)]
+    got = _alerts_frame(alerts)
+    want = pd.DataFrame(
+        [
+            {
+                "address": a,
+                "n_events": n,
+                "window_start": pd.Timestamp(ws, unit="s"),
+                "window_end": pd.Timestamp(we, unit="s"),
+            }
+            for a, n, ws, we in alerts
+        ]
+    )
+    assert got["address"].tolist() == want["address"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert (
+        got["window_start"].astype("datetime64[ns]").tolist()
+        == want["window_start"].tolist()
+    )
+    assert (
+        got["window_end"].astype("datetime64[ns]").tolist()
+        == want["window_end"].tolist()
+    )

@@ -73,6 +73,57 @@ def _variant(spark, name: str):
                 "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
                 str(128 * 1024 * 1024),
             )
+    elif name == "pyfold":
+        # restore the pre-r13 per-element Python paths of the stateful
+        # update fns (the update closures resolve these module globals
+        # at CALL time, so patching applies to queries built after):
+        # per-Timestamp epoch conversion, per-event gap fold, and
+        # list-of-dicts alert frames with one pd.Timestamp per field.
+        import pandas as _pd
+
+        import takuan_spark.streaming.stateful as st_mod
+
+        def _old_epoch_secs(col):
+            return [int(t.timestamp()) for t in _pd.to_datetime(col)]
+
+        def _old_fold_gap(first_us, last_us, max_gap_us, n, sorted_times):
+            for t in sorted_times:
+                t = int(t)
+                if last_us is not None:
+                    gap = t - last_us
+                    if max_gap_us is None or gap > max_gap_us:
+                        max_gap_us = gap
+                if first_us is None:
+                    first_us = t
+                last_us = t
+                n += 1
+            return first_us, last_us, max_gap_us, n
+
+        def _old_alerts_frame(alerts):
+            return _pd.DataFrame(
+                [
+                    {
+                        "address": a,
+                        "n_events": ne,
+                        "window_start": _pd.Timestamp(ws, unit="s"),
+                        "window_end": _pd.Timestamp(we, unit="s"),
+                    }
+                    for a, ne, ws, we in alerts
+                ]
+            )
+
+        saved = (st_mod._epoch_secs, st_mod._fold_gap, st_mod._alerts_frame)
+        st_mod._epoch_secs = _old_epoch_secs
+        st_mod._fold_gap = _old_fold_gap
+        st_mod._alerts_frame = _old_alerts_frame
+        try:
+            yield
+        finally:
+            (
+                st_mod._epoch_secs,
+                st_mod._fold_gap,
+                st_mod._alerts_frame,
+            ) = saved
     elif name == "smjaqe":
         # static planner prefers SMJ (no misestimate-driven SHJ, the
         # r12 ADVICE scale-safety concern) but AQE may still convert
