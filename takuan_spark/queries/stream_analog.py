@@ -3516,17 +3516,34 @@ def q_tail_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(base)
     log, sink, ckpt = f"{base}/app.log", f"{base}/sink", f"{base}/ckpt"
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
-    n_total = ev.count()
 
-    def _render(half: DataFrame, name: str) -> str:
-        tmp = f"{base}/_txt_{name}"
-        half.select(
-            F.concat_ws(" ", F.col("event_id"), F.col("event_type"))
-        ).coalesce(1).write.mode("overwrite").text(tmp)
-        return _glob.glob(os.path.join(tmp, "part-*"))[0]
-
-    first = _render(ev.where(F.pmod("event_id", F.lit(2)) == 0), "first")
-    second = _render(ev.where(F.pmod("event_id", F.lit(2)) == 1), "second")
+    # ONE Spark job renders both halves (a single partitioned text
+    # write from one task: each _half directory holds exactly one part
+    # file) and n_total is a driver-side line count of the written
+    # files — replaces the count job plus two filtered half-writes.
+    # File CONTENT and the half-split rule (event_id parity) unchanged.
+    tmp = f"{base}/_txt"
+    (
+        ev.select(
+            F.concat_ws(" ", F.col("event_id"), F.col("event_type")).alias(
+                "value"
+            ),
+            F.pmod("event_id", F.lit(2)).alias("_half"),
+        )
+        .repartition(1)
+        .write.partitionBy("_half")
+        .mode("overwrite")
+        .text(tmp)
+    )
+    n_total = 0
+    rendered = []
+    for half in (0, 1):
+        parts = _glob.glob(os.path.join(tmp, f"_half={half}", "part-*"))
+        assert len(parts) == 1, f"half {half}: {len(parts)} part files"
+        with open(parts[0], "rb") as fh:
+            n_total += sum(1 for _ in fh)
+        rendered.append(parts[0])
+    first, second = rendered
     shutil.copyfile(first, log)
 
     register_filetail(spark)
@@ -3678,37 +3695,44 @@ def q_stream_multi_sensor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('"'),
     )
     is_ssh = F.col("event_type").isin("error", "signup")
-    # each render feeds three actions (the expected-count and two half
-    # writes); materialize so the events scan + line rendering run once
-    # per sensor instead of three times
-    from takuan_spark.operators.skew import materialize
-
     renders = {
-        "ssh": materialize(ev.where(is_ssh).select(ssh_line.alias("value"))),
-        "http": materialize(
-            ev.where(~is_ssh).select(http_line.alias("value"))
-        ),
+        "ssh": ev.where(is_ssh).select(ssh_line.alias("value")),
+        "http": ev.where(~is_ssh).select(http_line.alias("value")),
     }
-    expected = {s: df.count() for s, df in renders.items()}
-
-    def _render_half(sensor: str, df: DataFrame, half: int) -> str:
-        tmp = f"{base}/_txt_{sensor}_{half}"
-        df.coalesce(1).write.mode("overwrite").text(tmp)
-        return _glob.glob(os.path.join(tmp, "part-*"))[0]
-
-    halves = {
-        s: [
-            _render_half(
-                s,
-                renders[s].where(
-                    F.pmod(F.crc32("value"), F.lit(2)) == half
-                ),
-                half,
-            )
-            for half in (0, 1)
-        ]
-        for s in renders
-    }
+    # ONE Spark job per sensor: label each line with its crc32 half and
+    # write both half files in a single partitioned text write (a lone
+    # task, so each _half directory holds exactly one part file); the
+    # expected per-sensor totals are then a driver-side line count of
+    # the written halves. Replaces the old materialize + count + two
+    # filtered half-writes (4 jobs per sensor) — the halves' CONTENT
+    # and the arrival protocol are unchanged, only the job count.
+    halves: dict[str, list[str]] = {}
+    expected: dict[str, int] = {}
+    for s, df in renders.items():
+        tmp = f"{base}/_txt_{s}"
+        (
+            df.withColumn("_half", F.pmod(F.crc32("value"), F.lit(2)))
+            .repartition(1)
+            .write.partitionBy("_half")
+            .mode("overwrite")
+            .text(tmp)
+        )
+        files, total = [], 0
+        for half in (0, 1):
+            parts = _glob.glob(os.path.join(tmp, f"_half={half}", "part-*"))
+            if not parts:
+                # a half with no lines writes no directory; the old
+                # per-half write produced an empty file — mirror it
+                empty = os.path.join(tmp, f"_half={half}", "part-empty")
+                os.makedirs(os.path.dirname(empty), exist_ok=True)
+                open(empty, "wb").close()
+                parts = [empty]
+            assert len(parts) == 1, f"{s} half {half}: {len(parts)} files"
+            with open(parts[0], "rb") as fh:
+                total += sum(1 for _ in fh)
+            files.append(parts[0])
+        halves[s] = files
+        expected[s] = total
     for s in logs:
         shutil.copyfile(halves[s][0], logs[s])
 
