@@ -94,64 +94,45 @@ def query(name: str, oracle_sql: str | None, description: str = ""):
 #      (their old green rows no longer certify the current code);
 #   2. staleness backfill — every remaining query ordered by its
 #      LAST-GREEN round ascending, so the window always re-certifies
-#      the oldest evidence first. Round 12 applies the r11 verdict's
-#      directive exactly: the window = the 6 changed/new rows
-#      (q_stream_bruteforce_alerts runs the REAL applyInPandasWithState
-#      brute-force detector over the epoch-file protocol against the
-#      RANGE-window oracle, with a deterministic cross-boundary probe
-#      pair making the cross-batch state carry load-bearing at every
-#      SF; q_stream_bruteforce_unordered certifies the SAME detector
-#      under [1,0,3,2] delivery via the new buffer-and-seal fold
-#      (brute_force_alerts_unordered), closing the r11 verdict's
-#      stretch goal; q_stream_bruteforce_restart stops and restarts
-#      the detector across query objects with the restart boundary ON
-#      the probe-straddled epoch boundary — the state store must
-#      round-trip the USER-DEFINED state schema off the checkpoint
-#      (the recovery axis q_stream_checkpoint_restart's built-in agg
-#      cannot certify); q_stream_interval_join_right completes the stream-stream
-#      join-type matrix under the hash gate; q_stream_multi_sensor puts
-#      the streaming multi-sensor union (O30) — two live filetail
-#      sources through compile_stream's unionByName — under the hash
-#      gate; q_interval_overlap_join re-certifies overlap_counts after
-#      the reserved-column guard + malformed-interval hardening) + the
-#      5 r5-stale rows the r10/r11 caps displaced + the full 37-row
-#      r6-stale class + the first 2 r7 rows; 6 + 5 + 37 + 2 = 50.
+#      the oldest evidence first.
+# Round 13 (optimization round 2): the 11 rows whose implementation
+# changed this round lead — ns_simhash_neardup (Hamming filter moved
+# before the pair-dedup exchange), ns_semdedup (cell-assignment GEMM
+# snapshotted), q_stream_rocksdb_state + q_stream_window_fold (the
+# shared _run_windowed_counts helper gained scoped RocksDB changelog
+# checkpointing), the five applyInPandasWithState rows whose update
+# fns were vectorized (q_stream_bruteforce_{alerts,unordered,restart},
+# q_stream_custom_state, q_stream_unordered_state), and the two
+# live-tail rows whose log rendering collapsed to one job
+# (q_stream_multi_sensor, q_tail_source_counts). Repo-wide r13
+# changes (local-FS checksum/committer conf, snapshot() probe,
+# schema-cache mtime key) touch every path and are certified by the
+# full local oracle sweep, as r12's repo-wide changes were. The
+# remaining 39 slots backfill the stalest evidence: r12's window
+# retired those rows' r5/r6-stale debt, so the head of the tail is
+# now the r7-green class (mm_scene_cuts onward; mm_audio_segments and
+# mm_binaryfile_ingest were certified inside r12's window). r12's
+# just-recertified 50 rotate to the back.
 # Anything past the cap rotates forward next round; every declared
 # query is still oracle-verified locally by tests/test_oracle.py.
 PRIORITY: list[str] = [
-    # -- 1. r12: CHANGED/NEW this round -------------------------------
-    "q_stream_bruteforce_alerts", "q_stream_bruteforce_unordered",
-    "q_stream_bruteforce_restart", "q_stream_interval_join_right",
-    "q_stream_multi_sensor", "q_interval_overlap_join",
-    # -- 2. the 5 r5-stale rows (the r11 verdict's backfill head) ----
-    "ns_text_augment", "mm_media_summary", "ns_kcenter_coreset",
-    "ns_matryoshka_qc", "q_stream_dedup_fold",
-    # -- 3. the r6-stale class (37 rows) ------------------------------
-    "ns_curation_pipeline", "ns_fingerprint", "ns_knn_join", "ns_lang_id",
-    "ns_quality_score", "ns_similarity_topk", "ns_stratified_sample",
-    "ns_tfidf_topterms", "ns_winnow_fingerprint", "q10_returned_items",
-    "q14_promo_revenue", "q19_disjunctive_filter", "q1_pricing_summary",
-    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q_anti_join", "q_array_functions",
-    "q_correlated_subquery", "q_cube", "q_date_functions", "q_full_outer_join",
-    "q_grouping_sets", "q_ip_range_join", "q_ip_range_join_bucketed",
-    "q_math_functions", "q_pandas_udaf", "q_rollup", "q_scalar_subquery",
-    "q_semi_join", "q_set_ops", "q_string_functions", "q_top_customers",
-    "q_union_distinct", "q_window_lag_lead", "q_window_rank",
-    # -- 4. backfill tail, ordered by last-green round ascending
-    # (r7..r11) so future windows keep retiring the oldest evidence
-    # first; the first 2 rows here complete the 50-slot window --------
-    "mm_audio_segments", "mm_binaryfile_ingest", "mm_scene_cuts",
-    "ns_chunk_documents", "ns_cms_error", "ns_cms_heavy_hitters",
-    "ns_cms_join_size", "ns_dp_histogram", "ns_embedding_centroids",
-    "ns_ivf_probe", "ns_ivf_topk", "ns_ivfpq_probe", "ns_lsh_probe",
-    "ns_lsh_similarity_topk", "ns_minhash_estimate_error",
+    # -- 1. r13: implementation CHANGED this round ------------------
+    "ns_simhash_neardup", "ns_semdedup", "q_stream_rocksdb_state",
+    "q_stream_window_fold", "q_stream_bruteforce_alerts",
+    "q_stream_bruteforce_unordered", "q_stream_bruteforce_restart",
+    "q_stream_custom_state", "q_stream_unordered_state",
+    "q_stream_multi_sensor", "q_tail_source_counts",
+    # -- 2. staleness backfill, last-green round ascending (r7 head
+    #    first; the first 39 rows here complete the 50-slot window) --
+    "mm_scene_cuts", "ns_chunk_documents", "ns_cms_error",
+    "ns_cms_heavy_hitters", "ns_cms_join_size", "ns_dp_histogram",
+    "ns_embedding_centroids", "ns_ivf_probe", "ns_ivf_topk", "ns_ivfpq_probe",
+    "ns_lsh_probe", "ns_lsh_similarity_topk", "ns_minhash_estimate_error",
     "ns_minhash_prod_mode", "ns_minhash_recall", "ns_pack_sequences",
     "ns_pii_redact", "ns_pq_probe", "ns_pq_rerank", "ns_pq_topk",
     "ns_rag_pipeline", "ns_random_projection", "ns_repetition_filter",
-    "ns_sample_to_mix", "ns_simhash_neardup", "q11_part_value_share",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q21_suppliers_kept_waiting", "q2_min_cost_supplier",
+    "ns_sample_to_mix", "q11_part_value_share", "q13_customer_distribution",
+    "q15_top_supplier", "q21_suppliers_kept_waiting", "q2_min_cost_supplier",
     "q7_nation_volume_shipping", "q8_market_share", "q9_product_type_profit",
     "q_distinct_count", "q_first_value_per_group", "q_gap_fill_interpolate",
     "q_hypertable_rollup", "q_salted_agg", "q_stream_bloom_fold",
@@ -178,26 +159,24 @@ PRIORITY: list[str] = [
     "ns_contrastive_triplets", "ns_decontaminate", "ns_dup_size_histogram",
     "ns_effective_corpus_size", "ns_epoch_novelty", "ns_hard_negatives",
     "ns_hll_distinct", "ns_keyword_tagging", "ns_kmv_set_ops",
-    "ns_length_bucketing", "ns_length_outliers", "ns_semdedup",
-    "ns_shard_assign", "ns_substring_dedup", "ns_token_entropy",
-    "ns_unicode_normalize", "ns_winsorized_stats", "q_corr_regression",
-    "q_graph_pagerank", "q_key_skew_profile", "q_quantile_sketch",
-    "q_recursive_cte", "q_rolling_median", "q_scd2_intervals",
-    "q_sliding_distinct", "q_sliding_distinct_hll", "q_sql_pipe_syntax",
-    "q_state_store_reader", "q_stateful_alerts", "q_stateful_profile",
-    "q_stream_custom_state", "q_stream_dedup_replay", "q_stream_late_drop",
-    "q_stream_rocksdb_state", "q_stream_session_window",
-    "q_stream_static_join", "q_stream_window_fold", "q_unpivot_metrics",
-    "q_window_range_frame", "q_zorder_locality", "ns_boilerplate_strip",
-    "ns_class_rebalance", "ns_dataset_card", "ns_embedding_qc",
-    "ns_importance_weights", "ns_k_anonymity", "ns_kmeans_assign",
-    "ns_kmeans_clusters", "ns_leakage_safe_split", "ns_mixture_schedule",
-    "ns_ngram_lm_stats", "ns_perplexity_filter", "ns_quantile_bins",
-    "ns_source_overlap", "ns_token_pmi", "ns_tokenizer_fertility",
-    "q_backfill_overwrite", "q_bloom_prefilter_prod", "q_cdc_latest",
-    "q_cdc_merge", "q_csv_roundtrip", "q_dq_audit", "q_event_dedup_window",
-    "q_jsonl_roundtrip", "q_log_pipeline_e2e", "q_salted_join",
-    "q_stream_checkpoint_restart", "q_stream_complete_mode",
+    "ns_length_bucketing", "ns_length_outliers", "ns_shard_assign",
+    "ns_substring_dedup", "ns_token_entropy", "ns_unicode_normalize",
+    "ns_winsorized_stats", "q_corr_regression", "q_graph_pagerank",
+    "q_key_skew_profile", "q_quantile_sketch", "q_recursive_cte",
+    "q_rolling_median", "q_scd2_intervals", "q_sliding_distinct",
+    "q_sliding_distinct_hll", "q_sql_pipe_syntax", "q_state_store_reader",
+    "q_stateful_alerts", "q_stateful_profile", "q_stream_dedup_replay",
+    "q_stream_late_drop", "q_stream_session_window", "q_stream_static_join",
+    "q_unpivot_metrics", "q_window_range_frame", "q_zorder_locality",
+    "ns_boilerplate_strip", "ns_class_rebalance", "ns_dataset_card",
+    "ns_embedding_qc", "ns_importance_weights", "ns_k_anonymity",
+    "ns_kmeans_assign", "ns_kmeans_clusters", "ns_leakage_safe_split",
+    "ns_mixture_schedule", "ns_ngram_lm_stats", "ns_perplexity_filter",
+    "ns_quantile_bins", "ns_source_overlap", "ns_token_pmi",
+    "ns_tokenizer_fertility", "q_backfill_overwrite", "q_bloom_prefilter_prod",
+    "q_cdc_latest", "q_cdc_merge", "q_csv_roundtrip", "q_dq_audit",
+    "q_event_dedup_window", "q_jsonl_roundtrip", "q_log_pipeline_e2e",
+    "q_salted_join", "q_stream_checkpoint_restart", "q_stream_complete_mode",
     "q_stream_interval_join", "q_stream_interval_join_outer",
     "q_stream_report_fold", "q_stream_sketch_fold",
     "q_stream_static_join_shuffle", "q_stream_update_mode",
@@ -205,9 +184,8 @@ PRIORITY: list[str] = [
     "q_xml_roundtrip", "q_zonemap_prune_compare", "takuan_address_report",
     "takuan_country_topk", "takuan_geo_enrich_join", "takuan_hourly_window",
     "takuan_json_extract", "takuan_regex_tokenize", "takuan_rule_filter",
-    "takuan_rule_label", "q_stream_interval_join_full",
-    "q_stream_unordered_state", "q_sql_scripting", "q_bucketed_join",
-    "q_tail_source_counts", "ns_cardinality_sketch_error", "q_ntile_deciles",
+    "takuan_rule_label", "q_stream_interval_join_full", "q_sql_scripting",
+    "q_bucketed_join", "ns_cardinality_sketch_error", "q_ntile_deciles",
     "ns_duplication_pareto", "ns_dedup_pipeline", "ns_score_calibration",
     "q_bloom_prefilter", "q_funnel", "q_session_window", "q_sliding_window",
     "takuan_rdns_enrich", "mm_feature_extract", "mm_frame_sample",
@@ -222,6 +200,22 @@ PRIORITY: list[str] = [
     "q_graph_triangles", "q_interarrival_stats", "q_local_clustering",
     "q_mean_shift_changepoint", "q_pivot_conditional", "q_stats_agg",
     "q_stream_ann_fold",
+    # -- 3. r12's just-certified window rotates to the back ----------
+    "q_stream_interval_join_right", "q_interval_overlap_join",
+    "ns_text_augment", "mm_media_summary", "ns_kcenter_coreset",
+    "ns_matryoshka_qc", "q_stream_dedup_fold", "ns_curation_pipeline",
+    "ns_fingerprint", "ns_knn_join", "ns_lang_id", "ns_quality_score",
+    "ns_similarity_topk", "ns_stratified_sample", "ns_tfidf_topterms",
+    "ns_winnow_fingerprint", "q10_returned_items", "q14_promo_revenue",
+    "q19_disjunctive_filter", "q1_pricing_summary", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q_anti_join", "q_array_functions", "q_correlated_subquery", "q_cube",
+    "q_date_functions", "q_full_outer_join", "q_grouping_sets",
+    "q_ip_range_join", "q_ip_range_join_bucketed", "q_math_functions",
+    "q_pandas_udaf", "q_rollup", "q_scalar_subquery", "q_semi_join",
+    "q_set_ops", "q_string_functions", "q_top_customers", "q_union_distinct",
+    "q_window_lag_lead", "q_window_rank", "mm_audio_segments",
+    "mm_binaryfile_ingest",
 ]
 
 
